@@ -1,0 +1,506 @@
+"""Tier B — the time-series query surface implied by the reference's
+stored model (SURVEY.md §2 Tier B).
+
+The reference writes a narrow layout (series per (device, transducer),
+``influx_service.py:183-189``) and a wide layout (field per transducer,
+``influx_service.py:191-197``) at ns precision precisely so InfluxQL-style
+queries work downstream. The driver's ``events`` table stands in for that
+point stream (``user_id`` = device, ``event_type`` = transducer,
+``value`` = coerced payload, ``ts`` = arrival time).
+
+Determinism policy for the DuckDB oracle hash-check: never emit a raw
+floating ``avg``/``sum`` whose accumulation order differs between
+engines. Money-ish values here carry 2 decimals, so ``round(sum(x), 2)``
+recovers the exact decimal sum regardless of order; averages are then
+``round(sum,2)/count`` (deterministic IEEE division), not ``avg()``.
+
+Scale notes (100 TB): every query here groups/joins on
+(user_id|event_type|time-bucket) — at scale the points table is
+partitioned by date and bucketed by device, so the time filters prune
+partitions and the per-series aggregations are map-side-partial before
+one shuffle. No Python touches the hot path: everything is built-in
+pyspark.sql.functions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _avg2(sum_col: F.Column, cnt_col: F.Column) -> F.Column:
+    """Order-insensitive average of 2-decimal values: round the sum to
+    cents (exact), then divide — bit-identical in Spark and DuckDB."""
+    return F.round(F.round(sum_col, 2) / cnt_col, 6)
+
+
+_AVG2_SQL = "round(round(sum({v}), 2) / count(*), 6)"
+
+
+# --------------------------------------------------------------------------
+# B1 — time-range scan of one series (narrow layout, influx_service.py:183-189)
+# --------------------------------------------------------------------------
+
+def ts_series_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT of one (device, transducer) series in a time range.
+
+    Mirrors an InfluxQL ``SELECT value FROM <device>_<transducer> WHERE
+    time > .. AND time < ..`` over the narrow layout. The filter is a
+    pure predicate-pushdown scan — at 100 TB this prunes to the date
+    partitions in range and rowgroups for the series key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("user_id") == 7)
+            & (F.col("event_type") == "click")
+            & (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "event_id",
+            F.concat_ws("_", F.col("user_id"), F.col("event_type")).alias("series_id"),
+            "ts",
+            "value",
+        )
+    )
+
+
+TS_SERIES_SCAN_SQL = """
+SELECT event_id,
+       user_id || '_' || event_type AS series_id,
+       ts,
+       value
+FROM events
+WHERE user_id = 7
+  AND event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+# --------------------------------------------------------------------------
+# B2 — wide ("organized") layout scan: one row per device, field per
+# transducer (influx_service.py:191-197) as a derived pivot view.
+# --------------------------------------------------------------------------
+
+def ts_device_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device daily wide view: one column per transducer.
+
+    The reference writes this layout physically on every point; in Spark
+    it is a derived pivot over the canonical narrow table (same data, no
+    second copy). Explicit pivot values keep the schema static (required
+    for streaming parity and for plan stability at scale).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.filter(F.col("user_id") < 5)
+        .groupBy(F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6))
+    )
+    cols = [F.col("user_id"), F.col("day")] + [
+        F.col(t).alias(f"avg_{t}") for t in EVENT_TYPES
+    ]
+    return agg.select(*cols)
+
+
+TS_DEVICE_WIDE_SQL = """
+SELECT user_id,
+       date_trunc('day', ts) AS day,
+       round(round(sum(value) FILTER (WHERE event_type = 'click'), 2)
+             / count(*) FILTER (WHERE event_type = 'click'), 6) AS avg_click,
+       round(round(sum(value) FILTER (WHERE event_type = 'error'), 2)
+             / count(*) FILTER (WHERE event_type = 'error'), 6) AS avg_error,
+       round(round(sum(value) FILTER (WHERE event_type = 'purchase'), 2)
+             / count(*) FILTER (WHERE event_type = 'purchase'), 6) AS avg_purchase,
+       round(round(sum(value) FILTER (WHERE event_type = 'signup'), 2)
+             / count(*) FILTER (WHERE event_type = 'signup'), 6) AS avg_signup,
+       round(round(sum(value) FILTER (WHERE event_type = 'view'), 2)
+             / count(*) FILTER (WHERE event_type = 'view'), 6) AS avg_view
+FROM events
+WHERE user_id < 5
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# B3 — FLAGSHIP: time-bucketed aggregation (GROUP BY time(10m) analog;
+# stats semantics of influx_service.py:310-322)
+# --------------------------------------------------------------------------
+
+def ts_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window per event_type: count/sum/avg/min/max +
+    exact distinct devices.
+
+    This is the reference's own telemetry shape (10-min point counts +
+    device counts, influx_service.py:310-322) generalized to the full
+    InfluxQL ``GROUP BY time(10m), <tag>`` surface. Map-side partial
+    aggregation + one shuffle on (window, event_type); at 100 TB the
+    window key is derived from the partition column so partial aggs
+    stay partition-local.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            _avg2(F.sum("value"), F.count(F.lit(1))).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+            "min_value",
+            "max_value",
+            "n_users",
+        )
+    )
+
+
+TS_BUCKET_AGG_SQL = f"""
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       {_AVG2_SQL.format(v='value')} AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# B4 — last value per series (InfluxQL LAST() analog)
+# --------------------------------------------------------------------------
+
+def ts_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest point per (device, transducer) series.
+
+    Window row_number with a deterministic (ts, event_id) tie-break; at
+    scale Catalyst turns rank-1 filters into a partial top-1 per
+    partition before the shuffle (WindowGroupLimit), so this does NOT
+    sort whole series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+TS_LAST_VALUE_SQL = """
+SELECT user_id, event_type, last_ts, last_value
+FROM (
+    SELECT user_id, event_type, ts AS last_ts, value AS last_value,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# B5 — cross-series join on time (field-vs-field comparison)
+# --------------------------------------------------------------------------
+
+def ts_cross_series_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click-activity vs purchase-activity per device, joined on
+    the shared (device, day) key — the wide layout's raison d'être.
+
+    Both sides aggregate before the join, so the join input is tiny
+    relative to the scan; the two aggregations share the same shuffle
+    key family ((user_id, day)) so AQE can plan a cheap join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", day)
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.sum("value"), 2).alias("click_sum"),
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("purchase_sum"),
+        )
+    )
+    return clicks.join(purchases, ["user_id", "day"], "inner").select(
+        "user_id", "day", "n_clicks", "click_sum", "n_purchases", "purchase_sum"
+    )
+
+
+TS_CROSS_SERIES_JOIN_SQL = """
+WITH clicks AS (
+    SELECT user_id, date_trunc('day', ts) AS day,
+           count(*) AS n_clicks, round(sum(value), 2) AS click_sum
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), purchases AS (
+    SELECT user_id, date_trunc('day', ts) AS day,
+           count(*) AS n_purchases, round(sum(value), 2) AS purchase_sum
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.user_id, c.day, n_clicks, click_sum, n_purchases, purchase_sum
+FROM clicks c JOIN purchases p ON c.user_id = p.user_id AND c.day = p.day
+"""
+
+
+# --------------------------------------------------------------------------
+# B6 — series catalog (SHOW MEASUREMENTS / FIELD KEYS analog;
+# registry surface of influx_service.py:344-375)
+# --------------------------------------------------------------------------
+
+def ts_series_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+TS_SERIES_CATALOG_SQL = """
+SELECT user_id, event_type, count(*) AS n_points,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# B7 — throughput telemetry (the reference's exact status message:
+# "Points written 10 min avg : N / #Devices: D", influx_service.py:310-322)
+# --------------------------------------------------------------------------
+
+def ts_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("points_written"),
+            F.countDistinct("user_id").alias("n_devices"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"), "points_written", "n_devices"
+        )
+    )
+
+
+TS_THROUGHPUT_SQL = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+       count(*) AS points_written,
+       count(DISTINCT user_id) AS n_devices
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# B8 — registry-enriched query (points ⋈ device metadata; the membership
+# join of influx_service.py:133-137 promoted to an analytic join)
+# --------------------------------------------------------------------------
+
+def ts_registry_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events enriched with the customer dimension (device registry
+    analog) — broadcast inner join, then segment rollup.
+
+    The dimension is broadcast (registry ~= devices table is always
+    small relative to points); the points side never shuffles for the
+    join, only for the final small aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_devices"),
+        )
+    )
+
+
+TS_REGISTRY_ENRICHED_SQL = """
+SELECT c_mktsegment, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       count(DISTINCT user_id) AS n_devices
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# As-of join — no native Spark primitive (SURVEY.md §7 hard parts).
+# Composed from union + running last_value window: O(n log n) within
+# device partitions, no range-explosion, no Python.
+# --------------------------------------------------------------------------
+
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the most recent click at-or-before it by the
+    same device (ASOF JOIN backward semantics, >= on ts).
+
+    Implementation: union clicks (side=0) and purchases (side=1) into
+    one stream, window-partition by device ordered by (ts, side,
+    event_id), carry the last non-null click ts forward, keep purchase
+    rows. One shuffle on user_id; scales as a sort within device
+    partitions — unlike a naive range join (quadratic blow-up) or
+    merge_asof in Python (serialization). DuckDB's native ASOF JOIN is
+    the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        "event_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "asof_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("side") == 1) & F.col("asof_click_ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("asof_click_ts").alias("click_ts"),
+        )
+    )
+
+
+TS_ASOF_JOIN_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Sessionization — gap-based sessions per device (session_window analog,
+# batch formulation shared with streaming/stats.py)
+# --------------------------------------------------------------------------
+
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per device: session count, size, span.
+
+    lag + gap-flag + running sum — the classic sessionization plan; one
+    shuffle on user_id, everything else window-local. (Structured
+    Streaming's session_window(ts, '30 minutes') computes the same
+    sessions incrementally; see streaming/stats.py.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+                    > 1800.0
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+TS_SESSIONIZE_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts,
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM numbered GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "ts_series_scan": ts_series_scan,
+    "ts_device_wide": ts_device_wide,
+    "ts_bucket_agg": ts_bucket_agg,
+    "ts_last_value": ts_last_value,
+    "ts_cross_series_join": ts_cross_series_join,
+    "ts_series_catalog": ts_series_catalog,
+    "ts_throughput": ts_throughput,
+    "ts_registry_enriched": ts_registry_enriched,
+    "ts_asof_join": ts_asof_join,
+    "ts_sessionize": ts_sessionize,
+}
+
+ORACLES = {
+    "ts_series_scan": TS_SERIES_SCAN_SQL,
+    "ts_device_wide": TS_DEVICE_WIDE_SQL,
+    "ts_bucket_agg": TS_BUCKET_AGG_SQL,
+    "ts_last_value": TS_LAST_VALUE_SQL,
+    "ts_cross_series_join": TS_CROSS_SERIES_JOIN_SQL,
+    "ts_series_catalog": TS_SERIES_CATALOG_SQL,
+    "ts_throughput": TS_THROUGHPUT_SQL,
+    "ts_registry_enriched": TS_REGISTRY_ENRICHED_SQL,
+    "ts_asof_join": TS_ASOF_JOIN_SQL,
+    "ts_sessionize": TS_SESSIONIZE_SQL,
+}
