@@ -13,9 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import timeseries
+from . import relational, timeseries, windows
 
-_MODULES = [timeseries]
+_MODULES = [timeseries, relational, windows]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,447 @@
+"""Relational core (SURVEY.md §2 Tier C / §7 step 1): scans, filters,
+hash aggregation, broadcast + sort-merge joins, semi/anti joins,
+sort/limit/top-k, scalar function surface, JSON access.
+
+These queries exist because the driver's correctness harness exercises
+full relational coverage over the TPC-H-ish star schema — the reference
+itself has no query engine (it delegates querying to InfluxDB,
+SURVEY.md §0), so this tier is the "query capabilities" half of the
+mandate.
+
+Determinism: same policy as operators/timeseries.py — money sums are
+``round(sum, 2)`` (2-decimal inputs make the rounded sum exact and
+order-insensitive); averages are round(sum,2)/count; LIMIT queries
+always carry a total deterministic ORDER BY tie-broken by a key.
+
+Scale notes (100 TB): fact-fact joins (lineitem ⋈ orders) are
+sort-merge on the join key and would be bucket-co-located in a real
+deployment; dimension joins (nation/region/customer) are explicitly
+``broadcast()``. Aggregations rely on Catalyst partial aggregation;
+no Python functions anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1 analog — the canonical scan→filter→hash-agg→sort pipeline
+# --------------------------------------------------------------------------
+
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1 shape) over lineitem.
+
+    Map-side partial agg into a 6-group final agg — the plan Catalyst
+    should pick is Scan(pushed filter on l_shipdate) → partial
+    HashAggregate → shuffle(6 keys) → final HashAggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+REL_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
+       round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 analog — 3-way join + agg + deterministic top-k
+# --------------------------------------------------------------------------
+
+def rel_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 revenue orders for one segment (TPC-H Q3 shape).
+
+    customer (filtered, small) is broadcast into orders; orders⋈lineitem
+    is the big join (sort-merge / AQE's choice). Top-k is orderBy+limit →
+    Catalyst's TakeOrderedAndProject (no full sort at scale). Tie-break
+    on o_orderkey keeps LIMIT deterministic for the oracle hash.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+REL_TOPK_ORDERS_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 analog — 6-table snowflake join
+# --------------------------------------------------------------------------
+
+def rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation within one region where the supplying nation is
+    the customer's nation (TPC-H Q5 shape) — the deepest join tree in
+    the suite.
+
+    region→nation→customer collapse into one small broadcast side;
+    lineitem⋈orders is the only fact-fact shuffle; supplier is
+    broadcast with the extra c_nationkey = s_nationkey equi-condition.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+REL_REGION_REVENUE_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (the reference's membership filter, A4, promoted)
+# --------------------------------------------------------------------------
+
+def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers WITH at least one urgent order (left-semi; EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+REL_SEMI_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO orders at all (left-anti; NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+REL_ANTI_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Non-equi (range/theta) join
+# --------------------------------------------------------------------------
+
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-band self-join on part: pairs within ±1% retail price.
+
+    A true theta join (BNLJ with the small side broadcast). At 100 TB
+    this shape needs banding: join on a coarse price-bucket key first
+    (equi) then filter the band — both formulations produce the same
+    rows; the equi-bucket version is what we'd deploy (see SCALE.md).
+    """
+    p1 = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("a_key"), F.col("p_retailprice").alias("a_price")
+    )
+    p2 = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("b_key"), F.col("p_retailprice").alias("b_price")
+    )
+    pairs = p1.join(
+        F.broadcast(p2),
+        (F.col("a_key") < F.col("b_key"))
+        & (F.col("a_price") >= F.col("b_price") * 0.99)
+        & (F.col("a_price") <= F.col("b_price") * 1.01),
+    )
+    return pairs.select(
+        "a_key", "b_key", "a_price", "b_price",
+        F.round(F.abs(F.col("a_price") - F.col("b_price")), 2).alias("price_diff"),
+    )
+
+
+REL_RANGE_JOIN_SQL = """
+SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+       a.p_retailprice AS a_price, b.p_retailprice AS b_price,
+       round(abs(a.p_retailprice - b.p_retailprice), 2) AS price_diff
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND a.p_retailprice >= b.p_retailprice * 0.99
+ AND a.p_retailprice <= b.p_retailprice * 1.01
+"""
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregation mix
+# --------------------------------------------------------------------------
+
+def rel_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) alongside plain aggs — Catalyst expands to a
+    two-phase distinct-agg plan; exact (not approx) to match DuckDB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+REL_DISTINCT_AGG_SQL = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar-function gauntlet: string / date / math over one scan
+# --------------------------------------------------------------------------
+
+def rel_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar surface in one projection (SURVEY.md §2
+    Tier C scalar row). Everything stays in whole-stage codegen."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_trunc("quarter", F.col("o_orderdate")).alias("o_quarter"),
+        F.lower(F.col("o_orderstatus")).alias("status_lower"),
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("int").alias("priority_rank"),
+        F.regexp_extract(F.col("o_orderpriority"), "^(\\d)-(.+)$", 2).alias("priority_name"),
+        F.length(F.col("o_orderpriority")).alias("priority_len"),
+        F.concat_ws("#", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_tag"),
+        # round at 3 (not 2): x*0.1 of a 2-decimal value is a 3-decimal
+        # value, so rounding at 2 lands exactly on .xx5 half-way points
+        # where Spark (HALF_UP on exact decimal) and DuckDB disagree.
+        F.round(F.col("o_totalprice") * 0.1, 3).alias("tithe"),
+        F.round(F.sqrt(F.col("o_totalprice")), 6).alias("price_sqrt"),
+        F.round(F.ln(F.col("o_totalprice")), 6).alias("price_ln"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("price_floor"),
+        F.ceil(F.col("o_totalprice")).cast("long").alias("price_ceil"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+REL_SCALAR_FUNCS_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate)  AS o_year,
+       month(o_orderdate) AS o_month,
+       day(o_orderdate)   AS o_day,
+       date_trunc('quarter', o_orderdate) AS o_quarter,
+       lower(o_orderstatus) AS status_lower,
+       CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_rank,
+       regexp_extract(o_orderpriority, '^(\\d)-(.+)$', 2) AS priority_name,
+       length(o_orderpriority) AS priority_len,
+       o_orderstatus || '#' || o_orderpriority AS status_tag,
+       round(o_totalprice * 0.1, 3) AS tithe,
+       round(sqrt(o_totalprice), 6) AS price_sqrt,
+       round(ln(o_totalprice), 6) AS price_ln,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+       o_orderkey % 7 AS key_mod7
+FROM orders WHERE o_orderkey < 500
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON scalar access (events.props — the reference's service-event JSON,
+# influx_service.py:324-328)
+# --------------------------------------------------------------------------
+
+def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+REL_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+       min(CAST(props->>'k' AS INT)) AS min_k,
+       max(CAST(props->>'k' AS INT)) AS max_k,
+       count(DISTINCT CAST(props->>'k' AS INT)) AS n_distinct_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over nation-key sets, tagged so all
+    three land in one comparable result."""
+    cust_n = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_n = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust_n.intersect(supp_n).withColumn("op", F.lit("both"))
+    # subtract == EXCEPT DISTINCT (exceptAll would only cancel one
+    # duplicate per match, leaking keys present on both sides)
+    cust_only = cust_n.subtract(supp_n).withColumn("op", F.lit("customer_only"))
+    supp_only = supp_n.subtract(cust_n).withColumn("op", F.lit("supplier_only"))
+    all_n = cust_n.union(supp_n).distinct().withColumn("op", F.lit("any"))
+    return both.unionByName(cust_only).unionByName(supp_only).unionByName(all_n)
+
+
+REL_SET_OPS_SQL = """
+SELECT nationkey, 'both' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS op FROM
+  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+   EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS op FROM
+  (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+   EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+UNION ALL
+SELECT nationkey, 'any' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   UNION SELECT s_nationkey FROM supplier)
+"""
+
+
+QUERIES = {
+    "rel_pricing_summary": rel_pricing_summary,
+    "rel_topk_orders": rel_topk_orders,
+    "rel_region_revenue": rel_region_revenue,
+    "rel_semi_join": rel_semi_join,
+    "rel_anti_join": rel_anti_join,
+    "rel_range_join": rel_range_join,
+    "rel_distinct_agg": rel_distinct_agg,
+    "rel_scalar_funcs": rel_scalar_funcs,
+    "rel_json_extract": rel_json_extract,
+    "rel_set_ops": rel_set_ops,
+}
+
+ORACLES = {
+    "rel_pricing_summary": REL_PRICING_SUMMARY_SQL,
+    "rel_topk_orders": REL_TOPK_ORDERS_SQL,
+    "rel_region_revenue": REL_REGION_REVENUE_SQL,
+    "rel_semi_join": REL_SEMI_JOIN_SQL,
+    "rel_anti_join": REL_ANTI_JOIN_SQL,
+    "rel_range_join": REL_RANGE_JOIN_SQL,
+    "rel_distinct_agg": REL_DISTINCT_AGG_SQL,
+    "rel_scalar_funcs": REL_SCALAR_FUNCS_SQL,
+    "rel_json_extract": REL_JSON_EXTRACT_SQL,
+    "rel_set_ops": REL_SET_OPS_SQL,
+}
