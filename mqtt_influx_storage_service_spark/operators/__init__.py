@@ -13,9 +13,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import relational, timeseries, windows
+from . import (
+    dedup,
+    multimodal,
+    refsemantics,
+    relational,
+    similarity,
+    textops,
+    timeseries,
+    windows,
+)
 
-_MODULES = [timeseries, relational, windows]
+_MODULES = [
+    timeseries,
+    relational,
+    windows,
+    refsemantics,
+    textops,
+    dedup,
+    similarity,
+    multimodal,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,251 @@
+"""Tier A reference semantics as oracle-checked batch queries.
+
+Each query reconstructs an MQTT-shaped input from the ``events``
+fixture (topic strings, text payloads) and then applies the exact
+operator the reference implements — so the driver's DuckDB gate checks
+the *semantics* (topic decompose, union-type coercion, narrow layout,
+registry membership, CDC last-writer-wins) rather than trusting unit
+tests alone. The streaming pipeline in ``streaming/ingest.py`` reuses
+the same expression builders from ``functions/``; these batch queries
+pin their behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.coercion import COERCE_SQL, coerce_payload
+from ..functions.topics import parse_topic
+from ..sources import load_table
+
+
+def _mqtt_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> synthetic MQTT messages.
+
+    topic   = openchirp/device/<user_id>/<UPPER(event_type)>  (mixed
+              case so the reference's forced lowercase at
+              influx_service.py:139 is actually exercised)
+    payload = text payload cycling through the coercion truth table of
+              influx_service.py:163-181 (float string, int string, the
+              four boolean literals, free text) keyed by event_id so
+              the choice is deterministic in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    payload = (
+        F.when(F.col("event_id") % 6 == 0, F.col("value").cast("string"))
+        .when(F.col("event_id") % 6 == 1, (F.col("user_id") * 10).cast("string"))
+        .when(F.col("event_id") % 6 == 2, F.lit("true"))
+        .when(F.col("event_id") % 6 == 3, F.lit("False"))
+        .when(F.col("event_id") % 6 == 4, F.lit("hello world"))
+        .otherwise(F.col("props"))
+    )
+    return ev.select(
+        "event_id",
+        "ts",
+        F.concat(
+            F.lit("openchirp/device/"),
+            F.col("user_id").cast("string"),
+            F.lit("/"),
+            F.upper(F.col("event_type")),
+        ).alias("topic"),
+        payload.alias("payload"),
+    )
+
+
+_MQTT_FRAME_SQL = """
+    SELECT event_id, ts,
+           'openchirp/device/' || CAST(user_id AS VARCHAR) || '/'
+               || upper(event_type) AS topic,
+           CASE
+             WHEN event_id % 6 = 0 THEN CAST(value AS VARCHAR)
+             WHEN event_id % 6 = 1 THEN CAST(user_id * 10 AS VARCHAR)
+             WHEN event_id % 6 = 2 THEN 'true'
+             WHEN event_id % 6 = 3 THEN 'False'
+             WHEN event_id % 6 = 4 THEN 'hello world'
+             ELSE props
+           END AS payload
+    FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# A3 — topic decompose (influx_service.py:129-139)
+# --------------------------------------------------------------------------
+
+def ref_topic_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = _mqtt_frame(spark, sf_dir)
+    parsed = parse_topic(F.col("topic"))
+    return msgs.select(
+        "event_id",
+        F.col("topic"),
+        parsed.getField("device_id").alias("device_id"),
+        parsed.getField("transducer").alias("transducer"),
+    )
+
+
+REF_TOPIC_PARSE_SQL = f"""
+WITH msgs AS ({_MQTT_FRAME_SQL})
+SELECT event_id, topic,
+       string_split(topic, '/')[3] AS device_id,
+       lower(string_split(topic, '/')[4]) AS transducer
+FROM msgs
+"""
+
+
+# --------------------------------------------------------------------------
+# A5 — union-type payload coercion (influx_service.py:163-181)
+# --------------------------------------------------------------------------
+
+def ref_payload_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = _mqtt_frame(spark, sf_dir)
+    c = coerce_payload(F.col("payload"))
+    return msgs.select(
+        "event_id",
+        "payload",
+        c.getField("value_type").alias("value_type"),
+        c.getField("value_double").alias("value_double"),
+        c.getField("value_bool").alias("value_bool"),
+        c.getField("value_str").alias("value_str"),
+    )
+
+
+REF_PAYLOAD_COERCION_SQL = f"""
+WITH msgs AS ({_MQTT_FRAME_SQL})
+SELECT event_id, payload,
+{COERCE_SQL.format(p='payload')}
+FROM msgs
+"""
+
+
+# --------------------------------------------------------------------------
+# A6 — narrow point construction (influx_service.py:183-189)
+# --------------------------------------------------------------------------
+
+def ref_narrow_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parse → coerce → narrow-layout pipeline in one query: the
+    reference's hot path (SURVEY.md §3.1) as a batch plan."""
+    msgs = _mqtt_frame(spark, sf_dir)
+    parsed = parse_topic(F.col("topic"))
+    c = coerce_payload(F.col("payload"))
+    return msgs.select(
+        "event_id",
+        "ts",
+        parsed.getField("device_id").alias("device_id"),
+        parsed.getField("transducer").alias("transducer"),
+        c.getField("value_type").alias("value_type"),
+        c.getField("value_double").alias("value_double"),
+    ).select(
+        "event_id",
+        F.concat_ws("_", F.col("device_id"), F.col("transducer")).alias("series_id"),
+        "ts",
+        "value_type",
+        "value_double",
+    )
+
+
+REF_NARROW_POINTS_SQL = f"""
+WITH msgs AS ({_MQTT_FRAME_SQL}),
+parsed AS (
+    SELECT event_id, ts, payload,
+           string_split(topic, '/')[3] AS device_id,
+           lower(string_split(topic, '/')[4]) AS transducer
+    FROM msgs
+)
+SELECT event_id,
+       device_id || '_' || transducer AS series_id,
+       ts,
+       CASE WHEN TRY_CAST(payload AS DOUBLE) IS NOT NULL THEN 'float'
+            WHEN payload IN ('true','True','false','False') THEN 'bool'
+            ELSE 'string' END AS value_type,
+       TRY_CAST(payload AS DOUBLE) AS value_double
+FROM parsed
+"""
+
+
+# --------------------------------------------------------------------------
+# A4 — registry membership semi-join (influx_service.py:133-137)
+# --------------------------------------------------------------------------
+
+def ref_registry_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop messages from unregistered devices: the registry here is
+    'devices that ever signed up' (derived dimension), broadcast
+    left-semi join — the exact Spark shape of the reference's in-dict
+    membership check."""
+    ev = load_table(spark, sf_dir, "events")
+    registry = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("device_id"))
+        .distinct()
+    )
+    kept = ev.join(
+        F.broadcast(registry), ev.user_id == registry.device_id, "left_semi"
+    )
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+REF_REGISTRY_FILTER_SQL = """
+SELECT user_id, count(*) AS n_kept, round(sum(value), 2) AS sum_value
+FROM events
+WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'signup')
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# A10 — registry CDC, last-writer-wins (influx_service.py:324-342)
+# --------------------------------------------------------------------------
+
+def ref_registry_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events as CDC records — signup => new/update (device
+    present), error => delete (device removed) — and return the final
+    registry state: devices whose LAST lifecycle event is a signup,
+    exactly the last-writer-wins dict semantics of
+    influx_service.py:330-342.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "error")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return last.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("device_id"),
+        F.col("ts").alias("registered_ts"),
+    )
+
+
+REF_REGISTRY_CDC_SQL = """
+SELECT user_id AS device_id, ts AS registered_ts
+FROM (
+    SELECT user_id, ts, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_type IN ('signup', 'error')
+) WHERE rn = 1 AND event_type = 'signup'
+"""
+
+
+QUERIES = {
+    "ref_topic_parse": ref_topic_parse,
+    "ref_payload_coercion": ref_payload_coercion,
+    "ref_narrow_points": ref_narrow_points,
+    "ref_registry_filter": ref_registry_filter,
+    "ref_registry_cdc": ref_registry_cdc,
+}
+
+ORACLES = {
+    "ref_topic_parse": REF_TOPIC_PARSE_SQL,
+    "ref_payload_coercion": REF_PAYLOAD_COERCION_SQL,
+    "ref_narrow_points": REF_NARROW_POINTS_SQL,
+    "ref_registry_filter": REF_REGISTRY_FILTER_SQL,
+    "ref_registry_cdc": REF_REGISTRY_CDC_SQL,
+}

@@ -1,0 +1,263 @@
+"""Similarity search over embeddings (Tier C, driver mandate):
+brute-force cosine top-k (oracle-checked), threshold self-join
+(oracle-checked), and an LSH-bucketed ANN variant (rows-only, recall
+pinned by tests).
+
+Precision discipline: embeddings are float32; both engines cast to
+float64 and compute dot products as a strictly sequential left fold
+(Spark ``aggregate`` over ``zip_with``; DuckDB ``list_reduce``), so
+the doubles are bit-identical and survive the value-hash gate after
+round(6).
+
+Scale notes (100 TB / billions of vectors): the brute-force form is
+the per-partition kernel; the scale path is the bucketed variant —
+candidates come from an equi-join on hash buckets (random hyperplane
+signs), turning O(n*q) into O(collisions). The hyperplanes are
+deterministic literals (seeded off-line), broadcast with the query
+set. A production deployment would use IVF centroids learned by
+k-means; the plumbing (bucket assignment → equi-join → per-bucket
+top-k) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+TOPK = 5
+N_QUERIES = 100          # vec_id < 100 are the query set
+SIM_THRESHOLD = 0.4  # fixture embeddings are near-orthogonal (max pair
+                     # cosine ~0.51 at sf0.01); 0.4 keeps the top ~0.1%
+# 6 planes = 64 buckets. Sized for the fixture's geometry: embeddings
+# are near-orthogonal (true top-5 neighbors sit at cosine ~0.3-0.5,
+# i.e. per-plane agreement ~0.63), so P(same bucket) = 0.63^planes —
+# more planes than this and neighbors never collide. Real embedding
+# corpora are clustered (agreement >0.9) and take 16-24 planes.
+LSH_PLANES = 6
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — order-stable across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_DOT_SQL = """list_reduce(
+    list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+        i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)),
+    (x, y) -> x + y)"""
+
+
+def _with_norm(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        vec.alias(vec_alias),
+        F.sqrt(_dot(vec, vec)).alias(f"{id_alias}_norm"),
+    )
+
+
+_NORM_SQL = "sqrt({d})".format(d=_DOT_SQL.format(a="embedding", b="embedding"))
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k (the exactness baseline)
+# --------------------------------------------------------------------------
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for each query vector (vec_id < 100),
+    excluding self; rank ties broken by neighbor id.
+
+    The query side is broadcast (bounded query set); candidates stream
+    through a single projection + WindowGroupLimit top-k — no shuffle
+    of the corpus, which is the property that matters at 10^9 vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "qv")
+    c = _with_norm(emb, "neighbor_id", "cv")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("query_id_norm") * F.col("neighbor_id_norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+SIM_COSINE_TOPK_SQL = f"""
+WITH v AS (
+    SELECT vec_id, embedding, {_NORM_SQL} AS norm FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                 / (q.norm * c.norm), 6) AS cosine
+    FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# Threshold similarity self-join
+# --------------------------------------------------------------------------
+
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs (a < b) with cosine >= 0.55, with their labels
+    — the 'find all near-duplicate embeddings' sweep."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    a = _with_norm(emb, "id_a", "va")
+    b = _with_norm(emb, "id_b", "vb")
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("id_a_norm") * F.col("id_b_norm")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= SIM_THRESHOLD)
+    )
+    la = labels.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"))
+    lb = labels.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"))
+    return (
+        pairs.join(F.broadcast(la), "id_a")
+        .join(F.broadcast(lb), "id_b")
+        .select("id_a", "id_b", "cosine", "label_a", "label_b")
+    )
+
+
+SIM_THRESHOLD_PAIRS_SQL = f"""
+WITH v AS (
+    SELECT vec_id, label, embedding, {_NORM_SQL} AS norm FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+             / (a.norm * b.norm), 6) AS cosine,
+       a.label AS label_a, b.label AS label_b
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+            / (a.norm * b.norm), 6) >= {SIM_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path; rows-only + recall tests)
+# --------------------------------------------------------------------------
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded LCG, no numpy
+    state): plane[k][i] in [-1, 1]."""
+    planes = []
+    state = 0x5DEECE66D
+    for _ in range(LSH_PLANES):
+        row = []
+        for _ in range(64):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 20) % 2000001) / 1000000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(vec: Column) -> Column:
+    """Random-hyperplane sign bucket: bit k = sign(vec . plane_k)."""
+    planes = _hyperplanes()
+    bucket = F.lit(0)
+    for k, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(_dot(vec, plane_col) > 0, F.lit(1 << k)).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's hyperplane-sign
+    bucket, then exact cosine re-rank. Equi-join on bucket replaces
+    the cross join — the O(collisions) scale path. Recall vs the
+    brute-force baseline is asserted in tests/test_similarity.py
+    (multi-probe over single-bit flips keeps recall usable).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _with_norm(emb, "vid", "vv").withColumn("bucket", _bucket_expr(F.col("vv")))
+    # multi-probe: query vectors also probe every bucket within hamming
+    # distance 2 (1 + 6 + 15 = 22 of 64 buckets) — the standard
+    # multi-probe LSH trade of probe count for recall
+    flips = [0] + [1 << k for k in range(LSH_PLANES)] + [
+        (1 << k) | (1 << j)
+        for k in range(LSH_PLANES)
+        for j in range(k + 1, LSH_PLANES)
+    ]
+    probes = v.select(
+        "vid", "vv", F.col("vid_norm").alias("norm"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips])
+        ).alias("probe_bucket"),
+    )
+    q = probes.filter(F.col("vid") < N_QUERIES).select(
+        F.col("vid").alias("query_id"), F.col("vv").alias("qv"),
+        F.col("norm").alias("q_norm"), F.col("probe_bucket"),
+    )
+    c = v.select(
+        F.col("vid").alias("neighbor_id"), F.col("vv").alias("cv"),
+        F.col("vid_norm").alias("c_norm"), F.col("bucket").alias("probe_bucket"),
+    )
+    cand = (
+        q.join(c, "probe_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv", "q_norm", "c_norm")
+        .distinct()
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+QUERIES = {
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_threshold_pairs": sim_threshold_pairs,
+    "sim_ann_lsh": sim_ann_lsh,
+}
+
+ORACLES = {
+    "sim_cosine_topk": SIM_COSINE_TOPK_SQL,
+    "sim_threshold_pairs": SIM_THRESHOLD_PAIRS_SQL,
+    # sim_ann_lsh: approximate by construction — rows-only driver check;
+    # recall vs sim_cosine_topk asserted in tests/test_similarity.py.
+}

@@ -1,0 +1,342 @@
+"""Text analysis for LLM-data pipelines (Tier C, driver mandate):
+token counting, word frequency, TF-IDF, language-ID heuristic, quality
+scoring, document fingerprinting — all over the ``documents`` fixture.
+
+Everything here is built-in Spark SQL array/lambda functions (split /
+transform / filter / aggregate / explode) — no Python UDFs, so the hot
+path stays in codegen and scales linearly with document count. The
+oracles mirror each lambda with DuckDB list functions; integer-derived
+arithmetic keeps every value order-insensitive for the hash gate.
+
+Scale notes (100 TB of documents): token-level queries are
+explode-heavy; at scale the explode output is reduced map-side by the
+partial aggregation before any shuffle (word-count is the canonical
+map-reduce). The fingerprint/quality/langid queries are pure per-row
+projections — embarrassingly parallel, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+def _tokens() -> F.Column:
+    """Lazy: F.col needs an active SparkContext (classic API)."""
+    return F.split(F.col("text"), " ")
+
+# Per-language "stopword" sets for the language-ID heuristic. The
+# fixture vocabulary is a 31-word synthetic soup, so these sets are a
+# deterministic stand-in for real char-n-gram profiles — the *operator
+# shape* (per-class token-overlap scoring + argmax) is the real thing.
+LANG_KEYWORDS = {
+    "en": ["the", "fast", "data", "key", "value"],
+    "de": ["order", "sort", "group", "merge"],
+    "es": ["table", "scan", "join", "row"],
+    "fr": ["query", "filter", "window", "batch"],
+    "zh": ["spark", "hash", "line", "small"],
+}
+LANG_ORDER = ["de", "en", "es", "fr", "zh"]  # deterministic tie-break
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# --------------------------------------------------------------------------
+# Token counting + per-language rollup
+# --------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization stats rolled up per (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(_tokens()).alias("n_tokens"),
+        F.size(F.array_distinct(_tokens())).alias("n_unique_tokens"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_unique_tokens").alias("sum_unique_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+    )
+
+
+TEXT_TOKEN_STATS_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(sum(len(list_distinct(string_split(text, ' ')))) AS BIGINT)
+           AS sum_unique_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       round(sum(len(string_split(text, ' '))) / count(*), 6) AS avg_tokens
+FROM documents GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Word frequency (the canonical map-reduce)
+# --------------------------------------------------------------------------
+
+def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequencies with doc frequencies — explode →
+    two-level aggregation, fully map-side-combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("word"))
+    return tok.groupBy("word").agg(
+        F.count(F.lit(1)).alias("tf_corpus"),
+        F.countDistinct("doc_id").alias("df_docs"),
+    )
+
+
+TEXT_WORD_FREQ_SQL = """
+SELECT word, count(*) AS tf_corpus, count(DISTINCT doc_id) AS df_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+"""
+
+
+# --------------------------------------------------------------------------
+# TF-IDF + top term per document
+# --------------------------------------------------------------------------
+
+def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TF-IDF with ln(N/df), top-1 scoring term per document
+    (deterministic tie-break on the term string).
+
+    Two aggregations + one broadcast-able join on word; the window
+    top-1 compiles to WindowGroupLimit. At corpus scale the df table
+    is tiny (vocabulary-sized) and always broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; vocabulary-level constant
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.ln(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_term"), "tf", "df", "tfidf")
+    )
+
+
+TEXT_TFIDF_TOP_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2
+), dft AS (
+    SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, word, tf, df,
+           round(tf * ln(n_docs / df), 6) AS tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY round(tf * ln(n_docs / df), 6) DESC,
+                                       word) AS rn
+    FROM tf JOIN dft USING (word) CROSS JOIN n
+)
+SELECT doc_id, word AS top_term, tf, df, tfidf FROM scored WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic (per-class token-overlap scoring + argmax)
+# --------------------------------------------------------------------------
+
+def _keyword_match(words: list[str]):
+    """1-arg lambda factory. NB: the closure must stay 1-positional —
+    PySpark reads lambda arity to decide element-vs-(element, index)
+    form, so a `ws=...` default would be misread as the index arg. And
+    use array_contains, not Column.isin: isin mis-types the lambda
+    variable inside higher-order functions."""
+    kw = [F.lit(w) for w in words]
+    return lambda t: F.array_contains(F.array(*kw), t)
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(_tokens(), _keyword_match(words))).alias(f"score_{lang}")
+            for lang, words in LANG_KEYWORDS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
+    predicted = F.coalesce(
+        *[
+            F.when(F.col(f"score_{lang}") == best, F.lit(lang))
+            for lang in LANG_ORDER
+        ]
+    )
+    return scores.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"score_{lang}") for lang in LANG_ORDER],
+        predicted.alias("predicted_lang"),
+    )
+
+
+_LANGID_SCORE_SQL = ",\n".join(
+    f"       len(list_filter(string_split(text, ' '), "
+    f"t -> list_contains({_sql_list(LANG_KEYWORDS[lang])}, t))) AS score_{lang}"
+    for lang in LANG_ORDER
+)
+_LANGID_BEST_SQL = "greatest(" + ", ".join(f"score_{lg}" for lg in LANG_ORDER) + ")"
+_LANGID_PRED_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN score_{lg} = {_LANGID_BEST_SQL} THEN '{lg}'" for lg in LANG_ORDER
+    )
+    + " END"
+)
+TEXT_LANGID_SQL = f"""
+WITH scores AS (
+    SELECT doc_id, lang,
+{_LANGID_SCORE_SQL}
+    FROM documents
+)
+SELECT doc_id, lang,
+       {", ".join(f"score_{lg}" for lg in LANG_ORDER)},
+       {_LANGID_PRED_SQL} AS predicted_lang
+FROM scores
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (length / diversity / repetition heuristics)
+# --------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + a composite score; every input
+    to the score is integer-derived, so the doubles are deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    n_unique = F.size(F.array_distinct(_tokens()))
+    sum_len = F.aggregate(
+        F.transform(_tokens(), F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        F.round(n_unique / n_tokens, 6).alias("distinct_ratio"),
+        F.round(sum_len / n_tokens, 6).alias("avg_token_len"),
+        F.col("n_chars"),
+    )
+    # final round at 7, not 6: the three addends are 6-decimal values
+    # times 0.3/0.5/0.2, i.e. exactly-7-decimal quantities — rounding at
+    # 6 would sit on .xxxxxx5 half-way points where Spark (BigDecimal
+    # HALF_UP) and DuckDB (multiply+floor) disagree; rounding at 7 just
+    # recovers the exact decimal value in both engines.
+    score = F.round(
+        F.round(F.ln(F.col("n_tokens")), 6) * 0.3
+        + F.col("distinct_ratio") * 0.5
+        + F.round(F.col("avg_token_len") / 10, 7) * 0.2,
+        7,
+    )
+    return feats.withColumn("quality_score", score).withColumn(
+        "keep", score >= F.lit(0.6)
+    )
+
+
+TEXT_QUALITY_SQL = """
+WITH feats AS (
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           round(len(list_distinct(string_split(text, ' ')))
+                 / len(string_split(text, ' ')), 6) AS distinct_ratio,
+           round(list_reduce(list_prepend(0, list_transform(
+                     string_split(text, ' '), t -> length(t))),
+                     (a, b) -> a + b)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           n_chars
+    FROM documents
+)
+SELECT doc_id, lang, n_tokens, n_unique, distinct_ratio, avg_token_len, n_chars,
+       round(round(ln(n_tokens), 6) * 0.3 + distinct_ratio * 0.5
+             + round(avg_token_len / 10, 7) * 0.2, 7) AS quality_score,
+       (round(round(ln(n_tokens), 6) * 0.3 + distinct_ratio * 0.5
+              + round(avg_token_len / 10, 7) * 0.2, 7) >= 0.6) AS keep
+FROM feats
+"""
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (rolling polynomial hash over tokens)
+# --------------------------------------------------------------------------
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash: h = (h*31 + f(token)) mod 1e9+7
+    with f(token) = 7*len + ascii(first char). A pure sequential fold —
+    identical left-to-right in Spark ``aggregate`` and DuckDB
+    ``list_reduce`` — and a stand-in for content-defined chunk hashes.
+    Grouping by fingerprint is the exact-dup detector for normalized
+    text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    token_codes = F.transform(
+        _tokens(),
+        lambda t: (F.length(t) * 7 + F.ascii(F.substring(t, 1, 1))).cast("long"),
+    )
+    fingerprint = F.aggregate(
+        token_codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return docs.select(
+        "doc_id",
+        fingerprint.alias("fingerprint"),
+        F.size(_tokens()).alias("n_tokens"),
+    )
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT), list_transform(
+               string_split(text, ' '),
+               t -> CAST(length(t) * 7 + ascii(substr(t, 1, 1)) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint,
+       len(string_split(text, ' ')) AS n_tokens
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_word_freq": text_word_freq,
+    "text_tfidf_top": text_tfidf_top,
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_word_freq": TEXT_WORD_FREQ_SQL,
+    "text_tfidf_top": TEXT_TFIDF_TOP_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}

@@ -1,0 +1,47 @@
+"""Multimodal plumbing: binary payload integrity + deterministic stub
+features through the real mapInPandas path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mqtt_influx_storage_service_spark.operators.multimodal import (
+    build_media_table,
+    mm_extract_features,
+)
+
+
+def test_payload_roundtrip(spark, sf_dir):
+    media = build_media_table(spark, sf_dir)
+    row = media.filter(F.col("doc_id") == 0).collect()[0]
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.payload.decode("utf-8")  # valid UTF-8 round-trip
+    assert row.modality in ("image", "audio", "video")
+
+
+def test_feature_extraction_matches_python(spark, sf_dir):
+    """The mapInPandas stub must agree with a driver-side recompute —
+    pins Arrow binary transfer + batch iteration correctness."""
+    media = {r.doc_id: r for r in build_media_table(spark, sf_dir).collect()}
+    feats = mm_extract_features(spark, sf_dir).collect()
+    assert len(feats) == len(media)
+    for r in feats[:50]:
+        payload = media[r.doc_id].payload
+        assert r.n_bytes == len(payload)
+        assert r.first_byte == payload[0]
+        checksum = 0
+        for by in payload:
+            checksum = (checksum * 131 + by) % 1000000007
+        assert r.checksum == checksum
+
+
+def test_manifest_prunes_payload_column(spark, sf_dir):
+    """Metadata rollups must not read payload bytes: the optimized plan
+    should not carry the payload column into the aggregate (octet_length
+    is pushed into the project before the agg)."""
+    from mqtt_influx_storage_service_spark.operators.multimodal import mm_manifest
+
+    plan = mm_manifest(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    agg_lines = [ln for ln in plan.split("\n") if "Aggregate" in ln]
+    assert agg_lines, plan
+    assert "payload" not in agg_lines[0] or "octet_length" in agg_lines[0]

@@ -1,0 +1,48 @@
+"""ANN vs brute-force recall (SURVEY.md §5 item 5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mqtt_influx_storage_service_spark.operators.similarity import (
+    TOPK,
+    sim_ann_lsh,
+    sim_cosine_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def brute(spark, sf_dir):
+    rows = sim_cosine_topk(spark, sf_dir).collect()
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_brute_force_shape(brute):
+    assert len(brute) == 100
+    assert all(len(v) == TOPK for v in brute.values())
+
+
+def test_ann_recall(spark, sf_dir, brute):
+    """Multi-probe hyperplane LSH recall@5 vs exact top-5. Random
+    near-orthogonal fixture vectors are the hard case for LSH, so the
+    bar is modest — the assertion pins 'plumbing works and is far from
+    random' (random recall ~ 5/500 = 1%)."""
+    rows = sim_ann_lsh(spark, sf_dir).collect()
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for q, truth in brute.items():
+        hits += len(got.get(q, set()) & truth)
+        total += len(truth)
+    recall = hits / total
+    assert recall >= 0.3, f"ANN recall@{TOPK} = {recall:.3f}"
+
+
+def test_ann_is_deterministic(spark, sf_dir):
+    a = sim_ann_lsh(spark, sf_dir).collect()
+    b = sim_ann_lsh(spark, sf_dir).collect()
+    assert a == b

@@ -46,13 +46,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.round(6)
         elif s.dtype == object:
-            df[c] = s.astype(str)
+            df[c] = s.map(lambda x: "∅NULL" if pd.isna(x) else str(x))
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 
 def value_hash(df: pd.DataFrame) -> str:
-    payload = df.to_csv(index=False, float_format="%.6f").encode()
+    payload = df.to_csv(index=False, float_format="%.6f", na_rep="∅NULL").encode()
     return hashlib.sha256(payload).hexdigest()[:16]
 
 
@@ -71,8 +71,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             for c in a.columns:
                 col_a, col_b = a[c], b[c]
                 if pd.api.types.is_float_dtype(col_a) and pd.api.types.is_float_dtype(col_b):
-                    diff = np.abs(col_a.to_numpy() - col_b.to_numpy())
-                    bad = np.sum(~(diff <= 1e-6))
+                    va, vb = col_a.to_numpy(), col_b.to_numpy()
+                    diff = np.abs(va - vb)
+                    both_nan = np.isnan(va) & np.isnan(vb)
+                    bad = np.sum(~((diff <= 1e-6) | both_nan))
                     if bad:
                         i = int(np.argmax(~(diff <= 1e-6)))
                         problems.append(
