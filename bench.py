@@ -1,0 +1,75 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <float>}
+
+Execution is forced with the built-in `noop` sink (full pipeline runs on
+executors, nothing is collected to the driver) so the timings reflect
+distributed execution cost, not driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one representative per operator family (relational agg,
+# multi-join, range join, window funcs, time-series bucket/last/as-of,
+# exact + near dedup, vector top-k, text pipeline).
+HEADLINE = [
+    "rel_pricing_summary",
+    "rel_region_revenue",
+    "rel_topk_orders",
+    "win_monthly_revenue",
+    "ts_bucket_agg",
+    "ts_last_value",
+    "ts_asof_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_tfidf_top",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from mqtt_influx_storage_service_spark.operators import all_queries
+    from mqtt_influx_storage_service_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # Warm the JVM / parquet footer caches once with the cheapest query so
+    # per-query numbers measure the plan, not first-touch overheads.
+    qs["ts_series_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
