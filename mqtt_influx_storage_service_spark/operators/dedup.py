@@ -20,8 +20,11 @@ blocking shingles (same trick as stopword removal in IR).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..sources import load_table
 
@@ -33,27 +36,27 @@ SIMHASH_BITS = 64
 SIMHASH_BLOCKS = 4      # pigeonhole: hamming <= 3 guarantees a shared block
 
 
-def _shingles(text_col: str = "text") -> F.Column:
-    """Distinct word 3-shingles of a text column (built-ins only).
-
-    Guarded for <3 tokens: Spark's sequence(1, 0) counts DOWN instead
-    of producing an empty array, so short docs get an explicit empty.
+def _shingles_of_tokens(toks: F.Column) -> F.Column:
+    """Distinct word 3-shingles from an already-materialized token
+    array COLUMN (not an inline ``split``!). Higher-order lambdas are
+    interpreted, not codegen'd, and every reference to an inline
+    subexpression re-executes it per element — with ``split`` inlined,
+    the 3 ``element_at`` references re-split the text per shingle
+    (measured 0.77s vs 0.18s at sf0.1, and >5s once a ``when`` guard
+    and same-projection ``size()`` alias reference multiplied the
+    duplication). Caller guarantees ``size(toks) >= 3``.
     """
-    toks = F.split(F.col(text_col), " ")
-    return F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
 
 
 _SHINGLES_SQL = """
@@ -66,9 +69,24 @@ _SHINGLES_SQL = """
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", _shingles().alias("shingles")).withColumn(
-        "n_shingles", F.size("shingles")
+    """(doc_id, shingles, n_shingles) for every doc with >= 3 tokens.
+
+    Strict multi-step projections: tokens materialize once, shingles
+    reference the token COLUMN, n_shingles references the shingle
+    COLUMN from a parent projection. CollapseProject keeps non-cheap
+    aliases referenced more than once as-is, so nothing re-inlines.
+    Docs with < 3 tokens have no shingles and cannot join any pair —
+    dropping them here is semantics-preserving for every consumer.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    tokens = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    shingled = tokens.select(
+        "doc_id", _shingles_of_tokens(F.col("toks")).alias("shingles")
+    )
+    return shingled.select(
+        "doc_id", "shingles", F.size("shingles").alias("n_shingles")
     )
 
 
@@ -168,39 +186,48 @@ WHERE round(n_inter / (ca.n_shingles + cb.n_shingles - n_inter), 6)
 # MinHash + LSH (banded) — candidate generation at scale
 # --------------------------------------------------------------------------
 
-def _min_for_perm(k: int):
-    """Fold producing min_k over pre-hashed shingles for permutation k:
-    h_k(x) = ((2k+1)*x + k*golden) mod p. Odd multipliers keep the
-    family well-spread; operands stay < 2^63 so ANSI mode never
-    overflows. Closure factory keeps the merge lambda 2-positional."""
-    a, b = 2 * k + 1, (k * 2654435761) % MINHASH_PRIME
-    return lambda acc, x: F.least(acc, F.pmod(a * x + b, F.lit(MINHASH_PRIME)))
+def _minhash_sig_udf():
+    """Vectorized minhash: permutation k is h_k(x) = ((2k+1)*x +
+    (k*golden mod p)) mod p over the pre-hashed shingle values; the
+    signature slot is min_k. Odd multipliers keep the family
+    well-spread; operands stay < 2^63.
+
+    This is a pandas UDF on purpose. The pure-built-in formulation (64
+    ``F.aggregate`` folds) builds an expression tree so large that
+    codegen degrades AND Catalyst's project-collapse re-inlines the
+    whole 64-aggregate array into each of the 16 band expressions —
+    measured 16x duplicate evaluation. A NumPy broadcast over the Arrow
+    batch does the same arithmetic in one (64, n) matrix op, and the
+    ArrowEvalPython node is a physical barrier no rewrite can inline.
+    The hashing itself (xxhash64) stays JVM-side, so the UDF is pure
+    int64 arithmetic.
+    """
+    a = np.arange(MINHASH_K, dtype=np.int64) * 2 + 1
+    b = (np.arange(MINHASH_K, dtype=np.int64) * 2654435761) % MINHASH_PRIME
+
+    @pandas_udf("array<long>")
+    def _sig(hashed: pd.Series) -> pd.Series:
+        def one(xs) -> np.ndarray:
+            x = np.asarray(xs, dtype=np.int64)
+            if x.size == 0:
+                return np.full(MINHASH_K, MINHASH_PRIME, dtype=np.int64)
+            return ((a[:, None] * x[None, :] + b[:, None]) % MINHASH_PRIME).min(axis=1)
+
+        return hashed.map(one)
+
+    return _sig
 
 
 def _with_minhash_signature(ds: DataFrame) -> DataFrame:
-    """Add a 64-slot minhash signature column.
-
-    The xxhash64 base hashes are materialized ONCE into a column and
-    the 64 permutation-mins each fold over that column reference —
-    inlining the hash transform into every aggregate (the naive
-    formulation) blows the expression tree up 64x and dominated
-    runtime before this split.
-    """
+    """Add a 64-slot minhash signature column (JVM xxhash64 → NumPy
+    permutation-min; see :func:`_minhash_sig_udf`)."""
     hashed = ds.withColumn(
         "hashed",
         F.transform(
             F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))
         ),
     )
-    sig = F.array(
-        *[
-            F.aggregate(
-                F.col("hashed"), F.lit(MINHASH_PRIME).cast("long"), _min_for_perm(k)
-            )
-            for k in range(MINHASH_K)
-        ]
-    )
-    return hashed.withColumn("sig", sig).drop("hashed")
+    return hashed.withColumn("sig", _minhash_sig_udf()(F.col("hashed"))).drop("hashed")
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +240,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     → exact-Jaccard verify join. This is the 100 TB path: candidates
     scale with collision count, not corpus².
     """
-    ds = _doc_shingles(spark, sf_dir).filter(F.col("n_shingles") > 0)
+    # _doc_shingles already excludes <3-token docs, so every row has
+    # >= 1 shingle; re-filtering on n_shingles would push size(<full
+    # shingle expr>) below the projection and re-evaluate it per row.
+    ds = _doc_shingles(spark, sf_dir)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     sigs = _with_minhash_signature(ds)
     banded = sigs.select(
@@ -263,32 +293,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash — near-dup fingerprints with hamming-block candidates
 # --------------------------------------------------------------------------
 
-def _simhash() -> F.Column:
-    """64-bit SimHash of the shingle set: sum(sign of bit b of
-    xxhash64(shingle)) over shingles, per bit; fingerprint bit b = 1 if
-    the sum is positive.
-
-    The per-bit loop is a Python loop over literal shift amounts
-    (shiftright requires an int, not a Column); the shingle hashes are
-    computed once and shared across the 64 bit-vote aggregates.
+def _simhash_udf():
+    """Vectorized 64-bit SimHash over pre-hashed shingles: per bit b,
+    vote = sum over shingles of (+1 if bit set else -1); fingerprint
+    bit b = 1 iff vote > 0. Same pandas-UDF rationale as
+    :func:`_minhash_sig_udf` — the 64 per-bit ``F.aggregate`` votes
+    blow up the expression tree; NumPy unpacks all 64 bits of the whole
+    Arrow batch in one shift-and-mask.
     """
-    hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
 
-    def _vote(bit: int):
-        # closure factory: PySpark reads lambda arity, so the merge
-        # lambda must stay exactly 2-positional (no bit=... default)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    @pandas_udf("long")
+    def _fp(hashes: pd.Series) -> pd.Series:
+        def one(xs) -> int:
+            x = np.asarray(xs, dtype=np.int64).astype(np.uint64)
+            if x.size == 0:
+                return 0
+            bits = (x[:, None] >> shifts[None, :]) & np.uint64(1)  # (n, 64)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for bit in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(bit)
+            return int(fp.astype(np.int64))
 
-    fp = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        vote = F.aggregate(hashes, F.lit(0), _vote(b))
-        fp = fp.bitwiseOR(
-            F.when(vote > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return fp
+        return hashes.map(one)
+
+    return _fp
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,8 +330,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     value), then verify with bit_count(xor). No oracle (hash-dependent);
     pinned by tests/test_dedup.py.
     """
-    ds = _doc_shingles(spark, sf_dir).filter(F.col("n_shingles") > 0)
-    fp = ds.withColumn("simhash", _simhash())
+    # _doc_shingles already excludes <3-token docs, so every row has
+    # >= 1 shingle; re-filtering on n_shingles would push size(<full
+    # shingle expr>) below the projection and re-evaluate it per row.
+    ds = _doc_shingles(spark, sf_dir)
+    hashed = ds.withColumn(
+        "hashes", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    )
+    fp = hashed.withColumn("simhash", _simhash_udf()(F.col("hashes")))
     blocks = fp.select(
         "doc_id",
         "simhash",

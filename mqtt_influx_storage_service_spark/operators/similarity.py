@@ -77,7 +77,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a single projection + WindowGroupLimit top-k — no shuffle
     of the corpus, which is the property that matters at 10^9 vectors.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     q = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "qv")
     c = _with_norm(emb, "neighbor_id", "cv")
     scored = (
@@ -128,7 +128,7 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOPK}
 def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All vector pairs (a < b) with cosine >= 0.55, with their labels
     — the 'find all near-duplicate embeddings' sweep."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     labels = emb.select("vec_id", "label")
     a = _with_norm(emb, "id_a", "va")
     b = _with_norm(emb, "id_b", "vb")
@@ -205,7 +205,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline is asserted in tests/test_similarity.py
     (multi-probe over single-bit flips keeps recall usable).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     v = _with_norm(emb, "vid", "vv").withColumn("bucket", _bucket_expr(F.col("vv")))
     # multi-probe: query vectors also probe every bucket within hamming
     # distance 2 (1 + 6 + 15 = 22 of 64 buckets) — the standard

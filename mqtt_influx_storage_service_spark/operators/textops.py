@@ -50,7 +50,7 @@ def _sql_list(words: list[str]) -> str:
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokenization stats rolled up per (lang, source)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     per_doc = docs.select(
         "lang",
         "source",
@@ -85,7 +85,7 @@ FROM documents GROUP BY 1, 2
 def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide term frequencies with doc frequencies — explode →
     two-level aggregation, fully map-side-combinable."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     tok = docs.select("doc_id", F.explode(_tokens()).alias("word"))
     return tok.groupBy("word").agg(
         F.count(F.lit(1)).alias("tf_corpus"),
@@ -112,7 +112,7 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-1 compiles to WindowGroupLimit. At corpus scale the df table
     is tiny (vocabulary-sized) and always broadcast.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     n_docs = docs.count()  # scalar; vocabulary-level constant
     tok = docs.select("doc_id", F.explode(_tokens()).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
@@ -169,7 +169,7 @@ def _keyword_match(words: list[str]):
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     scores = docs.select(
         "doc_id",
         "lang",
@@ -226,7 +226,7 @@ FROM scores
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + a composite score; every input
     to the score is integer-derived, so the doubles are deterministic."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     n_tokens = F.size(_tokens())
     n_unique = F.size(F.array_distinct(_tokens()))
     sum_len = F.aggregate(
@@ -294,7 +294,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Grouping by fingerprint is the exact-dup detector for normalized
     text.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     token_codes = F.transform(
         _tokens(),
         lambda t: (F.length(t) * 7 + F.ascii(F.substring(t, 1, 1))).cast("long"),

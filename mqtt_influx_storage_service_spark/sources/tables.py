@@ -28,7 +28,9 @@ TABLES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+) -> DataFrame:
     """Read one fixture table; applies session tuning on first touch.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS) — the reference
@@ -49,6 +51,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df.withColumnRenamed("ts", "ts_ns")
             .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
         )
+    if rebalance:
+        # "Small input, expensive map" rebalance: a compact-on-disk table
+        # yields few parquet splits, serializing any CPU-heavy projection
+        # downstream (shingling, hashing, dot products). Spreading the
+        # scan across cluster parallelism before that work is the same
+        # move a 1000-executor job makes; cheap queries skip it so their
+        # scans stay shuffle-free.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
