@@ -1,0 +1,318 @@
+"""The reference's ingest daemon re-expressed as Structured Streaming.
+
+Reference dataflow (SURVEY.md §3.1, influx_service.py): MQTT subscribe
+(:47-97) → dispatch events vs data (:125-127) → topic decompose
+(:129-139) → registry membership filter (:133-137) → union-type payload
+coercion (:163-181) → narrow + wide point construction (:183-197) →
+batched dual write (:199-212), with a registry CDC branch (:324-342)
+and a 10-minute throughput stat (:310-322).
+
+Spark shape: one ``readStream`` per topic feed → the SAME declarative
+transformations the batch tier uses (``functions/topics.py``,
+``functions/coercion.py``) → ``foreachBatch`` parquet sink with
+checkpointing. Every transformation here takes a DataFrame and returns
+a DataFrame without caring whether it is streaming or batch — that is
+what makes the pipeline unit-testable (run it in batch, compare to the
+oracle-checked ``refsemantics`` queries) and is idiomatic Structured
+Streaming (one logical plan, micro-batched by the engine).
+
+There is no native Spark MQTT connector, so the source is a seam
+(SURVEY.md §7): :func:`mqtt_file_stream` reads a directory a bridge
+process appends parquet files to. Swapping in a Kafka topic fed by an
+MQTT-Kafka bridge changes ONE function; every transformation below the
+seam is untouched.
+
+Scale posture (100 TB/day ingest): the narrow sink partitions by
+ingest date — time-range queries prune partitions, and the
+per-micro-batch file count is bounded by shuffle partitions. The wide
+("organized") layout is a DERIVED batch view over the narrow table
+(dynamic pivot is not streamable, and materializing both layouts
+doubles write amplification — the reference's dual write at :200 is an
+InfluxDB artifact, not a semantic requirement; the pivot view serves
+the same queries). The registry dimension stays snapshot-small and is
+broadcast into the stream-static semi-join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.coercion import coerce_payload
+from ..functions.topics import DATA_TOPIC_PREFIX, parse_topic
+
+# (arrival_ts, topic, payload) — the reference's queue tuple
+# (influx_service.py:78-80); ts is stamped at arrival, so it is
+# processing time, usable directly as event time for windowing.
+MQTT_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType(), False),
+        StructField("topic", StringType(), False),
+        StructField("payload", StringType(), True),
+    ]
+)
+
+
+def mqtt_file_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source simulation of the MQTT subscribe (influx_service.py
+    :47-97): each parquet file dropped into ``source_dir`` is one
+    batch of messages. ``maxFilesPerTrigger`` caps micro-batch size —
+    the backpressure knob the reference's bounded queue (:54) provides.
+    """
+    reader = spark.readStream.schema(MQTT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+# --------------------------------------------------------------------------
+# Transformations (streaming- and batch-applicable)
+# --------------------------------------------------------------------------
+
+def dispatch(msgs: DataFrame, events_topic: str) -> tuple[DataFrame, DataFrame]:
+    """A2 (influx_service.py:125-127): route events-topic messages to
+    the CDC branch, everything else to the point pipeline — two
+    filtered branches of one stream."""
+    is_events = F.col("topic") == F.lit(events_topic)
+    return msgs.filter(~is_events), msgs.filter(is_events)
+
+
+def to_points(msgs: DataFrame, devices: DataFrame | None = None) -> DataFrame:
+    """A3+A4+A5+A6: topic decompose → (optional) registry membership
+    semi-join → payload coercion → narrow layout.
+
+    ``devices(device_id)`` is the registry dimension; it is broadcast
+    (stream-static join) exactly like the reference's in-memory dict
+    lookup under ``devices_lock`` (influx_service.py:133-137,396-401).
+    """
+    parsed = parse_topic(F.col("topic"))
+    decomposed = msgs.filter(
+        F.col("topic").startswith(DATA_TOPIC_PREFIX)
+    ).select(
+        "ts",
+        parsed.getField("device_id").alias("device_id"),
+        parsed.getField("transducer").alias("transducer"),
+        "payload",
+    )
+    if devices is not None:
+        decomposed = decomposed.join(
+            F.broadcast(devices.select("device_id")), "device_id", "left_semi"
+        )
+    c = coerce_payload(F.col("payload"))
+    coerced = decomposed.select(
+        "ts", "device_id", "transducer", c.alias("v")
+    )
+    return coerced.select(
+        F.concat_ws("_", "device_id", "transducer").alias("series_id"),
+        "device_id",
+        "transducer",
+        "ts",
+        F.col("v.value_type").alias("value_type"),
+        F.col("v.value_double").alias("value_double"),
+        F.col("v.value_bool").alias("value_bool"),
+        F.col("v.value_str").alias("value_str"),
+        F.to_date("ts").alias("ingest_date"),
+    )
+
+
+def wide_view(points: DataFrame) -> DataFrame:
+    """A7 (influx_service.py:191-197): the 'organized' layout — one row
+    per (device_id, ts), one column per transducer — as a DERIVED pivot
+    over the narrow table. Batch-only by design: dynamic pivot needs
+    the transducer universe, which streaming cannot know."""
+    return (
+        points.groupBy("device_id", "ts")
+        .pivot("transducer")
+        .agg(F.first("value_double"))
+    )
+
+
+def throughput_stats(msgs: DataFrame, interval: str = "10 minutes") -> DataFrame:
+    """A13 (influx_service.py:310-322): points-written count + device
+    count per tumbling window. The reference resets a counter every
+    600s on a wall-clock thread; the declarative form is a tumbling
+    event-time window with a watermark to bound state."""
+    parsed = parse_topic(F.col("topic"))
+    return (
+        msgs.withWatermark("ts", interval)
+        .select("ts", parsed.getField("device_id").alias("device_id"))
+        .groupBy(F.window("ts", interval).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("points_written"),
+            F.approx_count_distinct("device_id").alias("n_devices"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "points_written",
+            "n_devices",
+        )
+    )
+
+
+def stats_messages(stats: DataFrame) -> DataFrame:
+    """A14 (influx_service.py:315-320): render each stat row as the
+    reference's status JSON message."""
+    return stats.select(
+        "window_start",
+        F.to_json(
+            F.struct(
+                F.concat(
+                    F.lit("Points written 10 min avg : "),
+                    F.col("points_written").cast("string"),
+                    F.lit(" / #Devices: "),
+                    F.col("n_devices").cast("string"),
+                ).alias("message")
+            )
+        ).alias("status_json"),
+    )
+
+
+def dedup_messages(msgs: DataFrame, within: str = "10 minutes") -> DataFrame:
+    """Stateful streaming dedup (Tier C streaming mandate): drop exact
+    (topic, payload) repeats within the watermark — bounded state, late
+    duplicates beyond the watermark age out. Batch fallback uses plain
+    dropDuplicates (same key set)."""
+    if msgs.isStreaming:
+        return msgs.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+            ["topic", "payload"]
+        )
+    return msgs.dropDuplicates(["topic", "payload"])
+
+
+# --------------------------------------------------------------------------
+# Registry CDC (A9/A10)
+# --------------------------------------------------------------------------
+
+# service event: {"action": "new|update|delete", "thing": {"id": ...}}
+# (influx_service.py:324-328)
+EVENT_SCHEMA = "struct<action: string, thing: struct<id: string>>"
+
+
+def parse_service_events(events_msgs: DataFrame) -> DataFrame:
+    """CDC branch: JSON payload → (ts, action, device_id)."""
+    ev = F.from_json(F.col("payload"), EVENT_SCHEMA)
+    return events_msgs.select(
+        "ts",
+        ev.getField("action").alias("action"),
+        ev.getField("thing").getField("id").alias("device_id"),
+    ).filter(F.col("device_id").isNotNull())
+
+
+def apply_cdc(registry: DataFrame, batch: DataFrame) -> DataFrame:
+    """A10 (influx_service.py:330-342): last-writer-wins upsert/delete.
+
+    new/update ⇒ device present; delete ⇒ device absent. Implemented as
+    a MERGE-shaped full-outer combine: take each device's LAST action
+    in the batch, outer-join onto the current registry, keep rows whose
+    final action is not delete. With a Delta/Iceberg table this is one
+    ``MERGE INTO``; the parquet-snapshot form has identical semantics
+    (per-key atomicity comes from the snapshot swap, mirroring the
+    reference's devices_lock at :401).
+    """
+    w_last = (
+        batch.groupBy("device_id")
+        .agg(F.max_by("action", F.struct("ts")).alias("action"),
+             F.max("ts").alias("ts"))
+    )
+    current = registry.select("device_id", F.col("registered_ts"))
+    merged = current.join(w_last, "device_id", "full_outer")
+    return (
+        merged.filter(
+            F.when(F.col("action").isNotNull(), F.col("action") != "delete")
+            .otherwise(F.lit(True))
+        )
+        .select(
+            "device_id",
+            F.coalesce(F.col("ts"), F.col("registered_ts")).alias("registered_ts"),
+        )
+    )
+
+
+def bootstrap_registry(spark: SparkSession, snapshot_path: str) -> DataFrame:
+    """A9 (influx_service.py:344-375): the REST bootstrap becomes a
+    batch read of the registry snapshot. The subscribe-before-snapshot
+    ordering trick (:424 before :432) maps to 'start the CDC stream's
+    checkpoint before taking the snapshot' — replaying overlap is safe
+    because apply_cdc is last-writer-wins idempotent."""
+    return spark.read.parquet(snapshot_path)
+
+
+# --------------------------------------------------------------------------
+# Sinks / query lifecycle (A8, A17)
+# --------------------------------------------------------------------------
+
+def start_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    devices: DataFrame | None = None,
+    events_topic: str = "openchirp/service/x/thing/events",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire the full point path: source → dispatch → to_points →
+    partitioned parquet sink with checkpoint (A8; exactly-once via the
+    checkpoint + idempotent file commit protocol, replacing the
+    reference's fire-and-forget HTTP write at :199-212).
+
+    ``available_now`` processes everything present then stops — the
+    batch-replay mode used by tests and backfills; ``False`` tails the
+    directory continuously.
+    """
+    msgs = mqtt_file_stream(spark, source_dir)
+    data, _events = dispatch(msgs, events_topic)
+    points = to_points(data, devices)
+
+    writer = (
+        points.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "points"))
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("ingest_date")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_stats(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    interval: str = "10 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire the stats path (A13/A14) to its own sink. Append mode +
+    watermark: a window emits once it is final — the same at-most-once
+    publish cadence as the reference's stats thread."""
+    msgs = mqtt_file_stream(spark, source_dir)
+    stats = throughput_stats(msgs, interval)
+    writer = (
+        stats.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "stats"))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stop_all(spark: SparkSession) -> None:
+    """A17 (influx_service.py:100-112): graceful shutdown — stop every
+    active query; checkpoints make restart exactly-once."""
+    for q in spark.streams.active:
+        q.stop()

@@ -1,0 +1,205 @@
+"""Streaming-tier tests (SURVEY.md §5 plan item 3): run the Structured
+Streaming ingest over a file-simulated MQTT feed and check it against
+the identical batch transformation — one logical pipeline, two engines.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mqtt_influx_storage_service_spark import streaming as st
+
+
+@pytest.fixture(scope="module")
+def mqtt_source(spark, tmp_path_factory):
+    """Three parquet 'micro-batch' files of synthetic MQTT messages,
+    exercising the full coercion truth table + an events-topic message
+    + an unregistered device."""
+    src = tmp_path_factory.mktemp("mqtt_src")
+    rows = []
+    for i in range(300):
+        payload = ["3.25", "7", "true", "False", "free text", "True"][i % 6]
+        device = f"dev{i % 5}"
+        rows.append(
+            (f"2024-01-01 00:{i % 60:02d}:{i % 30:02d}",
+             f"openchirp/device/{device}/Temp{i % 3}", payload)
+        )
+    # events-topic CDC messages
+    cdc = [
+        ("2024-01-01 00:10:00",
+         "openchirp/service/x/thing/events",
+         json.dumps({"action": "new", "thing": {"id": "dev9"}})),
+        ("2024-01-01 00:20:00",
+         "openchirp/service/x/thing/events",
+         json.dumps({"action": "delete", "thing": {"id": "dev0"}})),
+    ]
+    all_rows = rows + cdc
+    for b in range(3):
+        chunk = all_rows[b::3]
+        df = spark.createDataFrame(chunk, "ts string, topic string, payload string")
+        df = df.select(F.col("ts").cast("timestamp"), "topic", "payload")
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / f"batch{b}"))
+    # flatten: move part files up so the dir is a flat file stream
+    flat = tmp_path_factory.mktemp("mqtt_flat")
+    import shutil
+    n = 0
+    for b in range(3):
+        for f in (src / f"batch{b}").glob("part-*.parquet"):
+            shutil.copy(f, flat / f"{b}-{n}.parquet")
+            n += 1
+    return str(flat)
+
+
+def _batch_msgs(spark, mqtt_source):
+    return spark.read.schema(st.MQTT_SCHEMA).parquet(mqtt_source)
+
+
+def test_ingest_stream_matches_batch(spark, mqtt_source, tmp_path):
+    devices = spark.createDataFrame(
+        [(f"dev{i}",) for i in range(4)], "device_id string"
+    )  # dev4 is unregistered -> dropped by the semi-join
+    q = st.start_ingest(
+        spark,
+        mqtt_source,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        devices=devices,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out" / "points"))
+
+    batch = st.to_points(_batch_msgs(spark, mqtt_source), devices)
+    expected = batch.filter(
+        F.col("topic").isNotNull() if "topic" in batch.columns else F.lit(True)
+    )
+    cols = ["series_id", "ts", "value_type", "value_double", "value_bool", "value_str"]
+    assert sorted(got.select(cols).collect()) == sorted(expected.select(cols).collect())
+    assert got.count() == 240  # 300 msgs * 4/5 registered devices
+    # no events-topic rows leaked into the point path
+    assert got.filter(F.col("device_id") == "x").count() == 0
+    # partition pruning layout
+    assert "ingest_date" in got.columns
+
+
+def test_coercion_truth_table_in_stream_output(spark, mqtt_source, tmp_path):
+    q = st.start_ingest(
+        spark, mqtt_source, str(tmp_path / "o2"), str(tmp_path / "c2")
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "o2" / "points"))
+    types = {r["payload_type"]: r["n"] for r in
+             got.groupBy(F.col("value_type").alias("payload_type"))
+                .agg(F.count("*").alias("n")).collect()}
+    # 300 msgs: payloads cycle float,int,true,False,text,True
+    assert types == {"float": 100, "bool": 150, "string": 50}
+    floats = got.filter(F.col("value_type") == "float")
+    assert floats.filter(F.col("value_double").isNull()).count() == 0
+    bools = got.filter(F.col("value_type") == "bool")
+    assert bools.filter(F.col("value_bool").isNull()).count() == 0
+    assert bools.filter(F.col("value_double").isNotNull()).count() == 0
+
+
+def test_throughput_stats_stream(spark, mqtt_source, tmp_path):
+    q = st.start_stats(
+        spark, mqtt_source, str(tmp_path / "o3"), str(tmp_path / "c3")
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "o3" / "stats"))
+    # batch equivalent over the same input
+    expected = st.throughput_stats(_batch_msgs(spark, mqtt_source))
+    # append-mode only emits FINALIZED windows; every emitted row must
+    # match the batch computation exactly
+    exp = {r["window_start"]: r for r in expected.collect()}
+    for r in got.collect():
+        assert r["points_written"] == exp[r["window_start"]]["points_written"]
+        assert r["n_devices"] == exp[r["window_start"]]["n_devices"]
+    # the status JSON rendering (A14)
+    msg = st.stats_messages(expected).collect()
+    assert all("Points written 10 min avg : " in r["status_json"] for r in msg)
+
+
+def test_registry_cdc_last_writer_wins(spark):
+    registry = spark.createDataFrame(
+        [("dev0", "2023-12-31 00:00:00"), ("dev1", "2023-12-31 00:00:00")],
+        "device_id string, registered_ts string",
+    ).withColumn("registered_ts", F.col("registered_ts").cast("timestamp"))
+    batch = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:01", "delete", "dev0"),
+            ("2024-01-01 00:00:02", "new", "dev0"),     # re-created after delete
+            ("2024-01-01 00:00:03", "delete", "dev1"),  # gone
+            ("2024-01-01 00:00:04", "new", "dev2"),     # brand new
+            ("2024-01-01 00:00:05", "update", "dev2"),
+        ],
+        "ts string, action string, device_id string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = st.apply_cdc(registry, batch)
+    state = {r["device_id"]: r["registered_ts"] for r in out.collect()}
+    assert set(state) == {"dev0", "dev2"}
+    assert state["dev0"].second == 2   # last write wins
+    assert state["dev2"].second == 5
+
+
+def test_parse_service_events(spark):
+    msgs = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "openchirp/service/x/thing/events",
+             '{"action": "new", "thing": {"id": "d1"}}'),
+            ("2024-01-01 00:00:01", "openchirp/service/x/thing/events",
+             "not json"),
+        ],
+        "ts string, topic string, payload string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = st.parse_service_events(msgs).collect()
+    assert len(out) == 1 and out[0]["action"] == "new" and out[0]["device_id"] == "d1"
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    rows = [("2024-01-01 00:00:00", "t/a", "x")] * 3 + [
+        ("2024-01-01 00:00:01", "t/a", "y"),
+        ("2024-01-01 00:00:02", "t/b", "x"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, topic string, payload string")
+    df.select(F.col("ts").cast("timestamp"), "topic", "payload").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "stage"))
+    import shutil
+    for i, f in enumerate((src / "stage").glob("part-*.parquet")):
+        shutil.copy(f, src / f"{i}.parquet")
+    shutil.rmtree(src / "stage")
+
+    stream = st.mqtt_file_stream(spark, str(src))
+    deduped = st.dedup_messages(stream, "1 minute")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(tmp_path / "dout"))
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "dout"))
+    assert got.count() == 3  # (t/a,x), (t/a,y), (t/b,x)
+    # batch fallback path agrees
+    batch = st.dedup_messages(spark.read.schema(st.MQTT_SCHEMA).parquet(str(src)))
+    assert batch.count() == 3
+
+
+def test_wide_view_pivot(spark):
+    pts = spark.createDataFrame(
+        [
+            ("d1", "2024-01-01 00:00:00", "temp", 1.5),
+            ("d1", "2024-01-01 00:00:00", "hum", 40.0),
+            ("d2", "2024-01-01 00:00:00", "temp", 2.5),
+        ],
+        "device_id string, ts string, transducer string, value_double double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    wide = st.wide_view(pts)
+    rows = {r["device_id"]: r for r in wide.collect()}
+    assert rows["d1"]["temp"] == 1.5 and rows["d1"]["hum"] == 40.0
+    assert rows["d2"]["temp"] == 2.5 and rows["d2"]["hum"] is None
