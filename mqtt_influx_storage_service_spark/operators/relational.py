@@ -420,6 +420,126 @@ SELECT nationkey, 'any' AS op FROM
 """
 
 
+# --------------------------------------------------------------------------
+# Sort-merge join (explicit): large-large equi join, no broadcast
+# --------------------------------------------------------------------------
+
+def rel_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders with an explicit merge-join hint — the
+    fact-fact join strategy at scale (both sides shuffle-partitioned on
+    the key; with bucketed tables the shuffle disappears entirely).
+    The hint pins the physical strategy so the plan is the one a 100 TB
+    deployment runs, regardless of size estimates at test SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+REL_MERGE_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Interval overlap join (non-equi): order activity windows vs quarters
+# --------------------------------------------------------------------------
+
+def rel_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join: each order is 'active' for 30 days from
+    o_orderdate; count activity per calendar quarter it overlaps.
+    Overlap predicate a.start < b.end AND b.start < a.end over a
+    broadcast quarter dimension — the non-equi join becomes a
+    BroadcastNestedLoopJoin against 28 rows, which is the right plan
+    (the alternative, exploding each order into its quarters, is the
+    scale path when the interval side is also huge)."""
+    orders = load_table(spark, sf_dir, "orders")
+    quarters = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(date'1992-01-01', date'1998-10-01', interval 3 month)"
+            )
+        ).alias("q_start")
+    ).select("q_start", F.add_months("q_start", 3).alias("q_end"))
+    o = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("a_start"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("a_end"),
+    )
+    j = o.join(
+        F.broadcast(quarters),
+        (F.col("a_start") < F.col("q_end")) & (F.col("q_start") < F.col("a_end")),
+    )
+    return j.groupBy("q_start").agg(
+        F.count(F.lit(1)).alias("n_active_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+REL_INTERVAL_OVERLAP_SQL = """
+WITH quarters AS (
+    SELECT CAST(gs AS DATE) AS q_start,
+           CAST(gs + INTERVAL 3 MONTH AS DATE) AS q_end
+    FROM generate_series(DATE '1992-01-01', DATE '1998-10-01',
+                         INTERVAL 3 MONTH) t(gs)
+), o AS (
+    SELECT o_orderkey, o_totalprice,
+           CAST(o_orderdate AS DATE) AS a_start,
+           CAST(o_orderdate AS DATE) + 30 AS a_end
+    FROM orders
+)
+SELECT q_start, count(*) AS n_active_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM o JOIN quarters ON a_start < q_end AND q_start < a_end
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (explicit, beyond rollup/cube)
+# --------------------------------------------------------------------------
+
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS ((returnflag), (linestatus), ()) — the
+    general form rollup/cube specialize; via spark.sql since the
+    DataFrame API exposes only the specializations. grouping() flags
+    disambiguate real NULLs from subtotal rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("rel_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM rel_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+REL_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": rel_pricing_summary,
     "rel_topk_orders": rel_topk_orders,
@@ -431,6 +551,9 @@ QUERIES = {
     "rel_scalar_funcs": rel_scalar_funcs,
     "rel_json_extract": rel_json_extract,
     "rel_set_ops": rel_set_ops,
+    "rel_merge_join": rel_merge_join,
+    "rel_interval_overlap": rel_interval_overlap,
+    "rel_grouping_sets": rel_grouping_sets,
 }
 
 ORACLES = {
@@ -444,4 +567,7 @@ ORACLES = {
     "rel_scalar_funcs": REL_SCALAR_FUNCS_SQL,
     "rel_json_extract": REL_JSON_EXTRACT_SQL,
     "rel_set_ops": REL_SET_OPS_SQL,
+    "rel_merge_join": REL_MERGE_JOIN_SQL,
+    "rel_interval_overlap": REL_INTERVAL_OVERLAP_SQL,
+    "rel_grouping_sets": REL_GROUPING_SETS_SQL,
 }

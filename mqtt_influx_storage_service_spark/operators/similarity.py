@@ -249,15 +249,66 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Grouped-map pandas UDF (applyInPandas): per-label centroid
+# --------------------------------------------------------------------------
+
+def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (grouped-map ``applyInPandas``):
+    each label's vectors arrive as one Arrow batch, NumPy reduces to a
+    mean vector, and the summary row carries its L2 norm. This is the
+    grouped-map UDF surface (IVF centroid training, per-cluster stats)
+    — groupBy shuffles by label, then the kernel is embarrassingly
+    parallel per group. Skewed label cardinality is the risk at 10^9
+    vectors; the fix is the standard two-phase mean (per-partition
+    partial sums, then combine), which stays pure DataFrame."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        c = m.sum(axis=0) / len(m)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(m)],
+                "centroid_norm": [round(float(np.sqrt((c * c).sum())), 6)],
+            }
+        )
+
+    return emb.select("label", "embedding").groupBy("label").applyInPandas(
+        centroid, "label long, n_vecs long, centroid_norm double"
+    )
+
+
+SIM_LABEL_CENTROID_SQL = """
+WITH dims AS (
+    SELECT label, i, sum(embedding[i]::DOUBLE) / count(*) AS c
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+), cnt AS (
+    SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+)
+SELECT d.label, any_value(n_vecs) AS n_vecs,
+       round(sqrt(sum(c * c)), 6) AS centroid_norm
+FROM dims d JOIN cnt USING (label)
+GROUP BY d.label
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_threshold_pairs": sim_threshold_pairs,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_label_centroid": sim_label_centroid,
 }
 
 ORACLES = {
     "sim_cosine_topk": SIM_COSINE_TOPK_SQL,
     "sim_threshold_pairs": SIM_THRESHOLD_PAIRS_SQL,
+    "sim_label_centroid": SIM_LABEL_CENTROID_SQL,
     # sim_ann_lsh: approximate by construction — rows-only driver check;
     # recall vs sim_cosine_topk asserted in tests/test_similarity.py.
 }
