@@ -53,12 +53,19 @@ def main() -> int:
     # per-query numbers measure the plan, not first-touch overheads.
     qs["ts_series_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Two timed runs per query, keep the min: the first run includes
+    # codegen/Janino compilation (real, but amortized away in any
+    # long-lived deployment) and min-of-2 shields the number from
+    # noisy-neighbor CPU on shared hardware.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -376,16 +376,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", "hamming").orderBy("doc_a", "doc_b")
 
 
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (semantic dedup over the embedding column)
+# --------------------------------------------------------------------------
+
+EMB_DUP_THRESHOLD = 0.4
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup: document pairs whose embeddings (vec_id ==
+    doc_id, FIXTURES.md) have cosine >= 0.4; keep_doc is the lower id.
+
+    Reuses the similarity tier's order-stable dot-product kernel so the
+    doubles match the DuckDB oracle bit-for-bit. Scale path is the same
+    as sim_ann_lsh: replace the a<b self cross-join with the
+    hyperplane-bucket equi-join; the threshold verify step is
+    unchanged.
+    """
+    from .similarity import _dot, _with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    a = _with_norm(emb, "keep_doc", "va")
+    b = _with_norm(emb, "dup_doc", "vb")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("keep_doc") < F.col("dup_doc"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("keep_doc_norm") * F.col("dup_doc_norm")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+        .select("keep_doc", "dup_doc", "cosine")
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = """
+WITH v AS (
+    SELECT vec_id, embedding,
+           sqrt(list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                   i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+               (x, y) -> x + y)) AS norm
+    FROM embeddings
+)
+SELECT a.vec_id AS keep_doc, b.vec_id AS dup_doc,
+       round(list_reduce(
+           list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+           (x, y) -> x + y) / (a.norm * b.norm), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_reduce(
+          list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+          (x, y) -> x + y) / (a.norm * b.norm), 6) >= 0.4
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     # dedup_minhash_lsh / dedup_simhash: hash-function-dependent, not
     # SQL-expressible in DuckDB — rows-only driver check; recall vs the
     # exact-Jaccard oracle is asserted in tests/test_dedup.py.

@@ -113,7 +113,9 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tiny (vocabulary-sized) and always broadcast.
     """
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    n_docs = docs.count()  # scalar; vocabulary-level constant
+    # scalar constant: count the UN-rebalanced scan (parquet row-group
+    # metadata count, no shuffle) rather than paying the repartition
+    n_docs = load_table(spark, sf_dir, "documents").count()
     tok = docs.select("doc_id", F.explode(_tokens()).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))

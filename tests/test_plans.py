@@ -1,0 +1,82 @@
+"""Plan-shape regression tests: pin the physical-plan properties that
+matter at 100 TB (pushdown, pruning, join strategy, no accidental
+cross products). A wrong plan that still returns right answers passes
+the oracle gate — these tests are the scale gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mqtt_influx_storage_service_spark import plans
+from mqtt_influx_storage_service_spark.operators import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_no_cartesian_anywhere(spark):
+    """No registered query may plan a CartesianProduct — every non-equi
+    join must ride a broadcast (small side) instead."""
+    bad = []
+    for name, fn in all_queries().items():
+        if plans.has_cartesian(fn(spark, SF)):
+            bad.append(name)
+    assert bad == []
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = all_queries()["rel_pricing_summary"](spark, SF)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed  # date filter reached the parquet scan
+    (cols,) = plans.scan_columns(df)
+    # 7 of 11 lineitem columns decoded; keys and comment-ish columns pruned
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_returnflag"} <= cols
+
+
+def test_region_revenue_broadcasts_dimensions(spark):
+    df = all_queries()["rel_region_revenue"](spark, SF)
+    assert plans.has_broadcast_join(df)
+    pushed = " ".join(plans.pushed_filters(df))
+    # the region constant filter must reach the region scan
+    assert "r_name" in pushed and "ASIA" in pushed
+
+
+def test_merge_join_is_sort_merge(spark):
+    df = all_queries()["rel_merge_join"](spark, SF)
+    assert plans.has_sort_merge_join(df)
+    assert not plans.has_broadcast_join(df)
+
+
+def test_query_pushdown_reaches_scan(spark):
+    """Queries with a selective leading filter must push it into the
+    parquet reader (PushedFilters non-empty)."""
+    for name in ["ts_series_scan", "sim_cosine_topk", "rel_topk_orders"]:
+        df = all_queries()[name](spark, SF)
+        assert plans.pushed_filters(df), f"{name}: no pushed filters"
+
+
+def test_manifest_query_prunes_columns(spark):
+    """mm_manifest aggregates metadata; the scan must not decode more
+    than it needs (documents has 5 columns; text is needed only for
+    octet_length of the payload stand-in)."""
+    df = all_queries()["mm_manifest"](spark, SF)
+    for cols in plans.scan_columns(df):
+        assert "lang" not in cols  # unused column pruned
+
+
+def test_codegen_covers_relational_core(spark):
+    """The hot relational pipeline must run inside WholeStageCodegen
+    spans (stars in the final adaptive plan)."""
+    df = all_queries()["rel_pricing_summary"](spark, SF)
+    assert plans.codegen_coverage(df) > 0.2
+
+
+def test_exchange_budget(spark):
+    """Shuffle budget per query shape: a scan→agg→sort query needs
+    exactly 2 exchanges (agg + sort); a broadcast-dim join adds none."""
+    qs = all_queries()
+    assert plans.exchange_count(qs["rel_pricing_summary"](spark, SF)) == 2
+    # last-value per series: one shuffle (window partition), nothing else
+    assert plans.exchange_count(qs["ts_last_value"](spark, SF)) == 1
