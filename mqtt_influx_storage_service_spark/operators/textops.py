@@ -325,8 +325,71 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# BPE-ish regex tokenization (sub-word-style token classes)
+# --------------------------------------------------------------------------
+
+# letter runs | digit runs | single non-alnum-non-space — the shape of a
+# GPT-2-style pre-tokenizer pattern, restricted to classes both engines'
+# regex dialects treat identically.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-ish) tokenization rolled up per language: token count
+    and per-class counts (alpha / digit / other). Two-step projection
+    so the regexp_extract_all runs once per row (see dedup.py on
+    higher-order re-inlining)."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toked = docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0).alias("toks"),
+    )
+    per_doc = toked.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.filter(F.col("toks"), lambda t: t.rlike("^[0-9]+$"))).alias(
+            "n_digit"
+        ),
+        F.size(F.filter(F.col("toks"), lambda t: t.rlike("^[A-Za-z]+$"))).alias(
+            "n_alpha"
+        ),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_alpha").alias("sum_alpha"),
+        F.sum("n_digit").alias("sum_digit"),
+        (F.sum("n_tokens") - F.sum("n_alpha") - F.sum("n_digit")).alias("sum_other"),
+    )
+
+
+TEXT_REGEX_TOKENS_SQL = """
+WITH toked AS (
+    SELECT doc_id, lang,
+           regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS toks
+    FROM documents
+), per_doc AS (
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) AS n_digit,
+           len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$'))) AS n_alpha
+    FROM toked
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_alpha) AS BIGINT) AS sum_alpha,
+       CAST(sum(n_digit) AS BIGINT) AS sum_digit,
+       CAST(sum(n_tokens) - sum(n_alpha) - sum(n_digit) AS BIGINT) AS sum_other
+FROM per_doc GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_regex_tokens": text_regex_tokens,
     "text_word_freq": text_word_freq,
     "text_tfidf_top": text_tfidf_top,
     "text_langid": text_langid,
@@ -336,6 +399,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_regex_tokens": TEXT_REGEX_TOKENS_SQL,
     "text_word_freq": TEXT_WORD_FREQ_SQL,
     "text_tfidf_top": TEXT_TFIDF_TOP_SQL,
     "text_langid": TEXT_LANGID_SQL,

@@ -428,7 +428,7 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag + gap-flag + running sum — the classic sessionization plan; one
     shuffle on user_id, everything else window-local. (Structured
     Streaming's session_window(ts, '30 minutes') computes the same
-    sessions incrementally; see streaming/stats.py.)
+    sessions incrementally; see streaming/stateful.py.)
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -1,3 +1,7 @@
+from .stateful import (
+    device_state_stream,
+    session_windows,
+)
 from .ingest import (
     MQTT_SCHEMA,
     apply_cdc,
@@ -17,6 +21,8 @@ from .ingest import (
 
 __all__ = [
     "MQTT_SCHEMA",
+    "device_state_stream",
+    "session_windows",
     "apply_cdc",
     "bootstrap_registry",
     "dedup_messages",
