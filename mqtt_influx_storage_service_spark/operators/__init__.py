@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     dedup,
+    mlops,
     multimodal,
     refsemantics,
     relational,
@@ -33,6 +34,7 @@ _MODULES = [
     dedup,
     similarity,
     multimodal,
+    mlops,
 ]
 
 

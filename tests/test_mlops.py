@@ -1,0 +1,57 @@
+"""Recall tests for the MLlib LSH variants against their exact
+baselines (operators/mlops.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mqtt_influx_storage_service_spark.operators import dedup, mlops, similarity
+
+
+def test_minhash_ml_matches_exact_jaccard(spark, sf_dir):
+    """MLlib MinHashLSH + exact verify must find (almost) every pair
+    the exact shingle-Jaccard query finds — and never a false
+    positive (the verify join guarantees precision=1)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in mlops.dedup_minhash_ml(spark, sf_dir).collect()
+    }
+    assert set(got) <= set(exact)
+    for pair, j in got.items():
+        assert j == pytest.approx(exact[pair], abs=1e-6)
+    recall = len(got) / max(len(exact), 1)
+    assert recall >= 0.8, f"recall {recall} over {len(exact)} true pairs"
+
+
+def test_brp_ann_recall_vs_brute_force(spark, sf_dir):
+    """BRP-LSH top-5 must recover most of the true cosine top-5."""
+    truth = {}
+    for r in similarity.sim_cosine_topk(spark, sf_dir).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in mlops.sim_ann_brp(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_brp_cosines_match_brute_force_values(spark, sf_dir):
+    """Where ML ANN and brute force agree on a neighbor, the cosine
+    (derived from unit-sphere euclidean distance) must match."""
+    truth = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.sim_cosine_topk(spark, sf_dir).collect()
+    }
+    checked = 0
+    for r in mlops.sim_ann_brp(spark, sf_dir).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in truth:
+            assert r["cosine"] == pytest.approx(truth[key], abs=1e-4)
+            checked += 1
+    assert checked > 0
