@@ -420,6 +420,48 @@ SELECT nationkey, 'any' AS op FROM
 """
 
 
+def rel_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE formulation of rel_range_join: identical output, but
+    candidates come from an EQUI-join on a coarse price bucket instead
+    of a broadcast theta join — the shape that survives when both
+    sides are too big to broadcast (SCALE.md §joins).
+
+    Band width 50 > the max ±1% window in the fixture price range, so
+    every qualifying pair lands in the same or an adjacent bucket; the
+    left side probes its own and both neighbor buckets, the exact
+    predicate filters afterwards. Cost: 3x probe fan-out instead of
+    |A|x|B|.
+    """
+    band = 50
+    p1 = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("a_key"), F.col("p_retailprice").alias("a_price")
+    )
+    p2 = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("b_key"), F.col("p_retailprice").alias("b_price")
+    )
+    probes = p1.select(
+        "a_key",
+        "a_price",
+        F.explode(
+            F.array(
+                (F.floor(F.col("a_price") / band) - 1).cast("long"),
+                F.floor(F.col("a_price") / band).cast("long"),
+                (F.floor(F.col("a_price") / band) + 1).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    builds = p2.withColumn("bucket", F.floor(F.col("b_price") / band).cast("long"))
+    pairs = probes.join(builds, "bucket").filter(
+        (F.col("a_key") < F.col("b_key"))
+        & (F.col("a_price") >= F.col("b_price") * 0.99)
+        & (F.col("a_price") <= F.col("b_price") * 1.01)
+    )
+    return pairs.select(
+        "a_key", "b_key", "a_price", "b_price",
+        F.round(F.abs(F.col("a_price") - F.col("b_price")), 2).alias("price_diff"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sort-merge join (explicit): large-large equi join, no broadcast
 # --------------------------------------------------------------------------
@@ -547,6 +589,7 @@ QUERIES = {
     "rel_semi_join": rel_semi_join,
     "rel_anti_join": rel_anti_join,
     "rel_range_join": rel_range_join,
+    "rel_range_join_banded": rel_range_join_banded,
     "rel_distinct_agg": rel_distinct_agg,
     "rel_scalar_funcs": rel_scalar_funcs,
     "rel_json_extract": rel_json_extract,
@@ -563,6 +606,7 @@ ORACLES = {
     "rel_semi_join": REL_SEMI_JOIN_SQL,
     "rel_anti_join": REL_ANTI_JOIN_SQL,
     "rel_range_join": REL_RANGE_JOIN_SQL,
+    "rel_range_join_banded": REL_RANGE_JOIN_SQL,
     "rel_distinct_agg": REL_DISTINCT_AGG_SQL,
     "rel_scalar_funcs": REL_SCALAR_FUNCS_SQL,
     "rel_json_extract": REL_JSON_EXTRACT_SQL,
