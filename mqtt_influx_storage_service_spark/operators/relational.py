@@ -420,6 +420,96 @@ SELECT nationkey, 'any' AS op FROM
 """
 
 
+def rel_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join so zero-order customers survive with count 0, then a second
+    aggregation over the counts. The outer join shuffles both sides on
+    the key (sort-merge); null-extension happens stream-side, so the
+    plan is the same class as the inner join — no special scale risk
+    beyond key skew, which AQE handles."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+REL_OUTER_JOIN_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                           AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def rel_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (suppliers with any >45-quantity shipment):
+    Catalyst de-correlates this to a left-semi join — same physical
+    plan as rel_semi_join, but exercising the SQL subquery surface."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("rel_sq_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("rel_sq_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        FROM rel_sq_supplier s
+        WHERE EXISTS (SELECT 1 FROM rel_sq_lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+        """
+    )
+
+
+REL_EXISTS_SUBQUERY_SQL = """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+"""
+
+
+def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: parts priced above their brand's
+    average. The comparison is price*count > sum in DECIMAL so both
+    engines evaluate it exactly (a double `avg` comparison would hinge
+    on last-ulp summation order at the boundary). Catalyst
+    de-correlates each scalar subquery to an aggregate + join."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("rel_sq_part")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_above_avg
+        FROM rel_sq_part p
+        WHERE CAST(p_retailprice AS DECIMAL(18,2))
+              * (SELECT count(*) FROM rel_sq_part p2
+                 WHERE p2.p_brand = p.p_brand)
+              > (SELECT sum(CAST(p_retailprice AS DECIMAL(18,2)))
+                 FROM rel_sq_part p3 WHERE p3.p_brand = p.p_brand)
+        GROUP BY p_brand
+        """
+    )
+
+
+REL_SCALAR_SUBQUERY_SQL = """
+SELECT p_brand, count(*) AS n_above_avg
+FROM part p
+WHERE CAST(p_retailprice AS DECIMAL(18,2))
+      * (SELECT count(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+      > (SELECT sum(CAST(p_retailprice AS DECIMAL(18,2)))
+         FROM part p3 WHERE p3.p_brand = p.p_brand)
+GROUP BY p_brand
+"""
+
+
 def rel_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE formulation of rel_range_join: identical output, but
     candidates come from an EQUI-join on a coarse price bucket instead
@@ -589,6 +679,9 @@ QUERIES = {
     "rel_semi_join": rel_semi_join,
     "rel_anti_join": rel_anti_join,
     "rel_range_join": rel_range_join,
+    "rel_outer_join": rel_outer_join,
+    "rel_exists_subquery": rel_exists_subquery,
+    "rel_scalar_subquery": rel_scalar_subquery,
     "rel_range_join_banded": rel_range_join_banded,
     "rel_distinct_agg": rel_distinct_agg,
     "rel_scalar_funcs": rel_scalar_funcs,
@@ -606,6 +699,9 @@ ORACLES = {
     "rel_semi_join": REL_SEMI_JOIN_SQL,
     "rel_anti_join": REL_ANTI_JOIN_SQL,
     "rel_range_join": REL_RANGE_JOIN_SQL,
+    "rel_outer_join": REL_OUTER_JOIN_SQL,
+    "rel_exists_subquery": REL_EXISTS_SUBQUERY_SQL,
+    "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "rel_range_join_banded": REL_RANGE_JOIN_SQL,
     "rel_distinct_agg": REL_DISTINCT_AGG_SQL,
     "rel_scalar_funcs": REL_SCALAR_FUNCS_SQL,
