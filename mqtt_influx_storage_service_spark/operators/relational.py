@@ -454,6 +454,61 @@ GROUP BY c_count
 """
 
 
+def rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of account balance per segment
+    (Spark ``percentile`` == DuckDB ``quantile_cont``), plus the count.
+    ``percentile_approx`` (the t-digest sketch used at 100 TB, where an
+    exact sort-based percentile is a full shuffle of the column) is
+    exercised in tests — its error bound is implementation-defined, so
+    the ORACLE pins the exact form."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(c_acctbal, 0.99)"), 6).alias("p99"),
+    )
+
+
+REL_QUANTILES_SQL = """
+SELECT c_mktsegment, count(*) AS n,
+       round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+       round(quantile_cont(c_acctbal, 0.9), 6) AS p90,
+       round(quantile_cont(c_acctbal, 0.99), 6) AS p99
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) lineitem's money columns into (measure, value)
+    rows and aggregate per measure — the wide→narrow inverse of the
+    pivot view. Expand-based: no shuffle until the aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+REL_UNPIVOT_SQL = """
+SELECT l_returnflag, measure, count(*) AS n, round(sum(value), 2) AS total
+FROM (
+    SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+)
+GROUP BY l_returnflag, measure
+"""
+
+
 def rel_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS (suppliers with any >45-quantity shipment):
     Catalyst de-correlates this to a left-semi join — same physical
@@ -681,6 +736,8 @@ QUERIES = {
     "rel_range_join": rel_range_join,
     "rel_outer_join": rel_outer_join,
     "rel_exists_subquery": rel_exists_subquery,
+    "rel_quantiles": rel_quantiles,
+    "rel_unpivot": rel_unpivot,
     "rel_scalar_subquery": rel_scalar_subquery,
     "rel_range_join_banded": rel_range_join_banded,
     "rel_distinct_agg": rel_distinct_agg,
@@ -701,6 +758,8 @@ ORACLES = {
     "rel_range_join": REL_RANGE_JOIN_SQL,
     "rel_outer_join": REL_OUTER_JOIN_SQL,
     "rel_exists_subquery": REL_EXISTS_SUBQUERY_SQL,
+    "rel_quantiles": REL_QUANTILES_SQL,
+    "rel_unpivot": REL_UNPIVOT_SQL,
     "rel_scalar_subquery": REL_SCALAR_SUBQUERY_SQL,
     "rel_range_join_banded": REL_RANGE_JOIN_SQL,
     "rel_distinct_agg": REL_DISTINCT_AGG_SQL,
