@@ -126,6 +126,52 @@ def to_points(msgs: DataFrame, devices: DataFrame | None = None) -> DataFrame:
     )
 
 
+def split_malformed(msgs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """A16 (influx_service.py:114-119): error isolation. The reference
+    wraps each message in try/except so one bad message can't kill a
+    worker; declaratively that becomes a quarantine split — data-topic
+    messages whose topic doesn't match the 4-segment grammar go to a
+    dead-letter branch instead of poisoning the pipeline (the
+    badRecordsPath pattern). Payload coercion never rejects (it is a
+    total function), so the topic grammar is the only parse that can
+    fail."""
+    on_data_prefix = F.col("topic").startswith(DATA_TOPIC_PREFIX)
+    well_formed = (
+        (F.size(F.split(F.col("topic"), "/")) == 4)
+        & (F.element_at(F.split(F.col("topic"), "/"), 3) != "")
+        & (F.element_at(F.split(F.col("topic"), "/"), 4) != "")
+    )
+    return (
+        msgs.filter(on_data_prefix & well_formed),
+        msgs.filter(on_data_prefix & ~well_formed),
+    )
+
+
+def compact(spark: SparkSession, points_dir: str, ingest_date: str,
+            warehouse_dir: str, target_files: int = 8) -> None:
+    """Small-file compaction for one CLOSED date partition of the
+    streaming sink (SCALE.md §streaming): read the partition directory
+    (bypassing the sink's ``_spark_metadata`` log, which only governs
+    root-path reads), coalesce, and publish into the batch-managed
+    warehouse directory with the same partition layout.
+
+    In-place rewrites are deliberately NOT done: the streaming sink's
+    transaction log is the authoritative file list for its root, so
+    mutating files underneath it corrupts exactly-once reads — that
+    rewrite belongs to a table format (Delta/Iceberg). The
+    streaming-dir → warehouse-dir promotion needs no log surgery, never
+    races the live query (only closed partitions move), and batch
+    queries read the warehouse root with plain partition pruning."""
+    part = f"{points_dir}/ingest_date={ingest_date}"
+    out = f"{warehouse_dir}/ingest_date={ingest_date}"
+    (
+        spark.read.parquet(part)
+        .coalesce(target_files)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
 def wide_view(points: DataFrame) -> DataFrame:
     """A7 (influx_service.py:191-197): the 'organized' layout — one row
     per (device_id, ts), one column per transducer — as a DERIVED pivot

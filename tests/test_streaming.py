@@ -203,3 +203,47 @@ def test_wide_view_pivot(spark):
     rows = {r["device_id"]: r for r in wide.collect()}
     assert rows["d1"]["temp"] == 1.5 and rows["d1"]["hum"] == 40.0
     assert rows["d2"]["temp"] == 2.5 and rows["d2"]["hum"] is None
+
+
+def test_split_malformed_quarantine(spark):
+    msgs = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "openchirp/device/d1/temp", "1"),
+            ("2024-01-01 00:00:01", "openchirp/device/d1", "truncated"),
+            ("2024-01-01 00:00:02", "openchirp/device/d1/temp/extra", "deep"),
+            ("2024-01-01 00:00:03", "openchirp/device//temp", "no-device"),
+            ("2024-01-01 00:00:04", "other/topic", "not-data"),
+        ],
+        "ts string, topic string, payload string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    good, bad = st.split_malformed(msgs)
+    assert [r["payload"] for r in good.collect()] == ["1"]
+    assert sorted(r["payload"] for r in bad.collect()) == [
+        "deep", "no-device", "truncated"
+    ]
+    # non-data topics belong to neither branch (they dispatch elsewhere)
+    assert good.count() + bad.count() == 4
+
+
+def test_compact_partition(spark, mqtt_source, tmp_path):
+    q = st.start_ingest(
+        spark, mqtt_source, str(tmp_path / "o9"), str(tmp_path / "c9")
+    )
+    q.awaitTermination(120)
+    points_dir = str(tmp_path / "o9" / "points")
+    warehouse = str(tmp_path / "o9" / "warehouse")
+    got = spark.read.parquet(points_dir)
+    date = got.select(F.min("ingest_date")).collect()[0][0].isoformat()
+    before_rows = got.filter(F.col("ingest_date") == date).count()
+    st.compact(spark, points_dir, date, warehouse, target_files=1)
+    after = spark.read.parquet(f"{warehouse}/ingest_date={date}")
+    after_files = list(
+        (tmp_path / "o9" / "warehouse" / f"ingest_date={date}").glob("*.parquet")
+    )
+    assert after.count() == before_rows
+    assert len(after_files) == 1  # compacted to a single data file
+    # identical content, not just identical counts
+    cols = ["series_id", "ts", "value_double"]
+    assert sorted(after.select(cols).collect()) == sorted(
+        got.filter(F.col("ingest_date") == date).select(cols).collect()
+    )
