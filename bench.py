@@ -27,14 +27,19 @@ HEADLINE = [
     "rel_pricing_summary",
     "rel_region_revenue",
     "rel_topk_orders",
+    "rel_merge_join",
+    "rel_outer_join",
     "win_monthly_revenue",
     "ts_bucket_agg",
     "ts_last_value",
     "ts_asof_join",
+    "ts_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_cosine_topk",
     "text_tfidf_top",
+    "text_regex_tokens",
 ]
 
 

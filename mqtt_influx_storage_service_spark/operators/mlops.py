@@ -69,7 +69,7 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return pairs.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+    return pairs.select("doc_a", "doc_b", "jaccard")
 
 
 def sim_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
