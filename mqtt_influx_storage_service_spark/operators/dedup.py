@@ -260,12 +260,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_sig")
-    la = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_sig")
-    lb = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_sig")
+    # Bucket-collect instead of self-join (same reasoning as
+    # dedup_simhash): one evaluation of the signature pipeline, pairs
+    # generated inside each band bucket. Bucket membership is bounded by
+    # the band collision rate, so the in-bucket expansion stays small;
+    # a pathological hot bucket would be capped by a size filter here
+    # (the document-frequency cap from the module docstring).
+    buckets = (
+        banded.groupBy("band_idx", "band_sig")
+        .agg(F.collect_list("doc_id").alias("members"))
+        .filter(F.size("members") >= 2)
+        .select(F.array_sort("members").alias("members"))
+    )
+    pair_col = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     candidates = (
-        la.join(lb, ["band_idx", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_col).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # exact verification of candidates only
@@ -357,19 +375,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("blk"),
     ).select("doc_id", "simhash", "blk.block_idx", "blk.block_val")
-    ba = blocks.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
-        "block_idx", "block_val",
+    # Bucket-collect instead of self-join: a self-join reads the
+    # fingerprint relation twice, and a tree-shaped plan recomputes the
+    # whole shingle→hash→UDF pipeline per side. Grouping each block
+    # bucket and generating pairs in-bucket evaluates the pipeline ONCE;
+    # buckets are tiny by construction (16-bit blocks spread the corpus
+    # ~uniformly), so the in-bucket pair expansion is trivially bounded.
+    buckets = (
+        blocks.groupBy("block_idx", "block_val")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("members"))
+        .filter(F.size("members") >= 2)
+        .select(F.array_sort("members").alias("members"))
     )
-    bb = blocks.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
-        "block_idx", "block_val",
+    pair_col = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     pairs = (
-        ba.join(bb, ["block_idx", "block_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
+        buckets.select(F.explode(pair_col).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.simhash").alias("sim_a"),
+            F.col("p.b.simhash").alias("sim_b"),
+        )
+        .distinct()  # a pair can share several blocks
         .withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )
