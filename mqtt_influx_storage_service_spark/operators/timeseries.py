@@ -479,8 +479,139 @@ FROM numbered GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Difference / derivative per series (InfluxQL difference()/derivative())
+# --------------------------------------------------------------------------
+
+def ts_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series successive difference and per-second rate (InfluxQL
+    ``difference()`` / ``derivative(1s)`` analogs): lag over the series
+    key, pairwise subtraction (no summation-order sensitivity), elapsed
+    time from integer microseconds so both engines do exact integer
+    arithmetic before one float division."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_val = F.lag("value").over(w)
+    prev_us = F.lag(us).over(w)
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        # + 0.0 normalizes IEEE negative zero: round() can yield -0.0 in
+        # one engine and 0.0 in the other, which value-hashes differently
+        (F.round(F.col("value") - prev_val, 6) + F.lit(0.0)).alias("diff_value"),
+        ((us - prev_us) / F.lit(1000000.0)).alias("elapsed_s"),
+        (
+            F.round(
+                (F.col("value") - prev_val)
+                / F.nullif((us - prev_us) / F.lit(1000000.0), F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("rate_per_s"),
+    )
+    return out.filter(F.col("diff_value").isNotNull())
+
+
+TS_DIFFERENCE_SQL = """
+SELECT event_id, user_id, event_type, ts,
+       round(value - prev_val, 6) + 0.0 AS diff_value,
+       (us - prev_us) / 1000000.0 AS elapsed_s,
+       round((value - prev_val) / nullif((us - prev_us) / 1000000.0, 0.0), 6)
+           + 0.0 AS rate_per_s
+FROM (
+    SELECT event_id, user_id, event_type, ts, value,
+           epoch_us(ts) AS us,
+           lag(value) OVER w AS prev_val,
+           lag(epoch_us(ts)) OVER w AS prev_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+WHERE prev_val IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# Gap fill over a generated time spine (InfluxQL GROUP BY time() fill())
+# --------------------------------------------------------------------------
+
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily buckets per event_type over a COMPLETE day spine with
+    ``fill(previous)`` (InfluxQL ``GROUP BY time(1d) fill(previous)``):
+    sequence() generates the spine, cross join the (tiny, literal) tag
+    universe, left-join real buckets, carry the last non-null average
+    forward. The spine is generated, never scanned — at 100 TB the
+    spine side stays a few thousand rows regardless of fact size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _avg2(F.sum("value"), F.count(F.lit(1))).alias("avg_value"),
+    )
+    spine = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.expr(
+                    "sequence(timestamp'2024-01-01 00:00:00',"
+                    " timestamp'2024-01-30 00:00:00', interval 1 day)"
+                )
+            ).alias("day")
+        )
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(F.array(*[F.lit(t) for t in EVENT_TYPES])).alias(
+                    "event_type"
+                )
+            )
+        )
+    )
+    joined = spine.join(F.broadcast(daily), ["day", "event_type"], "left_outer")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "day",
+        "event_type",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_avg"),
+        F.col("avg_value").isNull().alias("was_gap"),
+    )
+
+
+TS_GAP_FILL_SQL = f"""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n_events,
+           {_AVG2_SQL.format(v='value')} AS avg_value
+    FROM events GROUP BY 1, 2
+), spine AS (
+    SELECT CAST(gs AS TIMESTAMP) AS day, event_type
+    FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+                         INTERVAL 1 DAY) t(gs)
+    CROSS JOIN (SELECT unnest({[t for t in EVENT_TYPES]!r}) AS event_type)
+)
+SELECT day, event_type,
+       coalesce(n_events, 0) AS n_events,
+       avg_value,
+       last_value(avg_value IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS filled_avg,
+       (avg_value IS NULL) AS was_gap
+FROM spine LEFT JOIN daily USING (day, event_type)
+"""
+
+
 QUERIES = {
     "ts_series_scan": ts_series_scan,
+    "ts_difference": ts_difference,
+    "ts_gap_fill": ts_gap_fill,
     "ts_device_wide": ts_device_wide,
     "ts_bucket_agg": ts_bucket_agg,
     "ts_last_value": ts_last_value,
@@ -494,6 +625,8 @@ QUERIES = {
 
 ORACLES = {
     "ts_series_scan": TS_SERIES_SCAN_SQL,
+    "ts_difference": TS_DIFFERENCE_SQL,
+    "ts_gap_fill": TS_GAP_FILL_SQL,
     "ts_device_wide": TS_DEVICE_WIDE_SQL,
     "ts_bucket_agg": TS_BUCKET_AGG_SQL,
     "ts_last_value": TS_LAST_VALUE_SQL,
