@@ -727,8 +727,57 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
+def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-order revenue ranking (TPC-H Q3 shape): filter both
+    fact sides on date, 3-way join, aggregate, global top-10.
+
+    customer is the broadcast dimension; lineitem⋈orders is the one
+    fact-fact shuffle (both sides pre-filtered so the shuffle carries
+    only qualifying rows). The final orderBy().limit(10) compiles to
+    TakeOrderedAndProject — per-partition top-10 then a single-driver
+    merge of 10-row heaps, no global sort at any scale. Deterministic
+    tie-break on l_orderkey keeps the LIMIT stable for the oracle.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+REL_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": rel_pricing_summary,
+    "rel_shipping_priority": rel_shipping_priority,
     "rel_topk_orders": rel_topk_orders,
     "rel_region_revenue": rel_region_revenue,
     "rel_semi_join": rel_semi_join,
@@ -751,6 +800,7 @@ QUERIES = {
 
 ORACLES = {
     "rel_pricing_summary": REL_PRICING_SUMMARY_SQL,
+    "rel_shipping_priority": REL_SHIPPING_PRIORITY_SQL,
     "rel_topk_orders": REL_TOPK_ORDERS_SQL,
     "rel_region_revenue": REL_REGION_REVENUE_SQL,
     "rel_semi_join": REL_SEMI_JOIN_SQL,

@@ -608,8 +608,57 @@ FROM spine LEFT JOIN daily USING (day, event_type)
 """
 
 
+def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-minute moving average per series — a true time-based
+    RANGE frame (InfluxQL ``MOVING_AVERAGE`` over irregular samples),
+    complementing the row-count frames in windows.py.
+
+    The frame key is integer epoch seconds derived from the ns column
+    by exact floor division (``ts_ns div 1e9``) so Spark's rangeBetween
+    and DuckDB's RANGE frame see identical ordinals; rows sharing a
+    second are RANGE peers in both engines, making the frame contents —
+    and with the round-the-sum policy, the hash — order-insensitive.
+    At scale this is one shuffle on the series key with bounded
+    per-partition state; no Python in the path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("ts_ns div 1000000000")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("epoch_sec")
+        .rangeBetween(-600, 0)
+    )
+    return (
+        ev.withColumn("epoch_sec", sec)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "epoch_sec",
+            "value",
+            _avg2(F.sum("value").over(w), F.count(F.lit(1)).over(w)).alias(
+                "ma_10m"
+            ),
+            F.count(F.lit(1)).over(w).alias("n_in_window"),
+        )
+    )
+
+
+TS_MOVING_AVG_SQL = """
+SELECT user_id, event_type, event_id, epoch_sec, value,
+       round(round(sum(value) OVER w, 2) / count(*) OVER w, 6) AS ma_10m,
+       count(*) OVER w AS n_in_window
+FROM (
+    SELECT *, epoch_ns(ts) // 1000000000 AS epoch_sec FROM events
+)
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_sec
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "ts_series_scan": ts_series_scan,
+    "ts_moving_avg": ts_moving_avg,
     "ts_difference": ts_difference,
     "ts_gap_fill": ts_gap_fill,
     "ts_device_wide": ts_device_wide,
@@ -625,6 +674,7 @@ QUERIES = {
 
 ORACLES = {
     "ts_series_scan": TS_SERIES_SCAN_SQL,
+    "ts_moving_avg": TS_MOVING_AVG_SQL,
     "ts_difference": TS_DIFFERENCE_SQL,
     "ts_gap_fill": TS_GAP_FILL_SQL,
     "ts_device_wide": TS_DEVICE_WIDE_SQL,

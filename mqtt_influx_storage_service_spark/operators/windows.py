@@ -193,8 +193,35 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def win_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of account balance within each market
+    segment — the rank-ratio analytics missing from the other window
+    queries. Ties share a rank in both engines, so the ratios are
+    deterministic; rounding to 9 decimals absorbs nothing but keeps the
+    hash stable if either engine changes division order."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume_dist"),
+    )
+
+
+WIN_PERCENTILES_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist()    OVER w, 9) AS cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+"""
+
+
 QUERIES = {
     "win_topk_per_group": win_topk_per_group,
+    "win_percentiles": win_percentiles,
     "win_monthly_revenue": win_monthly_revenue,
     "win_ntile_customers": win_ntile_customers,
     "win_rollup": win_rollup,
@@ -203,6 +230,7 @@ QUERIES = {
 
 ORACLES = {
     "win_topk_per_group": WIN_TOPK_PER_GROUP_SQL,
+    "win_percentiles": WIN_PERCENTILES_SQL,
     "win_monthly_revenue": WIN_MONTHLY_REVENUE_SQL,
     "win_ntile_customers": WIN_NTILE_CUSTOMERS_SQL,
     "win_rollup": WIN_ROLLUP_SQL,
