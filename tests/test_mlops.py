@@ -41,6 +41,44 @@ def test_brp_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"recall {recall}"
 
 
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_full_probe_reproduces_brute_force(spark, sf_dir):
+    """Probing every inverted list makes IVF exhaustive — the result
+    must be the brute-force top-5 (modulo 1e-6 cosine-rounding ties),
+    proving the assign→probe→rerank plumbing loses nothing."""
+    truth = _topk_sets(similarity.sim_cosine_topk(spark, sf_dir).collect())
+    got = _topk_sets(
+        mlops.sim_ann_ivf(spark, sf_dir, nprobe=mlops.IVF_K).collect()
+    )
+    assert set(got) == set(truth)
+    hits = sum(len(truth[q] & got[q]) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.98, f"full-probe recall {hits / total}"
+
+
+def test_ivf_default_probe_recall(spark, sf_dir):
+    """nprobe=4 of 16 lists on this near-orthogonal corpus (clusters
+    are weak by construction) must still beat the random-coverage
+    floor and return exactly top-5 per query."""
+    truth = _topk_sets(similarity.sim_cosine_topk(spark, sf_dir).collect())
+    rows = mlops.sim_ann_ivf(spark, sf_dir).collect()
+    got = _topk_sets(rows)
+    per_query = {}
+    for r in rows:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+    assert all(n == similarity.TOPK for n in per_query.values())
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.2, f"recall {recall}"
+
+
 def test_brp_cosines_match_brute_force_values(spark, sf_dir):
     """Where ML ANN and brute force agree on a neighbor, the cosine
     (derived from unit-sphere euclidean distance) must match."""
