@@ -138,13 +138,87 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+FRAME_FPS = 1.0       # sample cadence
+FRAME_CAP = 8         # max frames per asset
+FRAME_TARGET = 224    # fit-resize box (aspect preserved)
+
+FRAME_SCHEMA = (
+    "doc_id long, n_frames long, frame_idx int, t_s double, "
+    "out_w long, out_h long"
+)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + fit-resize planning for video assets — the
+    1→N ``mapInPandas`` shape (output batch longer than input batch)
+    that a real ffmpeg keyframe sampler plugs into.
+
+    Per video: frames at 1 fps capped at 8, each with its sample
+    timestamp and the 224-box fit-resize dims. The resize math is
+    integer-exact (``dim*224 // max_dim``) so, unlike the stubbed
+    decode in :func:`mm_extract_features`, this whole pipeline is
+    DuckDB-expressible and sits behind the full oracle gate. The
+    sampler itself runs in Python over Arrow batches — the real
+    decoder's seat — not as an exploded JVM expression.
+    """
+    media = build_media_table(spark, sf_dir).filter(
+        F.col("modality") == "video"
+    ).select("doc_id", "width", "height", "duration_s")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = (
+                pdf["duration_s"].apply(lambda d: int(d) * int(FRAME_FPS))
+                .clip(lower=1, upper=FRAME_CAP)
+                .astype("int64")
+            )
+            rep = pdf.index.repeat(n)
+            out = pdf.loc[rep].reset_index(drop=True)
+            out["n_frames"] = n.loc[rep].reset_index(drop=True)
+            idx = [i for c in n for i in range(c)]
+            out["frame_idx"] = pd.Series(idx, dtype="int32")
+            out["t_s"] = out["frame_idx"] / FRAME_FPS
+            mx = out[["width", "height"]].max(axis=1).astype("int64")
+            out["out_w"] = out["width"].astype("int64") * FRAME_TARGET // mx
+            out["out_h"] = out["height"].astype("int64") * FRAME_TARGET // mx
+            yield out[["doc_id", "n_frames", "frame_idx", "t_s", "out_w", "out_h"]]
+
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+MM_FRAME_SAMPLE_SQL = """
+WITH media AS (
+    SELECT doc_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+           CAST(n_chars % 1920 + 16 AS BIGINT) AS width,
+           CAST(n_chars % 1080 + 16 AS BIGINT) AS height,
+           round(n_chars / 37.0, 6) AS duration_s
+    FROM documents
+),
+video AS (
+    SELECT *, least(greatest(CAST(floor(duration_s) AS BIGINT), 1), 8)
+              AS n_frames
+    FROM media WHERE modality = 'video'
+)
+SELECT doc_id, n_frames,
+       CAST(f.idx AS INT) AS frame_idx,
+       CAST(f.idx AS DOUBLE) AS t_s,
+       width  * 224 // greatest(width, height) AS out_w,
+       height * 224 // greatest(width, height) AS out_h
+FROM video, (SELECT unnest(range(0, 8)) AS idx) f
+WHERE f.idx < n_frames
+"""
+
+
 QUERIES = {
     "mm_manifest": mm_manifest,
     "mm_extract_features": mm_extract_features,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLES = {
     "mm_manifest": MM_MANIFEST_SQL,
+    "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     # mm_extract_features: the decode stage is a stubbed codec behind
     # mapInPandas — rows-only driver check; determinism pinned in
     # tests/test_multimodal.py.
