@@ -775,9 +775,76 @@ LIMIT 10
 """
 
 
+def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns as a processing step: per-device event-type
+    counts collected into a ``map<string,bigint>`` (map_from_entries),
+    then probed with element_at / map_keys / size.
+
+    The map itself never leaves the query (outputs are scalars), so the
+    DuckDB oracle is plain conditional aggregation — the gate checks
+    that Spark's map construction and lookup semantics reproduce it.
+    One shuffle: the groupBy; the map assembly is a post-agg projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("by_type")
+    )
+    return mapped.select(
+        "user_id",
+        F.size("by_type").cast("long").alias("n_types"),
+        F.concat_ws(",", F.array_sort(F.map_keys("by_type"))).alias("types"),
+        F.coalesce(F.element_at("by_type", "click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.element_at("by_type", "error"), F.lit(0)).alias("n_error"),
+    )
+
+
+REL_MAP_FUNCS_SQL = """
+SELECT user_id,
+       count(DISTINCT event_type) AS n_types,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+
+def rel_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregation — HyperLogLog++ distinct counts and
+    quantile sketches per event_type.
+
+    At 100 TB these replace their exact twins (rel_distinct_agg /
+    rel_quantiles) wherever a bounded error is acceptable: fixed-size
+    partial state, map-side combinable, no per-group sort or rehash.
+    Sketch values are implementation-defined, so no DuckDB oracle —
+    the driver records rows-only; tests/test_properties.py pins each
+    estimate within tolerance of the exact answer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_q"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "event_type",
+        "approx_users",
+        F.col("value_q")[0].alias("p50"),
+        F.col("value_q")[1].alias("p90"),
+        F.col("value_q")[2].alias("p99"),
+        "n_events",
+    )
+
+
 QUERIES = {
     "rel_pricing_summary": rel_pricing_summary,
     "rel_shipping_priority": rel_shipping_priority,
+    "rel_map_funcs": rel_map_funcs,
+    "rel_sketches": rel_sketches,
     "rel_topk_orders": rel_topk_orders,
     "rel_region_revenue": rel_region_revenue,
     "rel_semi_join": rel_semi_join,
@@ -801,6 +868,7 @@ QUERIES = {
 ORACLES = {
     "rel_pricing_summary": REL_PRICING_SUMMARY_SQL,
     "rel_shipping_priority": REL_SHIPPING_PRIORITY_SQL,
+    "rel_map_funcs": REL_MAP_FUNCS_SQL,
     "rel_topk_orders": REL_TOPK_ORDERS_SQL,
     "rel_region_revenue": REL_REGION_REVENUE_SQL,
     "rel_semi_join": REL_SEMI_JOIN_SQL,
