@@ -656,9 +656,57 @@ WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_sec
 """
 
 
+def ts_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window per event_type: 10-minute windows every
+    5 minutes, so each point lands in exactly two windows.
+
+    Spark's ``window(ts, '10 minutes', '5 minutes')`` expands each row
+    to its member windows before the partial agg — same Expand-then-agg
+    shape as rollup, one shuffle on (window, event_type). The oracle
+    reproduces the expansion by unnesting the two candidate window
+    starts per row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            _avg2(F.sum("value"), F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+TS_SLIDING_AGG_SQL = f"""
+WITH expanded AS (
+    SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                   time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+               AS window_start,
+           event_type, value
+    FROM events
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       {_AVG2_SQL.format(v='value')} AS avg_value
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "ts_series_scan": ts_series_scan,
     "ts_moving_avg": ts_moving_avg,
+    "ts_sliding_agg": ts_sliding_agg,
     "ts_difference": ts_difference,
     "ts_gap_fill": ts_gap_fill,
     "ts_device_wide": ts_device_wide,
@@ -675,6 +723,7 @@ QUERIES = {
 ORACLES = {
     "ts_series_scan": TS_SERIES_SCAN_SQL,
     "ts_moving_avg": TS_MOVING_AVG_SQL,
+    "ts_sliding_agg": TS_SLIDING_AGG_SQL,
     "ts_difference": TS_DIFFERENCE_SQL,
     "ts_gap_fill": TS_GAP_FILL_SQL,
     "ts_device_wide": TS_DEVICE_WIDE_SQL,
