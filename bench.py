@@ -27,10 +27,14 @@ HEADLINE = [
     "rel_pricing_summary",
     "rel_region_revenue",
     "rel_topk_orders",
+    "rel_shipping_priority",
     "rel_merge_join",
     "rel_outer_join",
+    "rel_map_funcs",
     "win_monthly_revenue",
     "ts_bucket_agg",
+    "ts_sliding_agg",
+    "ts_moving_avg",
     "ts_last_value",
     "ts_asof_join",
     "ts_sessionize",
@@ -40,6 +44,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_tfidf_top",
     "text_regex_tokens",
+    "mm_frame_sample",
 ]
 
 
