@@ -175,8 +175,12 @@ def sim_ann_ivf(
     # partitions: k-means iterations on a small sample are dominated by
     # per-task scheduling overhead, not math, so fewer+bigger tasks and
     # fewer iterations cut fit latency ~4× with no recall change at
-    # this k. The full table never feeds the fit at any scale.
-    train = feats.filter(F.col("vec_id") % 4 == 0).coalesce(8)
+    # this k. The sample size is an absolute cap (~128/list), NOT a
+    # fraction — training cost stays flat as the corpus grows, which is
+    # the property that keeps this runnable at 10^9 vectors.
+    n_vecs = feats.count()
+    stride = max(1, n_vecs // (IVF_K * 128))
+    train = feats.filter(F.col("vec_id") % stride == 0).coalesce(8)
     model = KMeans(
         k=IVF_K, seed=42, maxIter=5, initMode="random",
         featuresCol="features", predictionCol="cluster",
