@@ -219,9 +219,52 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
 """
 
 
+def win_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit
+    unbounded frame: each order is annotated with its segment's
+    cheapest, priciest, and second-cheapest order.
+
+    The frame is UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING so the
+    navigation functions see the whole partition (last_value over the
+    default frame is the current row — the classic trap both engines
+    share; the explicit frame removes the footgun and the ambiguity).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return joined.select(
+        "c_mktsegment",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("seg_min_price"),
+        F.last("o_totalprice").over(w).alias("seg_max_price"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest_order"),
+    )
+
+
+WIN_VALUE_FRAMES_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice,
+       first_value(o_totalprice) OVER w AS seg_min_price,
+       last_value(o_totalprice)  OVER w AS seg_max_price,
+       nth_value(o_orderkey, 2)  OVER w AS second_cheapest_order
+FROM orders JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES = {
     "win_topk_per_group": win_topk_per_group,
     "win_percentiles": win_percentiles,
+    "win_value_frames": win_value_frames,
     "win_monthly_revenue": win_monthly_revenue,
     "win_ntile_customers": win_ntile_customers,
     "win_rollup": win_rollup,
@@ -231,6 +274,7 @@ QUERIES = {
 ORACLES = {
     "win_topk_per_group": WIN_TOPK_PER_GROUP_SQL,
     "win_percentiles": WIN_PERCENTILES_SQL,
+    "win_value_frames": WIN_VALUE_FRAMES_SQL,
     "win_monthly_revenue": WIN_MONTHLY_REVENUE_SQL,
     "win_ntile_customers": WIN_NTILE_CUSTOMERS_SQL,
     "win_rollup": WIN_ROLLUP_SQL,
