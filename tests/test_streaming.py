@@ -121,6 +121,51 @@ def test_throughput_stats_stream(spark, mqtt_source, tmp_path):
     assert all("Points written 10 min avg : " in r["status_json"] for r in msg)
 
 
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """SURVEY §5 plan item 3 (late-data case the reference cannot even
+    express): once the watermark has passed a window's end, a late
+    arrival for that window must be silently dropped, and the window —
+    never having had an on-time row — must never appear in the sink."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def drop(name, rows):
+        df = spark.createDataFrame(rows, "ts string, topic string, payload string")
+        df = df.select(F.col("ts").cast("timestamp"), "topic", "payload")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import shutil
+        for i, f in enumerate((tmp_path / name).glob("part-*.parquet")):
+            shutil.copy(f, src / f"{name}-{i}.parquet")
+
+    # batch 1: on-time traffic 01:00-02:00 → watermark advances to 01:50
+    drop("b1", [
+        (f"2024-01-01 01:{m:02d}:00", "openchirp/device/d1/t", "1.0")
+        for m in range(0, 60, 5)
+    ])
+    q = st.start_stats(spark, str(src), str(tmp_path / "o"), str(tmp_path / "c"))
+    q.awaitTermination(120)
+
+    # batch 2: one LATE row (00:05, window long finalized) + one
+    # on-time row (02:30) that pushes the watermark past 02:00
+    drop("b2", [
+        ("2024-01-01 00:05:00", "openchirp/device/d1/t", "2.0"),
+        ("2024-01-01 02:30:00", "openchirp/device/d1/t", "3.0"),
+    ])
+    q = st.start_stats(spark, str(src), str(tmp_path / "o"), str(tmp_path / "c"))
+    q.awaitTermination(120)
+
+    got = {
+        str(r["window_start"]): r["points_written"]
+        for r in spark.read.parquet(str(tmp_path / "o" / "stats")).collect()
+    }
+    # the late row's window never emits — the row was dropped
+    assert not any(w.startswith("2024-01-01 00:0") for w in got), got
+    # on-time windows from batch 1 did emit, with the late row NOT
+    # retro-counted anywhere
+    assert got.get("2024-01-01 01:00:00") == 2  # 01:00 + 01:05
+    assert sum(got.values()) <= 12  # only the 12 on-time batch-1 rows
+
+
 def test_registry_cdc_last_writer_wins(spark):
     registry = spark.createDataFrame(
         [("dev0", "2023-12-31 00:00:00"), ("dev1", "2023-12-31 00:00:00")],
