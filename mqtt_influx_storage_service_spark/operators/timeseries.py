@@ -703,10 +703,82 @@ GROUP BY 1, 2
 """
 
 
+def ts_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``INTEGRAL(value)`` + ``SPREAD(value)`` per series:
+    trapezoidal area under the irregular samples, and max−min.
+
+    Per-series lag gives each sample its predecessor; the trapezoid
+    term ``(v + prev_v)/2 · Δt`` uses exact integer Δt seconds from the
+    ns column. One shuffle on the series key; the lag window and the
+    aggregation share the same partitioning, so Catalyst plans a single
+    exchange. Deterministic across engines: each term ×1000 is an
+    exact integer (2-decimal values, integer Δt), so the sum runs in
+    exact long arithmetic — immune to accumulation order, unlike
+    round-the-float-sum, which flaked at this magnitude (~1e7).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "epoch_sec", "event_id"
+    )
+    with_prev = ev.withColumn(
+        "epoch_sec", F.expr("ts_ns div 1000000000")
+    ).select(
+        "user_id",
+        "event_type",
+        "value",
+        "epoch_sec",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("epoch_sec").over(w).alias("prev_sec"),
+    )
+    term_milli = F.round(
+        (F.col("value") + F.col("prev_value"))
+        / 2.0
+        * (F.col("epoch_sec") - F.col("prev_sec")).cast("double")
+        * 1000.0
+    ).cast("long")
+    return (
+        with_prev.withColumn("term_milli", term_milli)
+        .groupBy("user_id", "event_type")
+        .agg(
+            (F.sum("term_milli") / 1000.0).alias("integral_value_seconds"),
+            F.round(F.max("value") - F.min("value"), 2).alias("spread"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+TS_INTEGRAL_SQL = """
+WITH pts AS (
+    SELECT user_id, event_type, value,
+           epoch_ns(ts) // 1000000000 AS epoch_sec,
+           event_id
+    FROM events
+),
+with_prev AS (
+    SELECT user_id, event_type, value, epoch_sec,
+           lag(value)     OVER w AS prev_value,
+           lag(epoch_sec) OVER w AS prev_sec
+    FROM pts
+    WINDOW w AS (PARTITION BY user_id, event_type
+                 ORDER BY epoch_sec, event_id)
+)
+SELECT user_id, event_type,
+       CAST(sum(CAST(round((value + prev_value) / 2.0
+                           * CAST(epoch_sec - prev_sec AS DOUBLE)
+                           * 1000.0) AS BIGINT)) AS BIGINT) / 1000.0
+           AS integral_value_seconds,
+       round(max(value) - min(value), 2) AS spread,
+       count(*) AS n_points
+FROM with_prev
+GROUP BY user_id, event_type
+"""
+
+
 QUERIES = {
     "ts_series_scan": ts_series_scan,
     "ts_moving_avg": ts_moving_avg,
     "ts_sliding_agg": ts_sliding_agg,
+    "ts_integral": ts_integral,
     "ts_difference": ts_difference,
     "ts_gap_fill": ts_gap_fill,
     "ts_device_wide": ts_device_wide,
@@ -724,6 +796,7 @@ ORACLES = {
     "ts_series_scan": TS_SERIES_SCAN_SQL,
     "ts_moving_avg": TS_MOVING_AVG_SQL,
     "ts_sliding_agg": TS_SLIDING_AGG_SQL,
+    "ts_integral": TS_INTEGRAL_SQL,
     "ts_difference": TS_DIFFERENCE_SQL,
     "ts_gap_fill": TS_GAP_FILL_SQL,
     "ts_device_wide": TS_DEVICE_WIDE_SQL,
