@@ -774,11 +774,55 @@ GROUP BY user_id, event_type
 """
 
 
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling per series — the InfluxQL
+    ``FIRST/MAX/MIN/LAST(value) GROUP BY time(1h)`` candle.
+
+    first/last use ``min_by``/``max_by`` on the exact ns timestamp — a
+    single hash aggregation, no window, no sort. ns timestamps are
+    unique per series (verified at every sf; a deployment with
+    same-instant writes would pack a sequence number into the ordering
+    key). One shuffle on (series, bucket); at 100 TB the bucket key
+    derives from the date partition column so partials stay
+    partition-local.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ordkey = F.col("ts_ns")
+    return (
+        ev.groupBy(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(
+            F.min_by("value", ordkey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordkey).alias("close"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+TS_OHLC_SQL = """
+SELECT user_id, event_type,
+       date_trunc('hour', ts) AS bucket,
+       arg_min(value, epoch_ns(ts)) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, epoch_ns(ts)) AS close,
+       count(*) AS n_points
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "ts_series_scan": ts_series_scan,
     "ts_moving_avg": ts_moving_avg,
     "ts_sliding_agg": ts_sliding_agg,
     "ts_integral": ts_integral,
+    "ts_ohlc": ts_ohlc,
     "ts_difference": ts_difference,
     "ts_gap_fill": ts_gap_fill,
     "ts_device_wide": ts_device_wide,
@@ -797,6 +841,7 @@ ORACLES = {
     "ts_moving_avg": TS_MOVING_AVG_SQL,
     "ts_sliding_agg": TS_SLIDING_AGG_SQL,
     "ts_integral": TS_INTEGRAL_SQL,
+    "ts_ohlc": TS_OHLC_SQL,
     "ts_difference": TS_DIFFERENCE_SQL,
     "ts_gap_fill": TS_GAP_FILL_SQL,
     "ts_device_wide": TS_DEVICE_WIDE_SQL,
