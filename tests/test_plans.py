@@ -73,6 +73,33 @@ def test_codegen_covers_relational_core(spark):
     assert plans.codegen_coverage(df) > 0.2
 
 
+def test_shipping_priority_broadcasts_customer(spark):
+    """TPC-H Q3 shape: customer rides a broadcast; both fact filters
+    reach their scans so the fact-fact shuffle carries only
+    qualifying rows."""
+    df = all_queries()["rel_shipping_priority"](spark, SF)
+    assert plans.has_broadcast_join(df)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed
+
+
+def test_single_exchange_aggregations(spark):
+    """Scan→agg queries (incl. the windowed/bucketed time-series forms)
+    must shuffle exactly once — partial aggregation happens map-side."""
+    qs = all_queries()
+    for name in ["ts_bucket_agg", "ts_sliding_agg", "ts_ohlc", "rel_map_funcs"]:
+        n = plans.exchange_count(qs[name](spark, SF))
+        assert n <= 2, f"{name}: {n} exchanges"
+
+
+def test_frame_sample_prunes_payload(spark):
+    """mm_frame_sample plans only the metadata columns — the payload
+    bytes never leave the scan."""
+    df = all_queries()["mm_frame_sample"](spark, SF)
+    for cols in plans.scan_columns(df):
+        assert "text" not in cols and "lang" not in cols
+
+
 def test_exchange_budget(spark):
     """Shuffle budget per query shape: a scan→agg→sort query needs
     exactly 2 exchanges (agg + sort); a broadcast-dim join adds none."""
