@@ -36,6 +36,8 @@ HEADLINE = [
     "ts_sliding_agg",
     "ts_moving_avg",
     "ts_last_value",
+    "ts_integral",
+    "ts_ohlc",
     "ts_asof_join",
     "ts_sessionize",
     "dedup_exact",
