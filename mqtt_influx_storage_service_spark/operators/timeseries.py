@@ -817,12 +817,90 @@ GROUP BY 1, 2, 3
 """
 
 
+FUNNEL_WINDOW_NS = 3600 * 1_000_000_000  # 1 hour
+
+
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion funnel: fraction of clicks followed by a
+    purchase within one hour — the temporal-sequence join behind
+    retention/conversion analytics.
+
+    The converted set is a LEFT SEMI join on (user_id equi + ns time
+    band): the equi key keeps it a hash/sort-merge join (never a
+    cartesian), the band predicate filters within matched users, and
+    semi semantics stop at first proof — no fan-out on users with many
+    purchases. Exact integer ns arithmetic keeps the band identical in
+    both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.col("ts_ns").alias("c_ns")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts_ns").alias("b_ns")
+    )
+    converted = clicks.join(
+        buys,
+        (clicks.user_id == buys.b_user)
+        & (buys.b_ns > clicks.c_ns)
+        & (buys.b_ns <= clicks.c_ns + F.lit(FUNNEL_WINDOW_NS)),
+        "left_semi",
+    )
+    totals = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    conv = converted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_converted")
+    )
+    return (
+        totals.join(conv, "user_id", "left")
+        .select(
+            "user_id",
+            "n_clicks",
+            F.coalesce(F.col("n_converted"), F.lit(0)).cast("long").alias(
+                "n_converted"
+            ),
+            F.round(
+                F.coalesce(F.col("n_converted"), F.lit(0)) / F.col("n_clicks"), 6
+            ).alias("conv_rate"),
+        )
+    )
+
+
+TS_FUNNEL_SQL = f"""
+WITH clicks AS (
+    SELECT user_id, event_id, epoch_ns(ts) AS c_ns
+    FROM events WHERE event_type = 'click'
+),
+buys AS (
+    SELECT user_id, epoch_ns(ts) AS b_ns
+    FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+    SELECT c.user_id, c.event_id
+    FROM clicks c
+    WHERE EXISTS (
+        SELECT 1 FROM buys b
+        WHERE b.user_id = c.user_id
+          AND b.b_ns > c.c_ns
+          AND b.b_ns <= c.c_ns + {FUNNEL_WINDOW_NS}
+    )
+)
+SELECT c.user_id,
+       count(*) AS n_clicks,
+       CAST(count(v.event_id) AS BIGINT) AS n_converted,
+       round(count(v.event_id) * 1.0 / count(*), 6) AS conv_rate
+FROM clicks c
+LEFT JOIN conv v ON c.user_id = v.user_id AND c.event_id = v.event_id
+GROUP BY c.user_id
+"""
+
+
 QUERIES = {
     "ts_series_scan": ts_series_scan,
     "ts_moving_avg": ts_moving_avg,
     "ts_sliding_agg": ts_sliding_agg,
     "ts_integral": ts_integral,
     "ts_ohlc": ts_ohlc,
+    "ts_funnel": ts_funnel,
     "ts_difference": ts_difference,
     "ts_gap_fill": ts_gap_fill,
     "ts_device_wide": ts_device_wide,
@@ -842,6 +920,7 @@ ORACLES = {
     "ts_sliding_agg": TS_SLIDING_AGG_SQL,
     "ts_integral": TS_INTEGRAL_SQL,
     "ts_ohlc": TS_OHLC_SQL,
+    "ts_funnel": TS_FUNNEL_SQL,
     "ts_difference": TS_DIFFERENCE_SQL,
     "ts_gap_fill": TS_GAP_FILL_SQL,
     "ts_device_wide": TS_DEVICE_WIDE_SQL,
