@@ -98,6 +98,7 @@ def _bench_stream_ingest(spark, sf_dir: str) -> float:
     narrow-layout → checkpointed partitioned parquet sink. Timed from
     query start to completion of the availableNow replay; input staging
     is excluded."""
+    import pathlib
     import shutil
     import tempfile
 
@@ -110,7 +111,9 @@ def _bench_stream_ingest(spark, sf_dir: str) -> float:
         _mqtt_frame(spark, sf_dir).select("ts", "topic", "payload").coalesce(
             8
         ).write.mode("overwrite").parquet(src)
-        shutil.rmtree(os.path.join(src, "_SUCCESS"), ignore_errors=True)
+        # harmless marker file; Spark ignores underscore-prefixed files
+        # anyway, but keep the source dir to data files only
+        pathlib.Path(src, "_SUCCESS").unlink(missing_ok=True)
         t0 = time.time()
         q = st.start_ingest(
             spark, src, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")

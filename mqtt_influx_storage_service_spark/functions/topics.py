@@ -19,13 +19,21 @@ DATA_TOPIC_PREFIX = "openchirp/device/"
 def parse_topic(topic: Column) -> Column:
     """topic string -> struct(device_id, transducer).
 
-    1-based element_at: element 3 = device, element 4 = transducer
-    (lowercased, influx_service.py:139).
+    1-based ``try_element_at``: element 3 = device, element 4 =
+    transducer (lowercased, influx_service.py:139). ``try_`` matters:
+    under Spark 4's default ANSI mode a plain ``element_at`` THROWS
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT for topics with fewer than 4
+    segments — in a streaming micro-batch that one malformed message
+    fails the batch, and checkpoint replay turns it into a permanent
+    poison pill. The reference survives the same case via its
+    try/except (influx_service.py:114-119, operator A16); declaratively
+    a short topic must yield NULL fields that the quarantine split
+    (``streaming.ingest.split_malformed``) routes to the dead letter.
     """
     parts = F.split(topic, "/")
     return F.struct(
-        F.element_at(parts, 3).alias("device_id"),
-        F.lower(F.element_at(parts, 4)).alias("transducer"),
+        F.try_element_at(parts, F.lit(3)).alias("device_id"),
+        F.lower(F.try_element_at(parts, F.lit(4))).alias("transducer"),
     )
 
 

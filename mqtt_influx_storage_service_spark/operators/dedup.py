@@ -34,6 +34,17 @@ MINHASH_BANDS = 16      # 16 bands x 4 rows: P(candidate | j=0.5) ≈ 0.64
 MINHASH_PRIME = 2147483647  # 2^31 - 1, Mersenne
 SIMHASH_BITS = 64
 SIMHASH_BLOCKS = 4      # pigeonhole: hamming <= 3 guarantees a shared block
+# Hot-bucket cap for LSH candidate generation (minhash bands + simhash
+# blocks): a bucket with more than CAP members generates O(CAP^2) pairs
+# from what is almost certainly a degenerate cluster (boilerplate, spam
+# bursts) — the candidate-pair analogue of stopword removal. Dropped
+# buckets are auditable via :func:`lsh_hot_buckets`, never silent.
+LSH_BUCKET_CAP = 64
+# Peak-memory bound for the vectorized signature kernels: chunks of the
+# Arrow batch are sized so the (64 x flat) intermediate matrices stay
+# ~32 MB (cache-friendly, no executor-memory pressure with 32 parallel
+# workers) regardless of how many shingles a pathological batch has.
+_CHUNK_FLAT = 1 << 16
 
 
 def _shingles_of_tokens(toks: F.Column) -> F.Column:
@@ -68,6 +79,9 @@ _SHINGLES_SQL = """
 """
 
 
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles, n_shingles) for every doc with >= 3 tokens.
 
@@ -81,11 +95,17 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The result is persisted: every consumer reads it at least twice
     (candidate generation + exact-Jaccard verify, or explode + count
     lookup), and shingling is the expensive leg of those pipelines —
-    measured ~40% off dedup_minhash_lsh at sf0.1. Spark's CacheManager
-    keys on the canonicalized plan, so repeated calls share one entry
-    per sf_dir; at 100 TB the same role is played by checkpointing the
-    shingle table once per dedup campaign.
+    measured ~40% off dedup_minhash_lsh at sf0.1. The persisted handle
+    is registered in ``_SHINGLE_CACHE`` (one entry per (app, sf_dir))
+    so :func:`release_shingles` can unpersist deterministically — a
+    long-lived service otherwise pins executor memory per sf_dir
+    forever. At 100 TB the same role is played by checkpointing the
+    shingle table once per dedup campaign and deleting it after.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     tokens = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
@@ -93,9 +113,25 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = tokens.select(
         "doc_id", _shingles_of_tokens(F.col("toks")).alias("shingles")
     )
-    return shingled.select(
+    out = shingled.select(
         "doc_id", "shingles", F.size("shingles").alias("n_shingles")
     ).persist()
+    _SHINGLE_CACHE[key] = out
+    return out
+
+
+def release_shingles(spark: SparkSession | None = None) -> int:
+    """Unpersist every cached shingle table (optionally only those of
+    one session) and return how many were released. Call when a dedup
+    campaign over an sf_dir is done; safe to call at any time — the
+    next consumer just re-persists."""
+    released = 0
+    for key in list(_SHINGLE_CACHE):
+        if spark is not None and key[0] != spark.sparkContext.applicationId:
+            continue
+        _SHINGLE_CACHE.pop(key).unpersist()
+        released += 1
+    return released
 
 
 # --------------------------------------------------------------------------
@@ -194,6 +230,31 @@ WHERE round(n_inter / (ca.n_shingles + cb.n_shingles - n_inter), 6)
 # MinHash + LSH (banded) — candidate generation at scale
 # --------------------------------------------------------------------------
 
+def _flat_segments(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten an Arrow list column into (flat int64 values, per-row
+    lengths) — the layout both signature kernels consume. The only
+    per-row Python left is the C-level concatenate of the row buffers;
+    all arithmetic downstream is whole-batch NumPy."""
+    vals = series.to_numpy()
+    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
+    if len(vals) == 0 or lens.sum() == 0:
+        return np.empty(0, dtype=np.int64), lens
+    flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in vals])
+    return flat, lens
+
+
+def _row_chunks(offsets: np.ndarray, n: int):
+    """Yield (row_start, row_end) windows whose flat size stays under
+    ``_CHUNK_FLAT`` elements (always at least one row per window)."""
+    start = 0
+    while start < n:
+        end = start + 1
+        while end < n and offsets[end + 1] - offsets[start] < _CHUNK_FLAT:
+            end += 1
+        yield start, end
+        start = end
+
+
 def _minhash_sig_udf():
     """Vectorized minhash: permutation k is h_k(x) = ((2k+1)*x +
     (k*golden mod p)) mod p over the pre-hashed shingle values; the
@@ -204,24 +265,33 @@ def _minhash_sig_udf():
     ``F.aggregate`` folds) builds an expression tree so large that
     codegen degrades AND Catalyst's project-collapse re-inlines the
     whole 64-aggregate array into each of the 16 band expressions —
-    measured 16x duplicate evaluation. A NumPy broadcast over the Arrow
-    batch does the same arithmetic in one (64, n) matrix op, and the
-    ArrowEvalPython node is a physical barrier no rewrite can inline.
-    The hashing itself (xxhash64) stays JVM-side, so the UDF is pure
-    int64 arithmetic.
+    measured 16x duplicate evaluation. The kernel is vectorized across
+    the WHOLE Arrow batch (no per-row Python): rows flatten into one
+    value vector, the (64, m) permutation matrix is computed once per
+    chunk, and per-row minima fall out of ``np.minimum.reduceat`` at
+    the row offsets. The hashing itself (xxhash64) stays JVM-side, so
+    the UDF is pure int64 arithmetic.
     """
     a = np.arange(MINHASH_K, dtype=np.int64) * 2 + 1
     b = (np.arange(MINHASH_K, dtype=np.int64) * 2654435761) % MINHASH_PRIME
 
     @pandas_udf("array<long>")
     def _sig(hashed: pd.Series) -> pd.Series:
-        def one(xs) -> np.ndarray:
-            x = np.asarray(xs, dtype=np.int64)
-            if x.size == 0:
-                return np.full(MINHASH_K, MINHASH_PRIME, dtype=np.int64)
-            return ((a[:, None] * x[None, :] + b[:, None]) % MINHASH_PRIME).min(axis=1)
-
-        return hashed.map(one)
+        flat, lens = _flat_segments(hashed)
+        n = len(lens)
+        out = np.full((n, MINHASH_K), MINHASH_PRIME, dtype=np.int64)
+        if flat.size:
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            for lo, hi in _row_chunks(offsets, n):
+                seg = flat[offsets[lo]:offsets[hi]]
+                if seg.size == 0:
+                    continue
+                perms = (a[:, None] * seg[None, :] + b[:, None]) % MINHASH_PRIME
+                rows = np.flatnonzero(lens[lo:hi]) + lo
+                starts = offsets[rows] - offsets[lo]
+                out[rows, :] = np.minimum.reduceat(perms, starts, axis=1).T
+        return pd.Series(list(out))
 
     return _sig
 
@@ -238,23 +308,15 @@ def _with_minhash_signature(ds: DataFrame) -> DataFrame:
     return hashed.withColumn("sig", _minhash_sig_udf()(F.col("hashed"))).drop("hashed")
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via MinHash-LSH banding, verified with exact
-    Jaccard (no oracle: xxhash64 has no DuckDB twin; pinned instead by
-    tests/test_dedup.py recall-vs-exact assertions).
-
-    Pipeline: signature (projection) → explode 16 band keys →
-    equi-join on (band_idx, band_signature) → distinct candidate pairs
-    → exact-Jaccard verify join. This is the 100 TB path: candidates
-    scale with collision count, not corpus².
-    """
+def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_sig): the 16 LSH band keys per doc."""
     # _doc_shingles already excludes <3-token docs, so every row has
     # >= 1 shingle; re-filtering on n_shingles would push size(<full
     # shingle expr>) below the projection and re-evaluate it per row.
     ds = _doc_shingles(spark, sf_dir)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     sigs = _with_minhash_signature(ds)
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -268,16 +330,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_sig")
+
+
+def lsh_hot_buckets(spark: SparkSession, sf_dir: str, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Audit view of the buckets :func:`dedup_minhash_lsh` DROPS under
+    the hot-bucket cap: (band_idx, band_sig, n_members). Truncation is
+    never silent — run this alongside a dedup campaign to quantify it
+    (empty on the test fixtures; non-empty means a boilerplate/spam
+    cluster that deserves its own handling)."""
+    return (
+        _minhash_banded(spark, sf_dir)
+        .groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > cap)
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH banding, verified with exact
+    Jaccard (no oracle: xxhash64 has no DuckDB twin; pinned instead by
+    tests/test_dedup.py recall-vs-exact assertions).
+
+    Pipeline: signature (projection) → explode 16 band keys →
+    equi-join on (band_idx, band_signature) → distinct candidate pairs
+    → exact-Jaccard verify join. This is the 100 TB path: candidates
+    scale with collision count, not corpus².
+    """
+    banded = _minhash_banded(spark, sf_dir)
     # Bucket-collect instead of self-join (same reasoning as
     # dedup_simhash): one evaluation of the signature pipeline, pairs
     # generated inside each band bucket. Bucket membership is bounded by
-    # the band collision rate, so the in-bucket expansion stays small;
-    # a pathological hot bucket would be capped by a size filter here
-    # (the document-frequency cap from the module docstring).
+    # the band collision rate, so the in-bucket expansion stays small; a
+    # pathological hot bucket (boilerplate cluster) is CAPPED — skipped
+    # for pair generation, surfaced by :func:`lsh_hot_buckets`. A
+    # dropped bucket only loses pairs whose docs share no OTHER band,
+    # so recall outside the degenerate cluster is untouched
+    # (tests/test_dedup.py::test_hot_bucket_cap).
     buckets = (
         banded.groupBy("band_idx", "band_sig")
         .agg(F.collect_list("doc_id").alias("members"))
-        .filter(F.size("members") >= 2)
+        .filter(
+            (F.size("members") >= 2) & (F.size("members") <= LSH_BUCKET_CAP)
+        )
         .select(F.array_sort("members").alias("members"))
     )
     pair_col = F.flatten(
@@ -326,25 +420,38 @@ def _simhash_udf():
     vote = sum over shingles of (+1 if bit set else -1); fingerprint
     bit b = 1 iff vote > 0. Same pandas-UDF rationale as
     :func:`_minhash_sig_udf` — the 64 per-bit ``F.aggregate`` votes
-    blow up the expression tree; NumPy unpacks all 64 bits of the whole
-    Arrow batch in one shift-and-mask.
+    blow up the expression tree. The kernel is vectorized across the
+    WHOLE Arrow batch: one shift-and-mask unpacks all 64 bits of every
+    shingle hash in the chunk, per-row set-bit counts fall out of
+    ``np.add.reduceat`` at the row offsets (vote > 0 ⟺ 2*count > m),
+    and the fingerprint packs with a single matmul against 2^b — no
+    per-row Python loop anywhere.
     """
     shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    pow2 = (np.uint64(1) << shifts)
 
     @pandas_udf("long")
     def _fp(hashes: pd.Series) -> pd.Series:
-        def one(xs) -> int:
-            x = np.asarray(xs, dtype=np.int64).astype(np.uint64)
-            if x.size == 0:
-                return 0
-            bits = (x[:, None] >> shifts[None, :]) & np.uint64(1)  # (n, 64)
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for bit in np.nonzero(votes > 0)[0]:
-                fp |= np.uint64(1) << np.uint64(bit)
-            return int(fp.astype(np.int64))
-
-        return hashes.map(one)
+        flat, lens = _flat_segments(hashes)
+        n = len(lens)
+        fp = np.zeros(n, dtype=np.int64)
+        if flat.size:
+            u = flat.astype(np.uint64)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            for lo, hi in _row_chunks(offsets, n):
+                seg = u[offsets[lo]:offsets[hi]]
+                if seg.size == 0:
+                    continue
+                bits = ((seg[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )  # (m, 64)
+                rows = np.flatnonzero(lens[lo:hi]) + lo
+                starts = offsets[rows] - offsets[lo]
+                counts = np.add.reduceat(bits, starts, axis=0)  # (rows, 64)
+                pos = (2 * counts) > lens[rows][:, None]
+                fp[rows] = (pos.astype(np.uint64) @ pow2).view(np.int64)
+        return pd.Series(fp)
 
     return _fp
 
@@ -392,7 +499,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         blocks.groupBy("block_idx", "block_val")
         .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("members"))
-        .filter(F.size("members") >= 2)
+        .filter(
+            (F.size("members") >= 2) & (F.size("members") <= LSH_BUCKET_CAP)
+        )
         .select(F.array_sort("members").alias("members"))
     )
     pair_col = F.flatten(
@@ -432,30 +541,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup: document pairs whose embeddings (vec_id ==
     doc_id, FIXTURES.md) have cosine >= 0.4; keep_doc is the lower id.
 
-    Reuses the similarity tier's order-stable dot-product kernel so the
-    doubles match the DuckDB oracle bit-for-bit. Scale path is the same
-    as sim_ann_lsh: replace the a<b self cross-join with the
-    hyperplane-bucket equi-join; the threshold verify step is
-    unchanged.
+    Candidates come from the similarity tier's hyperplane-block
+    equi-join (``similarity._block_candidate_pairs`` — 24 independent
+    2-bit sign blocks, a pure equi-self-join, NO cross product in the
+    plan), verified with the order-stable dot-product kernel so the
+    doubles match the DuckDB oracle bit-for-bit. Recall vs the exact
+    all-pairs baseline is 1.0 on the fixtures (every qualifying pair
+    matches ≥ 2 blocks; asserted in tests/test_similarity.py), and the
+    oracle below is the brute-force SQL, so the driver gate re-proves
+    the equality at sf0.01.
     """
-    from .similarity import _dot, _with_norm
+    from .similarity import _threshold_pairs_verified
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    a = _with_norm(emb, "keep_doc", "va")
-    b = _with_norm(emb, "dup_doc", "vb")
-    return (
-        a.crossJoin(b)
-        .filter(F.col("keep_doc") < F.col("dup_doc"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (F.col("keep_doc_norm") * F.col("dup_doc_norm")),
-                6,
-            ),
-        )
-        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
-        .select("keep_doc", "dup_doc", "cosine")
+    return _threshold_pairs_verified(emb, EMB_DUP_THRESHOLD).select(
+        F.col("id_a").alias("keep_doc"),
+        F.col("id_b").alias("dup_doc"),
+        "cosine",
     )
 
 

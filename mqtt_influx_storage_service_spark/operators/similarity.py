@@ -21,8 +21,11 @@ top-k) is identical.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..sources import load_table
 
@@ -122,17 +125,122 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOPK}
 
 
 # --------------------------------------------------------------------------
-# Threshold similarity self-join
+# Threshold similarity self-join (blocked candidates + exact verify)
 # --------------------------------------------------------------------------
 
+# Candidate blocking for the threshold sweep: 24 independent blocks of
+# 2 hyperplane-sign bits (48 planes, same LCG stream as the ANN
+# buckets). A pair is a candidate iff SOME block matches exactly — an
+# equi-join on (block_idx, block_val), never a cross product. Miss
+# probability per pair is Π_blocks (1 - p²) where p = 1 - θ/π is the
+# per-plane agreement; at the fixture's hardest qualifying pair
+# (cosine 0.4005, p ≈ 0.631) that is (1-0.4)^24 ≈ 5e-6, and
+# empirically every qualifying pair at sf0.001/0.01/0.1 matches ≥ 2
+# blocks (recall 1.0, asserted in tests/test_similarity.py). Honest
+# scale note: at threshold 0.4 on 64-dim near-orthogonal fixtures the
+# background block-match rate is ~0.26/block, so the candidate set is
+# barely pruned — a threshold this close to the noise floor (3.2σ)
+# defeats ANY LSH family. On real clustered corpora (per-plane
+# agreement > 0.9 at dedup thresholds) the same plan prunes hard;
+# raise BLOCK_BITS to trade recall for pruning.
+N_BLOCKS = 24
+BLOCK_BITS = 2
+
+
+def _block_keys_udf():
+    """pandas UDF: embedding → 24 x 2-bit hyperplane-sign block values
+    (array<int>). One (batch x 64) @ (64 x 48) matmul per Arrow batch —
+    the 48 interpreted ``aggregate`` folds the built-in form would need
+    re-inline per reference (see memory note) and cost far more."""
+    H = np.array(_hyperplanes(N_BLOCKS * BLOCK_BITS), dtype=np.float64)  # (48, 64)
+    w = 1 << np.arange(BLOCK_BITS)
+
+    @pandas_udf("array<int>")
+    def _keys(emb: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in emb.to_numpy()])
+        signs = (M @ H.T) > 0  # (n, 48)
+        vals = signs.reshape(len(M), N_BLOCKS, BLOCK_BITS) @ w  # (n, 24)
+        return pd.Series(list(vals.astype(np.int32)))
+
+    return _keys
+
+
+def _block_candidate_pairs(emb: DataFrame) -> DataFrame:
+    """(id_a, id_b) candidate pairs (a < b) from the block-key
+    equi-self-join. Plan: one Arrow projection computes the 24 block
+    keys, posexplode → shuffle-join on (block_idx, block_val) →
+    distinct. At 10⁹ vectors each side shuffles by block key exactly
+    once; a production campaign checkpoints the keyed relation so the
+    signature pipeline evaluates once, not per join side."""
+    keyed = emb.select(
+        "vec_id", _block_keys_udf()(F.col("embedding")).alias("keys")
+    )
+    idx = (
+        keyed.select("vec_id", F.posexplode("keys"))
+        .withColumnRenamed("pos", "block_idx")
+        .withColumnRenamed("col", "block_val")
+    )
+    a = idx.select(F.col("vec_id").alias("id_a"), "block_idx", "block_val")
+    b = idx.select(F.col("vec_id").alias("id_b"), "block_idx", "block_val")
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _threshold_pairs_verified(emb: DataFrame, threshold: float) -> DataFrame:
+    """Block candidates → exact-cosine verify (same order-stable dot
+    kernel as the brute-force oracle, so round(6) doubles match
+    bit-for-bit): (id_a, id_b, cosine >= threshold)."""
+    cand = _block_candidate_pairs(emb)
+    va = _with_norm(emb, "id_a", "va")
+    vb = _with_norm(emb, "id_b", "vb")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("id_a_norm") * F.col("id_b_norm")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All vector pairs (a < b) with cosine >= 0.55, with their labels
-    — the 'find all near-duplicate embeddings' sweep."""
+    """All vector pairs (a < b) with cosine >= SIM_THRESHOLD (0.4),
+    with their labels — the 'find all near-duplicate embeddings'
+    sweep. Candidates from the hyperplane-block equi-join, verified
+    with the exact kernel; recall vs the brute-force baseline is 1.0
+    on the fixtures (asserted in tests) and the oracle below IS the
+    brute-force formulation, so the driver gate re-proves equality."""
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     labels = emb.select("vec_id", "label")
+    pairs = _threshold_pairs_verified(emb, SIM_THRESHOLD)
+    la = labels.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"))
+    lb = labels.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"))
+    return (
+        pairs.join(F.broadcast(la), "id_a")
+        .join(F.broadcast(lb), "id_b")
+        .select("id_a", "id_b", "cosine", "label_a", "label_b")
+    )
+
+
+def sim_threshold_pairs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline (a < b, cosine >= threshold). The
+    O(n²) formulation — kept ONLY as the recall reference for tests;
+    not a registered query (a crossJoin over the corpus is exactly the
+    plan the blocked variant exists to avoid)."""
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     a = _with_norm(emb, "id_a", "va")
     b = _with_norm(emb, "id_b", "vb")
-    pairs = (
+    return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
@@ -144,13 +252,7 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("cosine") >= SIM_THRESHOLD)
-    )
-    la = labels.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"))
-    lb = labels.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"))
-    return (
-        pairs.join(F.broadcast(la), "id_a")
-        .join(F.broadcast(lb), "id_b")
-        .select("id_a", "id_b", "cosine", "label_a", "label_b")
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -172,12 +274,15 @@ WHERE round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
 # LSH-bucketed ANN (the scale path; rows-only + recall tests)
 # --------------------------------------------------------------------------
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(n_planes: int = LSH_PLANES) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (seeded LCG, no numpy
-    state): plane[k][i] in [-1, 1]."""
+    state): plane[k][i] in [-1, 1]. One LCG stream — the first k planes
+    are identical for every n_planes, so every consumer (single-table
+    ANN buckets, multi-block threshold candidates) shares the same
+    geometry prefix."""
     planes = []
     state = 0x5DEECE66D
-    for _ in range(LSH_PLANES):
+    for _ in range(n_planes):
         row = []
         for _ in range(64):
             state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)

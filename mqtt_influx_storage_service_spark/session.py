@@ -18,14 +18,20 @@ import os
 
 from pyspark.sql import SparkSession
 
-_TUNED_SESSIONS: set[int] = set()
+# Idempotence marker: a conf key on the session itself, NOT a
+# driver-side id(spark) cache — after a session object is
+# garbage-collected a new one can reuse the id and would silently skip
+# tune(), losing correctness-relevant conf (UTC timezone, nanosAsLong).
+_TUNED_MARKER = "spark.mqtt_influx_storage_service.tuned"
 
 
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf this engine relies on. Idempotent."""
-    key = id(spark)
-    if key in _TUNED_SESSIONS:
-        return spark
+    try:
+        if spark.conf.get(_TUNED_MARKER, None) == "true":
+            return spark
+    except Exception:
+        pass
     conf = {
         # DuckDB oracle timestamps are UTC-naive; pin the session TZ.
         "spark.sql.session.timeZone": "UTC",
@@ -51,7 +57,10 @@ def tune(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
     except Exception:
         pass
-    _TUNED_SESSIONS.add(key)
+    try:
+        spark.conf.set(_TUNED_MARKER, "true")
+    except Exception:
+        pass
     return spark
 
 

@@ -136,10 +136,15 @@ def split_malformed(msgs: DataFrame) -> tuple[DataFrame, DataFrame]:
     total function), so the topic grammar is the only parse that can
     fail."""
     on_data_prefix = F.col("topic").startswith(DATA_TOPIC_PREFIX)
+    # try_element_at, not element_at: ANSI mode's And does not promise
+    # short-circuit order after optimizer reordering, so a plain
+    # element_at could throw on a 2-segment topic even behind the size
+    # guard. try_ returns NULL, and NULL != "" is NULL → filtered.
+    parts = F.split(F.col("topic"), "/")
     well_formed = (
-        (F.size(F.split(F.col("topic"), "/")) == 4)
-        & (F.element_at(F.split(F.col("topic"), "/"), 3) != "")
-        & (F.element_at(F.split(F.col("topic"), "/"), 4) != "")
+        (F.size(parts) == 4)
+        & (F.try_element_at(parts, F.lit(3)) != "")
+        & (F.try_element_at(parts, F.lit(4)) != "")
     )
     return (
         msgs.filter(on_data_prefix & well_formed),
@@ -266,10 +271,17 @@ def apply_cdc(registry: DataFrame, batch: DataFrame) -> DataFrame:
     ``MERGE INTO``; the parquet-snapshot form has identical semantics
     (per-key atomicity comes from the snapshot swap, mirroring the
     reference's devices_lock at :401).
+
+    The reference applies events in ARRIVAL order; ``ts`` alone can
+    tie (a new + delete stamped in the same microsecond would resolve
+    nondeterministically), so the ordering struct carries a monotonic
+    per-batch sequence — file/row order within the micro-batch, i.e.
+    arrival order — as the tie-breaker.
     """
+    seq = batch.withColumn("_seq", F.monotonically_increasing_id())
     w_last = (
-        batch.groupBy("device_id")
-        .agg(F.max_by("action", F.struct("ts")).alias("action"),
+        seq.groupBy("device_id")
+        .agg(F.max_by("action", F.struct("ts", "_seq")).alias("action"),
              F.max("ts").alias("ts"))
     )
     current = registry.select("device_id", F.col("registered_ts"))
@@ -316,21 +328,46 @@ def start_ingest(
     ``available_now`` processes everything present then stops — the
     batch-replay mode used by tests and backfills; ``False`` tails the
     directory continuously.
+
+    Error isolation (A16, influx_service.py:114-119) is wired IN the
+    production path: ``split_malformed`` quarantines data-topic
+    messages that don't match the 4-segment grammar into a dead-letter
+    sink (its own exactly-once parquet sink + checkpoint) instead of
+    letting them poison the batch; ``parse_topic`` additionally uses
+    ``try_element_at`` so a short topic can never throw under ANSI
+    mode. Returns the points query; the dead-letter query runs
+    alongside and is stopped by :func:`stop_all`.
     """
     msgs = mqtt_file_stream(spark, source_dir)
     data, _events = dispatch(msgs, events_topic)
-    points = to_points(data, devices)
+    well_formed, malformed = split_malformed(data)
+    points = to_points(well_formed, devices)
 
+    dead_writer = (
+        malformed.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "dead_letter"))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "dead_letter"))
+        .outputMode("append")
+        .queryName("dead_letter")
+    )
     writer = (
         points.writeStream.format("parquet")
         .option("path", os.path.join(out_dir, "points"))
-        .option("checkpointLocation", checkpoint_dir)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "points"))
         .partitionBy("ingest_date")
         .outputMode("append")
     )
     if available_now:
+        dead_writer = dead_writer.trigger(availableNow=True)
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    dead_q = dead_writer.start()
+    q = writer.start()
+    if available_now:
+        # batch-replay mode: the caller awaits the returned points
+        # query; make sure the quarantine branch also drains before the
+        # replay is considered done
+        dead_q.awaitTermination()
+    return q
 
 
 def start_stats(

@@ -52,3 +52,63 @@ def test_simhash_deterministic(spark, sf_dir):
     a = dedup_simhash(spark, sf_dir).collect()
     b = dedup_simhash(spark, sf_dir).collect()
     assert a == b
+
+
+def test_hot_bucket_cap_bounds_candidates(spark, tmp_path):
+    """Skew scenario: 120 identical boilerplate docs (every LSH band
+    bucket = all 120 members, way over LSH_BUCKET_CAP) plus two cold
+    near-dup pairs. The cap must drop the degenerate buckets — keeping
+    candidate generation bounded — while the cold pairs, whose buckets
+    are small, are still found. The dropped buckets are visible via
+    lsh_hot_buckets (truncation is never silent)."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        dedup_minhash_lsh,
+        lsh_hot_buckets,
+        release_shingles,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(30))
+    cold1 = " ".join(f"colda{i}" for i in range(30))
+    cold2 = " ".join(f"coldb{i}" for i in range(30))
+    rows = [(i, boiler) for i in range(120)]
+    rows += [(200, cold1), (201, cold1 + " extrawa"),
+             (300, cold2), (301, cold2 + " extrawb")]
+    sf = str(tmp_path / "skew")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(4).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    try:
+        hot = lsh_hot_buckets(spark, sf).collect()
+        assert len(hot) > 0 and all(r.n_members == 120 for r in hot)
+        pairs = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf).collect()}
+        # cold pairs survive: their buckets are far below the cap
+        assert (200, 201) in pairs and (300, 301) in pairs
+        # the 120-member boilerplate cluster would contribute C(120,2) =
+        # 7140 pairs; with every one of its buckets over the cap it
+        # contributes none
+        assert len(pairs) == 2
+        assert LSH_BUCKET_CAP < 120
+    finally:
+        release_shingles(spark)
+
+
+def test_release_shingles_unpersists(spark, sf_dir):
+    """The shared shingle table is persisted once per (app, sf_dir) and
+    must be releasable — a long-lived service can't pin executor memory
+    forever."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        _SHINGLE_CACHE,
+        release_shingles,
+    )
+
+    dedup_ngram_jaccard(spark, sf_dir).collect()  # materializes the cache
+    assert len(_SHINGLE_CACHE) >= 1
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    released = release_shingles(spark)
+    assert released >= 1
+    assert jsc.getPersistentRDDs().size() <= before - released
+    assert not any(
+        k[0] == spark.sparkContext.applicationId for k in _SHINGLE_CACHE
+    )

@@ -46,3 +46,43 @@ def test_ann_is_deterministic(spark, sf_dir):
     a = sim_ann_lsh(spark, sf_dir).collect()
     b = sim_ann_lsh(spark, sf_dir).collect()
     assert a == b
+
+
+def test_threshold_pairs_blocked_recall_is_total(spark, sf_dir):
+    """The hyperplane-block candidate generation must recover EVERY
+    pair the exact all-pairs baseline finds (verification is exact, so
+    set equality == recall 1.0 AND precision 1.0). This is the
+    assertion backing the oracle gate: the declared query is blocked,
+    the oracle is brute force."""
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        sim_threshold_pairs,
+        sim_threshold_pairs_bruteforce,
+    )
+
+    blocked = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in sim_threshold_pairs(spark, sf_dir).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in sim_threshold_pairs_bruteforce(spark, sf_dir).collect()
+    }
+    assert len(brute) > 0
+    assert blocked == brute
+
+
+def test_threshold_and_embedding_dedup_plans_have_no_cross_product(spark, sf_dir):
+    """The declared threshold/embedding-dedup queries must plan pure
+    equi-joins: no CartesianProduct AND no BroadcastNestedLoopJoin."""
+    from mqtt_influx_storage_service_spark import plans
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        sim_threshold_pairs,
+    )
+
+    for fn in (sim_threshold_pairs, dedup_embedding_cosine):
+        text = plans.plan_str(fn(spark, sf_dir))
+        assert "CartesianProduct" not in text, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in text, fn.__name__
