@@ -234,12 +234,72 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# A11 — transducer auto-create (influx_service.py:215-274)
+# --------------------------------------------------------------------------
+
+def ref_transducer_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: the reference creates any (device, transducer) pair a data
+    message references that the registry doesn't know, exactly once,
+    stamped ``created_by`` (influx_service.py:215-274,253).
+
+    Batch form: the known dimension is a deterministic subset of
+    observed pairs (event_id % 3 == 0 — the 'bootstrap snapshot');
+    unseen pairs anti-join it and collapse to ONE creation row each
+    with the earliest observation ts — the same
+    dedupe-then-insert-if-absent shape the streaming sink
+    (``streaming.ingest.start_transducer_autocreate``) runs per
+    micro-batch via insert-only MERGE."""
+    msgs = _mqtt_frame(spark, sf_dir)
+    parsed = parse_topic(F.col("topic"))
+    obs = msgs.select(
+        "event_id",
+        "ts",
+        parsed.getField("device_id").alias("device_id"),
+        parsed.getField("transducer").alias("transducer"),
+    )
+    known = (
+        obs.filter(F.col("event_id") % 3 == 0)
+        .select("device_id", "transducer")
+        .distinct()
+    )
+    return (
+        obs.join(known, ["device_id", "transducer"], "left_anti")
+        .groupBy("device_id", "transducer")
+        .agg(F.min("ts").alias("created_ts"))
+        .withColumn("created_by", F.lit("OpenChirp Influxdb Storage service"))
+    )
+
+
+REF_TRANSDUCER_CREATE_SQL = f"""
+WITH msgs AS ({_MQTT_FRAME_SQL}),
+obs AS (
+    SELECT event_id, ts,
+           string_split(topic, '/')[3] AS device_id,
+           lower(string_split(topic, '/')[4]) AS transducer
+    FROM msgs
+),
+known AS (
+    SELECT DISTINCT device_id, transducer FROM obs WHERE event_id % 3 = 0
+)
+SELECT o.device_id, o.transducer, min(o.ts) AS created_ts,
+       'OpenChirp Influxdb Storage service' AS created_by
+FROM obs o
+WHERE NOT EXISTS (
+    SELECT 1 FROM known k
+    WHERE k.device_id = o.device_id AND k.transducer = o.transducer
+)
+GROUP BY o.device_id, o.transducer
+"""
+
+
 QUERIES = {
     "ref_topic_parse": ref_topic_parse,
     "ref_payload_coercion": ref_payload_coercion,
     "ref_narrow_points": ref_narrow_points,
     "ref_registry_filter": ref_registry_filter,
     "ref_registry_cdc": ref_registry_cdc,
+    "ref_transducer_create": ref_transducer_create,
 }
 
 ORACLES = {
@@ -248,4 +308,5 @@ ORACLES = {
     "ref_narrow_points": REF_NARROW_POINTS_SQL,
     "ref_registry_filter": REF_REGISTRY_FILTER_SQL,
     "ref_registry_cdc": REF_REGISTRY_CDC_SQL,
+    "ref_transducer_create": REF_TRANSDUCER_CREATE_SQL,
 }

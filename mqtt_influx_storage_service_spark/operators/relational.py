@@ -849,7 +849,13 @@ QUERIES = {
     "rel_region_revenue": rel_region_revenue,
     "rel_semi_join": rel_semi_join,
     "rel_anti_join": rel_anti_join,
-    "rel_range_join": rel_range_join,
+    # rel_range_join (the broadcast-BNLJ theta form) is deliberately NOT
+    # registered: rel_range_join_banded produces identical rows against
+    # the same oracle and is the formulation we'd deploy at scale, so
+    # registering both spends a driver-gate slot re-proving one oracle
+    # (the gate checks a bounded number of entries per round). The BNLJ
+    # form remains as the theta-join reference implementation, equality-
+    # pinned by tests/test_properties.py.
     "rel_outer_join": rel_outer_join,
     "rel_exists_subquery": rel_exists_subquery,
     "rel_quantiles": rel_quantiles,
@@ -873,7 +879,6 @@ ORACLES = {
     "rel_region_revenue": REL_REGION_REVENUE_SQL,
     "rel_semi_join": REL_SEMI_JOIN_SQL,
     "rel_anti_join": REL_ANTI_JOIN_SQL,
-    "rel_range_join": REL_RANGE_JOIN_SQL,
     "rel_outer_join": REL_OUTER_JOIN_SQL,
     "rel_exists_subquery": REL_EXISTS_SUBQUERY_SQL,
     "rel_quantiles": REL_QUANTILES_SQL,

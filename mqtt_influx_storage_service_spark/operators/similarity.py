@@ -388,6 +388,78 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Grouped-AGGREGATE pandas UDF: per-label trimmed-mean embedding norm
+# --------------------------------------------------------------------------
+
+def sim_label_trimmed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label 10%-trimmed mean of embedding L2 norms — the
+    grouped-AGGREGATE pandas UDF surface (``pandas_udf`` returning a
+    scalar, used INSIDE ``groupBy().agg()``; SURVEY §2 Tier C UDF row
+    alongside scalar and grouped-map). Trimming (drop the floor(n/10)
+    lowest and highest values) is the robust-statistics kernel SQL
+    can't express without window gymnastics but NumPy does in a slice.
+
+    Determinism for the hash gate: norms round to 6 dp and scale to
+    EXACT integers before aggregation, so the sum is order-independent
+    (associative integer addition) — the same round-the-exact-sum
+    discipline as the time-series tier. Trimming is by VALUE on the
+    sorted array, so ties are multiset-stable across engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n6 = emb.select(
+        "label",
+        F.round(F.round(F.sqrt(_dot(vec, vec)), 6) * 1e6)
+        .cast("long")
+        .alias("n6"),
+    )
+
+    @pandas_udf("long")
+    def trimmed_sum(v: pd.Series) -> int:
+        x = np.sort(v.to_numpy(np.int64))
+        k = len(x) // 10
+        sel = x[k:len(x) - k] if len(x) > 2 * k else x
+        return int(sel.sum())
+
+    @pandas_udf("long")
+    def trimmed_count(v: pd.Series) -> int:
+        n = len(v)
+        k = n // 10
+        return n - 2 * k if n > 2 * k else n
+
+    out = n6.groupBy("label").agg(
+        trimmed_sum("n6").alias("tsum"),
+        trimmed_count("n6").alias("n_used"),
+    )
+    return out.select(
+        "label",
+        "n_used",
+        F.round(F.col("tsum") / 1e6 / F.col("n_used"), 6).alias(
+            "trimmed_mean_norm"
+        ),
+    )
+
+
+SIM_LABEL_TRIMMED_NORM_SQL = f"""
+WITH v AS (
+    SELECT label,
+           CAST(round(round({_NORM_SQL}, 6) * 1000000, 0) AS BIGINT) AS n6
+    FROM embeddings
+), r AS (
+    SELECT label, n6,
+           row_number() OVER (PARTITION BY label ORDER BY n6) AS rn,
+           count(*) OVER (PARTITION BY label) AS n
+    FROM v
+)
+SELECT label, count(*) AS n_used,
+       round((sum(n6) / 1000000.0) / count(*), 6) AS trimmed_mean_norm
+FROM r
+WHERE rn > n // 10 AND rn <= n - n // 10
+GROUP BY label
+"""
+
+
 SIM_LABEL_CENTROID_SQL = """
 WITH dims AS (
     SELECT label, i, sum(embedding[i]::DOUBLE) / count(*) AS c
@@ -408,12 +480,14 @@ QUERIES = {
     "sim_threshold_pairs": sim_threshold_pairs,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_label_centroid": sim_label_centroid,
+    "sim_label_trimmed_norm": sim_label_trimmed_norm,
 }
 
 ORACLES = {
     "sim_cosine_topk": SIM_COSINE_TOPK_SQL,
     "sim_threshold_pairs": SIM_THRESHOLD_PAIRS_SQL,
     "sim_label_centroid": SIM_LABEL_CENTROID_SQL,
+    "sim_label_trimmed_norm": SIM_LABEL_TRIMMED_NORM_SQL,
     # sim_ann_lsh: approximate by construction — rows-only driver check;
     # recall vs sim_cosine_topk asserted in tests/test_similarity.py.
 }

@@ -111,22 +111,32 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two aggregations + one broadcast-able join on word; the window
     top-1 compiles to WindowGroupLimit. At corpus scale the df table
     is tiny (vocabulary-sized) and always broadcast.
+
+    N (corpus size) rides the plan as a broadcast 1-row aggregate of
+    the UN-rebalanced scan (parquet metadata count) — NOT an eager
+    ``.count()``: queries() must return a LAZY DataFrame, and a job
+    fired at construction time is invisible to plan audits.
     """
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    # scalar constant: count the UN-rebalanced scan (parquet row-group
-    # metadata count, no shuffle) rather than paying the repartition
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
     tok = docs.select("doc_id", F.explode(_tokens()).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_tbl), "word").select(
-        "doc_id",
-        "word",
-        "tf",
-        "df",
-        F.round(F.col("tf") * F.ln(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    scored = (
+        tf.join(F.broadcast(df_tbl), "word")
+        .join(F.broadcast(n_docs), F.lit(True))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.ln(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
     return (

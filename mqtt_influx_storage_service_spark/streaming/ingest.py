@@ -298,6 +298,118 @@ def apply_cdc(registry: DataFrame, batch: DataFrame) -> DataFrame:
     )
 
 
+# properties.created_by the reference stamps on auto-created
+# transducers (influx_service.py:253)
+TRANSDUCER_CREATED_BY = "OpenChirp Influxdb Storage service"
+
+REGISTRY_SCHEMA = "device_id string, registered_ts timestamp"
+TRANSDUCER_SCHEMA = (
+    "device_id string, transducer string, created_ts timestamp, created_by string"
+)
+
+
+def start_registry_cdc(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    bootstrap: DataFrame | None = None,
+    events_topic: str = "openchirp/service/x/thing/events",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """A10 as a foreachBatch MERGE into a :class:`SnapshotTable` — the
+    table-format form of the reference's locked dict mutation
+    (influx_service.py:330-342,396-401).
+
+    Exactly-once: the streaming checkpoint replays the last
+    uncommitted micro-batch after a crash; the table's manifest
+    records applied batch ids, so the replayed ``merge`` is a no-op
+    instead of a double-apply (tests/test_tableformat.py pins this).
+    ``combine=apply_cdc`` keeps last-writer-wins upsert/delete
+    semantics identical to the batch/oracle form (ref_registry_cdc).
+    """
+    from ..tableformat import SnapshotTable
+
+    table = SnapshotTable(spark, table_dir, ["device_id"], schema=REGISTRY_SCHEMA)
+    if bootstrap is not None and table.version() == 0:
+        table.overwrite(bootstrap)  # A9: snapshot load before the stream
+    msgs = mqtt_file_stream(spark, source_dir)
+    _data, events = dispatch(msgs, events_topic)
+    cdc = parse_service_events(events)
+    writer = (
+        cdc.writeStream.foreachBatch(
+            lambda batch, batch_id: table.merge(
+                batch, batch_id=batch_id, combine=apply_cdc
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("registry_cdc")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def transducer_pairs(msgs: DataFrame) -> DataFrame:
+    """Observed (device_id, transducer, ts) from well-formed data
+    messages — the auto-create candidate stream (A11)."""
+    well, _malformed = split_malformed(msgs)
+    parsed = parse_topic(F.col("topic"))
+    return well.select(
+        parsed.getField("device_id").alias("device_id"),
+        parsed.getField("transducer").alias("transducer"),
+        "ts",
+    )
+
+
+def start_transducer_autocreate(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    events_topic: str = "openchirp/service/x/thing/events",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """A11 (influx_service.py:215-274): create unseen (device,
+    transducer) pairs in the dimension, exactly once.
+
+    The reference serializes creation with a per-key lock +
+    re-check-after-acquire; declaratively that collapses to (a)
+    groupBy pair key inside the batch — concurrent duplicates in one
+    micro-batch become ONE candidate row with the earliest ts — and
+    (b) ``insert_only`` MERGE — a pair already in the dimension keeps
+    its original row (first-writer-wins), so replays and cross-batch
+    duplicates never clobber the original creation record. Batch-id
+    idempotence (same manifest mechanism as the registry CDC) makes
+    crash-replay a no-op.
+    """
+    from ..tableformat import SnapshotTable
+
+    table = SnapshotTable(
+        spark, table_dir, ["device_id", "transducer"], schema=TRANSDUCER_SCHEMA
+    )
+    msgs = mqtt_file_stream(spark, source_dir)
+    data, _events = dispatch(msgs, events_topic)
+    pairs = transducer_pairs(data)
+
+    def _create(batch: DataFrame, batch_id: int) -> None:
+        candidates = (
+            batch.groupBy("device_id", "transducer")
+            .agg(F.min("ts").alias("created_ts"))
+            .withColumn("created_by", F.lit(TRANSDUCER_CREATED_BY))
+        )
+        table.merge(candidates, batch_id=batch_id, insert_only=True)
+
+    writer = (
+        pairs.writeStream.foreachBatch(_create)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("transducer_autocreate")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def bootstrap_registry(spark: SparkSession, snapshot_path: str) -> DataFrame:
     """A9 (influx_service.py:344-375): the REST bootstrap becomes a
     batch read of the registry snapshot. The subscribe-before-snapshot

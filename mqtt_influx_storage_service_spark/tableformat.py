@@ -1,0 +1,202 @@
+"""Snapshot table: the table-format seam for MERGE-shaped sinks.
+
+The reference mutates two dimensions in place — the device registry
+dict (influx_service.py:330-342, under ``devices_lock``) and the
+per-device transducer list (:215-274, under a per-key lock so creation
+is exactly-once). On a cluster those semantics belong to a table
+format (Delta/Iceberg ``MERGE INTO``). Neither is installable in this
+environment, so this module implements the same contract on plain
+parquet with a tiny manifest log:
+
+    table_dir/
+      _manifest/v00000042.json   <- atomic pointer: data dir + applied
+                                    batch ids (os.rename is atomic on
+                                    POSIX; the highest v* wins)
+      data-<token>/*.parquet     <- immutable snapshot
+
+Properties the tests pin (tests/test_tableformat.py):
+
+- **Atomic swap**: readers always see a complete snapshot — a manifest
+  is only visible after its data dir is fully written (write data,
+  then rename manifest into place), mirroring the reference's lock
+  around the dict swap.
+- **Idempotent replay**: ``merge(..., batch_id=b)`` applied twice is a
+  no-op the second time — the manifest records applied batch ids, so
+  a foreachBatch retry after a crash (Structured Streaming replays the
+  last uncommitted batch) converges instead of double-applying. This
+  is the checkpoint-side half of exactly-once.
+- **Single writer**: Structured Streaming serializes foreachBatch
+  calls per query, which is the only writer this module supports. A
+  multi-writer deployment graduates to Delta/Iceberg optimistic
+  commits; every call site goes through this seam, so that swap is
+  one class.
+
+At 100 TB the snapshot dimensions here stay small (device registry,
+transducer catalog); the POINT data never goes through rewrite-on-merge
+— it stays on the append-only streaming file sink. ``compact`` is the
+log-safe rewrite: a new coalesced data dir + manifest bump, never an
+in-place file mutation under a live reader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifest"
+
+
+class SnapshotTable:
+    """A keyed dimension table with snapshot isolation + idempotent
+    MERGE on plain parquet. ``key_cols`` define the MERGE identity."""
+
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str],
+                 schema: str | None = None) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.schema = schema
+        os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR, f"v{version:08d}.json")
+
+    def _current(self) -> dict:
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        versions = sorted(
+            int(f[1:9]) for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        if not versions:
+            return {"version": 0, "data_dir": None, "batch_ids": []}
+        with open(self._manifest_path(versions[-1])) as fh:
+            return json.load(fh)
+
+    def _commit(self, manifest: dict) -> None:
+        """Write-then-rename: the manifest becomes visible atomically,
+        and only after its data dir is complete."""
+        tmp = self._manifest_path(manifest["version"]) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, self._manifest_path(manifest["version"]))
+
+    # -- read --------------------------------------------------------------
+
+    def version(self) -> int:
+        return self._current()["version"]
+
+    def applied_batch_ids(self) -> set[int]:
+        return set(self._current()["batch_ids"])
+
+    def read(self) -> DataFrame:
+        cur = self._current()
+        if cur["data_dir"] is None:
+            if self.schema is None:
+                raise ValueError(
+                    f"empty SnapshotTable at {self.path} needs an explicit schema"
+                )
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.parquet(os.path.join(self.path, cur["data_dir"]))
+
+    # -- write -------------------------------------------------------------
+
+    def _publish(self, df: DataFrame, batch_id: int | None,
+                 prev: dict, target_files: int | None = None) -> None:
+        data_dir = f"data-{uuid.uuid4().hex}"
+        out = df if target_files is None else df.coalesce(target_files)
+        out.write.mode("overwrite").parquet(os.path.join(self.path, data_dir))
+        batch_ids = list(prev["batch_ids"])
+        if batch_id is not None:
+            batch_ids.append(batch_id)
+        self._commit({
+            "version": prev["version"] + 1,
+            "data_dir": data_dir,
+            "batch_ids": batch_ids,
+        })
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Replace the snapshot wholesale (bootstrap load, A9)."""
+        self._publish(df, None, self._current())
+
+    def merge(
+        self,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        combine=None,
+        insert_only: bool = False,
+    ) -> bool:
+        """MERGE ``batch`` into the snapshot; returns False if
+        ``batch_id`` was already applied (idempotent replay no-op).
+
+        Default combine is upsert: batch rows replace current rows
+        with the same key. ``insert_only=True`` keeps the CURRENT row
+        on key collision — first-writer-wins, the reference's
+        create-if-absent transducer semantics (:215-274) where a
+        concurrent duplicate create must not clobber the original.
+        ``combine`` overrides entirely with
+        ``f(current_df, batch_df) -> DataFrame`` (e.g. apply_cdc's
+        last-writer-wins delete handling).
+        """
+        prev = self._current()
+        if batch_id is not None and batch_id in prev["batch_ids"]:
+            return False
+        current = self.read()
+        if combine is not None:
+            merged = combine(current, batch)
+        elif insert_only:
+            merged = current.unionByName(
+                batch.join(current.select(self.key_cols), self.key_cols,
+                           "left_anti")
+            )
+        else:
+            merged = batch.unionByName(
+                current.join(batch.select(self.key_cols), self.key_cols,
+                             "left_anti")
+            )
+        self._publish(merged, batch_id, prev)
+        return True
+
+    def compact(self, target_files: int = 8) -> None:
+        """Log-safe small-file rewrite: same rows, fewer files, new
+        snapshot version — concurrent readers keep their old manifest
+        until they re-resolve; nothing is mutated under them."""
+        prev = self._current()
+        self._publish(self.read(), None, prev, target_files=target_files)
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Delete data dirs (and manifests) older than the last
+        ``keep_last`` versions; returns removed dirs. Safe only once
+        readers of those versions are gone — same contract as Delta
+        VACUUM."""
+        import shutil
+
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        versions = sorted(
+            int(f[1:9]) for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        removed: list[str] = []
+        keep = set(versions[-keep_last:]) if keep_last else set()
+        live_dirs = set()
+        for v in versions:
+            with open(self._manifest_path(v)) as fh:
+                m = json.load(fh)
+            if v in keep and m["data_dir"]:
+                live_dirs.add(m["data_dir"])
+        for v in versions:
+            if v in keep:
+                continue
+            with open(self._manifest_path(v)) as fh:
+                m = json.load(fh)
+            if m["data_dir"] and m["data_dir"] not in live_dirs:
+                shutil.rmtree(os.path.join(self.path, m["data_dir"]),
+                              ignore_errors=True)
+                removed.append(m["data_dir"])
+            os.remove(self._manifest_path(v))
+        return removed

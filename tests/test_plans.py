@@ -100,6 +100,19 @@ def test_frame_sample_prunes_payload(spark):
         assert "text" not in cols and "lang" not in cols
 
 
+def test_tfidf_corpus_count_rides_the_plan(spark):
+    """text_tfidf_top's N must be computed INSIDE the lazy plan (a
+    broadcast 1-row aggregate), not an eager driver-side .count() at
+    construction time. If N were eager, the plan would carry the
+    baked-in literal (500.0 at sf0.001) and no broadcast join for it;
+    note every spark.read fires a tiny footer/listing job, so 'no jobs
+    at construction' is not assertable directly — the plan shape is."""
+    df = all_queries()["text_tfidf_top"](spark, SF)
+    text = plans.plan_str(df)
+    assert "500.0" not in text  # no baked-in corpus-count literal
+    assert "BroadcastNestedLoopJoin" in text  # the 1-row N aggregate joins in
+
+
 def test_exchange_budget(spark):
     """Shuffle budget per query shape: a scan→agg→sort query needs
     exactly 2 exchanges (agg + sort); a broadcast-dim join adds none."""

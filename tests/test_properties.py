@@ -150,3 +150,20 @@ def test_dual_layout_roundtrip(spark, points):
     }
     assert cells == expected
     assert wide.count() == narrow.select("device_id", "ts").distinct().count()
+
+
+def test_range_join_banded_equals_theta(spark):
+    """The registered banded (equi-bucket + band filter) range join
+    must produce exactly the rows of the broadcast-BNLJ theta form it
+    replaced in the registry (the theta form stays as the reference
+    implementation; only one spends a driver-gate slot)."""
+    from mqtt_influx_storage_service_spark.operators.relational import (
+        rel_range_join,
+        rel_range_join_banded,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    theta = set(map(tuple, rel_range_join(spark, sf).collect()))
+    banded = set(map(tuple, rel_range_join_banded(spark, sf).collect()))
+    assert len(theta) > 0
+    assert banded == theta
