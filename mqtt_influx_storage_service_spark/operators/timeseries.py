@@ -608,6 +608,114 @@ FROM spine LEFT JOIN daily USING (day, event_type)
 """
 
 
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily buckets per event_type over the complete day spine with
+    LINEAR interpolation across interior gaps (InfluxQL ``GROUP BY
+    time(1d) fill(linear)``; complements ts_gap_fill's
+    ``fill(previous)``). Leading/trailing gaps stay NULL, as in
+    InfluxQL.
+
+    Interpolation brackets each gap with the nearest non-null buckets
+    via last/first(ignorenulls) over unbounded frames — two window
+    passes over the (spine-sized, tiny) frame, never the raw facts.
+    Determinism: bucket values are round(·,6) doubles, elapsed time is
+    exact integer microseconds, and both engines evaluate the same
+    IEEE expression prev + (next-prev) * dt_ratio before the final
+    round.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(_avg2(F.sum("value"), F.count(F.lit(1))).alias("avg_value"))
+    spine = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.expr(
+                    "sequence(timestamp'2024-01-01 00:00:00',"
+                    " timestamp'2024-01-30 00:00:00', interval 1 day)"
+                )
+            ).alias("day")
+        )
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(F.array(*[F.lit(t) for t in EVENT_TYPES])).alias(
+                    "event_type"
+                )
+            )
+        )
+    )
+    joined = spine.join(F.broadcast(daily), ["day", "event_type"], "left_outer")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us = F.unix_micros(F.col("day"))
+    at_val = F.when(F.col("avg_value").isNotNull(), us)
+    prev_v = F.last("avg_value", ignorenulls=True).over(wb)
+    next_v = F.first("avg_value", ignorenulls=True).over(wf)
+    prev_d = F.last(at_val, ignorenulls=True).over(wb)
+    next_d = F.first(at_val, ignorenulls=True).over(wf)
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(prev_v.isNull() | next_v.isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            prev_v + (next_v - prev_v) * ((us - prev_d) / (next_d - prev_d))
+        )
+    )
+    return joined.select(
+        "day",
+        "event_type",
+        "avg_value",
+        (F.round(interp, 6) + F.lit(0.0)).alias("interp_avg"),
+        F.col("avg_value").isNull().alias("was_gap"),
+    )
+
+
+TS_INTERPOLATE_SQL = f"""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day, event_type,
+           {_AVG2_SQL.format(v='value')} AS avg_value
+    FROM events GROUP BY 1, 2
+), spine AS (
+    SELECT CAST(gs AS TIMESTAMP) AS day, event_type
+    FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+                         INTERVAL 1 DAY) t(gs)
+    CROSS JOIN (SELECT unnest({[t for t in EVENT_TYPES]!r}) AS event_type)
+), j AS (
+    SELECT day, event_type, avg_value, epoch_us(day) AS dus
+    FROM spine LEFT JOIN daily USING (day, event_type)
+), f AS (
+    SELECT *,
+           last_value(avg_value IGNORE NULLS) OVER wb AS prev_v,
+           first_value(avg_value IGNORE NULLS) OVER wf AS next_v,
+           last_value(CASE WHEN avg_value IS NOT NULL THEN dus END
+                      IGNORE NULLS) OVER wb AS prev_d,
+           first_value(CASE WHEN avg_value IS NOT NULL THEN dus END
+                       IGNORE NULLS) OVER wf AS next_d
+    FROM j
+    WINDOW wb AS (PARTITION BY event_type ORDER BY day
+                  ROWS UNBOUNDED PRECEDING),
+           wf AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT day, event_type, avg_value,
+       round(CASE WHEN avg_value IS NOT NULL THEN avg_value
+                  WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+                  ELSE prev_v + (next_v - prev_v)
+                       * ((dus - prev_d) / (next_d - prev_d))
+             END, 6) + 0.0 AS interp_avg,
+       (avg_value IS NULL) AS was_gap
+FROM f
+"""
+
+
 def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 10-minute moving average per series — a true time-based
     RANGE frame (InfluxQL ``MOVING_AVERAGE`` over irregular samples),
@@ -903,6 +1011,7 @@ QUERIES = {
     "ts_funnel": ts_funnel,
     "ts_difference": ts_difference,
     "ts_gap_fill": ts_gap_fill,
+    "ts_interpolate": ts_interpolate,
     "ts_device_wide": ts_device_wide,
     "ts_bucket_agg": ts_bucket_agg,
     "ts_last_value": ts_last_value,
@@ -923,6 +1032,7 @@ ORACLES = {
     "ts_funnel": TS_FUNNEL_SQL,
     "ts_difference": TS_DIFFERENCE_SQL,
     "ts_gap_fill": TS_GAP_FILL_SQL,
+    "ts_interpolate": TS_INTERPOLATE_SQL,
     "ts_device_wide": TS_DEVICE_WIDE_SQL,
     "ts_bucket_agg": TS_BUCKET_AGG_SQL,
     "ts_last_value": TS_LAST_VALUE_SQL,

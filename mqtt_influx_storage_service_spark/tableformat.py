@@ -94,8 +94,20 @@ class SnapshotTable:
     def applied_batch_ids(self) -> set[int]:
         return set(self._current()["batch_ids"])
 
-    def read(self) -> DataFrame:
-        cur = self._current()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or — time travel — a specific
+        retained version (raises if that manifest was vacuumed)."""
+        if version is None:
+            cur = self._current()
+        else:
+            mpath = self._manifest_path(version)
+            if not os.path.exists(mpath):
+                raise FileNotFoundError(
+                    f"version {version} of {self.path} not retained "
+                    "(vacuumed or never written)"
+                )
+            with open(mpath) as fh:
+                cur = json.load(fh)
         if cur["data_dir"] is None:
             if self.schema is None:
                 raise ValueError(

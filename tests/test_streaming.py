@@ -270,6 +270,34 @@ def test_split_malformed_quarantine(spark):
     assert good.count() + bad.count() == 4
 
 
+def test_ingest_routes_malformed_to_dead_letter(spark, tmp_path):
+    """End-to-end A16: a short/malformed data topic must land in the
+    dead-letter sink — not poison the micro-batch (the ANSI
+    element_at poison-pill), not silently vanish, and never reach the
+    points table."""
+    rows = [
+        ("2024-01-01 00:00:00", "openchirp/device/d1/Temp", "3.5"),
+        ("2024-01-01 00:00:01", "openchirp/device/d1", "truncated"),
+        ("2024-01-01 00:00:02", "openchirp/device//temp", "no-device"),
+    ]
+    src = str(tmp_path / "src")
+    (
+        spark.createDataFrame(rows, "ts string, topic string, payload string")
+        .select(F.col("ts").cast("timestamp"), "topic", "payload")
+        .coalesce(1).write.parquet(src)
+    )
+    q = st.start_ingest(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    points = spark.read.parquet(str(tmp_path / "out" / "points"))
+    assert [r.series_id for r in points.collect()] == ["d1_temp"]
+    dead = spark.read.parquet(str(tmp_path / "out" / "dead_letter"))
+    assert sorted(r.payload for r in dead.collect()) == [
+        "no-device", "truncated"
+    ]
+
+
 def test_compact_partition(spark, mqtt_source, tmp_path):
     q = st.start_ingest(
         spark, mqtt_source, str(tmp_path / "o9"), str(tmp_path / "c9")

@@ -67,6 +67,18 @@ def test_insert_only_keeps_first_writer(spark, tmp_path):
     assert rows == {("d1", "temp"): _ts(0), ("d1", "hum"): _ts(10)}
 
 
+def test_time_travel_reads_old_version(spark, registry):
+    registry.merge(spark.createDataFrame([("a", _ts(0))], registry.schema),
+                   batch_id=0)
+    registry.merge(spark.createDataFrame([("a", _ts(9))], registry.schema),
+                   batch_id=1)
+    assert registry.read().collect()[0].registered_ts == _ts(9)
+    assert registry.read(version=1).collect()[0].registered_ts == _ts(0)
+    registry.vacuum(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        registry.read(version=1)
+
+
 def test_compact_and_vacuum_preserve_rows(spark, registry, tmp_path):
     registry.merge(spark.createDataFrame(
         [(f"d{i}", _ts(i)) for i in range(20)], registry.schema), batch_id=0)
