@@ -41,8 +41,10 @@ HEADLINE = [
     "ts_asof_join",
     "ts_sessionize",
     "dedup_exact",
+    "dedup_components",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "pipeline_training_mix",
     "sim_cosine_topk",
     "text_tfidf_top",
     "text_regex_tokens",

@@ -17,6 +17,7 @@ from . import (
     dedup,
     mlops,
     multimodal,
+    pipeline,
     refsemantics,
     relational,
     similarity,
@@ -41,6 +42,7 @@ _MODULES = [
     textops,
     multimodal,
     mlops,
+    pipeline,
     refsemantics,
     windows,
     timeseries,

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -126,11 +126,12 @@ def release_shingles(spark: SparkSession | None = None) -> int:
     campaign over an sf_dir is done; safe to call at any time — the
     next consumer just re-persists."""
     released = 0
-    for key in list(_SHINGLE_CACHE):
-        if spark is not None and key[0] != spark.sparkContext.applicationId:
-            continue
-        _SHINGLE_CACHE.pop(key).unpersist()
-        released += 1
+    for cache in (_SHINGLE_CACHE, _EDGE_CACHE):
+        for key in list(cache):
+            if spark is not None and key[0] != spark.sparkContext.applicationId:
+                continue
+            cache.pop(key).unpersist()
+            released += 1
     return released
 
 
@@ -175,6 +176,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle counts → Jaccard = inter / (|A| + |B| - inter). Never
     forms the cross product; the shingle index is the blocking key.
     """
+    return _jaccard_pairs(spark, sf_dir)
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = _doc_shingles(spark, sf_dir)
     exploded = ds.select("doc_id", F.explode("shingles").alias("shingle"))
     a = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -223,6 +228,242 @@ JOIN counts ca ON ca.doc_id = doc_a
 JOIN counts cb ON cb.doc_id = doc_b
 WHERE round(n_inter / (ca.n_shingles + cb.n_shingles - n_inter), 6)
       >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# Connected components — near-dup pairs -> dup GROUPS
+# --------------------------------------------------------------------------
+
+# Fixed propagation depth for the lazy connected-components query: R
+# rounds of min-label propagation over the self-looped adjacency reach
+# every node within distance R of its component's min-id node. Near-dup
+# clusters are star-like (pairs are generated by SHARED content, so the
+# min-id doc pairs directly with almost everything in its cluster —
+# fixture max eccentricity from the min-id node is 1 at sf0.01 AND
+# sf0.1; tests pin that one extra round is a fixpoint). R=5 leaves 4
+# hops of margin; adversarial chain-dup corpora use
+# :func:`dedup_components_converged`, the driver-loop variant.
+#
+# Each round references the label table exactly ONCE (join + min-agg) —
+# plan growth is LINEAR in R. The tempting pointer-jumping/doubling
+# variant (label <- label(label), covers 2^R) references it 2-3x per
+# round, which copies the base subtree 4^R times into the logical plan;
+# Spark executes each un-cached copy separately (measured 117s -> 430s
+# at sf0.01 on the doubling form vs ~linear cost on this one).
+CC_ROUNDS = 5
+
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric near-dup edge list ``(src, dst)``: Jaccard >= 0.5
+    pairs UNION exact-text duplicate pairs (short docs have no
+    shingles, so identical <3-token docs only appear via the exact
+    leg). Duplicate edges between the two legs are NOT distinct-ed
+    away: min-propagation is idempotent and an edge-level distinct is
+    a full shuffle of the edge set at 100 TB for zero semantic gain.
+
+    Persisted via the same keyed-cache discipline as
+    :func:`_doc_shingles` (released by :func:`release_shingles`):
+    the components loop below reads the edges once per round, and
+    recomputing the shingle self-join per round would multiply the
+    dominant cost by CC_ROUNDS.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    jac = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    rep = F.min("doc_id").over(Window.partitionBy("text"))
+    exact = (
+        docs.select("doc_id", rep.alias("rep"))
+        .filter(F.col("rep") < F.col("doc_id"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    und = jac.unionByName(exact)
+    sym = und.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        und.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    _EDGE_CACHE[key] = sym
+    return sym
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label) for every node of the edge-induced subgraph,
+    label = min doc_id within CC_ROUNDS hops (= the component min for
+    dup-shaped graphs; see CC_ROUNDS). Docs outside the subgraph are
+    singleton components and are NOT in this table — consumers
+    ``coalesce(label, doc_id)`` after a left join, which keeps this
+    table candidate-pair-sized (broadcastable) at any corpus scale.
+    """
+    sym = _dup_edges(spark, sf_dir)
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    # Self-loops make "min over neighbors' labels" include the node's
+    # own label, so one join+agg per round is a complete update.
+    sym_self = sym.unionByName(
+        nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(CC_ROUNDS):
+        labels = (
+            sym_self.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("dlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("label"))
+            .withColumnRenamed("src", "doc_id")
+        )
+    return labels
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup relation: every document gets
+    ``component_id`` = min doc_id reachable through Jaccard/exact-dup
+    edges — the missing step between "pairs" and "keep ONE
+    representative per dup group" in a training-data pipeline (A near
+    B near C must collapse to one survivor even if A and C never pair).
+
+    Fixed-depth min-label propagation — the lazy, bounded-round form
+    of the iterated-MapReduce CC family (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). Each round is one
+    equi-join of the (self-looped) edge list against the label table
+    plus one min-aggregation — two shuffles of candidate-subgraph-
+    sized tables; at 100 TB the subgraph (nodes touched by near-dup
+    pairs) is orders of magnitude smaller than the corpus, and the
+    corpus itself is touched exactly twice: once to build edges, once
+    in the final broadcast-joined assignment. The whole query stays a
+    single lazy plan — no driver-side convergence loop, no eager
+    action (the verdict's laziness contract).
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    labels = _component_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("_sz")
+    ).withColumnRenamed("label", "component_id")
+    assigned = docs.select("doc_id").join(
+        F.broadcast(labels), "doc_id", "left_outer"
+    ).select(
+        "doc_id", F.coalesce("label", "doc_id").alias("component_id")
+    )
+    return assigned.join(F.broadcast(sizes), "component_id", "left_outer").select(
+        "doc_id",
+        "component_id",
+        F.coalesce("_sz", F.lit(1)).alias("component_size"),
+        (F.col("doc_id") == F.col("component_id")).alias("is_representative"),
+    )
+
+
+def dedup_components_converged(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 32
+) -> DataFrame:
+    """Driver-loop variant for unbounded component diameter: iterate
+    the same round until the label assignment reaches a fixpoint
+    (checked with one count per round — an explicit action, so this is
+    NOT a registered lazy query; it is what a 100 TB campaign with
+    adversarial chain-dups runs). localCheckpoint truncates the
+    growing lineage so round k+1 does not re-execute rounds 1..k.
+    """
+    sym = _dup_edges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("dlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nbr_label"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    wcomp = Window.partitionBy("label")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component_id"),
+        F.count(F.lit(1)).over(wcomp).alias("component_size"),
+        (F.col("doc_id") == F.col("label")).alias("is_representative"),
+    )
+
+
+# Shared CTE chain: jaccard edges + exact edges, symmetrized. Used by
+# the components oracle and the pipeline oracle.
+_EDGES_CTE_SQL = f"""
+ds AS (
+    SELECT doc_id, {{shingles}} AS shingles FROM documents
+), exploded AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM ds
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM exploded a JOIN exploded b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), counts AS (
+    SELECT doc_id, len(shingles) AS n_shingles FROM ds
+), jac AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE round(n_inter / (ca.n_shingles + cb.n_shingles - n_inter), 6)
+          >= {JACCARD_THRESHOLD}
+), exact AS (
+    SELECT rep AS doc_a, doc_id AS doc_b FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+        FROM documents)
+    WHERE rep < doc_id
+), und AS (
+    SELECT * FROM jac UNION ALL SELECT * FROM exact
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM und
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM und
+), reach(v, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r
+), comp AS (
+    SELECT v AS doc_id, min(r) AS component_id FROM reach GROUP BY v
+)
+"""
+
+
+def _edges_cte() -> str:
+    return _EDGES_CTE_SQL.format(shingles=_SHINGLES_SQL)
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_edges_cte()}
+SELECT doc_id, component_id,
+       count(*) OVER (PARTITION BY component_id) AS component_size,
+       doc_id = component_id AS is_representative
+FROM comp
 """
 
 
@@ -586,6 +827,7 @@ WHERE round(list_reduce(
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_components": dedup_components,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -594,6 +836,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     # dedup_minhash_lsh / dedup_simhash: hash-function-dependent, not
     # SQL-expressible in DuckDB — rows-only driver check; recall vs the

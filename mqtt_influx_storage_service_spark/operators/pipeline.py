@@ -1,0 +1,132 @@
+"""End-to-end training-data curation pipeline (Tier C capstone): the
+query a user of this engine actually runs over a raw crawl before
+pretraining — near-dup collapse to one representative per group,
+quality gate, language identification, per-language token budget.
+
+Composes the dedup and textops tiers the way a 100 TB campaign would:
+
+- ONE scan of ``documents`` computes every row-local feature (quality
+  features + per-language scores) in a two-step projection — no
+  corpus-vs-corpus join for per-doc signals.
+- The dup-group assignment arrives as a LEFT JOIN against the
+  broadcast candidate-subgraph label table
+  (:func:`..operators.dedup._component_labels`): candidate pairs are a
+  tiny fraction of the corpus, so the corpus is never shuffled — the
+  only wide operation is the final per-language aggregation over ~5
+  groups (map-side combinable).
+
+Reference parity: the reference service has no query engine; this is
+the driver-mandated LLM-pipeline surface (SURVEY.md §2 Tier C), built
+from the operators whose per-piece oracles already pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .dedup import _component_labels, _edges_cte
+from .textops import (
+    _LANGID_PRED_SQL,
+    _LANGID_SCORE_SQL,
+    QUALITY_KEEP_THRESHOLD,
+    langid_pred_expr,
+    langid_score_cols,
+    quality_feature_cols,
+    quality_score_expr,
+)
+
+
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus mix AFTER curation: keep each dup group's
+    representative (min doc_id over the near-dup transitive closure),
+    drop low-quality docs, roll up document/token/char counts and the
+    mean quality score by predicted language.
+
+    Order of gates — dedup first, then quality — is deliberate: the
+    representative is chosen by stable min-id, not by quality, so the
+    survivor set is insensitive to quality-model drift (re-scoring
+    never changes WHICH member represents a group, only whether the
+    group survives), and the group collapse can be computed once and
+    reused across quality-threshold sweeps.
+
+    Determinism: mean quality is computed in integer arithmetic —
+    quality_score is an exact 7-decimal quantity, so
+    ``sum(round(q*1e7)::long) / (n*1e7)`` is exact in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    feats = docs.select(
+        "doc_id",
+        *quality_feature_cols(),
+        *langid_score_cols(),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        quality_score_expr().alias("quality_score"),
+        langid_pred_expr().alias("predicted_lang"),
+    )
+    labels = _component_labels(spark, sf_dir)
+    survivors = (
+        feats.join(F.broadcast(labels), "doc_id", "left_outer")
+        .filter(F.coalesce("label", "doc_id") == F.col("doc_id"))
+        .filter(F.col("quality_score") >= QUALITY_KEEP_THRESHOLD)
+    )
+    scaled_q = F.round(F.col("quality_score") * 1e7).cast("long")
+    return survivors.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum(scaled_q) / (F.count(F.lit(1)) * 1e7), 7).alias(
+            "avg_quality"
+        ),
+    )
+
+
+PIPELINE_TRAINING_MIX_SQL = f"""
+WITH RECURSIVE {_edges_cte()}, feats AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(len(list_distinct(string_split(text, ' ')))
+                 / len(string_split(text, ' ')), 6) AS distinct_ratio,
+           round(list_reduce(list_prepend(0, list_transform(
+                     string_split(text, ' '), t -> length(t))),
+                     (a, b) -> a + b)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           text
+    FROM documents
+), scored AS (
+    SELECT doc_id, n_tokens,
+           round(round(ln(n_tokens), 6) * 0.3 + distinct_ratio * 0.5
+                 + round(avg_token_len / 10, 7) * 0.2, 7) AS quality_score,
+           text
+    FROM feats
+), langid AS (
+    SELECT doc_id, {_LANGID_PRED_SQL} AS predicted_lang
+    FROM (SELECT doc_id,
+{_LANGID_SCORE_SQL}
+          FROM documents)
+), survivors AS (
+    SELECT s.doc_id, s.n_tokens, s.quality_score, l.predicted_lang
+    FROM scored s
+    JOIN comp c ON c.doc_id = s.doc_id
+    JOIN langid l ON l.doc_id = s.doc_id
+    WHERE c.component_id = s.doc_id
+      AND s.quality_score >= {QUALITY_KEEP_THRESHOLD}
+)
+SELECT predicted_lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(sum(CAST(round(quality_score * 10000000) AS BIGINT))
+             / (count(*) * 10000000.0), 7) AS avg_quality
+FROM survivors
+GROUP BY predicted_lang
+"""
+
+
+QUERIES = {
+    "pipeline_training_mix": pipeline_training_mix,
+}
+
+ORACLES = {
+    "pipeline_training_mix": PIPELINE_TRAINING_MIX_SQL,
+}

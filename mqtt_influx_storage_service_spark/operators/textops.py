@@ -180,23 +180,30 @@ def _keyword_match(words: list[str]):
     return lambda t: F.array_contains(F.array(*kw), t)
 
 
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    scores = docs.select(
-        "doc_id",
-        "lang",
-        *[
-            F.size(F.filter(_tokens(), _keyword_match(words))).alias(f"score_{lang}")
-            for lang, words in LANG_KEYWORDS.items()
-        ],
-    )
+def langid_score_cols() -> list[F.Column]:
+    """Per-language keyword-overlap scores, as columns over ``text``."""
+    return [
+        F.size(F.filter(_tokens(), _keyword_match(words))).alias(f"score_{lang}")
+        for lang, words in LANG_KEYWORDS.items()
+    ]
+
+
+def langid_pred_expr() -> F.Column:
+    """Argmax language over the materialized ``score_<lang>`` columns
+    (ties break in LANG_ORDER, matching the SQL CASE chain)."""
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
-    predicted = F.coalesce(
+    return F.coalesce(
         *[
             F.when(F.col(f"score_{lang}") == best, F.lit(lang))
             for lang in LANG_ORDER
         ]
     )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    scores = docs.select("doc_id", "lang", *langid_score_cols())
+    predicted = langid_pred_expr()
     return scores.select(
         "doc_id",
         "lang",
@@ -235,10 +242,8 @@ FROM scores
 # Quality scoring (length / diversity / repetition heuristics)
 # --------------------------------------------------------------------------
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality features + a composite score; every input
-    to the score is integer-derived, so the doubles are deterministic."""
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+def quality_feature_cols() -> list[F.Column]:
+    """The four quality features, as columns over ``text``."""
     n_tokens = F.size(_tokens())
     n_unique = F.size(F.array_distinct(_tokens()))
     sum_len = F.aggregate(
@@ -246,28 +251,44 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    feats = docs.select(
-        "doc_id",
-        "lang",
+    return [
         n_tokens.alias("n_tokens"),
         n_unique.alias("n_unique"),
         F.round(n_unique / n_tokens, 6).alias("distinct_ratio"),
         F.round(sum_len / n_tokens, 6).alias("avg_token_len"),
-        F.col("n_chars"),
-    )
-    # final round at 7, not 6: the three addends are 6-decimal values
-    # times 0.3/0.5/0.2, i.e. exactly-7-decimal quantities — rounding at
-    # 6 would sit on .xxxxxx5 half-way points where Spark (BigDecimal
-    # HALF_UP) and DuckDB (multiply+floor) disagree; rounding at 7 just
-    # recovers the exact decimal value in both engines.
-    score = F.round(
+    ]
+
+
+def quality_score_expr() -> F.Column:
+    """Composite score over the feature COLUMNS (two-step projection —
+    the features must already be materialized columns, see the HOF
+    re-inlining note in operators/dedup.py).
+
+    Final round at 7, not 6: the three addends are 6-decimal values
+    times 0.3/0.5/0.2, i.e. exactly-7-decimal quantities — rounding at
+    6 would sit on .xxxxxx5 half-way points where Spark (BigDecimal
+    HALF_UP) and DuckDB (multiply+floor) disagree; rounding at 7 just
+    recovers the exact decimal value in both engines.
+    """
+    return F.round(
         F.round(F.ln(F.col("n_tokens")), 6) * 0.3
         + F.col("distinct_ratio") * 0.5
         + F.round(F.col("avg_token_len") / 10, 7) * 0.2,
         7,
     )
+
+
+QUALITY_KEEP_THRESHOLD = 0.6
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + a composite score; every input
+    to the score is integer-derived, so the doubles are deterministic."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    feats = docs.select("doc_id", "lang", *quality_feature_cols(), F.col("n_chars"))
+    score = quality_score_expr()
     return feats.withColumn("quality_score", score).withColumn(
-        "keep", score >= F.lit(0.6)
+        "keep", score >= F.lit(QUALITY_KEEP_THRESHOLD)
     )
 
 

@@ -230,6 +230,50 @@ def stats_messages(stats: DataFrame) -> DataFrame:
     )
 
 
+def activation_points_join(
+    points: DataFrame,
+    service_events: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STREAM interval join correlating the two dispatch
+    branches (A2): every narrow point a newly-created device publishes
+    within ``horizon`` of its 'new' service event — i.e. device
+    activation latency, the operational question the reference's
+    operators answer by eyeballing logs (influx_service.py:324-342
+    creates the device; the first write after it lands at :215).
+
+    Both sides are watermarked, and the join condition carries the
+    event-time band (equi on device_id + ``ts in [event_ts, event_ts +
+    horizon]``), so Spark maintains BOUNDED state on both sides and
+    evicts rows older than watermark+horizon — the stream-stream join
+    contract. On batch inputs the watermark nodes are eliminated
+    (EliminateEventTimeWatermark) and it is an ordinary interval join,
+    so the stream/batch equivalence test runs the same code path.
+    """
+    ev = (
+        service_events.filter(F.col("action") == "new")
+        .select(
+            F.col("device_id").alias("ev_device"),
+            F.col("ts").alias("event_ts"),
+        )
+        .withWatermark("event_ts", watermark)
+    )
+    pts = points.withWatermark("ts", watermark)
+    cond = (
+        (F.col("device_id") == F.col("ev_device"))
+        & (F.col("ts") >= F.col("event_ts"))
+        & (F.col("ts") <= F.col("event_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return pts.join(ev, cond).select(
+        "device_id",
+        "series_id",
+        "event_ts",
+        "ts",
+        (F.unix_micros("ts") - F.unix_micros("event_ts")).alias("latency_us"),
+    )
+
+
 def dedup_messages(msgs: DataFrame, within: str = "10 minutes") -> DataFrame:
     """Stateful streaming dedup (Tier C streaming mandate): drop exact
     (topic, payload) repeats within the watermark — bounded state, late

@@ -112,3 +112,45 @@ def test_release_shingles_unpersists(spark, sf_dir):
     assert not any(
         k[0] == spark.sparkContext.applicationId for k in _SHINGLE_CACHE
     )
+
+
+def test_components_fixpoint_and_semantics(spark, sf_dir):
+    """CC_ROUNDS is enough: running one EXTRA propagation round must not
+    change any label (fixpoint reached), labels must agree with the
+    driver-loop converged variant, and sizes/representatives must be
+    internally consistent."""
+    import mqtt_influx_storage_service_spark.operators.dedup as dd
+
+    base = {r.doc_id: r for r in dd.dedup_components(spark, sf_dir).collect()}
+    try:
+        dd.CC_ROUNDS += 1
+        extra = {
+            r.doc_id: r.component_id
+            for r in dd.dedup_components(spark, sf_dir).collect()
+        }
+    finally:
+        dd.CC_ROUNDS -= 1
+    assert {d: r.component_id for d, r in base.items()} == extra
+
+    conv = {
+        r.doc_id: r.component_id
+        for r in dd.dedup_components_converged(spark, sf_dir).collect()
+    }
+    assert {d: r.component_id for d, r in base.items()} == conv
+
+    # every doc assigned; component_id is the min member; sizes add up
+    import collections
+
+    members = collections.defaultdict(set)
+    for d, r in base.items():
+        members[r.component_id].add(d)
+    for cid, ms in members.items():
+        assert cid == min(ms)
+        for d in ms:
+            assert base[d].component_size == len(ms)
+            assert base[d].is_representative == (d == cid)
+
+    # near-dup pairs land in the same component
+    for r in dd.dedup_ngram_jaccard(spark, sf_dir).collect():
+        assert base[r.doc_a].component_id == base[r.doc_b].component_id
+    dd.release_shingles(spark)

@@ -320,3 +320,51 @@ def test_compact_partition(spark, mqtt_source, tmp_path):
     assert sorted(after.select(cols).collect()) == sorted(
         got.filter(F.col("ingest_date") == date).select(cols).collect()
     )
+
+
+def test_activation_stream_stream_join(spark, tmp_path):
+    """Stream-STREAM interval join (A2 branches correlated): points a
+    new device publishes within the horizon of its 'new' event match;
+    later points and never-created devices don't. The same code path
+    runs on batch inputs (EliminateEventTimeWatermark) and must agree
+    with the streaming result."""
+    rows = [
+        # d1 created at 00:00 -> point at 00:05 matches, 00:20 too late
+        ("2024-01-01 00:00:00", "openchirp/service/x/thing/events",
+         json.dumps({"action": "new", "thing": {"id": "d1"}})),
+        ("2024-01-01 00:05:00", "openchirp/device/d1/Temp", "1.5"),
+        ("2024-01-01 00:20:00", "openchirp/device/d1/Temp", "2.5"),
+        # d2 never created -> no match
+        ("2024-01-01 00:06:00", "openchirp/device/d2/Temp", "3.5"),
+        # watermark-advancing tail traffic
+        ("2024-01-01 01:00:00", "openchirp/device/d9/Temp", "9.0"),
+        ("2024-01-01 01:00:00", "openchirp/service/x/thing/events",
+         json.dumps({"action": "new", "thing": {"id": "d8"}})),
+    ]
+    src = str(tmp_path / "src")
+    (
+        spark.createDataFrame(rows, "ts string, topic string, payload string")
+        .select(F.col("ts").cast("timestamp"), "topic", "payload")
+        .coalesce(1).write.parquet(src)
+    )
+
+    def joined(msgs):
+        data, events = st.dispatch(msgs, "openchirp/service/x/thing/events")
+        well, _ = st.split_malformed(data)
+        return st.activation_points_join(
+            st.to_points(well), st.parse_service_events(events)
+        )
+
+    out = joined(st.mqtt_file_stream(spark, src))
+    q = (
+        out.writeStream.format("memory").queryName("acts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.device_id, str(r.ts), r.latency_us)
+           for r in spark.sql("SELECT * FROM acts").collect()}
+    assert got == {("d1", "2024-01-01 00:05:00", 300_000_000)}
+
+    batch = joined(spark.read.schema(st.MQTT_SCHEMA).parquet(src))
+    assert {(r.device_id, str(r.ts), r.latency_us)
+            for r in batch.collect()} == got
