@@ -120,3 +120,27 @@ def test_exchange_budget(spark):
     assert plans.exchange_count(qs["rel_pricing_summary"](spark, SF)) == 2
     # last-value per series: one shuffle (window partition), nothing else
     assert plans.exchange_count(qs["ts_last_value"](spark, SF)) == 1
+
+
+def test_pipeline_corpus_never_shuffled_for_labels(spark):
+    """pipeline_training_mix must attach dup-group labels via a
+    BROADCAST join (the label table is candidate-subgraph-sized) — a
+    sort-merge join there would shuffle the whole corpus at 100 TB for
+    a lookup that fits in memory."""
+    from mqtt_influx_storage_service_spark.operators.dedup import release_shingles
+
+    df = all_queries()["pipeline_training_mix"](spark, SF)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian(df)
+    release_shingles(spark)
+
+
+def test_components_assignment_broadcasts_labels(spark):
+    """dedup_components' final corpus assignment joins the subgraph
+    label + size tables by broadcast; the propagation rounds only touch
+    candidate-pair-sized tables."""
+    from mqtt_influx_storage_service_spark.operators.dedup import release_shingles
+
+    df = all_queries()["dedup_components"](spark, SF)
+    assert plans.has_broadcast_join(df)
+    release_shingles(spark)
