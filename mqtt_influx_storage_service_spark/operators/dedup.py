@@ -126,7 +126,7 @@ def release_shingles(spark: SparkSession | None = None) -> int:
     campaign over an sf_dir is done; safe to call at any time — the
     next consumer just re-persists."""
     released = 0
-    for cache in (_SHINGLE_CACHE, _EDGE_CACHE):
+    for cache in (_SHINGLE_CACHE, _EDGE_CACHE, _LABEL_CACHE):
         for key in list(cache):
             if spark is not None and key[0] != spark.sparkContext.applicationId:
                 continue
@@ -283,13 +283,24 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     und = jac.unionByName(exact)
-    sym = und.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        und.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
+    sym = (
+        und.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            und.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        # Hash-partition by the propagation join key BEFORE persisting:
+        # the cached layout would otherwise inherit the jaccard join's
+        # (much wider) partitioning, and every propagation round would
+        # schedule that many near-empty tasks. Partitioning by dst also
+        # co-locates the per-round join on the edge side.
+        .repartition(F.col("dst"))
+        .persist()
+    )
     _EDGE_CACHE[key] = sym
     return sym
+
+
+_LABEL_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
 
 def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,7 +310,17 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton components and are NOT in this table — consumers
     ``coalesce(label, doc_id)`` after a left join, which keeps this
     table candidate-pair-sized (broadcastable) at any corpus scale.
+
+    Persisted (same keyed-cache discipline as :func:`_doc_shingles`,
+    released by :func:`release_shingles`): every consumer reads it at
+    least twice (size rollup + corpus assignment, or the pipeline's
+    broadcast), and each uncached read would re-run the CC_ROUNDS
+    join+agg chain.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, CC_ROUNDS)
+    cached = _LABEL_CACHE.get(key)
+    if cached is not None:
+        return cached
     sym = _dup_edges(spark, sf_dir)
     nodes = sym.select(F.col("src").alias("doc_id")).distinct()
     # Self-loops make "min over neighbors' labels" include the node's
@@ -320,6 +341,8 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dlabel").alias("label"))
             .withColumnRenamed("src", "doc_id")
         )
+    labels = labels.persist()
+    _LABEL_CACHE[key] = labels
     return labels
 
 
