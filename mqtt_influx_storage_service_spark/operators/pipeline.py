@@ -22,7 +22,7 @@ from the operators whose per-piece oracles already pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
@@ -36,6 +36,31 @@ from .textops import (
     quality_feature_cols,
     quality_score_expr,
 )
+
+
+def _curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated survivor set shared by the pipeline queries:
+    (doc_id, n_tokens, quality_score, predicted_lang) for docs that are
+    their dup group's representative AND pass the quality gate. One
+    corpus scan + one broadcast label join."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    feats = docs.select(
+        "doc_id",
+        *quality_feature_cols(),
+        *langid_score_cols(),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        quality_score_expr().alias("quality_score"),
+        langid_pred_expr().alias("predicted_lang"),
+    )
+    labels = _component_labels(spark, sf_dir)
+    return (
+        feats.join(F.broadcast(labels), "doc_id", "left_outer")
+        .filter(F.coalesce("label", "doc_id") == F.col("doc_id"))
+        .filter(F.col("quality_score") >= QUALITY_KEEP_THRESHOLD)
+        .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
+    )
 
 
 def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,23 +80,7 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_score is an exact 7-decimal quantity, so
     ``sum(round(q*1e7)::long) / (n*1e7)`` is exact in both engines.
     """
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    feats = docs.select(
-        "doc_id",
-        *quality_feature_cols(),
-        *langid_score_cols(),
-    ).select(
-        "doc_id",
-        "n_tokens",
-        quality_score_expr().alias("quality_score"),
-        langid_pred_expr().alias("predicted_lang"),
-    )
-    labels = _component_labels(spark, sf_dir)
-    survivors = (
-        feats.join(F.broadcast(labels), "doc_id", "left_outer")
-        .filter(F.coalesce("label", "doc_id") == F.col("doc_id"))
-        .filter(F.col("quality_score") >= QUALITY_KEEP_THRESHOLD)
-    )
+    survivors = _curated_docs(spark, sf_dir)
     scaled_q = F.round(F.col("quality_score") * 1e7).cast("long")
     return survivors.groupBy("predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -82,8 +91,8 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PIPELINE_TRAINING_MIX_SQL = f"""
-WITH RECURSIVE {_edges_cte()}, feats AS (
+# Shared survivors CTE chain (appended after the recursive edges CTE).
+_SURVIVORS_CTE_SQL = f""", feats AS (
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            round(len(list_distinct(string_split(text, ' ')))
@@ -113,6 +122,10 @@ WITH RECURSIVE {_edges_cte()}, feats AS (
     WHERE c.component_id = s.doc_id
       AND s.quality_score >= {QUALITY_KEEP_THRESHOLD}
 )
+"""
+
+PIPELINE_TRAINING_MIX_SQL = f"""
+WITH RECURSIVE {_edges_cte()}{_SURVIVORS_CTE_SQL}
 SELECT predicted_lang,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -123,10 +136,65 @@ GROUP BY predicted_lang
 """
 
 
+# Per-language token budget for the greedy selection query. Sized so
+# the cut bites at the oracle scale (sf0.01 survivors carry ~2-4k
+# tokens per language) without emptying any language.
+TOKEN_BUDGET = 1500
+
+
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: within each predicted language,
+    take curated docs in (quality DESC, doc_id) order while the
+    running token total stays within TOKEN_BUDGET — the final
+    "fill each language's share of the training mix with the best
+    documents" step of a curation campaign.
+
+    The exact formulation is a per-language window cumsum (one shuffle
+    by language; the running sum is computed in integer token counts,
+    so both engines agree exactly). At 100 TB a total order per
+    language is the wrong physical plan — the production path finds
+    the quality CUTOFF via approx quantiles on the (tiny) per-quality
+    token histogram and filters, touching the corpus once with no
+    global sort; the window form here is the semantics those two
+    passes must reproduce.
+    """
+    survivors = _curated_docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("predicted_lang")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        survivors.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select(
+            "doc_id", "predicted_lang", "n_tokens", "quality_score", "cum_tokens"
+        )
+    )
+
+
+PIPELINE_TOKEN_BUDGET_SQL = f"""
+WITH RECURSIVE {_edges_cte()}{_SURVIVORS_CTE_SQL}, ranked AS (
+    SELECT doc_id, predicted_lang, n_tokens, quality_score,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY predicted_lang
+               ORDER BY quality_score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM survivors
+)
+SELECT doc_id, predicted_lang, n_tokens, quality_score, cum_tokens
+FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
 QUERIES = {
     "pipeline_training_mix": pipeline_training_mix,
+    "pipeline_token_budget": pipeline_token_budget,
 }
 
 ORACLES = {
     "pipeline_training_mix": PIPELINE_TRAINING_MIX_SQL,
+    "pipeline_token_budget": PIPELINE_TOKEN_BUDGET_SQL,
 }

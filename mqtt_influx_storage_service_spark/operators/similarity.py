@@ -475,9 +475,52 @@ GROUP BY d.label
 """
 
 
+KNN_K = 3
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus (the
+    SemDeDup / semantic-clustering building block: every vector gets
+    its k best neighbors, not just a fixed query set).
+
+    Candidates come from the 24x2-bit hyperplane block equi-self-join
+    (``_block_candidate_pairs`` — never a cross product), verified with
+    the exact order-stable cosine, symmetrized (each candidate pair
+    feeds both endpoints' neighbor lists), then cut to top-k per vector
+    with a rank window — Spark plans that as WindowGroupLimit, pushing
+    the k-filter below the final sort. Approximate by construction
+    (vectors sharing no block can't be neighbors): rows-only driver
+    check; recall floor vs the exact numpy kNN is pinned in
+    tests/test_similarity.py. Deterministic tie-break:
+    (cosine DESC, neighbor_id ASC).
+    """
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    pairs = _threshold_pairs_verified(emb, -1.0)  # all candidates, scored
+    sym = pairs.select(
+        F.col("id_a").alias("vec_id"),
+        F.col("id_b").alias("neighbor_id"),
+        "cosine",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("vec_id"),
+            F.col("id_a").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_threshold_pairs": sim_threshold_pairs,
+    "sim_knn_graph": sim_knn_graph,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_label_centroid": sim_label_centroid,
     "sim_label_trimmed_norm": sim_label_trimmed_norm,
@@ -488,6 +531,7 @@ ORACLES = {
     "sim_threshold_pairs": SIM_THRESHOLD_PAIRS_SQL,
     "sim_label_centroid": SIM_LABEL_CENTROID_SQL,
     "sim_label_trimmed_norm": SIM_LABEL_TRIMMED_NORM_SQL,
-    # sim_ann_lsh: approximate by construction — rows-only driver check;
-    # recall vs sim_cosine_topk asserted in tests/test_similarity.py.
+    # sim_ann_lsh / sim_knn_graph: approximate by construction —
+    # rows-only driver check; recall floors asserted in
+    # tests/test_similarity.py.
 }

@@ -86,3 +86,49 @@ def test_threshold_and_embedding_dedup_plans_have_no_cross_product(spark, sf_dir
         text = plans.plan_str(fn(spark, sf_dir))
         assert "CartesianProduct" not in text, fn.__name__
         assert "BroadcastNestedLoopJoin" not in text, fn.__name__
+
+
+def test_knn_graph_recall_and_shape(spark, sf_dir):
+    """sim_knn_graph: every vector appears with <= K ranked neighbors,
+    ranks are 1..k with cosine non-increasing, and recall vs the exact
+    numpy kNN clears the pinned floor (the block-candidate generator
+    can't see pairs sharing no block, so it is approximate by design;
+    pairs at the dup threshold must ALWAYS be found)."""
+    import numpy as np
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        KNN_K,
+        SIM_THRESHOLD,
+        sim_knn_graph,
+    )
+
+    rows = sim_knn_graph(spark, sf_dir).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for vid, nbrs in by_vec.items():
+        nbrs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in nbrs] == list(range(1, len(nbrs) + 1))
+        assert len(nbrs) <= KNN_K
+        cos = [r.cosine for r in nbrs]
+        assert cos == sorted(cos, reverse=True)
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    np.fill_diagonal(C, -np.inf)
+    hits = total = 0
+    got = {(r.vec_id, r.neighbor_id) for r in rows}
+    for i, vid in enumerate(ids):
+        order = np.argsort(-C[i], kind="stable")[:KNN_K]
+        for j in order:
+            total += 1
+            hits += (vid, int(ids[j])) in got
+            # true near-dups always survive the block filter
+            if C[i, j] >= SIM_THRESHOLD:
+                assert (vid, int(ids[j])) in got
+    recall = hits / total
+    assert recall >= 0.5, recall
