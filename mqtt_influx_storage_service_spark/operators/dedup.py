@@ -107,17 +107,24 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    out = _shingles_df(docs).persist()
+    _SHINGLE_CACHE[key] = out
+    return out
+
+
+def _shingles_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles, n_shingles) for any (doc_id, text) frame —
+    the un-cached core of :func:`_doc_shingles`, also used to shingle
+    incoming micro-batches in the streaming near-dup screen."""
     tokens = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     ).filter(F.size("toks") >= 3)
     shingled = tokens.select(
         "doc_id", _shingles_of_tokens(F.col("toks")).alias("shingles")
     )
-    out = shingled.select(
+    return shingled.select(
         "doc_id", "shingles", F.size("shingles").alias("n_shingles")
-    ).persist()
-    _SHINGLE_CACHE[key] = out
-    return out
+    )
 
 
 def release_shingles(spark: SparkSession | None = None) -> int:
@@ -577,7 +584,11 @@ def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _doc_shingles already excludes <3-token docs, so every row has
     # >= 1 shingle; re-filtering on n_shingles would push size(<full
     # shingle expr>) below the projection and re-evaluate it per row.
-    ds = _doc_shingles(spark, sf_dir)
+    return _banded_of(_doc_shingles(spark, sf_dir))
+
+
+def _banded_of(ds: DataFrame) -> DataFrame:
+    """Band keys for any shingle frame (see :func:`_minhash_banded`)."""
     rows_per_band = MINHASH_K // MINHASH_BANDS
     sigs = _with_minhash_signature(ds)
     return sigs.select(
@@ -673,6 +684,74 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no orderBy: comparison harnesses sort canonically; a global sort
     # here is a pure range-shuffle tax
     return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def near_dup_screen(
+    new_docs: DataFrame,
+    corpus_shingles: DataFrame,
+    corpus_banded: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Screen a batch of incoming documents against an INDEXED corpus
+    (the at-ingest dedup gate of a training-data pipeline: reject or
+    flag a crawl batch's near-dups before they enter the corpus).
+
+    ``new_docs``: (doc_id, text). ``corpus_shingles`` /
+    ``corpus_banded``: the corpus index (:func:`_doc_shingles` /
+    :func:`_minhash_banded` output — persist or materialize them once
+    per campaign; the batch side is shingled fresh each call).
+    Returns (new_doc_id, corpus_doc_id, jaccard >= threshold).
+
+    Plan shape at scale: the incoming batch is small, so its band keys
+    BROADCAST against the corpus band index (an equi-join — the corpus
+    is probed, never reshuffled, when the index is bucketed by band
+    key on disk); candidates distinct; exact verify via per-pair
+    shingle intersection (array_intersect on the two shingle arrays —
+    candidates are collision-bounded, so this is a narrow join, not an
+    explode).
+    """
+    nds = _shingles_df(new_docs)
+    nbanded = _banded_of(nds)
+    cand = (
+        F.broadcast(
+            nbanded.select(
+                F.col("doc_id").alias("new_doc_id"), "band_idx", "band_sig"
+            )
+        )
+        .join(
+            corpus_banded.select(
+                F.col("doc_id").alias("corpus_doc_id"), "band_idx", "band_sig"
+            ),
+            ["band_idx", "band_sig"],
+        )
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    a = nds.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    b = corpus_shingles.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(F.broadcast(a), "new_doc_id")
+        .join(b, "corpus_doc_id")
+        .withColumn("n_inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc_id", "corpus_doc_id", "jaccard")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,77 @@
+"""Streaming near-dup screen: the at-ingest dedup gate of a
+training-data pipeline. Incoming document micro-batches are screened
+against a static, pre-indexed corpus (MinHash band index + shingle
+table) and matches land in a parquet hit log.
+
+Runs as ``foreachBatch`` on purpose: the per-batch screen needs a
+distinct + two verify joins, which plain streaming operators would
+force into watermarked stateful form for no benefit — the corpus side
+is STATIC (a campaign-scoped snapshot), so each micro-batch is an
+independent bounded join, exactly-once via the checkpoint + batch-id
+idempotence of the sink write. This mirrors the reference's
+foreachBatch MERGE pattern (streaming/ingest.py::start_registry_cdc).
+
+Scale notes: the corpus index is built once per campaign and persisted
+(broadcast only the BATCH side — micro-batches are small; the corpus
+band index is probed through an equi-join and, bucketed by band key on
+disk, never reshuffled). Candidate volume is bounded by band collision
+counts, same as dedup_minhash_lsh.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import (
+    _doc_shingles,
+    _minhash_banded,
+    near_dup_screen,
+)
+
+DOC_STREAM_SCHEMA = "doc_id long, text string"
+
+
+def start_near_dup_screen(
+    spark: SparkSession,
+    source_dir: str,
+    index_sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Tail ``source_dir`` for parquet document batches, screen each
+    micro-batch against the corpus at ``index_sf_dir``, append hits
+    (new_doc_id, corpus_doc_id, jaccard, batch_id) to
+    ``out_dir/near_dup_hits``.
+
+    The corpus shingle + band index builds once (persisted via the
+    dedup module's keyed caches — release with
+    ``operators.dedup.release_shingles`` when the campaign ends); each
+    micro-batch pays only its own shingling plus collision-bounded
+    joins.
+    """
+    corpus_shingles = _doc_shingles(spark, index_sf_dir)
+    corpus_banded = _minhash_banded(spark, index_sf_dir)
+    hits_path = os.path.join(out_dir, "near_dup_hits")
+
+    def screen(batch: DataFrame, batch_id: int) -> None:
+        hits = near_dup_screen(batch, corpus_shingles, corpus_banded)
+        (
+            hits.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(hits_path)
+        )
+
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "screen"))
+        .queryName("near_dup_screen")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -368,3 +368,52 @@ def test_activation_stream_stream_join(spark, tmp_path):
     batch = joined(spark.read.schema(st.MQTT_SCHEMA).parquet(src))
     assert {(r.device_id, str(r.ts), r.latency_us)
             for r in batch.collect()} == got
+
+
+def test_near_dup_screen_stream_matches_batch(spark, tmp_path):
+    """At-ingest near-dup gate: stream two micro-batches of documents
+    against the sf0.001 corpus index — exact copies of corpus docs hit
+    with jaccard 1.0, unrelated text doesn't, and the streamed hit log
+    equals the batch screen of the same input."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        _doc_shingles,
+        _minhash_banded,
+        near_dup_screen,
+        release_shingles,
+    )
+    from mqtt_influx_storage_service_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    corpus = load_table(spark, sf, "documents")
+    copies = (
+        corpus.orderBy("doc_id").limit(4)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    novel = spark.createDataFrame(
+        [(200001, "zzq yyx wwv uuk ttj ssh rrg")], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src")
+    copies.coalesce(1).write.parquet(src)
+    novel.coalesce(1).write.mode("append").parquet(src)
+
+    q = st.start_near_dup_screen(
+        spark, src, sf, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    hits = spark.read.parquet(str(tmp_path / "out" / "near_dup_hits"))
+    got = {(r.new_doc_id, r.corpus_doc_id, r.jaccard) for r in hits.collect()}
+
+    # every copied doc matches its source with jaccard 1.0
+    expect_exact = {(d + 100000, d) for d in
+                    [r.doc_id for r in corpus.orderBy("doc_id").limit(4).collect()]}
+    assert expect_exact <= {(a, b) for a, b, _ in got}
+    assert all(j == 1.0 for a, b, j in got if (a, b) in expect_exact)
+    assert not any(a == 200001 for a, _, _ in got)
+
+    batch_docs = spark.read.schema(st.screen.DOC_STREAM_SCHEMA).parquet(src)
+    batch = near_dup_screen(
+        batch_docs, _doc_shingles(spark, sf), _minhash_banded(spark, sf)
+    )
+    assert {(r.new_doc_id, r.corpus_doc_id, r.jaccard)
+            for r in batch.collect()} == got
+    release_shingles(spark)
