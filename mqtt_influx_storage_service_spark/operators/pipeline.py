@@ -189,12 +189,171 @@ FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
 
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) via a scalable two-level prefix sum
+# --------------------------------------------------------------------------
+
+SEQ_LEN = 512          # tokens per packed training sequence
+PACK_BUCKET = 1000     # doc_ids per prefix-sum bucket
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents concatenated in
+    doc_id order and split every SEQ_LEN tokens — for each doc, its
+    global token offset and the first/last training sequence it lands
+    in (how a pretraining loader actually packs a corpus).
+
+    The global exclusive prefix sum is computed WITHOUT a global-order
+    window (which would funnel 100 TB through one task): docs fold into
+    PACK_BUCKET-sized doc_id buckets, each bucket cumsums locally
+    (window partitioned by bucket), bucket totals — a relation ~1/1000
+    the corpus size — take the only cross-bucket window, and the bucket
+    offsets broadcast back. Two narrow shuffles + one tiny window; no
+    driver-side work, fully lazy.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
+    )
+    w_intra = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = d.withColumn(
+        "intra", F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0))
+    )
+    w_buck = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn(
+            "bucket_offset",
+            F.coalesce(F.sum("bucket_tokens").over(w_buck), F.lit(0)),
+        )
+        .select("bucket", "bucket_offset")
+    )
+    start = F.col("bucket_offset") + F.col("intra")
+    last_tok = start + F.col("n_tokens") - 1
+    return (
+        intra.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.cast("long").alias("start_offset"),
+            F.floor(start / SEQ_LEN).cast("long").alias("first_seq"),
+            F.floor(last_tok / SEQ_LEN).cast("long").alias("last_seq"),
+            (F.floor(last_tok / SEQ_LEN) - F.floor(start / SEQ_LEN) + 1)
+            .cast("long")
+            .alias("n_seqs"),
+        )
+    )
+
+
+PIPELINE_PACK_SEQUENCES_SQL = f"""
+WITH d AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), c AS (
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_offset
+    FROM d
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / {SEQ_LEN}) AS BIGINT) AS first_seq,
+       CAST(floor((start_offset + n_tokens - 1) / {SEQ_LEN}) AS BIGINT)
+           AS last_seq,
+       CAST(floor((start_offset + n_tokens - 1) / {SEQ_LEN})
+            - floor(start_offset / {SEQ_LEN}) + 1 AS BIGINT) AS n_seqs
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified reproducible sampling (per-language quota by hash order)
+# --------------------------------------------------------------------------
+
+SAMPLE_BUDGET = 200    # total docs across all strata
+# LCG over doc_id — a seedable, engine-portable stand-in for rand():
+# identical integers in Spark and DuckDB, so the sample is reproducible
+# across engines and runs (the property `rand()` cannot give).
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648
+
+
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus downsample: an equal per-language quota of
+    SAMPLE_BUDGET total docs, members chosen by deterministic LCG-hash
+    order (reproducible 'random' — the seed is the formula). The
+    rebalancing step a curation campaign runs to pin a target language
+    mix before training.
+
+    One window per stratum (shuffle by lang) over hash rank; the quota
+    derives from a 1-row distinct-count aggregate broadcast onto every
+    row — fully lazy, no driver-side count. Integer ceil-division for
+    the quota: no float thresholds anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M).alias("hkey"),
+    )
+    k = docs.select(
+        F.countDistinct("lang").alias("n_strata")
+    )  # 1 row, broadcast below
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    ranked = hashed.withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    )
+    quota = F.floor(
+        (F.lit(SAMPLE_BUDGET) + F.col("n_strata") - 1) / F.col("n_strata")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("sample_rank") <= quota)
+        .select(
+            "doc_id", "lang", "sample_rank", quota.cast("long").alias("quota")
+        )
+    )
+
+
+PIPELINE_STRATIFIED_SAMPLE_SQL = f"""
+WITH h AS (
+    SELECT doc_id, lang,
+           (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS hkey
+    FROM documents
+), k AS (
+    SELECT count(DISTINCT lang) AS n_strata FROM documents
+), r AS (
+    SELECT doc_id, lang, hkey,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id)
+                AS BIGINT) AS sample_rank
+    FROM h
+)
+SELECT doc_id, lang, sample_rank,
+       CAST(floor(({SAMPLE_BUDGET} + n_strata - 1) / n_strata) AS BIGINT)
+           AS quota
+FROM r, k
+WHERE sample_rank <= floor(({SAMPLE_BUDGET} + n_strata - 1) / n_strata)
+"""
+
+
 QUERIES = {
     "pipeline_training_mix": pipeline_training_mix,
     "pipeline_token_budget": pipeline_token_budget,
+    "pipeline_pack_sequences": pipeline_pack_sequences,
+    "pipeline_stratified_sample": pipeline_stratified_sample,
 }
 
 ORACLES = {
     "pipeline_training_mix": PIPELINE_TRAINING_MIX_SQL,
     "pipeline_token_budget": PIPELINE_TOKEN_BUDGET_SQL,
+    "pipeline_pack_sequences": PIPELINE_PACK_SEQUENCES_SQL,
+    "pipeline_stratified_sample": PIPELINE_STRATIFIED_SAMPLE_SQL,
 }

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .dedup import _SHINGLES_SQL as _DEDUP_SHINGLES_SQL
+from .dedup import _shingles_of_tokens
 
 def _tokens() -> F.Column:
     """Lazy: F.col needs an active SparkContext (classic API)."""
@@ -418,8 +420,189 @@ FROM per_doc GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out eval set)
+# --------------------------------------------------------------------------
+
+# Every 50th doc stands in for the benchmark/eval set (deterministic ~2%
+# of the corpus); a training doc sharing ANY 5-gram with it is flagged.
+CONTAM_N = 5
+CONTAM_BENCH_MOD = 50
+
+
+def _grams_of_tokens(toks: F.Column, n: int) -> F.Column:
+    """Distinct word n-grams of a MATERIALIZED token-array column (same
+    re-inlining discipline as dedup._shingles_of_tokens — never pass an
+    inline ``split``). Caller guarantees ``size(toks) >= n``."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for each training doc, the number and
+    share of its distinct 5-grams that also occur anywhere in the eval
+    set (docs with ``doc_id % 50 == 0``) — the pre-training hygiene
+    pass that keeps eval questions out of the corpus.
+
+    Plan shape at scale: the eval side is tiny (eval suites are MBs
+    against a 100 TB corpus), so its distinct-gram set BROADCASTS; the
+    corpus explodes its grams map-side, probes the broadcast, and the
+    per-doc count collapses in the map-side partial aggregate (a doc's
+    grams never leave their partition) — one shuffle of one row per
+    doc, no corpus-vs-corpus join.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
+        F.size("toks") >= CONTAM_N
+    )
+    grams = toked.select(
+        "doc_id", _grams_of_tokens(F.col("toks"), CONTAM_N).alias("grams")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0).select(
+        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram", "left_outer")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("hit").alias("n_hit"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contamination"),
+            (F.col("n_hit") > 0).alias("flagged"),
+        )
+    )
+
+
+TEXT_CONTAMINATION_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, len(t) - {CONTAM_N - 2}),
+               i -> array_to_string(t[i:i+{CONTAM_N - 1}], ' '))) AS grams
+    FROM toks WHERE len(t) >= {CONTAM_N}
+), bench AS (
+    SELECT DISTINCT unnest(grams) AS gram
+    FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+), corpus AS (
+    SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+    FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} <> 0
+)
+SELECT c.doc_id, c.n_grams,
+       CAST(count(b.gram) AS BIGINT) AS n_hit,
+       round(count(b.gram) * 1.0 / c.n_grams, 6) AS contamination,
+       count(b.gram) > 0 AS flagged
+FROM corpus c LEFT JOIN bench b USING (gram)
+GROUP BY c.doc_id, c.n_grams
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-source boilerplate detection (shared-shingle frequency)
+# --------------------------------------------------------------------------
+
+# A trigram shingle is boilerplate within a source when it appears in
+# >= 1/BOILER_SHARE_DIV of the source's docs (integer compare: no float
+# threshold) and in >= BOILER_MIN_DOCS docs absolutely.
+BOILER_SHARE_DIV = 5
+BOILER_MIN_DOCS = 5
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate share per document: the fraction of each doc's
+    distinct trigram shingles that are 'boilerplate' for its source
+    (shared by >= 20% and >= 5 of the source's docs) — the
+    header/footer/nav-chrome detector of a crawl-curation pipeline.
+
+    Plan shape at scale: shingle-frequency counting is one map-side
+    combinable shuffle on (source, shingle); the resulting boilerplate
+    set is small by construction (only high-frequency shingles survive)
+    and BROADCASTS back onto the exploded corpus, so the per-doc rollup
+    again collapses map-side. The share threshold is integer arithmetic
+    ({BOILER_SHARE_DIV} * doc_freq >= source_docs) — no float compare.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toked = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    grams = toked.select(
+        "doc_id", "source", _shingles_of_tokens(F.col("toks")).alias("grams")
+    )
+    totals = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_s"))
+    exploded = grams.select(
+        "doc_id", "source", F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    gcounts = exploded.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).alias("n_docs_g")
+    )
+    boiler = (
+        gcounts.join(F.broadcast(totals), "source")
+        .filter(
+            (F.col("n_docs_g") >= BOILER_MIN_DOCS)
+            & (F.col("n_docs_g") * BOILER_SHARE_DIV >= F.col("n_docs_s"))
+        )
+        .select("source", "gram")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exploded.join(F.broadcast(boiler), ["source", "gram"], "left_outer")
+        .groupBy("doc_id", "source", "n_grams")
+        .agg(F.count("hit").alias("n_boiler"))
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_grams"), 6).alias("boiler_ratio"),
+        )
+    )
+
+
+TEXT_BOILERPLATE_SQL = f"""
+WITH grams AS (
+    SELECT doc_id, source, {_DEDUP_SHINGLES_SQL} AS grams
+    FROM documents WHERE len(string_split(text, ' ')) >= 3
+), totals AS (
+    SELECT source, count(*) AS n_docs_s FROM grams GROUP BY source
+), exploded AS (
+    SELECT doc_id, source, len(grams) AS n_grams, unnest(grams) AS gram
+    FROM grams
+), gcounts AS (
+    SELECT source, gram, count(*) AS n_docs_g
+    FROM exploded GROUP BY source, gram
+), boiler AS (
+    SELECT g.source, g.gram
+    FROM gcounts g JOIN totals t USING (source)
+    WHERE g.n_docs_g >= {BOILER_MIN_DOCS}
+      AND g.n_docs_g * {BOILER_SHARE_DIV} >= t.n_docs_s
+)
+SELECT e.doc_id, e.source, e.n_grams,
+       CAST(count(b.gram) AS BIGINT) AS n_boiler,
+       round(count(b.gram) * 1.0 / e.n_grams, 6) AS boiler_ratio
+FROM exploded e
+LEFT JOIN boiler b ON b.source = e.source AND b.gram = e.gram
+GROUP BY e.doc_id, e.source, e.n_grams
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_contamination": text_contamination,
+    "text_boilerplate": text_boilerplate,
     "text_regex_tokens": text_regex_tokens,
     "text_word_freq": text_word_freq,
     "text_tfidf_top": text_tfidf_top,
@@ -430,6 +613,8 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_contamination": TEXT_CONTAMINATION_SQL,
+    "text_boilerplate": TEXT_BOILERPLATE_SQL,
     "text_regex_tokens": TEXT_REGEX_TOKENS_SQL,
     "text_word_freq": TEXT_WORD_FREQ_SQL,
     "text_tfidf_top": TEXT_TFIDF_TOP_SQL,

@@ -1002,7 +1002,160 @@ GROUP BY c.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly screen (InfluxQL/Kapacitor-style alerting over
+# the narrow point stream — the monitoring query a fleet operator runs
+# on the reference's stored series)
+# --------------------------------------------------------------------------
+
+ZSCORE_FRAME = 100      # trailing rows per event_type (incl. current)
+ZSCORE_MIN_N = 30       # don't score until the window has warmed up
+ZSCORE_CUT = 3.0
+
+
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points whose value deviates > 3 sample-stdevs from the trailing
+    100-point window of their event_type — rolling z-score anomaly
+    detection over the narrow layout.
+
+    Determinism: the window sums are computed over exact integer cents
+    (``round(value*100)::long``), so mean/variance derive from
+    identical integers in both engines; z is then one fixed IEEE
+    expression on those integers (the cent scale cancels out of z), and
+    zero-variance windows are excluded before any division.
+
+    Scale notes: partitionBy(event_type) alone would funnel each type
+    through one task at 100 TB — the production layout sub-buckets the
+    window by (event_type, day) with a ZSCORE_FRAME-row carry-in tail
+    from the previous bucket (the same pattern ts_sliding_agg
+    documents); semantics here are the spec that plan must reproduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v100 = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ZSCORE_FRAME - 1), Window.currentRow)
+    )
+    stats = ev.select(
+        "event_id", "event_type", "ts", "value", v100.alias("v100")
+    ).select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        "v100",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v100").over(w).alias("s"),
+        F.sum(F.col("v100") * F.col("v100")).over(w).alias("ss"),
+    )
+    # Sample variance in cent units from the exact sums; z is
+    # scale-invariant so the /100 never needs to happen.
+    var_num = F.col("ss") - F.col("s") * F.col("s") / F.col("n")
+    z = (F.col("v100") - F.col("s") / F.col("n")) / F.sqrt(
+        var_num / (F.col("n") - 1)
+    )
+    return (
+        stats.filter(
+            (F.col("n") >= ZSCORE_MIN_N)
+            & (var_num > 0)
+            & (F.abs(z) > ZSCORE_CUT)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+TS_ANOMALY_ZSCORE_SQL = f"""
+WITH c AS (
+    SELECT event_id, event_type, ts, value,
+           CAST(round(value * 100) AS BIGINT) AS v100
+    FROM events
+), s AS (
+    SELECT event_id, event_type, ts, value, v100,
+           count(*) OVER w AS n,
+           CAST(sum(v100) OVER w AS BIGINT) AS s,
+           CAST(sum(v100 * v100) OVER w AS BIGINT) AS ss
+    FROM c
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN {ZSCORE_FRAME - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, ts, value,
+       round((v100 - s / n) / sqrt((ss - s * s / n) / (n - 1)), 4) AS zscore
+FROM s
+WHERE n >= {ZSCORE_MIN_N}
+  AND (ss - s * s / n) > 0
+  AND abs((v100 - s / n) / sqrt((ss - s * s / n) / (n - 1))) > {ZSCORE_CUT}
+"""
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention (product-analytics rollup over the event stream)
+# --------------------------------------------------------------------------
+
+def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by the week of
+    their first event; for each (cohort_week, weeks-since-cohort) cell,
+    the count of distinct cohort members active that week.
+
+    Both engines truncate to Monday-start weeks; week distance is exact
+    integer arithmetic on epoch seconds (week-truncated stamps are
+    exact multiples of 604800 apart, so floor-division is lossless).
+
+    Scale notes: two shuffles — per-user min (map-side combinable) and
+    the distinct-user count per cell (Spark expands distinct into a
+    two-stage partial/merge). The cohort dimension is tiny and
+    broadcast back onto the activity stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        weekly.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+                / 604800
+            )
+            .cast("int")
+            .alias("week_n"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+TS_RETENTION_SQL = """
+WITH cohorts AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+), weekly AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+    FROM events
+)
+SELECT c.cohort_week,
+       CAST(floor((epoch(w.week) - epoch(c.cohort_week)) / 604800) AS INT)
+           AS week_n,
+       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+FROM weekly w JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "ts_anomaly_zscore": ts_anomaly_zscore,
+    "ts_retention": ts_retention,
     "ts_series_scan": ts_series_scan,
     "ts_moving_avg": ts_moving_avg,
     "ts_sliding_agg": ts_sliding_agg,
@@ -1024,6 +1177,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_anomaly_zscore": TS_ANOMALY_ZSCORE_SQL,
+    "ts_retention": TS_RETENTION_SQL,
     "ts_series_scan": TS_SERIES_SCAN_SQL,
     "ts_moving_avg": TS_MOVING_AVG_SQL,
     "ts_sliding_agg": TS_SLIDING_AGG_SQL,

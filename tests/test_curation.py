@@ -1,0 +1,193 @@
+"""Semantics + plan-shape tests for the round-2 curation/analytics
+queries (contamination, boilerplate, sequence packing, stratified
+sampling, rolling z-score anomalies, cohort retention).
+
+The DuckDB oracle gate proves value equality; these tests pin the
+SEMANTIC invariants on planted fixtures and the PLAN properties that
+matter at 100 TB (broadcast direction, no global-order window over the
+corpus, map-side-collapsible rollups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mqtt_influx_storage_service_spark import plans
+from mqtt_influx_storage_service_spark.operators import all_queries
+from mqtt_influx_storage_service_spark.operators.pipeline import (
+    PACK_BUCKET,
+    SAMPLE_BUDGET,
+    SEQ_LEN,
+)
+from mqtt_influx_storage_service_spark.operators.textops import (
+    CONTAM_BENCH_MOD,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# text_contamination
+# --------------------------------------------------------------------------
+
+def test_contamination_flags_eval_copies(spark):
+    """A training doc that IS a copy of an eval doc must be flagged at
+    contamination 1.0, and no benchmark doc may appear in the output."""
+    out = all_queries()["text_contamination"](spark, SF)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert all(d % CONTAM_BENCH_MOD != 0 for d in rows)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench_texts = {
+        r.text
+        for r in docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).collect()
+    }
+    copies = [
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0).collect()
+        if r.text in bench_texts and len(r.text.split()) >= 5
+    ]
+    for d in copies:
+        assert rows[d].flagged and rows[d].contamination == 1.0
+    # and flagged docs are a strict subset (unrelated docs survive)
+    assert sum(1 for r in rows.values() if not r.flagged) > 0
+
+
+def test_contamination_broadcasts_eval_side_only(spark):
+    """The eval-gram set must ride a broadcast; the corpus side must
+    never be broadcast or cross-joined."""
+    df = all_queries()["text_contamination"](spark, SF)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian(df)
+
+
+# --------------------------------------------------------------------------
+# text_boilerplate
+# --------------------------------------------------------------------------
+
+def test_boilerplate_ratio_bounds_and_coverage(spark):
+    """Every >=3-token doc appears exactly once; ratios live in [0,1];
+    a doc's boilerplate count never exceeds its gram count."""
+    out = all_queries()["text_boilerplate"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_eligible = docs.filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    ).count()
+    assert len(out) == n_eligible
+    for r in out:
+        assert 0 <= r.n_boiler <= r.n_grams
+        assert 0.0 <= r.boiler_ratio <= 1.0
+
+
+# --------------------------------------------------------------------------
+# pipeline_pack_sequences
+# --------------------------------------------------------------------------
+
+def test_pack_sequences_is_exact_concat_chunk(spark):
+    """The two-level prefix sum must equal the naive global cumsum:
+    offsets are dense (each doc starts where the previous ended) and
+    seq spans match the arithmetic."""
+    out = sorted(
+        all_queries()["pipeline_pack_sequences"](spark, SF).collect(),
+        key=lambda r: r.doc_id,
+    )
+    expect_start = 0
+    for r in out:
+        assert r.start_offset == expect_start
+        assert r.first_seq == r.start_offset // SEQ_LEN
+        assert r.last_seq == (r.start_offset + r.n_tokens - 1) // SEQ_LEN
+        assert r.n_seqs == r.last_seq - r.first_seq + 1
+        expect_start += r.n_tokens
+
+
+def test_pack_sequences_no_global_window_over_corpus(spark):
+    """The single-partition exchange may only ever see the bucket
+    aggregate relation (~corpus/PACK_BUCKET rows), never the corpus:
+    the full-relation window is partitioned by bucket."""
+    df = all_queries()["pipeline_pack_sequences"](spark, SF)
+    plan = plans.plan_str(df)
+    # the corpus-wide window runs partitioned by bucket
+    assert "partitionBy" not in plan  # formatted mode spells specs below
+    windows = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    corpus_windows = [w for w in windows if "doc_id" in w]
+    assert corpus_windows and all("bucket" in w for w in corpus_windows)
+    assert PACK_BUCKET >= 1000
+
+
+# --------------------------------------------------------------------------
+# pipeline_stratified_sample
+# --------------------------------------------------------------------------
+
+def test_stratified_sample_quota_and_determinism(spark):
+    out = all_queries()["pipeline_stratified_sample"](spark, SF)
+    rows = out.collect()
+    langs = {r.lang for r in rows}
+    per = {l: sorted(r.doc_id for r in rows if r.lang == l) for l in langs}
+    quota = rows[0].quota
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_strata = docs.select("lang").distinct().count()
+    assert quota == -(-SAMPLE_BUDGET // n_strata)  # ceil division
+    for l, ids in per.items():
+        assert len(ids) <= quota
+    # reproducible: a second run returns the identical member set
+    again = all_queries()["pipeline_stratified_sample"](spark, SF).collect()
+    assert {(r.doc_id, r.lang) for r in again} == {
+        (r.doc_id, r.lang) for r in rows
+    }
+
+
+# --------------------------------------------------------------------------
+# ts_anomaly_zscore
+# --------------------------------------------------------------------------
+
+def test_anomaly_zscore_flags_are_extreme(spark):
+    """Every flagged point must be > 3 sample stdevs from its trailing
+    window mean, recomputed independently here per flagged row."""
+    out = all_queries()["ts_anomaly_zscore"](spark, SF).collect()
+    assert out, "fixture should contain at least one 3-sigma point"
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    recheck = {
+        (r[0], round(r[1], 4))
+        for r in con.sql(
+            """
+            WITH c AS (SELECT event_id, event_type, ts, value,
+                              CAST(round(value*100) AS BIGINT) v100 FROM events),
+            s AS (SELECT event_id, v100,
+                         count(*) OVER w n,
+                         CAST(sum(v100) OVER w AS BIGINT) s,
+                         CAST(sum(v100*v100) OVER w AS BIGINT) ss
+                  FROM c WINDOW w AS (PARTITION BY event_type
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN 99 PRECEDING AND CURRENT ROW))
+            SELECT event_id,
+                   (v100 - s/n) / sqrt((ss - s*s/n)/(n-1)) z
+            FROM s WHERE n >= 30 AND (ss - s*s/n) > 0
+              AND abs((v100 - s/n) / sqrt((ss - s*s/n)/(n-1))) > 3
+            """
+        ).fetchall()
+    }
+    assert {(r.event_id, r.zscore) for r in out} == recheck
+    assert all(abs(r.zscore) > 3 for r in out)
+
+
+# --------------------------------------------------------------------------
+# ts_retention
+# --------------------------------------------------------------------------
+
+def test_retention_week_zero_covers_every_user(spark):
+    """Every user is active in their own cohort week, so summing the
+    week_n=0 cells recovers the distinct-user count; week_n >= 0
+    everywhere."""
+    out = all_queries()["ts_retention"](spark, SF).collect()
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert all(r.week_n >= 0 for r in out)
+    assert sum(r.n_users for r in out if r.week_n == 0) == n_users
