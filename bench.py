@@ -45,6 +45,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "pipeline_training_mix",
+    "pipeline_pack_sequences",
+    "text_contamination",
+    "ts_anomaly_zscore",
     "sim_cosine_topk",
     "text_tfidf_top",
     "text_regex_tokens",

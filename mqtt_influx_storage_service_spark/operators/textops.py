@@ -459,22 +459,32 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks")).filter(
         F.size("toks") >= CONTAM_N
     )
-    grams = toked.select(
-        "doc_id", _grams_of_tokens(F.col("toks"), CONTAM_N).alias("grams")
-    )
+    # Two structural rules keep the gram pipeline single-evaluation and
+    # codegen-friendly (each measured ~5x at sf0.1):
+    # (1) n_grams is count(*) AFTER the explode (grams are distinct per
+    #     doc) — a sibling size("grams") would re-inline the transform
+    #     and build every gram twice (dedup.py's re-inlining trap);
+    # (2) explode(<gram expr>) lives in the SAME projection as the
+    #     expression — alias-then-explode materializes the array in one
+    #     codegen stage and re-copies it through a detached Generate
+    #     (1.7s vs 0.3s for the corpus side).
+    gram_expr = _grams_of_tokens(F.col("toks"), CONTAM_N)
     bench = (
-        grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
-        .select(F.explode("grams").alias("gram"))
+        toked.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select(F.explode(gram_expr).alias("gram"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    corpus = grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0).select(
-        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+    corpus = toked.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0).select(
+        "doc_id", F.explode(gram_expr).alias("gram")
     )
     return (
         corpus.join(F.broadcast(bench), "gram", "left_outer")
-        .groupBy("doc_id", "n_grams")
-        .agg(F.count("hit").alias("n_hit"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
         .select(
             "doc_id",
             "n_grams",
@@ -538,13 +548,14 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select(
         "doc_id", "source", F.split(F.col("text"), " ").alias("toks")
     ).filter(F.size("toks") >= 3)
-    grams = toked.select(
-        "doc_id", "source", _shingles_of_tokens(F.col("toks")).alias("grams")
-    )
-    totals = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_s"))
-    exploded = grams.select(
-        "doc_id", "source", F.size("grams").alias("n_grams"),
-        F.explode("grams").alias("gram"),
+    totals = toked.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_s"))
+    # Same structure rules as text_contamination: no sibling
+    # size("grams") (n_grams = count(*) in the final rollup), and the
+    # explode wraps the shingle expression inline in one projection.
+    exploded = toked.select(
+        "doc_id",
+        "source",
+        F.explode(_shingles_of_tokens(F.col("toks"))).alias("gram"),
     )
     gcounts = exploded.groupBy("source", "gram").agg(
         F.count(F.lit(1)).alias("n_docs_g")
@@ -560,8 +571,11 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         exploded.join(F.broadcast(boiler), ["source", "gram"], "left_outer")
-        .groupBy("doc_id", "source", "n_grams")
-        .agg(F.count("hit").alias("n_boiler"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.count("hit").alias("n_boiler"),
+        )
         .select(
             "doc_id",
             "source",
