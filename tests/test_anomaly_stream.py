@@ -1,0 +1,135 @@
+"""Streaming anomaly alerts + continuous rollup: stream/batch
+agreement and exactly-once MERGE semantics.
+
+The batch truth is ``ts_anomaly_zscore`` (oracle-checked against
+DuckDB), so stream == batch transitively proves the stream against the
+oracle too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import mqtt_influx_storage_service_spark.streaming as st
+from mqtt_influx_storage_service_spark.operators import all_queries
+from mqtt_influx_storage_service_spark.sources import load_table
+from mqtt_influx_storage_service_spark.streaming.anomaly import (
+    _additive_combine,
+    rollup_partials,
+)
+from mqtt_influx_storage_service_spark.tableformat import SnapshotTable
+
+SF = "/root/testdata/sf0.001"
+
+
+def _event_batches(spark, tmp_path, n_batches=3):
+    """Replay the fixture events as n time-ordered parquet batches
+    (arrival order == event-time order, the in-order case the rolling
+    state semantics assume)."""
+    ev = (
+        load_table(spark, SF, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.count()
+    per = rows // n_batches + 1
+    src = str(tmp_path / "src")
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    for b in range(n_batches):
+        (
+            ranked.filter(
+                (F.col("rn") > b * per) & (F.col("rn") <= (b + 1) * per)
+            )
+            .drop("rn")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    return src
+
+
+def test_anomaly_alert_stream_matches_batch(spark, tmp_path):
+    src = _event_batches(spark, tmp_path)
+    q = st.start_anomaly_alerts(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_id, r.zscore)
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / "anomaly_alerts")
+        ).collect()
+    }
+    want = {
+        (r.event_id, r.zscore)
+        for r in all_queries()["ts_anomaly_zscore"](spark, SF).collect()
+    }
+    assert got == want
+    assert want, "fixture must contain at least one alert"
+
+
+def test_continuous_rollup_converges_and_replays_idempotently(
+    spark, tmp_path
+):
+    src = _event_batches(spark, tmp_path)
+    table_path = str(tmp_path / "rollup")
+    q = st.start_continuous_rollup(
+        spark, src, table_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    table = SnapshotTable(
+        spark, table_path, key_cols=["day", "event_type"],
+        schema="day timestamp, event_type string, n long, sum100 long",
+    )
+    # 1. the incremental rollup equals the from-scratch batch rollup
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    want = {
+        (str(r.day), r.event_type, r.n, r.sum100)
+        for r in rollup_partials(ev).collect()
+    }
+    got = {
+        (str(r.day), r.event_type, r.n, r.sum100)
+        for r in table.read().collect()
+    }
+    assert got == want
+    # 2. replaying an applied batch id is a no-op (exactly-once)
+    some_batch = rollup_partials(ev.limit(50))
+    applied = sorted(table.applied_batch_ids())
+    assert applied, "stream must have applied at least one batch"
+    assert table.merge(some_batch, batch_id=applied[0]) is False
+    assert {
+        (str(r.day), r.event_type, r.n, r.sum100)
+        for r in table.read().collect()
+    } == want
+    # 3. the user-facing view derives avg from exact partials
+    view = {
+        (str(r.day), r.event_type): (r.n, r.avg_value)
+        for r in st.rollup_view(table).collect()
+    }
+    for (day, et, n, sum100) in want:
+        vn, avg = view[(day, et)]
+        assert vn == n
+        assert avg == round((sum100 / 100.0) / n, 6)
+
+
+def test_additive_combine_is_slicing_invariant(spark):
+    """Any micro-batch slicing of the stream MERGEs to the same table:
+    fold partials in two different slicings and compare."""
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    a1 = rollup_partials(ev.filter(F.col("event_id") % 2 == 0))
+    a2 = rollup_partials(ev.filter(F.col("event_id") % 2 == 1))
+    b1 = rollup_partials(ev.filter(F.col("event_id") < 100))
+    b2 = rollup_partials(ev.filter(F.col("event_id") >= 100))
+    fold_a = _additive_combine(a1, a2)
+    fold_b = _additive_combine(b1, b2)
+    key = lambda r: (str(r.day), r.event_type, r.n, r.sum100)  # noqa: E731
+    assert {key(r) for r in fold_a.collect()} == {
+        key(r) for r in fold_b.collect()
+    }
