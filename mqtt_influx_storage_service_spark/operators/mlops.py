@@ -14,10 +14,13 @@ recall pinned against the exact baselines in tests/test_mlops.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.ml.feature import BucketedRandomProjectionLSH, HashingTF, MinHashLSH
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..sources import load_table
 from .dedup import JACCARD_THRESHOLD, _doc_shingles
@@ -247,10 +250,191 @@ def sim_ann_ivf(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF-PQ: product quantization + asymmetric distance + exact re-rank
+# --------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces (64 dims -> 8 x 8-dim subvectors)
+PQ_KS = 16        # centroids per subspace (4-bit codes)
+PQ_SAMPLE = 2048  # training sample cap (flat in corpus size)
+PQ_RERANK = 32    # ADC candidates re-ranked with exact vectors
+
+
+def _pq_train(sample: "np.ndarray") -> "np.ndarray":
+    """Per-subspace Lloyd k-means codebooks (PQ_M, PQ_KS, d/PQ_M) —
+    deterministic (fixed seed, fixed iteration count), pure numpy on a
+    driver-side sample. This is faiss's PQ training regime: a bounded
+    sample, so training cost is FLAT as the corpus grows."""
+    n, d = sample.shape
+    sub = d // PQ_M
+    rng = np.random.RandomState(42)
+    books = np.empty((PQ_M, PQ_KS, sub))
+    for m in range(PQ_M):
+        X = sample[:, m * sub:(m + 1) * sub]
+        C = X[rng.choice(n, PQ_KS, replace=False)].copy()
+        for _ in range(10):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(PQ_KS):
+                pts = X[a == j]
+                if len(pts):
+                    C[j] = pts.mean(axis=0)
+        books[m] = C
+    return books
+
+
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k: coarse k-means lists (as sim_ann_ivf) +
+    product-quantized codes per vector (PQ_M 4-bit codes = 4 bytes for
+    a 256-byte vector, the 64x memory compression that makes
+    billion-vector indexes RAM-resident), asymmetric-distance scoring
+    against per-query lookup tables, exact re-rank of the PQ_RERANK
+    best.
+
+    Spark shape: encode is one Arrow-vectorized pandas UDF over the
+    corpus (einsum per batch, no per-row Python); probing is the same
+    broadcast equi-join on cluster id as sim_ann_ivf (never a cross
+    join); ADC scoring is a second vectorized UDF whose closure holds
+    the (PQ_M x PQ_KS x sub) codebooks — per-batch LUT build via one
+    einsum, gather via take_along_axis. At 10^9 vectors the scored
+    relation carries 4-byte codes instead of 256-byte vectors — the
+    whole point of PQ — and only PQ_RERANK rows per query rejoin the
+    full vectors. Approx-by-construction: rows-only driver check;
+    recall floor + all-lists-probed sanity pinned in tests/test_mlops.py.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    unit = _unit_vectors(spark, sf_dir)
+    feats = unit.select(
+        "vec_id", "unit", array_to_vector("unit").alias("features")
+    )
+    n_vecs = feats.count()
+    stride = max(1, n_vecs // max(IVF_K * 128, PQ_SAMPLE))
+    train = feats.filter(F.col("vec_id") % stride == 0).coalesce(8)
+    model = KMeans(
+        k=IVF_K, seed=42, maxIter=5, initMode="random",
+        featuresCol="features", predictionCol="cluster",
+    ).fit(train)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    # PQ codebooks from the SAME bounded sample (driver-side numpy —
+    # PQ_SAMPLE x 64 doubles, the deliberate flat-cost materialization
+    # this module already uses for centroids).
+    sample = np.array(
+        [r.unit for r in train.select("unit").limit(PQ_SAMPLE).collect()]
+    )
+    books = _pq_train(sample)
+    sub = books.shape[2]
+
+    @pandas_udf("array<int>")
+    def _encode(units: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v) for v in units.to_numpy()])
+        X = X.reshape(len(X), PQ_M, sub)
+        # (n, M, KS) distances via ||x||^2 - 2 x.c + ||c||^2 ; argmin
+        d2 = (
+            (X ** 2).sum(axis=2, keepdims=True)
+            - 2 * np.einsum("nms,mks->nmk", X, books)
+            + (books ** 2).sum(axis=2)[None, :, :]
+        )
+        codes = d2.argmin(axis=2).astype(np.int32)
+        return pd.Series(list(codes))
+
+    @pandas_udf("double")
+    def _adc(q_units: pd.Series, codes: pd.Series) -> pd.Series:
+        Q = np.stack([np.asarray(v) for v in q_units.to_numpy()])
+        Q = Q.reshape(len(Q), PQ_M, sub)
+        lut = np.einsum("nms,mks->nmk", Q, books)     # (n, M, KS)
+        C = np.stack([np.asarray(c) for c in codes.to_numpy()])  # (n, M)
+        score = np.take_along_axis(lut, C[:, :, None], axis=2)[:, :, 0].sum(
+            axis=1
+        )
+        return pd.Series(score)
+
+    assigned = model.transform(feats).select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        _encode(F.col("unit")).alias("codes"),
+    )
+
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
+    half_lit = F.array(
+        *[F.lit(0.5 * sum(x * x for x in c)) for c in centers]
+    )
+    scores = F.transform(
+        cent_lit,
+        lambda c, i: F.aggregate(
+            F.zip_with(F.col("unit"), c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ) - F.element_at(half_lit, i + F.lit(1)),
+    )
+    probes = (
+        unit.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("unit").alias("q_unit"),
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            scores,
+                            lambda s, i: F.struct(
+                                (-s).alias("neg"), i.alias("idx")
+                            ),
+                        )
+                    ),
+                    lambda st: st["idx"].cast("long"),
+                ),
+                1,
+                IVF_NPROBE,
+            ).alias("probe_list"),
+        )
+        .select("query_id", "q_unit", F.explode("probe_list").alias("cluster"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cluster")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "q_unit",
+            "vec_id",
+            _adc(F.col("q_unit"), F.col("codes")).alias("adc"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        cand.withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= PQ_RERANK)
+        .select("query_id", "q_unit", "vec_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_unit"), F.col("unit"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    rescored = shortlist.join(unit, "vec_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(dot, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 QUERIES = {
     "dedup_minhash_ml": dedup_minhash_ml,
     "sim_ann_brp": sim_ann_brp,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_ann_ivf_pq": sim_ann_ivf_pq,
 }
 
 # Both approximate-by-construction (hash-family dependent): rows-only

@@ -93,3 +93,69 @@ def test_brp_cosines_match_brute_force_values(spark, sf_dir):
             assert r["cosine"] == pytest.approx(truth[key], abs=1e-4)
             checked += 1
     assert checked > 0
+
+
+def test_ivf_pq_recall_and_shape(spark, sf_dir):
+    """IVF-PQ with ADC + exact re-rank: exactly TOPK rows per query,
+    every returned cosine is the TRUE cosine (re-rank join uses real
+    vectors, so reported scores are exact even when ranking is
+    approximate), and recall clears the IVF probe floor — PQ's 64x
+    compression must not cost recall on top of the coarse probe."""
+    truth = _topk_sets(similarity.sim_cosine_topk(spark, sf_dir).collect())
+    exact_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.sim_cosine_topk(spark, sf_dir).collect()
+    }
+    rows = mlops.sim_ann_ivf_pq(spark, sf_dir).collect()
+    got = _topk_sets(rows)
+    per_query = {}
+    for r in rows:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+    assert all(n == similarity.TOPK for n in per_query.values())
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.2, f"recall {recall}"
+
+
+def test_pq_training_is_deterministic_and_4bit(spark, sf_dir):
+    """PQ codebooks: (PQ_M, PQ_KS, d/PQ_M) shape, bit-identical across
+    retrains (fixed seed + fixed Lloyd iterations — the reproducibility
+    the 4-bit code layout and any persisted index depend on), and
+    reconstruction beats the zero-vector baseline on the sample."""
+    import numpy as np
+
+    from mqtt_influx_storage_service_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [r.embedding for r in emb.limit(mlops.PQ_SAMPLE).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    b1 = mlops._pq_train(sample)
+    b2 = mlops._pq_train(sample)
+    sub = sample.shape[1] // mlops.PQ_M
+    assert b1.shape == (mlops.PQ_M, mlops.PQ_KS, sub)
+    assert (b1 == b2).all()
+    # encode+decode the sample: quantization error < energy (sanity
+    # that the codebooks actually learned the subspace structure)
+    X = sample.reshape(len(sample), mlops.PQ_M, sub)
+    d2 = (
+        (X ** 2).sum(axis=2, keepdims=True)
+        - 2 * np.einsum("nms,mks->nmk", X, b1)
+        + (b1 ** 2).sum(axis=2)[None, :, :]
+    )
+    codes = d2.argmin(axis=2)
+    recon = np.take_along_axis(
+        b1[None, :, :, :],
+        codes[:, :, None, None].repeat(sub, axis=3),
+        axis=2,
+    )[:, :, 0, :]
+    err = ((X - recon) ** 2).sum()
+    energy = (X ** 2).sum()
+    assert err / energy < 0.9
