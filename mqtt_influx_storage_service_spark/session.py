@@ -14,9 +14,12 @@ everywhere. Nothing here is local-mode-only.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+_LOG = logging.getLogger("mqtt_influx_storage_service_spark.session")
 
 # Idempotence marker: a conf key on the session itself, NOT a
 # driver-side id(spark) cache — after a session object is
@@ -44,11 +47,23 @@ def tune(spark: SparkSession) -> SparkSession:
         # (see sources/tables.py).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
+    # Keep going past read-only keys, but never silently: a conf that
+    # fails to apply can change query semantics (the r2 events outage
+    # started as exactly this kind of invisible mismatch), so log the
+    # failed keys once per session.
+    failed: list[str] = []
     for k, v in conf.items():
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # read-only in this session build; keep going
+            failed.append(k)
+    if failed:
+        _LOG.warning(
+            "tune(): %d conf key(s) could not be applied (read-only in this "
+            "session build): %s — correctness-relevant settings may be off",
+            len(failed),
+            ", ".join(failed),
+        )
     # Local-mode default of 200 shuffle partitions over-parallelizes
     # small data; match core count. On a real cluster the submitter
     # sets this to ~2-3x total cores (AQE coalesces downward anyway).

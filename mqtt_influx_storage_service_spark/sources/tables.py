@@ -33,24 +33,36 @@ def load_table(
 ) -> DataFrame:
     """Read one fixture table; applies session tuning on first touch.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) — the reference
-    writes at ns precision (``influx_service.py:200``,
-    ``time_precision='n'``). Spark's TimestampType is µs, so we read
-    nanos as long (``spark.sql.legacy.parquet.nanosAsLong``), keep the
-    full-fidelity ``ts_ns`` column (SURVEY.md §1.4), and derive ``ts``
-    by exact integer floor-division — the same truncation DuckDB
-    applies when it reads ns parquet into its µs TIMESTAMP, so oracle
-    comparisons line up bit-for-bit.
+    ``events`` exposes BOTH a µs ``ts`` (TimestampType) and a
+    full-fidelity integer ``ts_ns`` (SURVEY.md §1.4 — the reference
+    stores at ns precision, ``influx_service.py:200``,
+    ``time_precision='n'``), regardless of how the fixture encodes the
+    column. Parquet writers vary: TIMESTAMP(NANOS) arrives as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``; TIMESTAMP(MICROS) arrives
+    as timestamp / timestamp_ntz. We branch on the actual read dtype so
+    a fixture regeneration can't change query semantics: either way the
+    session TZ is pinned UTC, so ts == floor(ts_ns / 1000) µs exactly,
+    matching what DuckDB reads for the oracle.
     """
     tune(spark)
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        )
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            # ns-encoded fixture: keep the integer as ts_ns, derive µs ts.
+            df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+                "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+            )
+        elif ts_type in ("timestamp", "timestamp_ntz"):
+            # µs-encoded fixture: normalize to TimestampType (UTC session),
+            # derive integer ns for consumers that need exact arithmetic.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+                "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000).cast("long")
+            )
+        else:  # pragma: no cover - fail loudly on a third encoding
+            raise TypeError(f"events.ts has unsupported dtype {ts_type!r}")
     if rebalance:
         # "Small input, expensive map" rebalance: a compact-on-disk table
         # yields few parquet splits, serializing any CPU-heavy projection
@@ -64,3 +76,26 @@ def load_table(
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — a driver-side
+    file-metadata read, NOT a Spark job. Used where an operator needs
+    corpus cardinality at plan-construction time (e.g. sizing a
+    training-sample stride): ``df.count()`` there would launch a
+    full-corpus job for every registered query, violating the engine's
+    construction-is-lazy contract. On a lakehouse table the same number
+    comes from table-format statistics; footers are the parquet-native
+    equivalent.
+    """
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    p = pathlib.Path(sf_dir) / f"{name}.parquet"
+    if p.is_file():
+        return pq.read_metadata(p).num_rows
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in p.rglob("*.parquet")
+    )

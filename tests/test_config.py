@@ -43,3 +43,36 @@ def test_configure_logging_levels(tmp_path):
         h.flush()
     assert "hello-info" in log.read_text()
     configure_logging(verbosity=1)  # restore quiet
+
+
+def test_tune_warns_on_readonly_conf(caplog):
+    """tune() must surface conf keys it could not apply (VERDICT r2 #5):
+    a silently-missing conf (e.g. nanosAsLong) changes query semantics."""
+    from mqtt_influx_storage_service_spark.session import tune
+
+    class _Conf:
+        def __init__(self):
+            self.applied = {}
+
+        def get(self, key, default=None):
+            return default
+
+        def set(self, key, value):
+            if key == "spark.sql.session.timeZone":
+                raise RuntimeError("Cannot modify the value of a static config")
+            self.applied[key] = value
+
+    class _Ctx:
+        defaultParallelism = 8
+
+    class _Spark:
+        conf = _Conf()
+        sparkContext = _Ctx()
+
+    fake = _Spark()
+    with caplog.at_level(logging.WARNING, logger="mqtt_influx_storage_service_spark.session"):
+        tune(fake)
+    msgs = [r.message for r in caplog.records if "tune()" in r.message]
+    assert msgs and "spark.sql.session.timeZone" in msgs[0]
+    # the other keys still applied despite the failure
+    assert fake.conf.applied["spark.sql.adaptive.enabled"] == "true"
