@@ -76,6 +76,44 @@ def mqtt_file_stream(
     return reader.parquet(source_dir)
 
 
+def mqtt_socket_stream(
+    spark: SparkSession, host: str = "localhost", port: int = 1883
+) -> DataFrame:
+    """Live-socket implementation of the MQTT seam: a broker bridge
+    (e.g. ``mosquitto_sub | nc -l``, or any process that relays broker
+    messages as JSON lines over TCP) feeds Spark's built-in socket
+    source. One line per message: ``{"ts": ..., "topic": ...,
+    "payload": ...}``; a missing/unparseable ``ts`` falls back to the
+    socket arrival timestamp — the reference stamps arrival time too
+    (influx_service.py:78-80), so both paths agree on event-time
+    semantics.
+
+    Returns the SAME (ts, topic, payload) relation as
+    :func:`mqtt_file_stream`, which is the point of the seam
+    (SURVEY.md §7): :func:`start_ingest` takes either via its
+    ``source=`` parameter and every transformation below is untouched.
+    Caveats inherited from the socket source: driver-side, not
+    replayable, so no exactly-once on THIS edge — a production broker
+    bridge lands on Kafka (replayable) instead; the socket path exists
+    to prove the seam swaps.
+    """
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .option("includeTimestamp", "true")
+        .load()
+    )
+    j = F.from_json(
+        F.col("value"), "ts timestamp, topic string, payload string"
+    )
+    return raw.select(
+        F.coalesce(j.getField("ts"), F.col("timestamp")).alias("ts"),
+        j.getField("topic").alias("topic"),
+        j.getField("payload").alias("payload"),
+    ).filter(F.col("topic").isNotNull())
+
+
 # --------------------------------------------------------------------------
 # Transformations (streaming- and batch-applicable)
 # --------------------------------------------------------------------------
@@ -475,6 +513,7 @@ def start_ingest(
     devices: DataFrame | None = None,
     events_topic: str = "openchirp/service/x/thing/events",
     available_now: bool = True,
+    source: DataFrame | None = None,
 ) -> StreamingQuery:
     """Wire the full point path: source → dispatch → to_points →
     partitioned parquet sink with checkpoint (A8; exactly-once via the
@@ -493,8 +532,14 @@ def start_ingest(
     ``try_element_at`` so a short topic can never throw under ANSI
     mode. Returns the points query; the dead-letter query runs
     alongside and is stopped by :func:`stop_all`.
+
+    ``source`` overrides the file-stream default with any streaming
+    DataFrame shaped like MQTT_SCHEMA — e.g. :func:`mqtt_socket_stream`
+    for a live broker bridge, or a Kafka topic parsed to the same three
+    columns. This is the seam SURVEY.md §7 promises: the pipeline below
+    this line never knows which transport fed it.
     """
-    msgs = mqtt_file_stream(spark, source_dir)
+    msgs = source if source is not None else mqtt_file_stream(spark, source_dir)
     data, _events = dispatch(msgs, events_topic)
     well_formed, malformed = split_malformed(data)
     points = to_points(well_formed, devices)
