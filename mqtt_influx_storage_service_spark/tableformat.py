@@ -36,6 +36,32 @@ transducer catalog); the POINT data never goes through rewrite-on-merge
 — it stays on the append-only streaming file sink. ``compact`` is the
 log-safe rewrite: a new coalesced data dir + manifest bump, never an
 in-place file mutation under a live reader.
+
+Delta Lake mapping (swap guide for a real deployment)
+-----------------------------------------------------
+Every public op here is a deliberate subset of Delta's semantics, so
+migrating is a mechanical substitution at this one seam — no call-site
+changes:
+
+- ``merge(src, batch_id=b)`` → ``deltaTable.alias("t").merge(src, <key
+  equi-condition>).whenMatchedUpdateAll().whenNotMatchedInsertAll()``;
+  the ``insert_only=True`` variant drops the ``whenMatched`` clause.
+  Idempotent replay via ``batch_id`` maps to Delta's
+  ``txnAppId``/``txnVersion`` writer options (idempotent writes) — or
+  simply keep the foreachBatch dedup-by-batch-id guard.
+- ``read(version=v)`` time travel → ``spark.read.format("delta")
+  .option("versionAsOf", v)``; the manifest version number IS the
+  Delta table version (both are monotonically increasing commit ids).
+- ``compact()`` → ``OPTIMIZE <table>`` (bin-packing rewrite under the
+  same commit protocol).
+- ``vacuum()`` → ``VACUUM <table> RETAIN <n> HOURS``; both delete only
+  data unreachable from the retained versions.
+- Atomic manifest rename → Delta's atomic commit to ``_delta_log``
+  (PUT-if-absent on object stores); single-writer restriction →
+  Delta's optimistic concurrency lifts it, which is the main
+  capability gained by graduating.
+Iceberg is analogous (MERGE INTO, snapshot ids for time travel,
+``rewrite_data_files``, ``expire_snapshots``).
 """
 
 from __future__ import annotations
