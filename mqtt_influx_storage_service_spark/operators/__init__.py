@@ -84,14 +84,14 @@ _PRIORITY = [
     "rel_range_join_banded",
     "rel_distinct_agg",
     "rel_scalar_funcs",
-    "rel_set_ops",
     "rel_merge_join",
     "rel_interval_overlap",
     "rel_grouping_sets",
-    # rows-only entries changed this round (laziness fix / vectorization)
-    "sim_ann_ivf",
-    "sim_ann_ivf_pq",
-    "dedup_simhash",
+    # new oracle-backed operators added in r3 (no driver row yet)
+    "text_repetition",
+    "ts_histogram",
+    "ts_mad_outliers",
+    "pipeline_interleave",
 ]
 
 _MODULES = [

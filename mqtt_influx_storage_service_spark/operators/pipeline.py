@@ -344,11 +344,84 @@ WHERE sample_rank <= floor(({SAMPLE_BUDGET} + n_strata - 1) / n_strata)
 """
 
 
+def pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleave across sources — the
+    training-order shuffle that keeps any one source from clumping in
+    a data epoch (per-source streams are drained one doc at a time in
+    source order). Emits a total order ``interleave_pos`` =
+    (round − 1) · n_sources + source_idx.
+
+    Scale shape: ONE corpus shuffle (the per-source row_number
+    window); the source→index map and the source count are
+    vocabulary-sized aggregates broadcast back — no global window over
+    the corpus, so the total order is assigned without ever sorting
+    the corpus in one partition. Deterministic order within a source =
+    LCG hash of doc_id (reproducible shuffle, same trick as
+    pipeline_stratified_sample).
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M).alias("hkey"),
+    )
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    rounds = hashed.withColumn("round", F.row_number().over(w).cast("long"))
+    # source → ordinal: a vocabulary-sized window (n_sources rows).
+    src_dim = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "source_idx",
+            F.row_number().over(Window.orderBy("source")).cast("long"),
+        )
+    )
+    n_src = docs.select(F.countDistinct("source").alias("n_sources"))
+    return (
+        rounds.join(F.broadcast(src_dim), "source")
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            "doc_id",
+            "source",
+            "round",
+            "source_idx",
+            ((F.col("round") - 1) * F.col("n_sources") + F.col("source_idx"))
+            .cast("long")
+            .alias("interleave_pos"),
+        )
+    )
+
+
+PIPELINE_INTERLEAVE_SQL = f"""
+WITH h AS (
+    SELECT doc_id, source,
+           (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS hkey
+    FROM documents
+), r AS (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id)
+                AS BIGINT) AS round
+    FROM h
+), s AS (
+    SELECT source,
+           CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS source_idx
+    FROM (SELECT DISTINCT source FROM documents)
+), n AS (
+    SELECT count(DISTINCT source) AS n_sources FROM documents
+)
+SELECT r.doc_id, r.source, r.round, s.source_idx,
+       CAST((r.round - 1) * n.n_sources + s.source_idx AS BIGINT)
+           AS interleave_pos
+FROM r JOIN s USING (source) CROSS JOIN n
+"""
+
+
 QUERIES = {
     "pipeline_training_mix": pipeline_training_mix,
     "pipeline_token_budget": pipeline_token_budget,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_stratified_sample": pipeline_stratified_sample,
+    "pipeline_interleave": pipeline_interleave,
 }
 
 ORACLES = {
@@ -356,4 +429,5 @@ ORACLES = {
     "pipeline_token_budget": PIPELINE_TOKEN_BUDGET_SQL,
     "pipeline_pack_sequences": PIPELINE_PACK_SEQUENCES_SQL,
     "pipeline_stratified_sample": PIPELINE_STRATIFIED_SAMPLE_SQL,
+    "pipeline_interleave": PIPELINE_INTERLEAVE_SQL,
 }

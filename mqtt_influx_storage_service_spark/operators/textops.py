@@ -613,10 +613,116 @@ GROUP BY e.doc_id, e.source, e.n_grams
 """
 
 
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# --------------------------------------------------------------------------
+
+# Gopher (Rae et al. 2021, table A1) removes docs whose top word / top
+# 2-gram account for too much of the doc; these thresholds are the
+# published ones.
+REP_TOP_WORD_MAX = 0.20
+REP_TOP_BIGRAM_MAX = 0.18
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: most-frequent-word fraction,
+    most-frequent-bigram fraction, unique-word ratio, and the
+    keep/drop flag a Gopher-style curation pass derives from them.
+
+    Shape: explode → count per (doc, gram) → max/sum per doc — both
+    levels map-side combinable, so the shuffle carries one row per
+    distinct (doc, gram), never one per token. The two gram sizes are
+    independent aggregations joined back on doc_id (broadcast-able at
+    any corpus size since both sides are 1 row/doc, co-partitioned on
+    the same key; Catalyst picks SMJ and reuses the partitioning).
+    All fractions are integer-derived → exact for the oracle hash.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    tok = docs.select("doc_id", _tokens().alias("t"))
+    words = tok.select("doc_id", F.explode("t").alias("g"))
+    # bigrams: transform over the first n-1 tokens; element_at is
+    # 1-based while transform's index is 0-based, hence i+2.
+    bigrams = tok.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+            )
+        ).alias("g"),
+    )
+
+    def _top(grams: DataFrame, cnt: str, top: str, uniq: str) -> DataFrame:
+        per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return per_gram.groupBy("doc_id").agg(
+            F.sum("c").alias(cnt),
+            F.max("c").alias(top),
+            F.count(F.lit(1)).alias(uniq),
+        )
+
+    w = _top(words, "n_words", "top_word_cnt", "n_unique_words")
+    b = _top(bigrams, "n_bigrams", "top_bigram_cnt", "n_unique_bigrams")
+    top_word_frac = F.round(F.col("top_word_cnt") / F.col("n_words"), 6)
+    top_bigram_frac = F.round(F.col("top_bigram_cnt") / F.col("n_bigrams"), 6)
+    return (
+        w.join(b, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_unique_words",
+            top_word_frac.alias("top_word_frac"),
+            F.coalesce(top_bigram_frac, F.lit(0.0)).alias("top_bigram_frac"),
+            F.round(F.col("n_unique_words") / F.col("n_words"), 6).alias(
+                "unique_word_ratio"
+            ),
+            (
+                (top_word_frac <= F.lit(REP_TOP_WORD_MAX))
+                & (F.coalesce(top_bigram_frac, F.lit(0.0))
+                   <= F.lit(REP_TOP_BIGRAM_MAX))
+            ).alias("keep"),
+        )
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), words AS (
+    SELECT doc_id, unnest(t) AS g FROM tok
+), bigrams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS g
+    FROM tok WHERE len(t) >= 2
+), wstat AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(max(c) AS BIGINT) AS top_word_cnt,
+           CAST(count(*) AS BIGINT) AS n_unique_words
+    FROM (SELECT doc_id, g, count(*) AS c FROM words GROUP BY 1, 2)
+    GROUP BY doc_id
+), bstat AS (
+    SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_cnt,
+           CAST(sum(c) AS BIGINT) AS n_bigrams
+    FROM (SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY 1, 2)
+    GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_words, w.n_unique_words,
+       round(w.top_word_cnt * 1.0 / w.n_words, 6) AS top_word_frac,
+       coalesce(round(b.top_bigram_cnt * 1.0 / b.n_bigrams, 6), 0.0)
+           AS top_bigram_frac,
+       round(w.n_unique_words * 1.0 / w.n_words, 6) AS unique_word_ratio,
+       (round(w.top_word_cnt * 1.0 / w.n_words, 6) <= {REP_TOP_WORD_MAX}
+        AND coalesce(round(b.top_bigram_cnt * 1.0 / b.n_bigrams, 6), 0.0)
+            <= {REP_TOP_BIGRAM_MAX}) AS keep
+FROM wstat w LEFT JOIN bstat b USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_contamination": text_contamination,
     "text_boilerplate": text_boilerplate,
+    "text_repetition": text_repetition,
     "text_regex_tokens": text_regex_tokens,
     "text_word_freq": text_word_freq,
     "text_tfidf_top": text_tfidf_top,
@@ -629,6 +735,7 @@ ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_contamination": TEXT_CONTAMINATION_SQL,
     "text_boilerplate": TEXT_BOILERPLATE_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
     "text_regex_tokens": TEXT_REGEX_TOKENS_SQL,
     "text_word_freq": TEXT_WORD_FREQ_SQL,
     "text_tfidf_top": TEXT_TFIDF_TOP_SQL,

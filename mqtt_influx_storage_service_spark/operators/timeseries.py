@@ -1153,6 +1153,126 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Value histogram (fixed-width buckets)
+# --------------------------------------------------------------------------
+
+HIST_LO = 0.0
+HIST_WIDTH = 25.0
+HIST_NBINS = 20
+
+
+def ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (the TSDB
+    ``histogram()`` / Prometheus ``le``-bucket analog): bucket index by
+    integer floor division, count per (event_type, bucket). One
+    map-side-combinable aggregation — the shuffle carries at most
+    n_types × n_bins rows regardless of corpus size, the ideal
+    100 TB shape. Top bucket clamps (+Inf bucket).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(HIST_LO)) / F.lit(HIST_WIDTH)),
+            F.lit(0),
+        ),
+        F.lit(HIST_NBINS - 1),
+    ).cast("int")
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.lit(HIST_LO) + F.col("bucket") * F.lit(HIST_WIDTH)).alias(
+                "bucket_lo"
+            ),
+            (F.lit(HIST_LO) + (F.col("bucket") + 1) * F.lit(HIST_WIDTH)).alias(
+                "bucket_hi"
+            ),
+            "n",
+        )
+    )
+
+
+TS_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(least(greatest(floor((value - {HIST_LO}) / {HIST_WIDTH}), 0),
+                  {HIST_NBINS - 1}) AS INT) AS bucket,
+       {HIST_LO} + least(greatest(floor((value - {HIST_LO}) / {HIST_WIDTH}), 0),
+                         {HIST_NBINS - 1}) * {HIST_WIDTH} AS bucket_lo,
+       {HIST_LO} + (least(greatest(floor((value - {HIST_LO}) / {HIST_WIDTH}), 0),
+                          {HIST_NBINS - 1}) + 1) * {HIST_WIDTH} AS bucket_hi,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# --------------------------------------------------------------------------
+# Robust outliers via median absolute deviation (MAD)
+# --------------------------------------------------------------------------
+
+MAD_Z_THRESHOLD = 3.5   # Iglewicz–Hoaglin recommended cut
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant
+
+
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: robust z =
+    (value − median) / (1.4826 · MAD), flag |z| > 3.5. The
+    median-based twin of ts_anomaly_zscore — immune to the outliers
+    it hunts.
+
+    Shape: two exact-median aggregations (each one shuffle of
+    1 row/type partials — Spark's median is an exact sort-based
+    aggregate, matching DuckDB's), each joined back by BROADCAST
+    (n_types rows), then a per-row filter. The corpus is scanned twice
+    but never shuffled — at 100 TB the two medians run over a
+    type-partitioned layout and the second scan prunes to the value
+    column.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("absdev").alias("mad"))
+    z = (F.col("value") - F.col("med")) / (F.lit(MAD_CONSISTENCY) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(z) > F.lit(MAD_Z_THRESHOLD))
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            (F.round(z, 6) + F.lit(0.0)).alias("robust_z"),
+        )
+    )
+
+
+TS_MAD_OUTLIERS_SQL = f"""
+WITH med AS (
+    SELECT event_type, median(value) AS med FROM events GROUP BY 1
+), dev AS (
+    SELECT e.event_id, e.event_type, e.ts, e.value, m.med,
+           abs(e.value - m.med) AS absdev
+    FROM events e JOIN med m USING (event_type)
+), mad AS (
+    SELECT event_type, median(absdev) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.ts, d.value,
+       round(d.med, 6) AS med, round(m.mad, 6) AS mad,
+       round((d.value - d.med) / ({MAD_CONSISTENCY} * m.mad), 6) + 0.0
+           AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE abs((d.value - d.med) / ({MAD_CONSISTENCY} * m.mad)) > {MAD_Z_THRESHOLD}
+"""
+
+
 QUERIES = {
     "ts_anomaly_zscore": ts_anomaly_zscore,
     "ts_retention": ts_retention,
@@ -1174,6 +1294,8 @@ QUERIES = {
     "ts_registry_enriched": ts_registry_enriched,
     "ts_asof_join": ts_asof_join,
     "ts_sessionize": ts_sessionize,
+    "ts_histogram": ts_histogram,
+    "ts_mad_outliers": ts_mad_outliers,
 }
 
 ORACLES = {
@@ -1197,4 +1319,6 @@ ORACLES = {
     "ts_registry_enriched": TS_REGISTRY_ENRICHED_SQL,
     "ts_asof_join": TS_ASOF_JOIN_SQL,
     "ts_sessionize": TS_SESSIONIZE_SQL,
+    "ts_histogram": TS_HISTOGRAM_SQL,
+    "ts_mad_outliers": TS_MAD_OUTLIERS_SQL,
 }

@@ -1,0 +1,98 @@
+"""Property tests for the r3 operators (oracle hash-equivalence is
+covered by tools/check_oracles.py; these pin the semantics that a
+hash match alone wouldn't explain)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mqtt_influx_storage_service_spark.operators.pipeline import (
+    pipeline_interleave,
+)
+from mqtt_influx_storage_service_spark.operators.textops import (
+    REP_TOP_BIGRAM_MAX,
+    REP_TOP_WORD_MAX,
+    text_repetition,
+)
+from mqtt_influx_storage_service_spark.operators.timeseries import (
+    HIST_NBINS,
+    MAD_Z_THRESHOLD,
+    ts_histogram,
+    ts_mad_outliers,
+)
+from mqtt_influx_storage_service_spark.sources import load_table
+
+
+def test_histogram_partitions_the_corpus(spark, sf_dir):
+    hist = ts_histogram(spark, sf_dir)
+    rows = hist.collect()
+    assert all(0 <= r.bucket < HIST_NBINS for r in rows)
+    assert all(r.bucket_hi - r.bucket_lo == 25.0 for r in rows)
+    total = sum(r.n for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_mad_outliers_all_exceed_threshold(spark, sf_dir):
+    out = ts_mad_outliers(spark, sf_dir).collect()
+    assert out, "sf0.001 fixture should contain MAD outliers"
+    assert all(abs(r.robust_z) > MAD_Z_THRESHOLD for r in out)
+    # robust stats: the flagged values sit far from the per-type median
+    assert all(abs(r.value - r.med) > 3 * r.mad for r in out)
+
+
+def test_repetition_flags_are_consistent(spark, sf_dir):
+    rep = text_repetition(spark, sf_dir).collect()
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    assert len(rep) == docs_n  # one row per document, none dropped
+    for r in rep:
+        expect = (
+            r.top_word_frac <= REP_TOP_WORD_MAX
+            and r.top_bigram_frac <= REP_TOP_BIGRAM_MAX
+        )
+        assert r.keep == expect
+        assert 0 < r.unique_word_ratio <= 1.0
+        assert r.top_word_frac >= 1.0 / r.n_words - 1e-6  # round(.,6) slack
+
+
+def test_interleave_is_a_round_robin_total_order(spark, sf_dir):
+    rows = pipeline_interleave(spark, sf_dir).collect()
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == docs_n
+    pos = [r.interleave_pos for r in rows]
+    assert len(set(pos)) == len(pos)  # total order, no collisions
+    # within any round, every source appears at most once
+    seen = set()
+    for r in rows:
+        assert (r.round, r.source) not in seen
+        seen.add((r.round, r.source))
+    # round-robin: round 1 positions all precede round 2's for the
+    # same source
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.round, r.interleave_pos))
+    for pairs in by_src.values():
+        pairs.sort()
+        assert all(a[1] < b[1] for a, b in zip(pairs, pairs[1:]))
+
+
+def test_interleave_scale_shape(spark, sf_dir):
+    """The total order must come from the per-source window + broadcast
+    dims — a global window over the corpus would serialize at 100 TB.
+    Pin: corpus window partitions by source (hashpartitioning), the
+    source dim + count arrive by broadcast, no cartesian explosion."""
+    from mqtt_influx_storage_service_spark import plans
+
+    df = pipeline_interleave(spark, sf_dir)
+    plan = plans.plan_str(df)
+    assert "hashpartitioning(source" in plan  # corpus window is partitioned
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian(df) or "BroadcastNestedLoopJoin" in plan
+    # the single-partition windows (SinglePartition) may only feed the
+    # vocabulary-sized source dimension, whose input is a distinct agg
+    # over one column — never a corpus-wide relation with doc_id
+    import re
+
+    for m in re.finditer(
+        r"Exchange SinglePartition[^\n]*\n((?:.+\n){0,6})", plan
+    ):
+        assert "doc_id" not in m.group(1)
