@@ -52,6 +52,12 @@ HEADLINE = [
     "text_tfidf_top",
     "text_regex_tokens",
     "mm_frame_sample",
+    # r3 additions
+    "text_repetition",
+    "ts_histogram",
+    "ts_mad_outliers",
+    "pipeline_interleave",
+    "ts_ewma",
 ]
 
 

@@ -84,7 +84,6 @@ _PRIORITY = [
     "rel_range_join_banded",
     "rel_distinct_agg",
     "rel_scalar_funcs",
-    "rel_merge_join",
     "rel_interval_overlap",
     "rel_grouping_sets",
     # new oracle-backed operators added in r3 (no driver row yet)
@@ -92,6 +91,7 @@ _PRIORITY = [
     "ts_histogram",
     "ts_mad_outliers",
     "pipeline_interleave",
+    "ts_ewma",
 ]
 
 _MODULES = [

@@ -1211,6 +1211,72 @@ GROUP BY 1, 2, 3, 4
 
 
 # --------------------------------------------------------------------------
+# Bounded-window EWMA (InfluxQL ``exponential_moving_average`` analog)
+# --------------------------------------------------------------------------
+
+EWMA_K = 8  # truncation window; weight below 0.5^7 ≈ 0.008 is dropped
+
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per series, truncated to
+    the last EWMA_K points and renormalized — the bounded-state form
+    every streaming/windowed engine actually computes (an infinite
+    recurrence can't ride a frame). Spark has no native EWMA; this
+    builds it from a frame-ordered ``collect_list`` + one array fold.
+
+    α = 0.5 exactly, so every weight 0.5^j is a power of two —
+    multiplication by it is EXACT in IEEE 754, and the fold adds the
+    same products in the same order as the DuckDB oracle: bit-identical
+    results with no summation-order hazard (this is why α is not a
+    tunable float here).
+
+    Scale shape: one shuffle (the series partition), state bounded at
+    K values per row; the 100 TB layout sorts within series partitions
+    so the window never respills.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_K - 1), 0)
+    )
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        F.collect_list("value").over(w).alias("l"),
+    )
+    ewma = F.expr(
+        "round("
+        " aggregate(transform(l, (x, i) -> x * pow(0.5D, size(l) - 1 - i)),"
+        "           0D, (acc, x) -> acc + x)"
+        " / (2D - pow(0.5D, size(l) - 1)), 6) + 0D"
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "ts", "value", ewma.alias("ewma")
+    )
+
+
+TS_EWMA_SQL = f"""
+WITH fr AS (
+    SELECT event_id, user_id, event_type, ts, value,
+           list(value) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN {EWMA_K - 1} PRECEDING
+                                      AND CURRENT ROW) AS l
+    FROM events
+)
+SELECT event_id, user_id, event_type, ts, value,
+       round(
+         list_sum(list_transform(range(1, len(l) + 1),
+                                 i -> l[i] * pow(0.5, len(l) - i)))
+         / (2 - pow(0.5, len(l) - 1)), 6) + 0.0 AS ewma
+FROM fr
+"""
+
+
+# --------------------------------------------------------------------------
 # Robust outliers via median absolute deviation (MAD)
 # --------------------------------------------------------------------------
 
@@ -1296,6 +1362,7 @@ QUERIES = {
     "ts_sessionize": ts_sessionize,
     "ts_histogram": ts_histogram,
     "ts_mad_outliers": ts_mad_outliers,
+    "ts_ewma": ts_ewma,
 }
 
 ORACLES = {
@@ -1321,4 +1388,5 @@ ORACLES = {
     "ts_sessionize": TS_SESSIONIZE_SQL,
     "ts_histogram": TS_HISTOGRAM_SQL,
     "ts_mad_outliers": TS_MAD_OUTLIERS_SQL,
+    "ts_ewma": TS_EWMA_SQL,
 }

@@ -96,3 +96,40 @@ def test_interleave_scale_shape(spark, sf_dir):
         r"Exchange SinglePartition[^\n]*\n((?:.+\n){0,6})", plan
     ):
         assert "doc_id" not in m.group(1)
+
+
+def test_ewma_semantics(spark, sf_dir):
+    """EWMA invariants: first point of a series equals its value;
+    every EWMA lies within the min/max of its lookback frame; weights
+    emphasize the newest point (EWMA closer to current value than the
+    plain frame mean for a monotone frame)."""
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        EWMA_K,
+        ts_ewma,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_K - 1), 0)
+    )
+    frames = ev.select(
+        "event_id",
+        F.min("value").over(w).alias("fmin"),
+        F.max("value").over(w).alias("fmax"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "event_type").orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+    )
+    joined = ts_ewma(spark, sf_dir).join(frames, "event_id").collect()
+    assert joined
+    for r in joined:
+        assert r.fmin - 1e-6 <= r.ewma <= r.fmax + 1e-6
+        if r.rn == 1:
+            assert abs(r.ewma - r.value) < 1e-6
