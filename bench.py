@@ -107,12 +107,21 @@ def main() -> int:
         print(f"bench: stream_ingest failed: {exc}", file=sys.stderr)
         timings["stream_ingest"] = None
 
-    total = round(sum(v for v in timings.values() if v is not None), 3)
+    # A crashed query must never make the suite look FASTER (ADVICE r3):
+    # surface failures in a top-level list and null the headline value so
+    # any regression that kills a query is unmissable in BENCH_r{N}.json.
+    failed = sorted(k for k, v in timings.items() if v is None)
+    total = (
+        None
+        if failed
+        else round(sum(v for v in timings.values() if v is not None), 3)
+    )
     print(json.dumps({
         "metric": "headline_query_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "failed": failed,
         "sf": sf,
     }))
     return 0

@@ -109,8 +109,17 @@ _MODULES = [
 
 
 def _reorder(d: dict) -> dict:
-    """Priority names first (in _PRIORITY order), the rest in module order."""
-    out = {k: d[k] for k in _PRIORITY if k in d}
+    """Priority names first (in _PRIORITY order), the rest in module order.
+
+    A _PRIORITY name absent from the registry (typo, renamed query) must
+    fail LOUDLY: silently skipping it would drop the entry out of the
+    load-bearing verification prefix — the exact invisible coverage gap
+    this reorder exists to prevent (ADVICE r3).
+    """
+    missing = [k for k in _PRIORITY if k not in d]
+    if missing:
+        raise KeyError(f"_PRIORITY names not in registry: {missing}")
+    out = {k: d[k] for k in _PRIORITY}
     out.update({k: v for k, v in d.items() if k not in out})
     return out
 

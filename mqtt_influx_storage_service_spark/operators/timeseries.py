@@ -1233,7 +1233,10 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     K values per row; the 100 TB layout sorts within series partitions
     so the window never respills.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # Spark's collect_list SKIPS nulls while DuckDB's list() keeps them,
+    # so a null value would desynchronize frame lengths between engine
+    # and oracle (ADVICE r3). Filter nulls identically on both sides.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id", "event_type")
         .orderBy("ts", "event_id")
@@ -1266,6 +1269,7 @@ WITH fr AS (
                              ROWS BETWEEN {EWMA_K - 1} PRECEDING
                                       AND CURRENT ROW) AS l
     FROM events
+    WHERE value IS NOT NULL
 )
 SELECT event_id, user_id, event_type, ts, value,
        round(
@@ -1305,9 +1309,14 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("event_type").agg(F.median("absdev").alias("mad"))
     z = (F.col("value") - F.col("med")) / (F.lit(MAD_CONSISTENCY) * F.col("mad"))
+    # mad == 0 (≥50% of a type's values at the median) would divide by
+    # zero: Spark's non-ANSI Divide yields NULL (silently dropped by the
+    # filter) while DuckDB yields ±inf (flagged) — a latent engine/oracle
+    # mismatch (ADVICE r3). Exclude degenerate types identically on both
+    # sides: with no spread, MAD has no outlier definition anyway.
     return (
         dev.join(F.broadcast(mad), "event_type")
-        .filter(F.abs(z) > F.lit(MAD_Z_THRESHOLD))
+        .filter((F.col("mad") > 0) & (F.abs(z) > F.lit(MAD_Z_THRESHOLD)))
         .select(
             "event_id",
             "event_type",
@@ -1335,7 +1344,8 @@ SELECT d.event_id, d.event_type, d.ts, d.value,
        round((d.value - d.med) / ({MAD_CONSISTENCY} * m.mad), 6) + 0.0
            AS robust_z
 FROM dev d JOIN mad m USING (event_type)
-WHERE abs((d.value - d.med) / ({MAD_CONSISTENCY} * m.mad)) > {MAD_Z_THRESHOLD}
+WHERE m.mad > 0
+  AND abs((d.value - d.med) / ({MAD_CONSISTENCY} * m.mad)) > {MAD_Z_THRESHOLD}
 """
 
 

@@ -95,7 +95,12 @@ def table_row_count(sf_dir: str, name: str) -> int:
     p = pathlib.Path(sf_dir) / f"{name}.parquet"
     if p.is_file():
         return pq.read_metadata(p).num_rows
-    return sum(
-        pq.read_metadata(f).num_rows
-        for f in p.rglob("*.parquet")
-    )
+    # A missing table must raise, not return 0: rglob over a nonexistent
+    # directory yields an empty iterator, and a silent 0 turns into e.g.
+    # stride=1 → full-corpus KMeans training in sim_ann_ivf (ADVICE r3).
+    if not p.is_dir():
+        raise FileNotFoundError(f"no parquet table at {p}")
+    files = list(p.rglob("*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"parquet directory {p} contains no data files")
+    return sum(pq.read_metadata(f).num_rows for f in files)
