@@ -28,70 +28,61 @@ from . import (
 
 # Registration ORDER is load-bearing: the driver's correctness gate
 # walks the registry in insertion order and checks a bounded prefix
-# (50 entries in r1/r2), so entries WITHOUT a green row under the
-# CURRENT fixtures must come first. For r3 that means (VERDICT.md r2,
-# "Next round" #2): the 11 r2-err queries, the never-checked
-# ts_interpolate, the 17 events-dependent entries whose r1 greens went
-# stale when the driver regenerated events.parquet, then the rel_*
-# tier (r1-green on unchanged tables, never re-checked in r2), then a
-# few rows-only entries touched this round. Everything with a green
-# r2 row sorts last — union-of-rounds coverage stays complete.
+# (50 entries every round so far), so entries WITHOUT a recent green
+# row must come first. r3 re-certified slots 0-49 (CORRECTNESS_r03:
+# 49 green + rel_sketches no-oracle-by-nature); for r4 the prefix
+# rotates to the other cohort (VERDICT.md r3, "Next round" #2): first
+# the operators ADDED/CHANGED this round (no driver row yet), then the
+# 41 entries whose newest green is r02/r01 — all dedup_*/sim_*/text_*/
+# mm_*/pipeline_* (except pipeline_interleave, green r3), the win_*
+# family, and the two r1-only TPC-H entries. The 50 r3-green entries
+# sort last; union-of-rounds coverage stays complete and no entry's
+# newest green row is ever older than two rounds.
 _PRIORITY = [
-    # 11 r2-err (all events-loader casualties, fixed in sources/tables.py)
-    "ref_topic_parse",
-    "ref_payload_coercion",
-    "ref_narrow_points",
-    "ref_registry_filter",
-    "ref_registry_cdc",
-    "ref_transducer_create",
-    "ts_anomaly_zscore",
-    "ts_retention",
-    "ts_series_scan",
-    "ts_moving_avg",
-    "ts_sliding_agg",
-    # never driver-checked (registry slot 55 in r1/r2)
-    "ts_interpolate",
-    # events-dependent entries with stale r1 greens
-    "ts_bucket_agg",
-    "ts_last_value",
-    "ts_device_wide",
-    "ts_asof_join",
-    "ts_sessionize",
-    "ts_integral",
-    "ts_ohlc",
-    "ts_funnel",
-    "ts_difference",
-    "ts_gap_fill",
-    "ts_cross_series_join",
-    "ts_series_catalog",
-    "ts_throughput",
-    "ts_registry_enriched",
-    "rel_map_funcs",
-    "rel_json_extract",
-    "rel_sketches",
-    # rel tier: r1-green on unchanged tables, not in the r2 prefix
-    "rel_pricing_summary",
-    "rel_shipping_priority",
-    "rel_topk_orders",
-    "rel_region_revenue",
-    "rel_semi_join",
-    "rel_anti_join",
-    "rel_outer_join",
-    "rel_exists_subquery",
-    "rel_quantiles",
-    "rel_unpivot",
-    "rel_scalar_subquery",
-    "rel_range_join_banded",
-    "rel_distinct_agg",
-    "rel_scalar_funcs",
-    "rel_interval_overlap",
-    "rel_grouping_sets",
-    # new oracle-backed operators added in r3 (no driver row yet)
-    "text_repetition",
-    "ts_histogram",
-    "ts_mad_outliers",
-    "pipeline_interleave",
-    "ts_ewma",
+    # new in r4 — no driver row yet
+    "sim_knn_exact",
+    # cohort last green in r02/r01 (rotation)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "sim_threshold_pairs",
+    "sim_knn_graph",
+    "sim_ann_lsh",
+    "sim_label_centroid",
+    "sim_label_trimmed_norm",
+    "text_token_stats",
+    "text_contamination",
+    "text_boilerplate",
+    "text_regex_tokens",
+    "text_word_freq",
+    "text_tfidf_top",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "mm_manifest",
+    "mm_extract_features",
+    "mm_frame_sample",
+    "dedup_minhash_ml",
+    "sim_ann_brp",
+    "sim_ann_ivf",
+    "sim_ann_ivf_pq",
+    "pipeline_training_mix",
+    "pipeline_token_budget",
+    "pipeline_pack_sequences",
+    "pipeline_stratified_sample",
+    "win_topk_per_group",
+    "win_percentiles",
+    "win_value_frames",
+    "win_monthly_revenue",
+    "win_ntile_customers",
+    "win_rollup",
+    "win_cube",
+    "rel_set_ops",
+    "rel_merge_join",
 ]
 
 _MODULES = [

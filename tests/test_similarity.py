@@ -88,18 +88,51 @@ def test_threshold_and_embedding_dedup_plans_have_no_cross_product(spark, sf_dir
         assert "BroadcastNestedLoopJoin" not in text, fn.__name__
 
 
-def test_knn_graph_recall_and_shape(spark, sf_dir):
-    """sim_knn_graph: every vector appears with <= K ranked neighbors,
-    ranks are 1..k with cosine non-increasing, and recall vs the exact
-    numpy kNN clears the pinned floor (the block-candidate generator
-    can't see pairs sharing no block, so it is approximate by design;
-    pairs at the dup threshold must ALWAYS be found)."""
+def test_knn_exact_matches_numpy(spark, sf_dir):
+    """sim_knn_exact — the oracle-anchored exact kNN graph — must agree
+    with an independent numpy all-pairs kNN on neighbor SETS per vector
+    (set, not sequence: cosine ties at 6 dp may order differently, but
+    the windows tie-break identically by neighbor_id on equal rounded
+    cosine, so compare the membership the rank cut implies)."""
     import numpy as np
     import pandas as pd
 
     from mqtt_influx_storage_service_spark.operators.similarity import (
         KNN_K,
+        sim_knn_exact,
+    )
+
+    rows = sim_knn_exact(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.vec_id, set()).add(r.neighbor_id)
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = np.round(Mn @ Mn.T, 6)  # same 6-dp rounding as the query
+    np.fill_diagonal(C, -np.inf)
+    assert set(got) == set(int(v) for v in ids)
+    for i, vid in enumerate(ids):
+        # numpy twin of the (cosine DESC, neighbor_id ASC) tie-break:
+        # sort by (-cosine, vec_id) and cut at K
+        order = sorted(range(len(ids)), key=lambda j: (-C[i, j], ids[j]))
+        expect = {int(ids[j]) for j in order[:KNN_K]}
+        assert got[int(vid)] == expect, int(vid)
+
+
+def test_knn_graph_recall_and_shape(spark, sf_dir):
+    """sim_knn_graph: every vector appears with <= K ranked neighbors,
+    ranks are 1..k with cosine non-increasing, and recall vs the
+    ORACLE-ANCHORED exact twin (sim_knn_exact, hash-checked against
+    DuckDB by the driver) clears the pinned floor. The block-candidate
+    generator can't see pairs sharing no block, so it is approximate by
+    design; pairs at the dup threshold must ALWAYS be found."""
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        KNN_K,
         SIM_THRESHOLD,
+        sim_knn_exact,
         sim_knn_graph,
     )
 
@@ -114,21 +147,14 @@ def test_knn_graph_recall_and_shape(spark, sf_dir):
         cos = [r.cosine for r in nbrs]
         assert cos == sorted(cos, reverse=True)
 
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    ids = emb["vec_id"].to_numpy()
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    C = Mn @ Mn.T
-    np.fill_diagonal(C, -np.inf)
-    hits = total = 0
     got = {(r.vec_id, r.neighbor_id) for r in rows}
-    for i, vid in enumerate(ids):
-        order = np.argsort(-C[i], kind="stable")[:KNN_K]
-        for j in order:
-            total += 1
-            hits += (vid, int(ids[j])) in got
-            # true near-dups always survive the block filter
-            if C[i, j] >= SIM_THRESHOLD:
-                assert (vid, int(ids[j])) in got
+    truth = sim_knn_exact(spark, sf_dir).collect()
+    hits = total = 0
+    for t in truth:
+        total += 1
+        hits += (t.vec_id, t.neighbor_id) in got
+        # true near-dups always survive the block filter
+        if t.cosine >= SIM_THRESHOLD:
+            assert (t.vec_id, t.neighbor_id) in got
     recall = hits / total
     assert recall >= 0.5, recall
