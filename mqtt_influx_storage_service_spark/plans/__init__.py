@@ -9,6 +9,7 @@ from .checks import (
     pushed_filters,
     read_schemas,
     scan_columns,
+    single_partition_exchanges,
     summarize,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "pushed_filters",
     "read_schemas",
     "scan_columns",
+    "single_partition_exchanges",
     "summarize",
 ]

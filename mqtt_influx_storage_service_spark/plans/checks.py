@@ -102,6 +102,15 @@ def codegen_coverage(df: DataFrame, executed: bool = True) -> float:
     return starred / len(ops)
 
 
+def single_partition_exchanges(df: DataFrame) -> int:
+    """Number of SinglePartition exchanges — each funnels its whole
+    input relation through ONE task (a global-order window or global
+    limit). Any such exchange over a corpus-sized relation is a
+    100 TB scale-killer; over a provably tiny relation (≤ a bucket
+    cap) it is the legitimate recursion floor."""
+    return len(re.findall(r"Exchange SinglePartition", plan_str(df, "simple")))
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (AQE may coalesce at
     runtime, but each Exchange is a full network round of the data —

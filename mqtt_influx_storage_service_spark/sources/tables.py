@@ -104,3 +104,30 @@ def table_row_count(sf_dir: str, name: str) -> int:
     if not files:
         raise FileNotFoundError(f"parquet directory {p} contains no data files")
     return sum(pq.read_metadata(f).num_rows for f in files)
+
+
+def table_column_max(sf_dir: str, name: str, column: str):
+    """Max value of ``column`` from parquet row-group STATISTICS — like
+    :func:`table_row_count`, a driver-side metadata read (no Spark job)
+    for plan-construction-time sizing. On a lakehouse table the same
+    number comes from table-format column stats. Raises ValueError when
+    any row group lacks statistics for the column (caller falls back to
+    a conservative bound)."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    p = pathlib.Path(sf_dir) / f"{name}.parquet"
+    files = [p] if p.is_file() else sorted(p.rglob("*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet table at {p}")
+    best = None
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index(column)
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                raise ValueError(f"{f}: no min/max statistics for {column}")
+            best = stats.max if best is None else max(best, stats.max)
+    return best

@@ -135,6 +135,37 @@ def test_pipeline_corpus_never_shuffled_for_labels(spark):
     release_shingles(spark)
 
 
+def test_pack_sequences_windows_are_bounded(spark):
+    """pipeline_pack_sequences must plan exactly ONE SinglePartition
+    exchange — the ≤PACK_BUCKET-row recursion floor of the prefix sum.
+    The doc-level and (when deep) bucket-level cumsums run partitioned;
+    a second SinglePartition exchange would mean a corpus-scaled
+    relation crossing one task (VERDICT r3 watch-item)."""
+    df = all_queries()["pipeline_pack_sequences"](spark, SF)
+    assert plans.single_partition_exchanges(df) == 1
+
+
+def test_prefix_offsets_recursion_correct_and_narrow(spark):
+    """The recursive exclusive prefix sum with a tiny cap (forcing two
+    recursion levels on 100 keys) must (a) return exactly the
+    single-window answer and (b) still plan exactly one SinglePartition
+    exchange — the ≤cap-row top of the recursion."""
+    from mqtt_influx_storage_service_spark.operators.pipeline import (
+        _exclusive_prefix_offsets,
+    )
+
+    rel = spark.createDataFrame(
+        [(k, k + 1) for k in range(100)], "k long, v long"
+    )
+    out = _exclusive_prefix_offsets(rel, "k", "v", n_keys=100, cap=7)
+    assert plans.single_partition_exchanges(out) == 1
+    got = {r.k: r.offset for r in out.collect()}
+    acc = 0
+    for k in range(100):
+        assert got[k] == acc, k
+        acc += k + 1
+
+
 def test_components_assignment_broadcasts_labels(spark):
     """dedup_components' final corpus assignment joins the subgraph
     label + size tables by broadcast; the propagation rounds only touch
