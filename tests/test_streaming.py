@@ -533,3 +533,109 @@ def test_socket_source_drives_ingest(spark, tmp_path):
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, expect.select(*cols).collect())
     )
+
+
+def test_journal_relay_exactly_once_across_restart(spark, tmp_path):
+    """The replayable live edge (VERDICT r3 missing #1): socket →
+    JournalRelay → journal dir → file-source ingest. Three ingest runs
+    share one checkpoint, simulating kill/restart: run 1 sees the first
+    feed, run 2 (after more frames arrive) processes ONLY the new
+    files, run 3 (no new data) is a no-op — exactly-once across
+    restarts, no loss, no duplication, including a malformed frame
+    that must be journaled (not dropped) yet stay out of the sink."""
+    import socket
+    import threading
+    import time as _time
+
+    feed1 = [
+        json.dumps(
+            {
+                "ts": f"2024-02-01 00:00:{i:02d}",
+                "topic": f"openchirp/device/dev{i % 3}/Temp",
+                "payload": str(float(i)),
+            }
+        )
+        for i in range(25)
+    ]
+    feed1.append("this is not json")  # journaled under MALFORMED_TOPIC
+    feed2 = [
+        json.dumps(
+            {
+                "ts": f"2024-02-01 00:01:{i:02d}",
+                "topic": f"openchirp/device/dev{i % 3}/Temp",
+                "payload": str(100.0 + i),
+            }
+        )
+        for i in range(25)
+    ]
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    conn_holder = {}
+
+    def _accept():
+        conn, _ = server.accept()
+        conn_holder["conn"] = conn
+
+    acceptor = threading.Thread(target=_accept, daemon=True)
+    acceptor.start()
+
+    journal = tmp_path / "journal"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    relay = st.JournalRelay(str(journal), "127.0.0.1", port, flush_secs=0.1)
+    relay.start()
+    acceptor.join(timeout=10)
+    conn = conn_holder["conn"]
+
+    def _await_journal(n_frames):
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            if relay.frames_journaled >= n_frames:
+                return
+            _time.sleep(0.1)
+        raise AssertionError(
+            f"journal stuck at {relay.frames_journaled} < {n_frames}"
+        )
+
+    def _run_ingest():
+        q = st.start_ingest(
+            spark, str(journal), str(out), str(ckpt), available_now=True
+        )
+        q.awaitTermination(120)
+
+    try:
+        conn.sendall(("\n".join(feed1) + "\n").encode())
+        _await_journal(len(feed1))
+        _run_ingest()
+        pts = spark.read.parquet(str(out / "points"))
+        assert pts.count() == 25
+
+        conn.sendall(("\n".join(feed2) + "\n").encode())
+        _await_journal(len(feed1) + len(feed2))
+        _run_ingest()  # restart from the same checkpoint
+        pts = spark.read.parquet(str(out / "points"))
+        assert pts.count() == 50
+        # no duplicates, nothing lost: every payload exactly once
+        vals = sorted(
+            r.value_double for r in pts.select("value_double").collect()
+        )
+        assert vals == sorted(
+            [float(i) for i in range(25)] + [100.0 + i for i in range(25)]
+        )
+
+        _run_ingest()  # third restart, no new data: must be a no-op
+        assert spark.read.parquet(str(out / "points")).count() == 50
+
+        # the malformed frame is auditable in the journal, not the sink
+        j = spark.read.parquet(str(journal))
+        assert j.filter(F.col("topic") == st.MALFORMED_TOPIC).count() == 1
+        assert j.count() == len(feed1) + len(feed2)
+    finally:
+        relay.stop()
+        conn.close()
+        server.close()
+        st.stop_all(spark)
