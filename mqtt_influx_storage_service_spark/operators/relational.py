@@ -567,35 +567,44 @@ GROUP BY p_brand
 
 def rel_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE formulation of rel_range_join: identical output, but
-    candidates come from an EQUI-join on a coarse price bucket instead
+    candidates come from an EQUI-join on a fine price bucket instead
     of a broadcast theta join — the shape that survives when both
     sides are too big to broadcast (SCALE.md §joins).
 
-    Band width 50 > the max ±1% window in the fixture price range, so
-    every qualifying pair lands in the same or an adjacent bucket; the
-    left side probes its own and both neighbor buckets, the exact
-    predicate filters afterwards. Cost: 3x probe fan-out instead of
-    |A|x|B|.
+    Band sizing is the whole game (r4 lesson: a 50-wide band over the
+    fixture's 100-wide price range meant TWO buckets — ~400M candidate
+    pairs through 2 tasks, 14.7 s, the slowest query in the suite).
+    The band must be a FRACTION of the ±1% predicate window (~19 price
+    units here), not a multiple: each probe row explodes to the
+    ``sequence`` of bucket ids covering its exact qualifying interval
+    ``b_price ∈ [a_price/1.01, a_price/0.99]`` (window/band + 2
+    buckets — a constant fan-out), so correctness never depends on the
+    band exceeding the window, per-bucket build density shrinks with
+    the band, and parallelism = range/band buckets. Candidate volume
+    converges to ~2.5× the true output. Buckets are computed on exact
+    integer CENTS so both sides agree at boundaries; the ±1-cent slack
+    on the probe interval absorbs float division error.
     """
-    band = 50
-    p1 = load_table(spark, sf_dir, "part").select(
+    band_cents = 500  # 5 price units ≈ 1/4 of the qualifying window
+    # rebalance: the probe side fans out to ~100M candidate evaluations
+    # downstream of a broadcast join — a single-file scan would push all
+    # of that through one task
+    p1 = load_table(spark, sf_dir, "part", rebalance=True).select(
         F.col("p_partkey").alias("a_key"), F.col("p_retailprice").alias("a_price")
     )
     p2 = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("b_key"), F.col("p_retailprice").alias("b_price")
     )
+    lo = F.floor((F.col("a_price") * 100 / 1.01 - 1) / band_cents).cast("long")
+    hi = F.floor((F.col("a_price") * 100 / 0.99 + 1) / band_cents).cast("long")
     probes = p1.select(
-        "a_key",
-        "a_price",
-        F.explode(
-            F.array(
-                (F.floor(F.col("a_price") / band) - 1).cast("long"),
-                F.floor(F.col("a_price") / band).cast("long"),
-                (F.floor(F.col("a_price") / band) + 1).cast("long"),
-            )
-        ).alias("bucket"),
+        "a_key", "a_price", F.explode(F.sequence(lo, hi)).alias("bucket")
     )
-    builds = p2.withColumn("bucket", F.floor(F.col("b_price") / band).cast("long"))
+    builds = p2.withColumn(
+        "bucket",
+        (F.round(F.col("b_price") * 100).cast("long") / band_cents)
+        .cast("long"),
+    )
     pairs = probes.join(builds, "bucket").filter(
         (F.col("a_key") < F.col("b_key"))
         & (F.col("a_price") >= F.col("b_price") * 0.99)
