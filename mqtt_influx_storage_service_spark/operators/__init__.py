@@ -41,6 +41,7 @@ from . import (
 _PRIORITY = [
     # new in r4 — no driver row yet
     "sim_knn_exact",
+    "text_langid_ngram",
     # cohort last green in r02/r01 (rotation)
     "dedup_exact",
     "dedup_ngram_jaccard",

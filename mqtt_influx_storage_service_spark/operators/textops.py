@@ -241,6 +241,146 @@ FROM scores
 
 
 # --------------------------------------------------------------------------
+# Hashed char-n-gram language classifier (train + apply, one query)
+# --------------------------------------------------------------------------
+
+LANGID_BUCKETS = 4096
+
+
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped language ID (VERDICT r3 "Next round" #9): a
+    hashed char-TRIGRAM Naive-Bayes classifier — the fastText/langid.py
+    feature family — trained and applied in one declarative plan, pure
+    built-ins, no UDF:
+
+    1. every doc explodes to hashed trigram buckets
+       ``(c1*961 + c2*31 + c3) mod 4096`` (codepoints, identical in
+       both engines);
+    2. the per-language profile is LEARNED from the corpus labels:
+       add-one-smoothed log-likelihood per (lang, bucket), built over
+       the full langs × buckets grid so absent grams carry the
+       smoothing penalty (the part a naive join-on-observed would get
+       wrong);
+    3. each doc scores against every profile and takes the arg-max.
+
+    Determinism discipline: the only float op (ln) is rounded to
+    integer MICRO-units inside the profile; doc scores are then pure
+    integer sums — associative, order-independent, hash-stable.
+
+    Scale shape: the profile is n_langs × 4096 rows, broadcast; the
+    corpus contributes one (doc, bucket) count relation (explode →
+    map-side-combinable count) and one ×n_langs fan-out aggregation.
+    No corpus self-join, no window over raw docs. The keyword
+    ``text_langid`` stays registered as the cheap screening heuristic;
+    this is the classifier a curation campaign would actually gate on
+    (self-trained here — in production the profile table would come
+    from a held-out labeled set, same plan)."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                " i -> (ascii(substr(text, i, 1)) * 961"
+                "     + ascii(substr(text, i + 1, 1)) * 31"
+                f"     + ascii(substr(text, i + 2, 1))) % {LANGID_BUCKETS})"
+            )
+        ).alias("bucket"),
+    )
+    tf = grams.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = (
+        tf.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "bucket")
+        .agg(F.sum("tf").alias("n_lb"))
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("n_lb").alias("n_l"))
+    grid = (
+        docs.select("lang")
+        .distinct()
+        .crossJoin(
+            spark.range(LANGID_BUCKETS).select(F.col("id").alias("bucket"))
+        )
+    )
+    profile = (
+        grid.join(cnt, ["lang", "bucket"], "left_outer")
+        .join(tot, "lang")
+        .select(
+            "lang",
+            "bucket",
+            F.round(
+                F.ln(
+                    (F.coalesce(F.col("n_lb"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_l") + F.lit(float(LANGID_BUCKETS)))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("w6"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(profile), "bucket")
+        .groupBy("doc_id", F.col("lang").alias("cand_lang"))
+        .agg(F.sum(F.col("tf") * F.col("w6")).cast("long").alias("score6"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score6").desc(), F.col("cand_lang")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"), "score6")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id")
+        .select("doc_id", "lang", "predicted_lang", "score6")
+    )
+
+
+TEXT_LANGID_NGRAM_SQL = f"""
+WITH g AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+               i -> (ascii(text[i]) * 961 + ascii(text[i + 1]) * 31
+                     + ascii(text[i + 2])) % {LANGID_BUCKETS})) AS bucket
+    FROM documents
+), tf AS (
+    SELECT doc_id, bucket, count(*) AS tf FROM g GROUP BY 1, 2
+), cnt AS (
+    SELECT d.lang, t.bucket, sum(t.tf) AS n_lb
+    FROM tf t JOIN documents d USING (doc_id) GROUP BY 1, 2
+), tot AS (
+    SELECT lang, sum(n_lb) AS n_l FROM cnt GROUP BY 1
+), grid AS (
+    SELECT l.lang, b.range AS bucket
+    FROM (SELECT DISTINCT lang FROM documents) l
+    CROSS JOIN range(0, {LANGID_BUCKETS}) b
+), profile AS (
+    SELECT g.lang, g.bucket,
+           CAST(round(ln((coalesce(c.n_lb, 0) + 1.0)
+                         / (t.n_l + {LANGID_BUCKETS}.0)) * 1e6) AS BIGINT)
+               AS w6
+    FROM grid g
+    LEFT JOIN cnt c ON c.lang = g.lang AND c.bucket = g.bucket
+    JOIN tot t ON t.lang = g.lang
+), scored AS (
+    SELECT f.doc_id, p.lang AS cand_lang,
+           CAST(sum(f.tf * p.w6) AS BIGINT) AS score6
+    FROM tf f JOIN profile p USING (bucket) GROUP BY 1, 2
+), ranked AS (
+    SELECT doc_id, cand_lang, score6,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score6 DESC, cand_lang) AS rn
+    FROM scored
+)
+SELECT d.doc_id, d.lang, r.cand_lang AS predicted_lang, r.score6
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE r.rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Quality scoring (length / diversity / repetition heuristics)
 # --------------------------------------------------------------------------
 
@@ -727,6 +867,7 @@ QUERIES = {
     "text_word_freq": text_word_freq,
     "text_tfidf_top": text_tfidf_top,
     "text_langid": text_langid,
+    "text_langid_ngram": text_langid_ngram,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
 }
@@ -740,6 +881,7 @@ ORACLES = {
     "text_word_freq": TEXT_WORD_FREQ_SQL,
     "text_tfidf_top": TEXT_TFIDF_TOP_SQL,
     "text_langid": TEXT_LANGID_SQL,
+    "text_langid_ngram": TEXT_LANGID_NGRAM_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
 }

@@ -133,3 +133,40 @@ def test_ewma_semantics(spark, sf_dir):
         assert r.fmin - 1e-6 <= r.ewma <= r.fmax + 1e-6
         if r.rn == 1:
             assert abs(r.ewma - r.value) < 1e-6
+
+
+def test_langid_ngram_separates_distinct_char_distributions(spark, tmp_path):
+    """The hashed-trigram NB classifier must be PERFECT on a corpus
+    whose languages genuinely differ in character distribution (the
+    shipped fixtures label random shared-vocabulary text, so accuracy
+    there only reflects label noise — this synthesizes real signal:
+    disjoint alphabets per 'language'). Also pins determinism and the
+    one-row-per-doc shape."""
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.textops import (
+        text_langid_ngram,
+    )
+
+    alphabets = {"aa": "abcdefg", "bb": "hijklmn", "cc": "opqrstu"}
+    rows = []
+    doc_id = 0
+    for lang, chars in alphabets.items():
+        for i in range(20):
+            # deterministic pseudo-text over the language's alphabet
+            text = " ".join(
+                "".join(chars[(i * 7 + j * 3 + k) % len(chars)]
+                        for k in range(5))
+                for j in range(30)
+            )
+            rows.append((doc_id, text, lang, "synth", len(text)))
+            doc_id += 1
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = text_langid_ngram(spark, str(tmp_path)).collect()
+    assert len(out) == doc_id  # one row per doc
+    assert all(r.predicted_lang == r.lang for r in out)
+    again = text_langid_ngram(spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -1,0 +1,143 @@
+"""sf1.0 stress pass for the dedup/similarity tier (VERDICT r3 "Next
+round" #7): no sf1.0 fixture ships with the sandbox, so this script
+SYNTHESIZES one at 10x the bench scale — 50k documents / 20k embedding
+vectors — runs the three candidate-volume-sensitive queries, and
+audits that the LSH bucket cap still bounds every bucket.
+
+Synthesis keeps the fixtures' dup structure realistic at 10x:
+
+- documents: each sf0.1 doc yields 10 variants; variant 0 is verbatim
+  (the "original"), variants 1-9 rotate the word order by i words and
+  drop the last i words — high-but-not-identical shingle overlap, so
+  near-dup groups GROW with scale exactly the way a rescraped crawl's
+  do (the adversarial case for candidate volume and component size).
+- embeddings: each sf0.1 vector yields 10 variants with a small
+  deterministic per-dimension perturbation — dense cosine
+  neighborhoods around every original.
+
+Results land in STRESS_r04.json at the repo root. Usage:
+
+    python tools/stress_sf1.py [--skip-gen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STRESS_DIR = "/tmp/spark_graft_sf1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "STRESS_r04.json")
+SRC = "/root/testdata/sf0.1"
+FANOUT = 10
+
+
+def generate() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(STRESS_DIR, exist_ok=True)
+
+    docs = pq.read_table(f"{SRC}/documents.parquet").to_pydict()
+    n = len(docs["doc_id"])
+    out = {k: [] for k in docs}
+    for i in range(n):
+        words = docs["text"][i].split(" ")
+        for v in range(FANOUT):
+            rot = words if v == 0 else (
+                words[v:] + words[:v])[: max(1, len(words) - v)]
+            text = " ".join(rot)
+            out["doc_id"].append(docs["doc_id"][i] * FANOUT + v)
+            out["text"].append(text)
+            out["lang"].append(docs["lang"][i])
+            out["source"].append(docs["source"][i])
+            out["n_chars"].append(len(text))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "text": pa.array(out["text"], pa.string()),
+                "lang": pa.array(out["lang"], pa.string()),
+                "source": pa.array(out["source"], pa.string()),
+                "n_chars": pa.array(out["n_chars"], pa.int64()),
+            }
+        ),
+        f"{STRESS_DIR}/documents.parquet",
+    )
+
+    emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pydict()
+    vecs = np.array(emb["embedding"], dtype=np.float32)
+    m, d = vecs.shape
+    ids, labels, rows = [], [], []
+    rng = np.random.default_rng(42)  # deterministic: seeded once
+    noise = rng.normal(0.0, 0.02, size=(FANOUT, d)).astype(np.float32)
+    for v in range(FANOUT):
+        ids.extend(int(x) * FANOUT + v for x in emb["vec_id"])
+        labels.extend(emb["label"])
+        rows.append(vecs if v == 0 else vecs + noise[v])
+    allv = np.concatenate(rows, axis=0)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(allv), pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        f"{STRESS_DIR}/embeddings.parquet",
+    )
+    print(f"generated {len(out['doc_id'])} docs, {len(ids)} vectors")
+
+
+def main() -> int:
+    if "--skip-gen" not in sys.argv:
+        generate()
+
+    from mqtt_influx_storage_service_spark.operators import all_queries
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        lsh_hot_buckets,
+    )
+    from mqtt_influx_storage_service_spark.session import get_spark
+
+    spark = get_spark("stress_sf1")
+    qs = all_queries()
+    results: dict = {"scale": "synthetic sf1.0 (10x sf0.1)", "timings": {}}
+    for name in ("dedup_minhash_lsh", "dedup_components",
+                 "sim_threshold_pairs"):
+        t0 = time.time()
+        try:
+            qs[name](spark, STRESS_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            results["timings"][name] = round(time.time() - t0, 2)
+        except Exception as exc:  # noqa: BLE001 - record, keep going
+            results["timings"][name] = None
+            results.setdefault("errors", {})[name] = str(exc)[:500]
+        print(name, results["timings"][name], flush=True)
+
+    hot = sorted(
+        lsh_hot_buckets(spark, STRESS_DIR).collect(),
+        key=lambda r: -r["n_members"],
+    )
+    results["lsh_hot_buckets"] = {
+        "cap": LSH_BUCKET_CAP,
+        "n_over_cap": len(hot),
+        "worst": [
+            {"band_idx": r["band_idx"], "n_members": r["n_members"]}
+            for r in hot[:10]
+        ],
+    }
+    with open(OUT, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
