@@ -50,6 +50,15 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# Measured dead end (r4), recorded so it is not retried: swapping the
+# pair-level fold for an Arrow pandas-UDF dot kernel (bit-identical
+# column-wise accumulate) made every scored join 5-35x SLOWER at sf0.1
+# (sim_knn_exact 2.8 s -> 104 s). The fold computes on pairs the join
+# materializes transiently JVM-side, while a pair-level UDF forces both
+# 64-double arrays through Arrow PER PAIR (~26 GB for 25M pairs).
+# Python kernels only pay off at per-ROW granularity (n, not n² — see
+# _block_keys_udf below); pair-scale scoring stays on the built-in fold.
+
 _DOT_SQL = """list_reduce(
     list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
         i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)),
