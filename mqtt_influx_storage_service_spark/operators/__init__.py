@@ -42,6 +42,11 @@ _PRIORITY = [
     # new in r4 — no driver row yet
     "sim_knn_exact",
     "text_langid_ngram",
+    "sim_range_search",
+    "ts_pattern_match",
+    "ts_downsample",
+    "ts_cross_correlation",
+    "text_bigram_lm",
     # cohort last green in r02/r01 (rotation)
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -134,6 +134,59 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOPK}
 
 
 # --------------------------------------------------------------------------
+# Range search (all neighbors within a cosine radius of each query)
+# --------------------------------------------------------------------------
+
+RANGE_THRESHOLD = 0.3  # just above the fixtures' noise floor (~0.28)
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query: EVERY corpus neighbor with cosine >=
+    RANGE_THRESHOLD for each query vector (vec_id < N_QUERIES),
+    excluding self — the fixed-radius complement of ``sim_cosine_topk``
+    (top-k caps the result, range search caps the distance; vector
+    stores expose both).
+
+    Same scale shape as the top-k: the bounded query set is broadcast,
+    the corpus streams through one scored projection, and — unlike
+    top-k — there is NO window at all: the radius predicate filters in
+    the map stage, so the plan is scan → broadcast-join → filter with
+    zero shuffles of the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    q = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "qv")
+    c = _with_norm(emb, "neighbor_id", "cv")
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("query_id_norm") * F.col("neighbor_id_norm")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= RANGE_THRESHOLD)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+SIM_RANGE_SEARCH_SQL = f"""
+WITH v AS (
+    SELECT vec_id, embedding, {_NORM_SQL} AS norm FROM embeddings
+)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+             / (q.norm * c.norm), 6) AS cosine
+FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+WHERE round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+            / (q.norm * c.norm), 6) >= {RANGE_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
 # Threshold similarity self-join (blocked candidates + exact verify)
 # --------------------------------------------------------------------------
 
@@ -589,6 +642,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_range_search": sim_range_search,
     "sim_knn_exact": sim_knn_exact,
     "sim_threshold_pairs": sim_threshold_pairs,
     "sim_knn_graph": sim_knn_graph,
@@ -599,6 +653,7 @@ QUERIES = {
 
 ORACLES = {
     "sim_cosine_topk": SIM_COSINE_TOPK_SQL,
+    "sim_range_search": SIM_RANGE_SEARCH_SQL,
     "sim_knn_exact": SIM_KNN_EXACT_SQL,
     "sim_threshold_pairs": SIM_THRESHOLD_PAIRS_SQL,
     "sim_label_centroid": SIM_LABEL_CENTROID_SQL,

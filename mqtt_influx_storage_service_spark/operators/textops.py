@@ -858,8 +858,72 @@ FROM wstat w LEFT JOIN bstat b USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus bigram-LM typicality (fluency proxy for curation gates)
+# --------------------------------------------------------------------------
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM typicality score per document: the mean corpus
+    frequency of the document's token bigrams. A document whose word
+    transitions are common across the corpus scores high; boilerplate
+    shuffled or garbled text scores low — the count-based skeleton of
+    the n-gram-LM perplexity gates (KenLM-style) production curation
+    pipelines run, with the probability model kept integer-exact
+    (mean of bigint counts) so the oracle hash is order-insensitive.
+
+    Plan: one explode feeds BOTH the corpus bigram counts (map-side
+    combinable groupBy — word-count shaped) and the per-doc bigram
+    stream; they meet in an equi-join on the bigram key. At 100 TB
+    both sides shuffle once on the bigram; no driver-side vocabulary,
+    no broadcast of an unbounded model.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    tok = docs.select("doc_id", "lang", _tokens().alias("t"))
+    bigrams = tok.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    lm = bigrams.groupBy("g").agg(F.count(F.lit(1)).alias("corpus_cnt"))
+    return (
+        bigrams.join(lm, "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("corpus_cnt") / F.count(F.lit(1)), 6).alias(
+                "typicality"
+            ),
+        )
+    )
+
+
+TEXT_BIGRAM_LM_SQL = """
+WITH tok AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), bigrams AS (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS g
+    FROM tok WHERE len(t) >= 2
+), lm AS (
+    SELECT g, count(*) AS corpus_cnt FROM bigrams GROUP BY g
+)
+SELECT b.doc_id, b.lang,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(lm.corpus_cnt) * 1.0 / count(*), 6) AS typicality
+FROM bigrams b JOIN lm USING (g)
+GROUP BY b.doc_id, b.lang
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_bigram_lm": text_bigram_lm,
     "text_contamination": text_contamination,
     "text_boilerplate": text_boilerplate,
     "text_repetition": text_repetition,
@@ -874,6 +938,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_bigram_lm": TEXT_BIGRAM_LM_SQL,
     "text_contamination": TEXT_CONTAMINATION_SQL,
     "text_boilerplate": TEXT_BOILERPLATE_SQL,
     "text_repetition": TEXT_REPETITION_SQL,

@@ -1349,6 +1349,215 @@ WHERE m.mad > 0
 """
 
 
+# --------------------------------------------------------------------------
+# Sequence-pattern detection (MATCH_RECOGNIZE-style, lag/lead windows)
+# --------------------------------------------------------------------------
+
+SPIKE_FACTOR = 2.0  # mid > factor * max(prev, next) => isolated spike
+
+
+def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolated-spike pattern per series: an event whose value exceeds
+    SPIKE_FACTOR x BOTH its predecessor and successor in the same
+    (user_id, event_type) series — the ``A up, B down`` row-pattern a
+    SQL-2016 MATCH_RECOGNIZE would express, built from lag/lead over
+    the series window (Spark has no MATCH_RECOGNIZE; for fixed-length
+    patterns the lag/lead form IS the idiomatic plan).
+
+    Order within a series is (ts, event_id) — event_id breaks
+    timestamp ties deterministically. Scale: one shuffle on the series
+    key, sort within partition; the pattern predicate is a pure
+    projection over the framed window, whole-stage codegen throughout.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    framed = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+    return framed.filter(
+        F.col("prev_value").isNotNull()
+        & F.col("next_value").isNotNull()
+        & (F.col("value") > SPIKE_FACTOR * F.col("prev_value"))
+        & (F.col("value") > SPIKE_FACTOR * F.col("next_value"))
+    ).select(
+        "user_id", "event_type", "event_id", "ts",
+        "prev_value", "value", "next_value",
+    )
+
+
+TS_PATTERN_MATCH_SQL = f"""
+WITH framed AS (
+    SELECT user_id, event_type, event_id, ts, value,
+           lag(value)  OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS next_value
+    FROM events
+)
+SELECT user_id, event_type, event_id, ts, prev_value, value, next_value
+FROM framed
+WHERE prev_value IS NOT NULL AND next_value IS NOT NULL
+  AND value > {SPIKE_FACTOR} * prev_value
+  AND value > {SPIKE_FACTOR} * next_value
+"""
+
+
+# --------------------------------------------------------------------------
+# M4 downsampling (per-bucket min/max/first/last — the lossless-for-
+# rendering decimation used by time-series dashboards)
+# --------------------------------------------------------------------------
+
+def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 decimation: per (user_id, event_type, 1-day bucket) emit
+    first/last/min/max of ``value`` — the four points that preserve a
+    line-chart rendering exactly (Jugel et al., "M4: A Visualization-
+    Oriented Time Series Data Aggregation", VLDB 2014).
+
+    first/last are argmin/argmax over (ts, event_id) — implemented as
+    min/max over a (ts, event_id, value) struct so the whole query is
+    ONE partial-aggregatable groupBy (no window, no sort): structs
+    compare lexicographically and (ts, event_id) is unique, so the
+    extremes are deterministic and the value rides along. At 100 TB
+    this is a single map-side-combinable shuffle on the bucket key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("day", F.col("ts")).alias("bucket")
+    return (
+        ev.groupBy("user_id", "event_type", bucket)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.min(F.struct("ts", "event_id", "value")).alias("_first"),
+            F.max(F.struct("ts", "event_id", "value")).alias("_last"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "bucket",
+            "n",
+            "min_value",
+            "max_value",
+            F.col("_first.value").alias("first_value"),
+            F.col("_last.value").alias("last_value"),
+        )
+    )
+
+
+TS_DOWNSAMPLE_SQL = """
+SELECT user_id, event_type, date_trunc('day', ts) AS bucket,
+       count(*) AS n,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value,
+       min(struct_pack(ts := ts, e := event_id, v := value)).v AS first_value,
+       max(struct_pack(ts := ts, e := event_id, v := value)).v AS last_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-series correlation (integer-exact Pearson r)
+# --------------------------------------------------------------------------
+
+CORR_MIN_DAYS = 3
+
+
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device Pearson correlation between daily click revenue and
+    daily purchase revenue (days where both series have data) — "does
+    click volume track purchases" across the fleet.
+
+    Determinism: a naive ``corr()`` accumulates doubles in partition
+    order and would never survive the value-hash gate. Values carry 2
+    decimals, so daily sums in CENTS are exact BIGINTs; every Pearson
+    moment (Sx, Sy, Sxy, Sxx, Syy) is then an exact integer sum, and
+    r = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²) · (n·Syy − Sy²)) runs a
+    fixed sequence of IEEE ops on exact inputs — bit-identical in both
+    engines. The variance product is computed in double (the two
+    factors each fit int64; their product may not).
+
+    Scale: two map-side-combinable daily aggregations, an equi-join on
+    (user, day), one more combinable rollup per user. No window, no
+    driver state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+
+    def _daily_cents(event_type: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id", day)
+            .agg(
+                F.round(F.round(F.sum("value"), 2) * 100)
+                .cast("long")
+                .alias(alias)
+            )
+        )
+
+    joined = _daily_cents("click", "x").join(
+        _daily_cents("purchase", "y"), ["user_id", "day"]
+    )
+    m = joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    var_x = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.filter(F.col("n_days") >= CORR_MIN_DAYS)
+        .filter((var_x > 0) & (var_y > 0))
+        .select(
+            "user_id",
+            "n_days",
+            F.round(
+                num / F.sqrt(var_x.cast("double") * var_y.cast("double")), 6
+            ).alias("corr"),
+        )
+    )
+
+
+TS_CROSS_CORRELATION_SQL = f"""
+WITH clicks AS (
+    SELECT user_id, date_trunc('day', ts) AS day,
+           CAST(round(round(sum(value), 2) * 100, 0) AS BIGINT) AS x
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), purchases AS (
+    SELECT user_id, date_trunc('day', ts) AS day,
+           CAST(round(round(sum(value), 2) * 100, 0) AS BIGINT) AS y
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), m AS (
+    SELECT c.user_id,
+           count(*) AS n_days,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM clicks c JOIN purchases p ON c.user_id = p.user_id AND c.day = p.day
+    GROUP BY c.user_id
+)
+SELECT user_id, n_days,
+       round((n_days * sxy - sx * sy)
+             / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                    * CAST(n_days * syy - sy * sy AS DOUBLE)), 6) AS corr
+FROM m
+WHERE n_days >= {CORR_MIN_DAYS}
+  AND n_days * sxx - sx * sx > 0
+  AND n_days * syy - sy * sy > 0
+"""
+
+
 QUERIES = {
     "ts_anomaly_zscore": ts_anomaly_zscore,
     "ts_retention": ts_retention,
@@ -1373,6 +1582,9 @@ QUERIES = {
     "ts_histogram": ts_histogram,
     "ts_mad_outliers": ts_mad_outliers,
     "ts_ewma": ts_ewma,
+    "ts_pattern_match": ts_pattern_match,
+    "ts_downsample": ts_downsample,
+    "ts_cross_correlation": ts_cross_correlation,
 }
 
 ORACLES = {
@@ -1399,4 +1611,7 @@ ORACLES = {
     "ts_histogram": TS_HISTOGRAM_SQL,
     "ts_mad_outliers": TS_MAD_OUTLIERS_SQL,
     "ts_ewma": TS_EWMA_SQL,
+    "ts_pattern_match": TS_PATTERN_MATCH_SQL,
+    "ts_downsample": TS_DOWNSAMPLE_SQL,
+    "ts_cross_correlation": TS_CROSS_CORRELATION_SQL,
 }

@@ -170,3 +170,110 @@ def test_langid_ngram_separates_distinct_char_distributions(spark, tmp_path):
     assert all(r.predicted_lang == r.lang for r in out)
     again = text_langid_ngram(spark, str(tmp_path)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# r4 batch 2: pattern match, M4 downsample, range search, bigram LM,
+# cross-correlation (oracle hash-equivalence via tools/check_oracles.py;
+# these pin the semantics a hash match alone wouldn't explain)
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_match_flags_true_spikes(spark, sf_dir):
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        SPIKE_FACTOR,
+        ts_pattern_match,
+    )
+
+    out = ts_pattern_match(spark, sf_dir).collect()
+    assert out, "sf0.001 fixture should contain isolated spikes"
+    for r in out:
+        assert r.value > SPIKE_FACTOR * r.prev_value
+        assert r.value > SPIKE_FACTOR * r.next_value
+
+
+def test_downsample_m4_invariants(spark, sf_dir):
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_downsample,
+    )
+
+    rows = ts_downsample(spark, sf_dir).collect()
+    ev_n = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == ev_n  # partition of the corpus
+    for r in rows:
+        # first/last live inside the [min, max] envelope
+        assert r.min_value <= r.first_value <= r.max_value
+        assert r.min_value <= r.last_value <= r.max_value
+
+
+def test_range_search_is_threshold_complete(spark, sf_dir):
+    """Range search ≡ the brute-force scored join filtered at the
+    radius: every returned pair qualifies, and per query the result
+    contains every top-k neighbor whose cosine clears the radius."""
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        RANGE_THRESHOLD,
+        sim_cosine_topk,
+        sim_range_search,
+    )
+
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim_range_search(spark, sf_dir).collect()
+    }
+    assert got and all(c >= RANGE_THRESHOLD for c in got.values())
+    for r in sim_cosine_topk(spark, sf_dir).collect():
+        if r.cosine >= RANGE_THRESHOLD:
+            assert got[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_bigram_lm_scores_common_text_higher(spark, tmp_path):
+    """A doc made of the corpus's dominant bigram scores above a doc of
+    bigrams that occur nowhere else (the fluency-gate property)."""
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.textops import (
+        text_bigram_lm,
+    )
+
+    common = " ".join(["the fast"] * 20)      # "the fast"/"fast the" everywhere
+    rare = "zq wx vk jm qq zz pp ll"          # bigrams unique to this doc
+    rows = [(i, common, "en", "s", len(common)) for i in range(10)]
+    rows.append((99, rare, "en", "s", len(rare)))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = {r.doc_id: r.typicality for r in text_bigram_lm(spark, str(tmp_path)).collect()}
+    assert out[99] == 1.0                    # every rare bigram seen once
+    assert out[0] > 100 * out[99]
+
+
+def test_cross_correlation_detects_perfect_correlation(spark, tmp_path):
+    """Synthetic device where purchase = 2 x click daily revenue gives
+    r = 1; an anti-tracking device gives r = -1."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_cross_correlation,
+    )
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for d in range(6):
+        day = base + dt.timedelta(days=d)
+        for etype, val, uid in [
+            ("click", 10.0 + d, 1), ("purchase", 20.0 + 2 * d, 1),
+            ("click", 10.0 + d, 2), ("purchase", 50.0 - 3 * d, 2),
+        ]:
+            rows.append((eid, day, uid, etype, val, "{}"))
+            eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    out = {r.user_id: r.corr for r in ts_cross_correlation(spark, str(tmp_path)).collect()}
+    assert out[1] == 1.0
+    assert out[2] == -1.0
