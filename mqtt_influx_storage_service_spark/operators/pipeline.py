@@ -28,9 +28,13 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from .dedup import _component_labels, _edges_cte
 from .textops import (
+    _GOPHER_FEATS_SQL,
+    _GOPHER_KEEP_SQL,
     _LANGID_PRED_SQL,
     _LANGID_SCORE_SQL,
     QUALITY_KEEP_THRESHOLD,
+    gopher_feature_cols,
+    gopher_rule_exprs,
     langid_pred_expr,
     langid_score_cols,
     quality_feature_cols,
@@ -476,8 +480,124 @@ FROM r JOIN s USING (source) CROSS JOIN n
 """
 
 
+# --------------------------------------------------------------------------
+# Per-document curation audit: every gate's verdict + first-failing reason
+# --------------------------------------------------------------------------
+
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document audit trail of the curation gates — the view a data
+    engineer inspects to answer "why was this document dropped?".
+
+    Gates in pipeline order, ``drop_reason`` = first failure:
+      1. ``exact_duplicate`` — not the min-doc_id holder of its text
+      2. ``gopher_rules``    — fails the published rule-based filter
+      3. ``low_quality``     — composite score under the keep threshold
+      4. ``lang_mismatch``   — language-ID disagrees with the label
+    (`pipeline_training_mix` is the aggregate twin of this view; here
+    every document survives into the output with its verdict.)
+
+    Scale: one corpus scan; the only shuffle is the exact-dup window
+    keyed by full text — the same key `dedup_exact` groups on, skew-
+    bounded because identical-text groups are duplicate clusters.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(w).alias("dup_rn"),
+        *quality_feature_cols(),
+        *gopher_feature_cols(),
+        *langid_score_cols(),
+    )
+    rules = gopher_rule_exprs()
+    gopher_keep = rules["rule_word_count"]
+    for name in list(rules)[1:]:
+        gopher_keep = gopher_keep & rules[name]
+    scored = feats.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        (F.col("dup_rn") == 1).alias("is_representative"),
+        gopher_keep.alias("gopher_keep"),
+        quality_score_expr().alias("quality_score"),
+        langid_pred_expr().alias("predicted_lang"),
+    )
+    quality_keep = F.col("quality_score") >= F.lit(QUALITY_KEEP_THRESHOLD)
+    lang_match = F.col("predicted_lang") == F.col("lang")
+    keep = (
+        F.col("is_representative")
+        & F.col("gopher_keep")
+        & quality_keep
+        & lang_match
+    )
+    reason = (
+        F.when(~F.col("is_representative"), F.lit("exact_duplicate"))
+        .when(~F.col("gopher_keep"), F.lit("gopher_rules"))
+        .when(~quality_keep, F.lit("low_quality"))
+        .when(~lang_match, F.lit("lang_mismatch"))
+        .otherwise(F.lit("kept"))
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "source",
+        "predicted_lang",
+        "n_tokens",
+        "quality_score",
+        "is_representative",
+        "gopher_keep",
+        quality_keep.alias("quality_keep"),
+        lang_match.alias("lang_match"),
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+PIPELINE_QUALITY_GATE_SQL = f"""
+WITH feats AS (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS dup_rn,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(len(list_distinct(string_split(text, ' ')))
+                 / len(string_split(text, ' ')), 6) AS distinct_ratio,
+           round(list_reduce(list_prepend(0, list_transform(
+                     string_split(text, ' '), t -> length(t))),
+                     (a, b) -> a + b)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           {_GOPHER_FEATS_SQL},
+{_LANGID_SCORE_SQL}
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang, source, n_tokens,
+           dup_rn = 1 AS is_representative,
+           {_GOPHER_KEEP_SQL} AS gopher_keep,
+           round(round(ln(n_tokens), 6) * 0.3 + distinct_ratio * 0.5
+                 + round(avg_token_len / 10, 7) * 0.2, 7) AS quality_score,
+           {_LANGID_PRED_SQL} AS predicted_lang
+    FROM feats
+)
+SELECT doc_id, lang, source, predicted_lang, n_tokens, quality_score,
+       is_representative, gopher_keep,
+       quality_score >= {QUALITY_KEEP_THRESHOLD} AS quality_keep,
+       predicted_lang = lang AS lang_match,
+       is_representative AND gopher_keep
+           AND quality_score >= {QUALITY_KEEP_THRESHOLD}
+           AND predicted_lang = lang AS keep,
+       CASE WHEN NOT is_representative THEN 'exact_duplicate'
+            WHEN NOT gopher_keep THEN 'gopher_rules'
+            WHEN quality_score < {QUALITY_KEEP_THRESHOLD} THEN 'low_quality'
+            WHEN predicted_lang <> lang THEN 'lang_mismatch'
+            ELSE 'kept' END AS drop_reason
+FROM scored
+"""
+
+
 QUERIES = {
     "pipeline_training_mix": pipeline_training_mix,
+    "pipeline_quality_gate": pipeline_quality_gate,
     "pipeline_token_budget": pipeline_token_budget,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_stratified_sample": pipeline_stratified_sample,
@@ -486,6 +606,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_training_mix": PIPELINE_TRAINING_MIX_SQL,
+    "pipeline_quality_gate": PIPELINE_QUALITY_GATE_SQL,
     "pipeline_token_budget": PIPELINE_TOKEN_BUDGET_SQL,
     "pipeline_pack_sequences": PIPELINE_PACK_SEQUENCES_SQL,
     "pipeline_stratified_sample": PIPELINE_STRATIFIED_SAMPLE_SQL,

@@ -921,8 +921,135 @@ GROUP BY b.doc_id, b.lang
 """
 
 
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A) — the published
+# rule-based document filter, thresholds fixture-adapted where noted.
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 30       # Gopher uses 50; fixture docs average ~50 words
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+# Gopher requires >=2 distinct English function words; the fixture
+# vocabulary contains exactly these two.
+GOPHER_STOPWORDS = ["the", "a"]
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_feature_cols() -> list[F.Column]:
+    """The five Gopher rule features, as columns over ``text`` — every
+    one integer-derived (counts and 6-decimal ratios of counts), so the
+    downstream rule booleans are bit-identical across engines."""
+    toks = _tokens()
+    n = F.size(toks)
+    sum_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    n_symbol = F.size(
+        F.filter(toks, lambda t: t.contains("#") | t.contains("..."))
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    return [
+        n.alias("n_words"),
+        F.round(sum_len / n, 6).alias("mean_word_len"),
+        F.round(n_symbol / n, 6).alias("symbol_ratio"),
+        F.round(n_alpha / n, 6).alias("alpha_ratio"),
+        n_stop.alias("n_stopwords"),
+    ]
+
+
+def gopher_rule_exprs() -> dict[str, F.Column]:
+    """Rule booleans over the MATERIALIZED feature columns (two-step
+    projection — see the HOF re-inlining note in operators/dedup.py)."""
+    return {
+        "rule_word_count": F.col("n_words").between(
+            GOPHER_MIN_WORDS, GOPHER_MAX_WORDS
+        ),
+        "rule_word_len": F.col("mean_word_len").between(
+            GOPHER_MIN_WORD_LEN, GOPHER_MAX_WORD_LEN
+        ),
+        "rule_symbol_ratio": F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO,
+        "rule_alpha_ratio": F.col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO,
+        "rule_stopwords": F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS,
+    }
+
+
+# DuckDB twin of gopher_feature_cols() (projection list over documents).
+_GOPHER_FEATS_SQL = f"""
+           len(string_split(text, ' ')) AS n_words,
+           round(list_reduce(list_prepend(0, list_transform(
+                     string_split(text, ' '), t -> length(t))),
+                     (a, b) -> a + b)
+                 / len(string_split(text, ' ')), 6) AS mean_word_len,
+           round(len(list_filter(string_split(text, ' '),
+                     t -> contains(t, '#') OR contains(t, '...')))
+                 / len(string_split(text, ' ')), 6) AS symbol_ratio,
+           round(len(list_filter(string_split(text, ' '),
+                     t -> regexp_matches(t, '[A-Za-z]')))
+                 / len(string_split(text, ' ')), 6) AS alpha_ratio,
+           len(list_intersect(list_distinct(string_split(text, ' ')),
+               {_sql_list(GOPHER_STOPWORDS)})) AS n_stopwords
+"""
+
+# DuckDB twin of the keep conjunction, over the feats columns.
+_GOPHER_KEEP_SQL = f"""(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+       AND (mean_word_len BETWEEN {GOPHER_MIN_WORD_LEN}
+                              AND {GOPHER_MAX_WORD_LEN})
+       AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+       AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+       AND n_stopwords >= {GOPHER_MIN_STOPWORDS}"""
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule evaluation (Rae et al. 2021, App. A):
+    five published rule families (word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio, alphabetic-word ratio, stopword
+    presence) as explicit boolean columns plus the conjunction ``keep``.
+
+    Scale: embarrassingly parallel single scan, no shuffle at all; the
+    natural first gate of a curation pipeline, run before anything that
+    shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    feats = docs.select("doc_id", "lang", "source", *gopher_feature_cols())
+    rules = gopher_rule_exprs()
+    keep = rules["rule_word_count"]
+    for name in list(rules)[1:]:
+        keep = keep & rules[name]
+    return feats.select(
+        "*",
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+TEXT_GOPHER_RULES_SQL = f"""
+WITH feats AS (
+    SELECT doc_id, lang, source,
+           {_GOPHER_FEATS_SQL}
+    FROM documents
+)
+SELECT *,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+           AS rule_word_count,
+       mean_word_len BETWEEN {GOPHER_MIN_WORD_LEN} AND {GOPHER_MAX_WORD_LEN}
+           AS rule_word_len,
+       symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS rule_symbol_ratio,
+       alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO} AS rule_alpha_ratio,
+       n_stopwords >= {GOPHER_MIN_STOPWORDS} AS rule_stopwords,
+       {_GOPHER_KEEP_SQL} AS keep
+FROM feats
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_gopher_rules": text_gopher_rules,
     "text_bigram_lm": text_bigram_lm,
     "text_contamination": text_contamination,
     "text_boilerplate": text_boilerplate,
@@ -938,6 +1065,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_gopher_rules": TEXT_GOPHER_RULES_SQL,
     "text_bigram_lm": TEXT_BIGRAM_LM_SQL,
     "text_contamination": TEXT_CONTAMINATION_SQL,
     "text_boilerplate": TEXT_BOILERPLATE_SQL,

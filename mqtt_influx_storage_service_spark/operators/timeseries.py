@@ -1558,6 +1558,242 @@ WHERE n_days >= {CORR_MIN_DAYS}
 """
 
 
+# --------------------------------------------------------------------------
+# InfluxQL CUMULATIVE_SUM(): per-series running sum
+# --------------------------------------------------------------------------
+
+def ts_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series running sum (InfluxQL ``CUMULATIVE_SUM(value)`` over the
+    narrow layout, the reference's series shape at influx_service.py:183-189).
+
+    Determinism: a running double sum depends on accumulation order only
+    through the FRAME, and the frame here is totally ordered (ts,
+    event_id tiebreak), so both engines add the same values in the same
+    order — but to be immune even to fused-multiply differences the sum
+    runs over exact integer CENTS and divides once at the end.
+
+    Scale: one window per series key — partition-parallel across series;
+    a single series' history streams through one task in ts order
+    (WindowExec is running-frame, not materialize-all).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("cumulative"),
+    )
+
+
+TS_CUMULATIVE_SUM_SQL = """
+SELECT event_id, user_id, event_type, ts, value,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) / 100.0 AS cumulative
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# PromQL increase()/rate() with counter-reset handling
+# --------------------------------------------------------------------------
+
+def ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly counter increase and per-second rate with reset detection —
+    the PromQL ``increase()``/``rate()`` semantics a monitoring user of
+    the reference's InfluxDB would run over a counter series.
+
+    A counter only goes up; a drop means the process restarted and the
+    counter rebased to ~0, so the post-reset sample counts fully toward
+    the increase (PromQL convention): per-sample delta = value - prev if
+    it is >= 0 else value. Deltas are exact integer cents, summed per
+    (series, hour); rate divides by 3600 once.
+
+    Scale: lag over the per-series window (partition-parallel), then one
+    map-side-combinable hourly rollup. No Python, no driver state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    prev = F.lag(cents).over(w)
+    delta = F.when(prev.isNull(), F.lit(None).cast("long")).otherwise(
+        F.when(cents - prev >= 0, cents - prev).otherwise(cents)
+    )
+    per_sample = ev.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        delta.alias("delta_cents"),
+        F.when(cents < prev, F.lit(1)).otherwise(F.lit(0)).alias("is_reset"),
+    ).filter(F.col("delta_cents").isNotNull())
+    return per_sample.groupBy("user_id", "event_type", "hour").agg(
+        (F.sum("delta_cents") / F.lit(100.0)).alias("increase"),
+        F.round(F.sum("delta_cents") / F.lit(100.0) / F.lit(3600.0), 6).alias(
+            "rate_per_s"
+        ),
+        F.sum("is_reset").alias("n_resets"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+TS_COUNTER_RATE_SQL = """
+WITH lagged AS (
+    SELECT user_id, event_type,
+           date_trunc('hour', ts) AS hour,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           lag(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS prev
+    FROM events
+)
+SELECT user_id, event_type, hour,
+       sum(CASE WHEN cents - prev >= 0 THEN cents - prev ELSE cents END)
+           / 100.0 AS increase,
+       round(sum(CASE WHEN cents - prev >= 0 THEN cents - prev
+                      ELSE cents END) / 100.0 / 3600.0, 6) AS rate_per_s,
+       CAST(sum(CASE WHEN cents < prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resets,
+       count(*) AS n_samples
+FROM lagged
+WHERE prev IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# InfluxQL PERCENTILE(value, N): nearest-rank element selection per series
+# --------------------------------------------------------------------------
+
+def ts_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series p50/p95 via nearest-rank selection (InfluxQL
+    ``PERCENTILE(value, N)`` returns an actual sample, not an
+    interpolation — so the result is an exact element and hash-stable).
+
+    The rank index is pure integer math, ceil(N·n/100) = (N·n+99) div
+    100 — no float percentile boundary ambiguity between engines. Ties
+    in value are broken by event_id so the selected ROW (not just the
+    value) is deterministic.
+
+    Scale: one row_number window per series plus a combinable rollup —
+    the same shape every per-series ranking here uses.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id", "event_type"))
+        .alias("n"),
+    )
+    idx = lambda p: (F.lit(p) * F.col("n") + 99) / F.lit(100)  # noqa: E731
+    p50 = F.floor(idx(50)).cast("long")
+    p95 = F.floor(idx(95)).cast("long")
+    return ranked.groupBy("user_id", "event_type").agg(
+        F.max("n").alias("n_points"),
+        F.max(F.when(F.col("rn") == p50, F.col("value"))).alias("p50_value"),
+        F.max(F.when(F.col("rn") == p95, F.col("value"))).alias("p95_value"),
+    )
+
+
+TS_PERCENTILE_SQL = """
+WITH ranked AS (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id, event_type) AS n
+    FROM events
+)
+SELECT user_id, event_type,
+       max(n) AS n_points,
+       max(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50_value,
+       max(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95_value
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# InfluxQL SPREAD()/FIRST()/LAST()/ELAPSED() aggregate family per series
+# --------------------------------------------------------------------------
+
+def ts_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series value envelope: SPREAD (max-min), FIRST/LAST sample by
+    time, and total ELAPSED seconds — the InfluxQL selector/aggregate
+    family over the reference's narrow layout.
+
+    FIRST/LAST pick the extreme-(ts, event_id) ROW via rank-1 selection
+    (min_by-style arg-extremes have nondeterministic tie behavior;
+    row_number with an explicit tiebreak does not). min/max/subtraction
+    of identical doubles is bit-exact; elapsed uses integer microseconds.
+
+    Scale: one per-series window for the two rank columns, one
+    combinable rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    asc = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    desc = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    us = F.unix_micros(F.col("ts"))
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        us.alias("us"),
+        F.row_number().over(asc).alias("rn_first"),
+        F.row_number().over(desc).alias("rn_last"),
+    )
+    return ranked.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (F.max("value") - F.min("value") + F.lit(0.0)).alias("spread"),
+        F.max(F.when(F.col("rn_first") == 1, F.col("value"))).alias(
+            "first_value"
+        ),
+        F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias(
+            "last_value"
+        ),
+        ((F.max("us") - F.min("us")) / F.lit(1000000.0)).alias(
+            "elapsed_total_s"
+        ),
+    )
+
+
+TS_SPREAD_SQL = """
+WITH ranked AS (
+    SELECT user_id, event_type, value, epoch_us(ts) AS us,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rn_first,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn_last
+    FROM events
+)
+SELECT user_id, event_type,
+       count(*) AS n_points,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       max(value) - min(value) + 0.0 AS spread,
+       max(CASE WHEN rn_first = 1 THEN value END) AS first_value,
+       max(CASE WHEN rn_last = 1 THEN value END) AS last_value,
+       (max(us) - min(us)) / 1000000.0 AS elapsed_total_s
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "ts_anomaly_zscore": ts_anomaly_zscore,
     "ts_retention": ts_retention,
@@ -1585,6 +1821,10 @@ QUERIES = {
     "ts_pattern_match": ts_pattern_match,
     "ts_downsample": ts_downsample,
     "ts_cross_correlation": ts_cross_correlation,
+    "ts_cumulative_sum": ts_cumulative_sum,
+    "ts_counter_rate": ts_counter_rate,
+    "ts_percentile": ts_percentile,
+    "ts_spread": ts_spread,
 }
 
 ORACLES = {
@@ -1614,4 +1854,8 @@ ORACLES = {
     "ts_pattern_match": TS_PATTERN_MATCH_SQL,
     "ts_downsample": TS_DOWNSAMPLE_SQL,
     "ts_cross_correlation": TS_CROSS_CORRELATION_SQL,
+    "ts_cumulative_sum": TS_CUMULATIVE_SUM_SQL,
+    "ts_counter_rate": TS_COUNTER_RATE_SQL,
+    "ts_percentile": TS_PERCENTILE_SQL,
+    "ts_spread": TS_SPREAD_SQL,
 }

@@ -277,3 +277,160 @@ def test_cross_correlation_detects_perfect_correlation(spark, tmp_path):
     out = {r.user_id: r.corr for r in ts_cross_correlation(spark, str(tmp_path)).collect()}
     assert out[1] == 1.0
     assert out[2] == -1.0
+
+
+# ---------------------------------------------------------------------------
+# r4 batch 3: InfluxQL parity family + curation gates
+# ---------------------------------------------------------------------------
+
+def test_cumulative_sum_reaches_series_total(spark, sf_dir):
+    """The last cumulative value of each series equals the cents-exact
+    series total, and row-to-row increments equal the row's value."""
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_cumulative_sum,
+    )
+
+    out = ts_cumulative_sum(spark, sf_dir)
+    finals = (
+        out.groupBy("user_id", "event_type")
+        .agg(
+            F.max("cumulative").alias("max_cum"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "total"
+            ),
+        )
+        .collect()
+    )
+    assert finals and all(abs(r.max_cum - r.total) < 1e-9 for r in finals)
+
+
+def test_counter_rate_reset_semantics(spark, tmp_path):
+    """A counter drop counts the post-reset sample fully (PromQL
+    increase): 10 -> 30 -> 5 -> 25 gives deltas 20, 5, 20 => 45."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_counter_rate,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=5 * i), 1, "click", v, "{}")
+        for i, v in enumerate([10.0, 30.0, 5.0, 25.0])
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    r = ts_counter_rate(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert r[0].increase == 45.0
+    assert r[0].n_resets == 1
+    assert r[0].n_samples == 3
+
+
+def test_percentile_values_are_series_elements(spark, sf_dir):
+    """Nearest-rank percentiles are actual samples of the series, and
+    p95 >= p50."""
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_percentile,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    p = ts_percentile(spark, sf_dir)
+    rows = p.collect()
+    assert rows and all(r.p95_value >= r.p50_value for r in rows)
+    # membership: joining each percentile value back to the series finds it
+    missing = (
+        p.select("user_id", "event_type", F.col("p95_value").alias("value"))
+        .union(p.select("user_id", "event_type", F.col("p50_value").alias("value")))
+        .join(ev, ["user_id", "event_type", "value"], "left_anti")
+        .count()
+    )
+    assert missing == 0
+
+
+def test_spread_envelope(spark, tmp_path):
+    """first/last select by time (not by value), spread = max - min."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.timeseries import ts_spread
+
+    base = dt.datetime(2024, 3, 1)
+    vals = [5.0, 9.0, 2.0, 7.0]
+    rows = [
+        (i, base + dt.timedelta(hours=i), 3, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    r = ts_spread(spark, str(tmp_path)).collect()[0]
+    assert (r.first_value, r.last_value) == (5.0, 7.0)
+    assert (r.min_value, r.max_value, r.spread) == (2.0, 9.0, 7.0)
+    assert r.elapsed_total_s == 3 * 3600.0
+
+
+def _write_docs(tmp_path, docs):
+    import pandas as pd
+
+    pd.DataFrame(
+        [(i, t, lang, "unit", len(t)) for i, (t, lang) in enumerate(docs)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(tmp_path / "documents.parquet")
+
+
+def test_gopher_rules_fire_individually(spark, tmp_path):
+    """Each rule can fail independently and keep is their conjunction."""
+    from mqtt_influx_storage_service_spark.operators.textops import (
+        text_gopher_rules,
+    )
+
+    good = "the a " + " ".join(["value"] * 40)          # passes everything
+    short = "the a value"                                # word count
+    no_stop = " ".join(["value"] * 40)                   # stopwords
+    symbols = "the a " + " ".join(["###"] * 40)          # symbol ratio (and alpha)
+    _write_docs(tmp_path, [(good, "en"), (short, "en"),
+                           (no_stop, "en"), (symbols, "en")])
+
+    out = {r.doc_id: r for r in text_gopher_rules(spark, str(tmp_path)).collect()}
+    assert out[0].keep
+    assert not out[1].keep and not out[1].rule_word_count
+    assert not out[2].keep and not out[2].rule_stopwords
+    assert not out[3].keep and not out[3].rule_symbol_ratio
+    for r in out.values():
+        conj = (
+            r.rule_word_count and r.rule_word_len and r.rule_symbol_ratio
+            and r.rule_alpha_ratio and r.rule_stopwords
+        )
+        assert r.keep == conj
+
+
+def test_quality_gate_reason_precedence(spark, tmp_path):
+    """An exact duplicate is reported as such even when later gates also
+    fail; every kept row has all flags true."""
+    from mqtt_influx_storage_service_spark.operators.pipeline import (
+        pipeline_quality_gate,
+    )
+
+    dup = "x"  # fails gopher too — duplicate verdict must win for doc 2
+    _write_docs(tmp_path, [(dup, "en"), ("the a value", "en"), (dup, "en")])
+
+    out = {r.doc_id: r for r in pipeline_quality_gate(spark, str(tmp_path)).collect()}
+    assert len(out) == 3  # audit view: every doc appears
+    assert out[2].drop_reason == "exact_duplicate"
+    assert out[0].drop_reason != "exact_duplicate"  # min doc_id represents
+    for r in out.values():
+        assert r.keep == (r.drop_reason == "kept")
+        if r.keep:
+            assert (
+                r.is_representative and r.gopher_keep
+                and r.quality_keep and r.lang_match
+            )
