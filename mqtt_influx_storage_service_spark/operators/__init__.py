@@ -53,6 +53,7 @@ _PRIORITY = [
     "ts_spread",
     "text_gopher_rules",
     "pipeline_quality_gate",
+    "ts_holt_winters",
     # r1-only greens (3 rounds old — keep inside the checked prefix even
     # though their TPC-H inputs are unchanged since r01)
     "rel_set_ops",

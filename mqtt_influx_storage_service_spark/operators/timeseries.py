@@ -1794,8 +1794,148 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# InfluxQL HOLT_WINTERS(): double-exponential-smoothing forecast per series
+# --------------------------------------------------------------------------
+
+HW_ALPHA = 0.5      # level smoothing (exactly representable in binary)
+HW_BETA = 0.5       # trend smoothing
+HW_LOOKBACK = 64    # fit on the last K points — bounds per-series state
+HW_HORIZON = 3
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend forecast per series (the non-seasonal
+    ``HOLT_WINTERS(h, 0)`` of InfluxQL): fit level+trend on the last
+    ``HW_LOOKBACK`` samples, forecast ``HW_HORIZON`` steps ahead.
+
+    The recurrence (l ← α·x + (1-α)(l+b); b ← β(l'−l) + (1-β)b, seeded
+    l₂=x₂, b₂=x₂−x₁ — the textbook init, which locks exactly onto a
+    linear series, test-pinned) is inherently sequential, so it runs as an
+    ``F.aggregate`` fold over the per-series sample array — a fixed
+    sequence of IEEE ops on identical doubles, written with identical
+    association in the DuckDB twin, hence bit-deterministic. α=β=0.5
+    are exactly representable.
+
+    Scale: the row_number tail-filter bounds every per-series array to
+    K=64 elements BEFORE collect_list, so executor state is O(K) per
+    series regardless of history length; series are independent
+    (partition-parallel). This is the composition rule for sequential
+    recurrences on Spark: bound the sequence first, then fold it as
+    array data — never iterate rows.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wdesc = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    tail = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.row_number().over(wdesc).alias("rn"),
+    ).filter(F.col("rn") <= HW_LOOKBACK)
+    arrs = (
+        tail.groupBy("user_id", "event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("pts")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.transform(F.col("pts"), lambda s: s["value"]).alias("xs"),
+        )
+        .filter(F.size("xs") >= 2)
+    )
+    xs = F.col("xs")
+    a, na, b, nb = (F.lit(v) for v in (HW_ALPHA, 1 - HW_ALPHA, HW_BETA, 1 - HW_BETA))
+    init = F.struct(
+        F.element_at(xs, 2).alias("l"),
+        (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("b"),
+    )
+    # identical association as the SQL twin: l' appears expanded in b'
+    fold = F.aggregate(
+        F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            (a * x + na * (acc["l"] + acc["b"])).alias("l"),
+            (
+                b * (a * x + na * (acc["l"] + acc["b"]) - acc["l"])
+                + nb * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    fitted = arrs.select(
+        "user_id", "event_type", F.size(xs).alias("n_fit"), fold.alias("st")
+    )
+    # Emit RAW doubles: the fold is a fixed IEEE sequence verified
+    # bit-identical across Spark, DuckDB, and a Python reference, so the
+    # values need no rounding — and a final round(x, 6) would be the
+    # ONLY divergence source (engines disagree on decimal-midpoint
+    # halves; one fixture row lands exactly on one).
+    lvl, tr = F.col("st")["l"], F.col("st")["b"]
+    out_cols = [lvl.alias("level"), tr.alias("trend")] + [
+        (lvl + F.lit(float(h)) * tr).alias(f"fc_{h}")
+        for h in range(1, HW_HORIZON + 1)
+    ]
+    return fitted.select("user_id", "event_type", "n_fit", *out_cols)
+
+
+# The oracle uses a RECURSIVE CTE for the fold, not list_reduce with a
+# struct accumulator: DuckDB 1.0.0 evaluates struct-lambda fields
+# sequentially IN PLACE from the second application on (the 'b'
+# expression sees the freshly-updated 'l' — verified with an
+# (acc, x) -> {l: ..., b: acc.l} probe returning the NEW l), which is
+# both wrong for a simultaneous recurrence and version-dependent. A
+# recursive CTE computes both state fields in one SELECT over the OLD
+# row — simultaneous by SQL semantics in every engine.
+TS_HOLT_WINTERS_SQL = f"""
+WITH RECURSIVE tail AS (
+    SELECT user_id, event_type, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE value IS NOT NULL
+), arrs AS (
+    SELECT user_id, event_type,
+           list_transform(
+               list_sort(list({{'ts': ts, 'id': event_id, 'v': value}})),
+               s -> s.v) AS xs
+    FROM tail WHERE rn <= {HW_LOOKBACK}
+    GROUP BY 1, 2
+), step(user_id, event_type, i, l, b) AS (
+    SELECT user_id, event_type, 2, xs[2], xs[2] - xs[1]
+    FROM arrs WHERE len(xs) >= 2
+  UNION ALL
+    SELECT s.user_id, s.event_type, s.i + 1,
+           {HW_ALPHA} * a.xs[s.i + 1] + {1 - HW_ALPHA} * (s.l + s.b),
+           {HW_BETA} * ({HW_ALPHA} * a.xs[s.i + 1]
+                        + {1 - HW_ALPHA} * (s.l + s.b) - s.l)
+               + {1 - HW_BETA} * s.b
+    FROM step s
+    JOIN arrs a ON s.user_id = a.user_id AND s.event_type = a.event_type
+    WHERE s.i < len(a.xs)
+), fitted AS (
+    SELECT s.user_id, s.event_type, len(a.xs) AS n_fit, s.l, s.b
+    FROM step s
+    JOIN arrs a ON s.user_id = a.user_id AND s.event_type = a.event_type
+    WHERE s.i = len(a.xs)
+)
+SELECT user_id, event_type, n_fit,
+       l AS level,
+       b AS trend,
+       l + 1.0 * b AS fc_1,
+       l + 2.0 * b AS fc_2,
+       l + 3.0 * b AS fc_3
+FROM fitted
+"""
+
+
 QUERIES = {
     "ts_anomaly_zscore": ts_anomaly_zscore,
+    "ts_holt_winters": ts_holt_winters,
     "ts_retention": ts_retention,
     "ts_series_scan": ts_series_scan,
     "ts_moving_avg": ts_moving_avg,
@@ -1829,6 +1969,7 @@ QUERIES = {
 
 ORACLES = {
     "ts_anomaly_zscore": TS_ANOMALY_ZSCORE_SQL,
+    "ts_holt_winters": TS_HOLT_WINTERS_SQL,
     "ts_retention": TS_RETENTION_SQL,
     "ts_series_scan": TS_SERIES_SCAN_SQL,
     "ts_moving_avg": TS_MOVING_AVG_SQL,

@@ -434,3 +434,30 @@ def test_quality_gate_reason_precedence(spark, tmp_path):
                 r.is_representative and r.gopher_keep
                 and r.quality_keep and r.lang_match
             )
+
+
+def test_holt_winters_linear_series_forecasts_exactly(spark, tmp_path):
+    """On an exactly-linear series Holt's method locks to the line:
+    level = last sample, trend = slope, forecasts continue the line."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_holt_winters,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), 1, "click", 10.0 + 3.0 * i, "{}")
+        for i in range(12)
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    r = ts_holt_winters(spark, str(tmp_path)).collect()[0]
+    assert r.n_fit == 12
+    assert r.level == 10.0 + 3.0 * 11
+    assert r.trend == 3.0
+    assert (r.fc_1, r.fc_2, r.fc_3) == (46.0, 49.0, 52.0)
