@@ -54,6 +54,7 @@ _PRIORITY = [
     "text_gopher_rules",
     "pipeline_quality_gate",
     "ts_holt_winters",
+    "ts_seasonal_profile",
     # r1-only greens (3 rounds old — keep inside the checked prefix even
     # though their TPC-H inputs are unchanged since r01)
     "rel_set_ops",

@@ -1933,8 +1933,73 @@ FROM fitted
 """
 
 
+# --------------------------------------------------------------------------
+# Seasonal (hour-of-day) baseline profile + per-event residual
+# --------------------------------------------------------------------------
+
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition: a fleet-wide hour-of-day mean
+    profile per transducer type, and each event's residual against its
+    profile slot — the 'is this reading unusual FOR THIS TIME OF DAY'
+    monitoring primitive (a daily-periodicity seasonal baseline).
+
+    The profile is exact (round(sum,2)/count, the module's determinism
+    pattern); residual = value − profile is one IEEE subtraction of
+    identical doubles.
+
+    Scale: the profile is ≤ |types|·24 rows regardless of corpus size —
+    an aggregate that collapses 100 TB to a broadcastable dimension —
+    and the join back is a broadcast hash join, so the event stream is
+    never shuffled at all (plan: one exchange for the profile agg only).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.hour(F.col("ts")).alias("hour_of_day")
+    profile = (
+        ev.groupBy(F.col("event_type"), hod)
+        .agg(
+            _avg2(F.sum("value"), F.count(F.lit(1))).alias("profile_mean"),
+            F.count(F.lit(1)).alias("n_in_slot"),
+        )
+    )
+    return (
+        ev.select("event_id", "user_id", "event_type", hod, "ts", "value")
+        .join(F.broadcast(profile), ["event_type", "hour_of_day"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            "hour_of_day",
+            "value",
+            "profile_mean",
+            "n_in_slot",
+            (F.round(F.col("value") - F.col("profile_mean"), 6) + F.lit(0.0)).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+TS_SEASONAL_PROFILE_SQL = f"""
+WITH profile AS (
+    SELECT event_type, hour(ts) AS hour_of_day,
+           {_AVG2_SQL.format(v="value")} AS profile_mean,
+           count(*) AS n_in_slot
+    FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.event_type, e.ts,
+       hour(e.ts) AS hour_of_day, e.value,
+       p.profile_mean, p.n_in_slot,
+       round(e.value - p.profile_mean, 6) + 0.0 AS residual
+FROM events e
+JOIN profile p
+  ON e.event_type = p.event_type AND hour(e.ts) = p.hour_of_day
+"""
+
+
 QUERIES = {
     "ts_anomaly_zscore": ts_anomaly_zscore,
+    "ts_seasonal_profile": ts_seasonal_profile,
     "ts_holt_winters": ts_holt_winters,
     "ts_retention": ts_retention,
     "ts_series_scan": ts_series_scan,
@@ -1970,6 +2035,7 @@ QUERIES = {
 ORACLES = {
     "ts_anomaly_zscore": TS_ANOMALY_ZSCORE_SQL,
     "ts_holt_winters": TS_HOLT_WINTERS_SQL,
+    "ts_seasonal_profile": TS_SEASONAL_PROFILE_SQL,
     "ts_retention": TS_RETENTION_SQL,
     "ts_series_scan": TS_SERIES_SCAN_SQL,
     "ts_moving_avg": TS_MOVING_AVG_SQL,

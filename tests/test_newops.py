@@ -461,3 +461,26 @@ def test_holt_winters_linear_series_forecasts_exactly(spark, tmp_path):
     assert r.level == 10.0 + 3.0 * 11
     assert r.trend == 3.0
     assert (r.fc_1, r.fc_2, r.fc_3) == (46.0, 49.0, 52.0)
+
+
+def test_seasonal_profile_residuals_center_on_zero(spark, sf_dir):
+    """Cents-summed residuals within one (type, hour) slot cancel to ~0
+    (the profile IS the slot mean), and every event row survives the
+    profile join."""
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_seasonal_profile,
+    )
+
+    out = ts_seasonal_profile(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    slots = (
+        out.groupBy("event_type", "hour_of_day")
+        .agg(
+            F.sum("residual").alias("sum_resid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    # mean residual per slot bounded by the 1e-6 rounding of the profile
+    assert all(abs(r.sum_resid) / r.n < 1e-5 for r in slots)

@@ -175,3 +175,22 @@ def test_components_assignment_broadcasts_labels(spark):
     df = all_queries()["dedup_components"](spark, SF)
     assert plans.has_broadcast_join(df)
     release_shingles(spark)
+
+
+def test_seasonal_profile_broadcasts_and_single_exchange(spark):
+    """The hour-of-day profile collapses to <= |types|*24 rows and must
+    come back as a broadcast join — the event stream itself is never
+    shuffled (the only exchange feeds the profile aggregate)."""
+    df = all_queries()["ts_seasonal_profile"](spark, SF)
+    assert plans.has_broadcast_join(df)
+    assert plans.exchange_count(df) == 1
+
+
+def test_new_series_ops_single_exchange(spark):
+    """Each per-series window/rollup op shuffles exactly once, on the
+    series key."""
+    for name in ["ts_cumulative_sum", "ts_counter_rate", "ts_percentile",
+                 "ts_spread", "ts_holt_winters"]:
+        df = all_queries()[name](spark, SF)
+        assert plans.exchange_count(df) == 1, name
+        assert not plans.has_cartesian(df), name
