@@ -151,6 +151,100 @@ def start_anomaly_alerts(
 
 
 # --------------------------------------------------------------------------
+# Streaming counter rate: per-series increase with reset handling
+# (incremental twin of operators.timeseries.ts_counter_rate)
+# --------------------------------------------------------------------------
+
+RATE_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+RATE_SCHEMA = (
+    "user_id long, event_type string, batch_increase double,"
+    " total_increase double, n_resets long, n_samples long"
+)
+_RATE_STATE_SCHEMA = "last_cents long, total_cents long, n_resets long, n_samples long"
+
+
+def _update_rate(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-series counter tracker: the last sample (integer cents)
+    carries across micro-batches in the state store, so increases and
+    reset detection are seamless across batch boundaries — the same
+    PromQL convention as the batch twin (a drop rebases the counter; the
+    post-reset sample counts fully). One vectorized numpy diff pass per
+    batch; state is four longs per series regardless of history."""
+    user_id, event_type = key
+    last, total, resets, samples = (
+        state.get if state.exists else (None, 0, 0, 0)
+    )
+    batch_cents = 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cents = np.round(pdf["value"].to_numpy() * 100).astype(np.int64)
+        if last is None:
+            seq = cents
+        else:
+            seq = np.concatenate([[last], cents])
+        diff = np.diff(seq)
+        inc = np.where(diff >= 0, diff, seq[1:])
+        batch_cents += int(inc.sum())
+        resets += int((diff < 0).sum())
+        samples += len(inc)
+        last = int(seq[-1])
+    total += batch_cents
+    state.update((last, total, resets, samples))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "event_type": [event_type],
+            "batch_increase": [batch_cents / 100.0],
+            "total_increase": [total / 100.0],
+            "n_resets": [resets],
+            "n_samples": [samples],
+        }
+    )
+
+
+def counter_rate_stream(events: DataFrame) -> DataFrame:
+    """Streaming (or batch) per-series counter increase: one output row
+    per series per micro-batch with the batch and cumulative increase."""
+    keyed = events.select("user_id", "event_type", "event_id", "ts", "value")
+    return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+        _update_rate,
+        outputStructType=RATE_SCHEMA,
+        stateStructType=_RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_counter_rate(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Tail ``source_dir`` for event batches, append per-batch series
+    increase snapshots to ``out_dir/counter_rate``."""
+    stream = spark.readStream.schema(RATE_EVENT_SCHEMA).parquet(source_dir)
+    writer = (
+        counter_rate_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "counter_rate"))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "rate"))
+        .outputMode("append")
+        .queryName("counter_rate")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --------------------------------------------------------------------------
 # Continuous aggregate: incremental (day, event_type) rollup
 # --------------------------------------------------------------------------
 

@@ -133,3 +133,77 @@ def test_additive_combine_is_slicing_invariant(spark):
     assert {key(r) for r in fold_a.collect()} == {
         key(r) for r in fold_b.collect()
     }
+
+
+def test_counter_rate_stream_matches_batch(spark, tmp_path):
+    """The stateful stream's cumulative per-series totals equal the
+    batch ts_counter_rate (oracle-checked) rolled up per series —
+    increases, resets, and sample counts all agree across micro-batch
+    boundaries."""
+    # stage WITH user_id (the rate stream keys by series, not just type)
+    ev = (
+        load_table(spark, SF, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+    per = ev.count() // 3 + 1
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    src = str(tmp_path / "src")
+    for b in range(3):
+        (
+            ranked.filter((F.col("rn") > b * per) & (F.col("rn") <= (b + 1) * per))
+            .drop("rn")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    q = st.start_counter_rate(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    out = spark.read.parquet(str(tmp_path / "out" / "counter_rate"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("n_samples")
+    )
+    final = (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    )
+    got = {
+        (r.user_id, r.event_type): (r.total_increase, r.n_resets, r.n_samples)
+        for r in final
+    }
+
+    batch = (
+        all_queries()["ts_counter_rate"](spark, SF)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.round(F.sum("increase"), 2).alias("total"),
+            F.sum("n_resets").alias("resets"),
+            F.sum("n_samples").alias("samples"),
+        )
+        .collect()
+    )
+    want = {
+        (r.user_id, r.event_type): (r.total, r.resets, r.samples)
+        for r in batch
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-6, k
+        assert got[k][1:] == want[k][1:], k
+    # per-batch increases sum to the cumulative total
+    sums = (
+        out.groupBy("user_id", "event_type")
+        .agg(
+            F.round(F.sum("batch_increase"), 2).alias("s"),
+            F.round(F.max("total_increase"), 2).alias("t"),
+        )
+        .collect()
+    )
+    assert all(abs(r.s - r.t) < 1e-6 for r in sums)

@@ -14,6 +14,10 @@ Synthesis keeps the fixtures' dup structure realistic at 10x:
 - embeddings: each sf0.1 vector yields 10 variants with a small
   deterministic per-dimension perturbation — dense cosine
   neighborhoods around every original.
+- events: each sf0.1 event yields 10 variants on DISTINCT series
+  (user_id offset per variant) — scale grows the series COUNT, the
+  partition-parallel dimension, which is how a real fleet grows (more
+  devices, not deeper single-device history).
 
 Results land in STRESS_r04.json at the repo root. Usage:
 
@@ -91,7 +95,28 @@ def generate() -> None:
         ),
         f"{STRESS_DIR}/embeddings.parquet",
     )
-    print(f"generated {len(out['doc_id'])} docs, {len(ids)} vectors")
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    n_ev = ev.num_rows
+    parts = []
+    for v in range(FANOUT):
+        t = pa.table(
+            {
+                "event_id": pa.compute.add(
+                    pa.compute.multiply(ev["event_id"], FANOUT), v
+                ),
+                "ts": ev["ts"],
+                "user_id": pa.compute.add(ev["user_id"], v * 100000),
+                "event_type": ev["event_type"],
+                "value": ev["value"],
+                "props": ev["props"],
+            }
+        )
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), f"{STRESS_DIR}/events.parquet")
+    print(
+        f"generated {len(out['doc_id'])} docs, {len(ids)} vectors, "
+        f"{n_ev * FANOUT} events"
+    )
 
 
 def main() -> int:
@@ -109,7 +134,12 @@ def main() -> int:
     qs = all_queries()
     results: dict = {"scale": "synthetic sf1.0 (10x sf0.1)", "timings": {}}
     for name in ("dedup_minhash_lsh", "dedup_components",
-                 "sim_threshold_pairs"):
+                 "sim_threshold_pairs",
+                 # series-count scaling (10x the series, same depth)
+                 "ts_bucket_agg", "ts_holt_winters", "ts_seasonal_profile",
+                 "ts_counter_rate", "ts_cumulative_sum",
+                 # linear single-scan curation gates
+                 "text_gopher_rules", "pipeline_quality_gate"):
         t0 = time.time()
         try:
             qs[name](spark, STRESS_DIR).write.format("noop").mode(
