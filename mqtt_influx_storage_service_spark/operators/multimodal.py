@@ -94,6 +94,13 @@ FEATURE_SCHEMA = (
 )
 
 
+def _half_up6(x):
+    """round(x, 6) with HALF_UP ties (SQL semantics), not banker's."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def _decode_stub(payload: bytes, modality: str) -> dict:
     """STUB decoder. A real deployment replaces this with PIL /
     torchaudio / ffmpeg frame sampling; the container ships no codecs
@@ -130,12 +137,49 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_bytes": [f["n_bytes"] for f in feats],
                     "first_byte": [f["first_byte"] for f in feats],
                     "checksum": [f["checksum"] for f in feats],
-                    "aspect_ratio": (pdf["width"] / pdf["height"]).round(6),
+                    # explicit HALF_UP: pandas .round is banker's, the
+                    # DuckDB oracle's round() is half-away — they differ
+                    # on exact 6-decimal midpoints (e.g. 33/128)
+                    "aspect_ratio": _half_up6(
+                        pdf["width"].to_numpy() / pdf["height"].to_numpy()
+                    ),
                 }
             )
             yield out
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+# DuckDB twin of the stubbed decode: the fixture payload is UTF-8 of
+# ASCII text, so bytes == characters and the polynomial checksum is a
+# scalar-state character fold (scalar accumulator — immune to the
+# DuckDB struct-lambda sequential-update hazard documented at
+# timeseries.py::TS_HOLT_WINTERS_SQL). This upgrades the mapInPandas
+# seam from rows-only to full hash-checked: the Python decode stub and
+# this SQL must produce identical integers. If a future fixture ships
+# non-ASCII text the byte/char equivalence breaks and this oracle must
+# fall back to rows-only.
+MM_EXTRACT_FEATURES_SQL = """
+WITH media AS (
+    SELECT doc_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+           text,
+           CAST(n_chars % 1920 + 16 AS INT) AS width,
+           CAST(n_chars % 1080 + 16 AS INT) AS height
+    FROM documents
+)
+SELECT doc_id, modality,
+       CAST(length(text) AS INT) AS n_bytes,
+       CAST(CASE WHEN length(text) = 0 THEN -1
+                 ELSE ascii(substr(text, 1, 1)) END AS INT) AS first_byte,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 1000000007) AS checksum,
+       round(CAST(width AS DOUBLE) / height, 6) AS aspect_ratio
+FROM media
+"""
 
 
 FRAME_FPS = 1.0       # sample cadence
@@ -219,7 +263,8 @@ QUERIES = {
 ORACLES = {
     "mm_manifest": MM_MANIFEST_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
-    # mm_extract_features: the decode stage is a stubbed codec behind
-    # mapInPandas — rows-only driver check; determinism pinned in
-    # tests/test_multimodal.py.
+    # mm_extract_features: decode is a stubbed codec behind mapInPandas,
+    # but the stub's byte math is DuckDB-expressible on ASCII fixtures —
+    # full hash check (see MM_EXTRACT_FEATURES_SQL).
+    "mm_extract_features": MM_EXTRACT_FEATURES_SQL,
 }
