@@ -416,6 +416,67 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_sql(vec: str) -> str:
+    """DuckDB twin of :func:`_bucket_expr`: the hyperplane values are
+    module constants (seeded LCG), so they inline as SQL literals —
+    repr() round-trips every double exactly, and the dot uses the same
+    sequential fold as the Spark side, so the sign test agrees
+    bit-for-bit."""
+    parts = []
+    for k, plane in enumerate(_hyperplanes()):
+        lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+        d = _DOT_SQL.format(a=vec, b=lits)
+        parts.append(f"CASE WHEN {d} > 0 THEN {1 << k} ELSE 0 END")
+    return "(" + "\n + ".join(parts) + ")"
+
+
+def _lsh_flips() -> list[int]:
+    """Multi-probe masks: identity, all 1-bit, all 2-bit flips."""
+    return (
+        [0]
+        + [1 << k for k in range(LSH_PLANES)]
+        + [
+            (1 << k) | (1 << j)
+            for k in range(LSH_PLANES)
+            for j in range(k + 1, LSH_PLANES)
+        ]
+    )
+
+
+# Full oracle for the multi-probe LSH ANN: every stage (hyperplane-sign
+# bucket, hamming<=2 probe expansion, exact cosine re-rank) is
+# deterministic, so the approximate structure itself is reproducible in
+# SQL — upgrading this entry from rows-only to hash-checked.
+SIM_ANN_LSH_SQL = f"""
+WITH v AS (
+    SELECT vec_id, embedding, {_NORM_SQL} AS norm,
+           {{bucket}} AS bucket
+    FROM embeddings
+), probes AS (
+    SELECT vec_id, xor(bucket, f.m) AS probe_bucket
+    FROM v, unnest({_lsh_flips()}) AS f(m)
+    WHERE vec_id < {N_QUERIES}
+), cand AS (
+    SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM probes p JOIN v c ON p.probe_bucket = c.bucket
+    WHERE p.vec_id <> c.vec_id
+), scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                 / (q.norm * c.norm), 6) AS cosine
+    FROM cand
+    JOIN v q ON q.vec_id = cand.query_id
+    JOIN v c ON c.vec_id = cand.neighbor_id
+), ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOPK}
+""".replace("{bucket}", _bucket_sql("embedding"))
+
+
 # --------------------------------------------------------------------------
 # Grouped-map pandas UDF (applyInPandas): per-label centroid
 # --------------------------------------------------------------------------
@@ -656,6 +717,7 @@ ORACLES = {
     "sim_range_search": SIM_RANGE_SEARCH_SQL,
     "sim_knn_exact": SIM_KNN_EXACT_SQL,
     "sim_threshold_pairs": SIM_THRESHOLD_PAIRS_SQL,
+    "sim_ann_lsh": SIM_ANN_LSH_SQL,
     "sim_label_centroid": SIM_LABEL_CENTROID_SQL,
     "sim_label_trimmed_norm": SIM_LABEL_TRIMMED_NORM_SQL,
     # sim_ann_lsh / sim_knn_graph: approximate by construction —
