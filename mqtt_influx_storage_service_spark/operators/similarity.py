@@ -701,6 +701,63 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _block_keys_sql(vec: str) -> str:
+    """DuckDB twin of :func:`_block_keys_udf`: 24 two-bit block values
+    from 48 inlined hyperplane-sign dots. The pandas kernel computes the
+    signs with one BLAS matmul while this twin uses the sequential fold;
+    their accumulation orders differ, so a dot EXACTLY at the sign
+    boundary could in principle disagree — with ~unit vectors and
+    O(1)-magnitude dots that needs |dot| under ~1e-13, far below
+    anything the fixtures produce (the hash gate would catch it)."""
+    planes = _hyperplanes(N_BLOCKS * BLOCK_BITS)
+    vals = []
+    for k in range(N_BLOCKS):
+        terms = []
+        for b in range(BLOCK_BITS):
+            plane = planes[k * BLOCK_BITS + b]
+            lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+            d = _DOT_SQL.format(a=vec, b=lits)
+            terms.append(f"CASE WHEN {d} > 0 THEN {1 << b} ELSE 0 END")
+        vals.append("(" + " + ".join(terms) + ")")
+    return "[" + ",\n".join(vals) + "]"
+
+
+# Full oracle for the blocked kNN graph: the candidate structure
+# (hyperplane-sign blocks), exact-cosine verify, symmetrization, and
+# top-k rank are all deterministic — same upgrade as SIM_ANN_LSH_SQL.
+SIM_KNN_GRAPH_SQL = f"""
+WITH v AS (
+    SELECT vec_id, embedding, {_NORM_SQL} AS norm,
+           {{keys}} AS keys
+    FROM embeddings
+), idx AS (
+    SELECT vec_id, t.i AS block_idx, keys[t.i] AS block_val
+    FROM v, unnest(range(1, {N_BLOCKS} + 1)) AS t(i)
+), cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM idx a JOIN idx b
+      ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+     AND a.vec_id < b.vec_id
+), scored AS (
+    SELECT cand.id_a, cand.id_b,
+           round({_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+                 / (x.norm * y.norm), 6) AS cosine
+    FROM cand JOIN v x ON x.vec_id = cand.id_a
+              JOIN v y ON y.vec_id = cand.id_b
+), sym AS (
+    SELECT id_a AS vec_id, id_b AS neighbor_id, cosine FROM scored
+    UNION ALL
+    SELECT id_b AS vec_id, id_a AS neighbor_id, cosine FROM scored
+), ranked AS (
+    SELECT vec_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM sym
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
+""".replace("{keys}", _block_keys_sql("embedding"))
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_range_search": sim_range_search,
@@ -718,6 +775,7 @@ ORACLES = {
     "sim_knn_exact": SIM_KNN_EXACT_SQL,
     "sim_threshold_pairs": SIM_THRESHOLD_PAIRS_SQL,
     "sim_ann_lsh": SIM_ANN_LSH_SQL,
+    "sim_knn_graph": SIM_KNN_GRAPH_SQL,
     "sim_label_centroid": SIM_LABEL_CENTROID_SQL,
     "sim_label_trimmed_norm": SIM_LABEL_TRIMMED_NORM_SQL,
     # sim_ann_lsh / sim_knn_graph: approximate by construction —
