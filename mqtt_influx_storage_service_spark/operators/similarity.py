@@ -416,16 +416,26 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unrolled_lit_dot(vec: str, plane: list[float]) -> str:
+    """Left-associated dot of a column vector against LITERAL plane
+    values: ``(((0.0 + v[1]*p1) + v[2]*p2) + ...)``. Bit-identical to
+    the list_reduce fold (same IEEE sequence — verified) but ~30x
+    faster in DuckDB: the lambda fold is interpreted per element, plain
+    arithmetic is vectorized. repr() round-trips every double exactly."""
+    e = "0.0::DOUBLE"
+    for i, p in enumerate(plane, start=1):
+        e = f"({e} + {vec}[{i}]::DOUBLE * {p!r})"
+    return e
+
+
 def _bucket_sql(vec: str) -> str:
     """DuckDB twin of :func:`_bucket_expr`: the hyperplane values are
-    module constants (seeded LCG), so they inline as SQL literals —
-    repr() round-trips every double exactly, and the dot uses the same
-    sequential fold as the Spark side, so the sign test agrees
-    bit-for-bit."""
+    module constants (seeded LCG), so they inline as SQL literals, and
+    the unrolled dot keeps the Spark fold's exact IEEE order — the sign
+    test agrees bit-for-bit."""
     parts = []
     for k, plane in enumerate(_hyperplanes()):
-        lits = "[" + ", ".join(repr(x) for x in plane) + "]"
-        d = _DOT_SQL.format(a=vec, b=lits)
+        d = _unrolled_lit_dot(vec, plane)
         parts.append(f"CASE WHEN {d} > 0 THEN {1 << k} ELSE 0 END")
     return "(" + "\n + ".join(parts) + ")"
 
@@ -448,7 +458,7 @@ def _lsh_flips() -> list[int]:
 # deterministic, so the approximate structure itself is reproducible in
 # SQL — upgrading this entry from rows-only to hash-checked.
 SIM_ANN_LSH_SQL = f"""
-WITH v AS (
+WITH v AS MATERIALIZED (
     SELECT vec_id, embedding, {_NORM_SQL} AS norm,
            {{bucket}} AS bucket
     FROM embeddings
@@ -714,9 +724,7 @@ def _block_keys_sql(vec: str) -> str:
     for k in range(N_BLOCKS):
         terms = []
         for b in range(BLOCK_BITS):
-            plane = planes[k * BLOCK_BITS + b]
-            lits = "[" + ", ".join(repr(x) for x in plane) + "]"
-            d = _DOT_SQL.format(a=vec, b=lits)
+            d = _unrolled_lit_dot(vec, planes[k * BLOCK_BITS + b])
             terms.append(f"CASE WHEN {d} > 0 THEN {1 << b} ELSE 0 END")
         vals.append("(" + " + ".join(terms) + ")")
     return "[" + ",\n".join(vals) + "]"
@@ -725,8 +733,11 @@ def _block_keys_sql(vec: str) -> str:
 # Full oracle for the blocked kNN graph: the candidate structure
 # (hyperplane-sign blocks), exact-cosine verify, symmetrization, and
 # top-k rank are all deterministic — same upgrade as SIM_ANN_LSH_SQL.
+# v is MATERIALIZED: DuckDB otherwise inlines the CTE into each of its
+# three references and recomputes the 48 plane dots per JOIN ROW
+# (measured 40 s -> 1.3 s at sf0.01 with materialize + unrolled dots).
 SIM_KNN_GRAPH_SQL = f"""
-WITH v AS (
+WITH v AS MATERIALIZED (
     SELECT vec_id, embedding, {_NORM_SQL} AS norm,
            {{keys}} AS keys
     FROM embeddings
@@ -778,9 +789,12 @@ ORACLES = {
     "sim_knn_graph": SIM_KNN_GRAPH_SQL,
     "sim_label_centroid": SIM_LABEL_CENTROID_SQL,
     "sim_label_trimmed_norm": SIM_LABEL_TRIMMED_NORM_SQL,
-    # sim_ann_lsh / sim_knn_graph: approximate by construction —
-    # rows-only driver check; recall floors asserted in
-    # tests/test_similarity.py against the oracle-anchored exact twins
-    # (sim_cosine_topk for the query-set ANN, sim_knn_exact for the
-    # whole-corpus kNN graph).
+    # sim_ann_lsh / sim_knn_graph carry FULL oracles despite being
+    # approximate: the approximate STRUCTURE (seeded hyperplane buckets
+    # / blocks, probe expansion, exact re-rank) is deterministic and
+    # reproduced in SQL above. Their recall floors vs the exact twins
+    # (sim_cosine_topk, sim_knn_exact) stay asserted in
+    # tests/test_similarity.py — the oracle proves the structure is
+    # computed as specified; the recall tests prove the specification
+    # finds the true neighbors.
 }
