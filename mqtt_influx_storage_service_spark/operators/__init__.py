@@ -55,6 +55,7 @@ _PRIORITY = [
     "pipeline_quality_gate",
     "ts_holt_winters",
     "ts_seasonal_profile",
+    "ts_mode",
     # r1-only greens (3 rounds old — keep inside the checked prefix even
     # though their TPC-H inputs are unchanged since r01)
     "rel_set_ops",

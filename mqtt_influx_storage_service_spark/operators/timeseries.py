@@ -1997,8 +1997,56 @@ JOIN profile p
 """
 
 
+# --------------------------------------------------------------------------
+# InfluxQL MODE(): most frequent value per series
+# --------------------------------------------------------------------------
+
+def ts_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series modal value (InfluxQL ``MODE(value)``), ties broken
+    toward the smallest value — fully deterministic, no float math at
+    all (counts and exact value equality).
+
+    Scale: one combinable (series, value) count, then a top-1 rank per
+    series — Spark plans the rank-1 filter as WindowGroupLimit, so only
+    each group's best row survives the final sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type", "value").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("n_occurrences"), F.asc("value")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").alias("mode_value"),
+            "n_occurrences",
+        )
+    )
+
+
+TS_MODE_SQL = """
+WITH counts AS (
+    SELECT user_id, event_type, value, count(*) AS n_occurrences
+    FROM events GROUP BY 1, 2, 3
+), ranked AS (
+    SELECT user_id, event_type, value, n_occurrences,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY n_occurrences DESC, value) AS rn
+    FROM counts
+)
+SELECT user_id, event_type, value AS mode_value, n_occurrences
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "ts_anomaly_zscore": ts_anomaly_zscore,
+    "ts_mode": ts_mode,
     "ts_seasonal_profile": ts_seasonal_profile,
     "ts_holt_winters": ts_holt_winters,
     "ts_retention": ts_retention,
@@ -2036,6 +2084,7 @@ ORACLES = {
     "ts_anomaly_zscore": TS_ANOMALY_ZSCORE_SQL,
     "ts_holt_winters": TS_HOLT_WINTERS_SQL,
     "ts_seasonal_profile": TS_SEASONAL_PROFILE_SQL,
+    "ts_mode": TS_MODE_SQL,
     "ts_retention": TS_RETENTION_SQL,
     "ts_series_scan": TS_SERIES_SCAN_SQL,
     "ts_moving_avg": TS_MOVING_AVG_SQL,
