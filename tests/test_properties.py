@@ -167,3 +167,100 @@ def test_range_join_banded_equals_theta(spark):
     banded = set(map(tuple, rel_range_join_banded(spark, sf).collect()))
     assert len(theta) > 0
     assert banded == theta
+
+
+# --------------------------------------------------------------------------
+# r4 recurrence family: engine == pure-Python model on random series
+# --------------------------------------------------------------------------
+
+series_values = st_.lists(
+    st_.integers(-10**6, 10**6).map(lambda c: c / 100.0),
+    min_size=2,
+    max_size=120,
+)
+
+
+def _write_series(spark, values):
+    """One-series events table from a value list, written to a fresh
+    temp dir (hypothesis reuses fixtures across examples)."""
+    import datetime as dt
+    import tempfile
+
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="prop_series_")
+    base = dt.datetime(2024, 1, 1)
+    pd.DataFrame(
+        [
+            (i, base + dt.timedelta(minutes=7 * i), 1, "click", v, "{}")
+            for i, v in enumerate(values)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(d + "/events.parquet")
+    return d
+
+
+@settings(**SETTINGS)
+@given(series_values)
+def test_cumulative_sum_matches_prefix_model(spark, values):
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_cumulative_sum,
+    )
+
+    d = _write_series(spark, values)
+    got = [
+        r.cumulative
+        for r in ts_cumulative_sum(spark, d).orderBy("ts", "event_id").collect()
+    ]
+    acc, want = 0, []
+    for v in values:
+        acc += round(v * 100)
+        want.append(acc / 100.0)
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(series_values)
+def test_holt_winters_matches_python_fold(spark, values):
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_LOOKBACK,
+        ts_holt_winters,
+    )
+
+    d = _write_series(spark, values)
+    row = ts_holt_winters(spark, d).collect()[0]
+    xs = values[-HW_LOOKBACK:]
+    l, b = xs[1], xs[1] - xs[0]
+    for x in xs[2:]:
+        nl = HW_ALPHA * x + (1 - HW_ALPHA) * (l + b)
+        b = HW_BETA * (nl - l) + (1 - HW_BETA) * b
+        l = nl
+    assert row.n_fit == len(xs)
+    assert row.level == l and row.trend == b  # bit-exact, raw doubles
+    assert row.fc_2 == l + 2.0 * b
+
+
+@settings(**SETTINGS)
+@given(series_values)
+def test_counter_rate_matches_reset_model(spark, values):
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_counter_rate,
+    )
+
+    d = _write_series(spark, values)
+    rows = ts_counter_rate(spark, d).collect()
+    got_inc = round(sum(r.increase for r in rows), 2)
+    got_resets = sum(r.n_resets for r in rows)
+    cents = [round(v * 100) for v in values]
+    inc = resets = 0
+    for prev, cur in zip(cents, cents[1:]):
+        if cur >= prev:
+            inc += cur - prev
+        else:
+            inc += cur
+            resets += 1
+    assert got_inc == round(inc / 100.0, 2)
+    assert got_resets == resets
+    assert sum(r.n_samples for r in rows) == len(values) - 1

@@ -151,6 +151,44 @@ def main() -> int:
             results.setdefault("errors", {})[name] = str(exc)[:500]
         print(name, results["timings"][name], flush=True)
 
+    # Skew pass: one pathological series holding ~half of all events —
+    # the hot-key hazard for per-series windows. Re-key half the
+    # synthesized events onto user_id 0 / 'click' and re-time the
+    # window-shaped queries: survivable means they complete within a
+    # small multiple of the balanced run (AQE can't split a single
+    # window partition, so this measures the single-hot-task floor).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    skew_dir = os.path.join(STRESS_DIR, "skewed")
+    os.makedirs(skew_dir, exist_ok=True)
+    ev = pq.read_table(f"{STRESS_DIR}/events.parquet")
+    n = ev.num_rows
+    half = pa.array([i % 2 == 0 for i in range(n)], pa.bool_())
+    import pyarrow.compute as pc
+    uid = pc.if_else(half, pa.scalar(0, pa.int64()), ev["user_id"].combine_chunks())
+    et = pc.if_else(half, pa.scalar("click", pa.string()),
+                    ev["event_type"].combine_chunks())
+    pq.write_table(
+        pa.table({
+            "event_id": ev["event_id"], "ts": ev["ts"], "user_id": uid,
+            "event_type": et, "value": ev["value"], "props": ev["props"],
+        }),
+        f"{skew_dir}/events.parquet",
+    )
+    results["skew"] = {}
+    for name in ("ts_cumulative_sum", "ts_holt_winters", "ts_percentile"):
+        t0 = time.time()
+        try:
+            qs[name](spark, skew_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            results["skew"][name] = round(time.time() - t0, 2)
+        except Exception as exc:  # noqa: BLE001
+            results["skew"][name] = None
+            results.setdefault("errors", {})[f"skew:{name}"] = str(exc)[:500]
+        print("skew", name, results["skew"][name], flush=True)
+
     hot = sorted(
         lsh_hot_buckets(spark, STRESS_DIR).collect(),
         key=lambda r: -r["n_members"],
