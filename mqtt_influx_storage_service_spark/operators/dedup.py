@@ -540,8 +540,8 @@ def _minhash_sig_udf():
     the WHOLE Arrow batch (no per-row Python): rows flatten into one
     value vector, the (64, m) permutation matrix is computed once per
     chunk, and per-row minima fall out of ``np.minimum.reduceat`` at
-    the row offsets. The hashing itself (xxhash64) stays JVM-side, so
-    the UDF is pure int64 arithmetic.
+    the row offsets. The hashing itself (md5-prefix, _shingle_hash64)
+    stays JVM-side, so the UDF is pure int64 arithmetic.
     """
     a = np.arange(MINHASH_K, dtype=np.int64) * 2 + 1
     b = (np.arange(MINHASH_K, dtype=np.int64) * 2654435761) % MINHASH_PRIME
@@ -567,13 +567,30 @@ def _minhash_sig_udf():
     return _sig
 
 
+def _shingle_hash64(s: F.Column) -> F.Column:
+    """60-bit integer hash of a shingle: the first 15 hex chars of its
+    md5, as a long. md5 is byte-standardized, so Spark and DuckDB
+    produce the SAME integer for the same string (verified incl.
+    non-ASCII) — which makes every downstream signature pipeline
+    SQL-reproducible, unlike the previous xxhash64 (no DuckDB twin).
+    Cryptographic mixing keeps the minhash permutation family and the
+    simhash bit votes well-spread; computation stays JVM-side codegen.
+    """
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+# DuckDB twin of _shingle_hash64 (same integer, see above).
+_SHINGLE_HASH64_SQL = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
 def _with_minhash_signature(ds: DataFrame) -> DataFrame:
-    """Add a 64-slot minhash signature column (JVM xxhash64 → NumPy
-    permutation-min; see :func:`_minhash_sig_udf`)."""
+    """Add a 64-slot minhash signature column (JVM md5-prefix hash →
+    NumPy permutation-min; see :func:`_minhash_sig_udf`)."""
     hashed = ds.withColumn(
         "hashed",
         F.transform(
-            F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))
+            F.col("shingles"),
+            lambda s: F.pmod(_shingle_hash64(s), F.lit(MINHASH_PRIME)),
         ),
     )
     return hashed.withColumn("sig", _minhash_sig_udf()(F.col("hashed"))).drop("hashed")
@@ -623,8 +640,9 @@ def lsh_hot_buckets(spark: SparkSession, sf_dir: str, cap: int = LSH_BUCKET_CAP)
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MinHash-LSH banding, verified with exact
-    Jaccard (no oracle: xxhash64 has no DuckDB twin; pinned instead by
-    tests/test_dedup.py recall-vs-exact assertions).
+    Jaccard. Fully oracle-checked (DEDUP_MINHASH_LSH_SQL reproduces the
+    md5-prefix hash, the 64 permutations, the banding, and the bucket
+    cap), plus recall-vs-exact assertions in tests/test_dedup.py.
 
     Pipeline: signature (projection) → explode 16 band keys →
     equi-join on (band_idx, band_signature) → distinct candidate pairs
@@ -805,15 +823,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates via the pigeonhole block trick: split the 64-bit
     fingerprint into 4 x 16-bit blocks; any pair within hamming 3
     shares at least one exact block → equi-join on (block_idx, block
-    value), then verify with bit_count(xor). No oracle (hash-dependent);
-    pinned by tests/test_dedup.py.
+    value), then verify with bit_count(xor). Fully oracle-checked
+    (DEDUP_SIMHASH_SQL — md5-prefix hashes make the bit votes
+    SQL-reproducible); behavior also pinned by tests/test_dedup.py.
     """
     # _doc_shingles already excludes <3-token docs, so every row has
     # >= 1 shingle; re-filtering on n_shingles would push size(<full
     # shingle expr>) below the projection and re-evaluate it per row.
     ds = _doc_shingles(spark, sf_dir)
     hashed = ds.withColumn(
-        "hashes", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        "hashes", F.transform(F.col("shingles"), lambda s: _shingle_hash64(s))
     )
     fp = hashed.withColumn("simhash", _simhash_udf()(F.col("hashes")))
     blocks = fp.select(
@@ -935,12 +954,112 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
+# DuckDB twins of the signature pipelines. Possible because the shingle
+# hash is an md5 prefix (byte-standardized, identical in both engines);
+# the permutation constants inline as literals. CTEs are MATERIALIZED so
+# the signature computation runs once, not per join reference (see the
+# measured note at similarity.py::SIM_KNN_GRAPH_SQL).
+
+_MH_ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
+_MH_HASHED_SQL = (
+    "list_transform(shingles, s -> "
+    + _SHINGLE_HASH64_SQL.format(s="s")
+    + f" % {MINHASH_PRIME})"
+)
+_MH_SIG_SQL = "[" + ",\n        ".join(
+    f"list_min(list_transform(hv, h -> ({2 * k + 1} * h"
+    f" + {(k * 2654435761) % MINHASH_PRIME}) % {MINHASH_PRIME}))"
+    for k in range(MINHASH_K)
+) + "]"
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH sh AS MATERIALIZED (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles
+    FROM documents WHERE len(string_split(text, ' ')) >= 3
+), hashed AS (
+    SELECT doc_id, shingles, {_MH_HASHED_SQL} AS hv FROM sh
+), sigs AS MATERIALIZED (
+    SELECT doc_id, {_MH_SIG_SQL} AS sig FROM hashed
+), banded AS MATERIALIZED (
+    SELECT doc_id, t.i - 1 AS band_idx,
+           array_to_string(list_transform(
+               sig[(t.i - 1) * {_MH_ROWS_PER_BAND} + 1 : t.i * {_MH_ROWS_PER_BAND}],
+               x -> CAST(x AS VARCHAR)), '_') AS band_sig
+    FROM sigs, unnest(range(1, {MINHASH_BANDS} + 1)) AS t(i)
+), bucket_sizes AS (
+    SELECT band_idx, band_sig, count(*) AS n
+    FROM banded GROUP BY 1, 2
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id
+    JOIN bucket_sizes s ON s.band_idx = a.band_idx AND s.band_sig = a.band_sig
+    WHERE s.n BETWEEN 2 AND {LSH_BUCKET_CAP}
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(x.shingles, y.shingles))
+             / (len(x.shingles) + len(y.shingles)
+                - len(list_intersect(x.shingles, y.shingles))), 6) AS jaccard
+FROM cand
+JOIN sh x ON x.doc_id = doc_a
+JOIN sh y ON y.doc_id = doc_b
+WHERE round(len(list_intersect(x.shingles, y.shingles))
+            / (len(x.shingles) + len(y.shingles)
+               - len(list_intersect(x.shingles, y.shingles))), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+# simhash bit votes: the md5-prefix hash is 60-bit, so fingerprint bits
+# 60-63 are provably zero — only bits 0..59 need terms (a 1<<63 literal
+# would not even fit BIGINT).
+_SIMHASH_FP_SQL = "(" + "\n + ".join(
+    f"CASE WHEN 2 * len(list_filter(hv, h -> (h >> {b}) & 1 = 1)) > m"
+    f" THEN {1 << b} ELSE 0 END"
+    for b in range(60)
+) + ")"
+
+DEDUP_SIMHASH_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles
+    FROM documents WHERE len(string_split(text, ' ')) >= 3
+), hashed AS (
+    SELECT doc_id,
+           list_transform(shingles, s -> {_SHINGLE_HASH64_SQL.format(s="s")})
+               AS hv,
+           len(shingles) AS m
+    FROM sh
+), fp AS MATERIALIZED (
+    SELECT doc_id, {_SIMHASH_FP_SQL} AS simhash FROM hashed
+), blocks AS MATERIALIZED (
+    SELECT doc_id, simhash, t.i - 1 AS block_idx,
+           (simhash >> ((t.i - 1) * 16)) & 65535 AS block_val
+    FROM fp, unnest(range(1, {SIMHASH_BLOCKS} + 1)) AS t(i)
+), bucket_sizes AS (
+    SELECT block_idx, block_val, count(*) AS n
+    FROM blocks GROUP BY 1, 2
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sim_a, b.simhash AS sim_b
+    FROM blocks a
+    JOIN blocks b ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+                 AND a.doc_id < b.doc_id
+    JOIN bucket_sizes s ON s.block_idx = a.block_idx AND s.block_val = a.block_val
+    WHERE s.n BETWEEN 2 AND {LSH_BUCKET_CAP}
+)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM pairs
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
+
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
-    # dedup_minhash_lsh / dedup_simhash: hash-function-dependent, not
-    # SQL-expressible in DuckDB — rows-only driver check; recall vs the
-    # exact-Jaccard oracle is asserted in tests/test_dedup.py.
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    # dedup_minhash_ml stays rows-only: MLlib's MinHashLSH uses its own
+    # internal hash family (not reproducible in SQL by design).
 }
