@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..sources import load_table
+from ..sources.tables import table_row_count
 
 TOPK = 5
 N_QUERIES = 100          # vec_id < 100 are the query set
@@ -252,11 +253,12 @@ def _block_candidate_pairs(emb: DataFrame) -> DataFrame:
     )
 
 
-def _threshold_pairs_verified(emb: DataFrame, threshold: float) -> DataFrame:
-    """Block candidates → exact-cosine verify (same order-stable dot
-    kernel as the brute-force oracle, so round(6) doubles match
-    bit-for-bit): (id_a, id_b, cosine >= threshold)."""
-    cand = _block_candidate_pairs(emb)
+def _verify_cosine_pairs(
+    emb: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs → exact-cosine verify (same
+    order-stable dot kernel as the brute-force oracle, so round(6)
+    doubles match bit-for-bit): (id_a, id_b, cosine >= threshold)."""
     va = _with_norm(emb, "id_a", "va")
     vb = _with_norm(emb, "id_b", "vb")
     return (
@@ -275,16 +277,130 @@ def _threshold_pairs_verified(emb: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _threshold_pairs_verified(emb: DataFrame, threshold: float) -> DataFrame:
+    """Block candidates → exact-cosine verify. The right plan when the
+    threshold is high enough for hyperplane blocking to prune (dedup
+    at >=0.9, kNN candidate scoring); for a threshold at the noise
+    floor use :func:`_gemm_threshold_pairs` instead."""
+    return _verify_cosine_pairs(emb, _block_candidate_pairs(emb), threshold)
+
+
+# Tiled-GEMM exact all-pairs: vectors-per-tile. Sized so a tile pair
+# (2 x GEMM_CHUNK x 64 float64 + the GEMM_CHUNK² score tile) stays
+# ~10 MB — comfortably inside an executor task even at chunk overlap.
+GEMM_CHUNK = 1024
+# Prune margin: round(cosine, 6) >= t admits raw cosines down to
+# t - 5e-7; GEMM re-association + the normalized-vs-fold-norm delta is
+# < 1e-12. 2e-6 keeps every pair the exact verify could accept.
+_GEMM_MARGIN = 2e-6
+
+
+def _gemm_candidate_pairs(
+    emb: DataFrame, n_rows: int, threshold: float, chunk: int = GEMM_CHUNK
+) -> DataFrame:
+    """Exact all-pairs candidates via tiled GEMM: tile t = vec_id
+    div chunk; each vector is replicated to every tile pair (i <= j)
+    touching its tile, and one ``applyInPandas`` group per (i, j)
+    runs a single NumPy float64 matmul over the two tiles, emitting
+    the (id_a < id_b) pairs whose cosine clears threshold - margin.
+
+    This is the honest plan for an exact threshold sweep at the noise
+    floor (SIM_THRESHOLD sits 3.2σ into the background similarity
+    distribution, where NO LSH family prunes — see the blocking note
+    above): O(n²) dot products are inherent, so the goal is optimal
+    constants — BLAS tiles instead of 6x-duplicated join rows (the
+    fixture's pairs match ~6 of the 24 blocks, so the block equi-join
+    materializes every pair ~6 times and then pays a distinct). Group
+    state is bounded at 2 x chunk rows; shuffle volume is
+    n x (n/chunk + 1) rows, the quadratic-over-tile-count floor any
+    exact formulation pays. Per-vector Arrow transfer is n/chunk + 1
+    copies — group-granularity, NOT the measured pair-granularity
+    dead end documented at the top of this module.
+    """
+    n_tiles = max(1, -(-n_rows // chunk))
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") / chunk).cast("int").alias("tile"),
+    )
+    # tile pairs this vector participates in: (i, tile) for i <= tile
+    # plus (tile, j) for j > tile. sequence() would count DOWN for an
+    # empty range, so the right-open tail needs the guard.
+    left = F.transform(
+        F.sequence(F.lit(0), F.col("tile")),
+        lambda i: F.struct(i.alias("ti"), F.col("tile").alias("tj")),
+    )
+    right = F.when(
+        F.col("tile") + 1 <= F.lit(n_tiles - 1),
+        F.transform(
+            F.sequence(F.col("tile") + 1, F.lit(n_tiles - 1)),
+            lambda j: F.struct(F.col("tile").alias("ti"), j.alias("tj")),
+        ),
+    ).otherwise(F.array().cast("array<struct<ti:int,tj:int>>"))
+    exploded = tagged.select(
+        "vec_id",
+        "embedding",
+        "tile",
+        F.explode(F.concat(left, right)).alias("tp"),
+    ).select("vec_id", "embedding", "tile", "tp.ti", "tp.tj")
+
+    cut = threshold - _GEMM_MARGIN
+
+    def _gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = key
+        a = pdf[pdf["tile"] == ti]
+        b = pdf[pdf["tile"] == tj] if ti != tj else a
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
+        B = (
+            A
+            if ti == tj
+            else np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        )
+        na = np.linalg.norm(A, axis=1)
+        nb = na if ti == tj else np.linalg.norm(B, axis=1)
+        na = np.where(na == 0, 1.0, na)
+        nb = np.where(nb == 0, 1.0, nb)
+        scores = (A / na[:, None]) @ (B / nb[:, None]).T
+        ia, ib = np.nonzero(scores >= cut)
+        id_a = a["vec_id"].to_numpy()[ia]
+        id_b = b["vec_id"].to_numpy()[ib]
+        keep = id_a < id_b
+        return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+
+    return exploded.groupBy("ti", "tj").applyInPandas(
+        _gemm, "id_a long, id_b long"
+    )
+
+
+def _gemm_threshold_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float, chunk: int = GEMM_CHUNK
+) -> DataFrame:
+    """Tiled-GEMM candidates → exact fold-dot verify. The candidate
+    set is exact-with-margin, so the verify joins touch only the
+    qualifying pairs (+ a margin sliver); the emitted cosine comes
+    from the same Spark-side fold/round expressions as every other
+    scored query, keeping bit-parity with the DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    n_rows = table_row_count(sf_dir, "embeddings")
+    cand = _gemm_candidate_pairs(emb, n_rows, threshold, chunk)
+    return _verify_cosine_pairs(emb, cand, threshold)
+
+
 def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All vector pairs (a < b) with cosine >= SIM_THRESHOLD (0.4),
     with their labels — the 'find all near-duplicate embeddings'
-    sweep. Candidates from the hyperplane-block equi-join, verified
-    with the exact kernel; recall vs the brute-force baseline is 1.0
-    on the fixtures (asserted in tests) and the oracle below IS the
-    brute-force formulation, so the driver gate re-proves equality."""
+    sweep. Candidates from the tiled-GEMM exact all-pairs kernel
+    (recall 1.0 by construction — the margin covers rounding), then
+    the shared fold-dot verify; the oracle below is the brute-force
+    formulation, so the driver gate re-proves equality. The blocked
+    LSH path (:func:`_threshold_pairs_verified`) is NOT used here:
+    at a noise-floor threshold its candidate join materializes every
+    pair ~6 times (measured 164 s vs <20 s at sf1.0)."""
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     labels = emb.select("vec_id", "label")
-    pairs = _threshold_pairs_verified(emb, SIM_THRESHOLD)
+    pairs = _gemm_threshold_pairs(spark, sf_dir, SIM_THRESHOLD)
     la = labels.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"))
     lb = labels.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"))
     return (

@@ -48,18 +48,18 @@ def test_ann_is_deterministic(spark, sf_dir):
     assert a == b
 
 
-def test_threshold_pairs_blocked_recall_is_total(spark, sf_dir):
-    """The hyperplane-block candidate generation must recover EVERY
-    pair the exact all-pairs baseline finds (verification is exact, so
-    set equality == recall 1.0 AND precision 1.0). This is the
-    assertion backing the oracle gate: the declared query is blocked,
-    the oracle is brute force."""
+def test_threshold_pairs_gemm_equals_bruteforce(spark, sf_dir):
+    """The tiled-GEMM candidate generation must recover EVERY pair the
+    exact all-pairs baseline finds (verification is exact, so set
+    equality == recall 1.0 AND precision 1.0). This is the assertion
+    backing the oracle gate: the declared query is tiled, the oracle
+    is brute force."""
     from mqtt_influx_storage_service_spark.operators.similarity import (
         sim_threshold_pairs,
         sim_threshold_pairs_bruteforce,
     )
 
-    blocked = {
+    tiled = {
         (r.id_a, r.id_b, r.cosine)
         for r in sim_threshold_pairs(spark, sf_dir).collect()
     }
@@ -68,7 +68,29 @@ def test_threshold_pairs_blocked_recall_is_total(spark, sf_dir):
         for r in sim_threshold_pairs_bruteforce(spark, sf_dir).collect()
     }
     assert len(brute) > 0
-    assert blocked == brute
+    assert tiled == brute
+
+
+def test_threshold_pairs_gemm_multi_tile_equals_single(spark, sf_dir):
+    """Tiny tile size forces the cross-tile replication path (dozens
+    of tile pairs); the result must be identical to the default
+    one-tile run — proves the tile decomposition loses no pair at
+    tile boundaries and the id_a < id_b dedupe is exact."""
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        SIM_THRESHOLD,
+        _gemm_threshold_pairs,
+    )
+
+    small = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in _gemm_threshold_pairs(spark, sf_dir, SIM_THRESHOLD, chunk=16).collect()
+    }
+    default = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in _gemm_threshold_pairs(spark, sf_dir, SIM_THRESHOLD).collect()
+    }
+    assert len(default) > 0
+    assert small == default
 
 
 def test_threshold_and_embedding_dedup_plans_have_no_cross_product(spark, sf_dir):
