@@ -903,20 +903,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup: document pairs whose embeddings (vec_id ==
     doc_id, FIXTURES.md) have cosine >= 0.4; keep_doc is the lower id.
 
-    Candidates come from the similarity tier's hyperplane-block
-    equi-join (``similarity._block_candidate_pairs`` — 24 independent
-    2-bit sign blocks, a pure equi-self-join, NO cross product in the
-    plan), verified with the order-stable dot-product kernel so the
-    doubles match the DuckDB oracle bit-for-bit. Recall vs the exact
-    all-pairs baseline is 1.0 on the fixtures (every qualifying pair
-    matches ≥ 2 blocks; asserted in tests/test_similarity.py), and the
-    oracle below is the brute-force SQL, so the driver gate re-proves
-    the equality at sf0.01.
+    Candidates come from the similarity tier's tiled-GEMM exact
+    all-pairs kernel (``similarity._gemm_threshold_pairs`` — recall
+    1.0 by construction, margin covers rounding), then the shared
+    order-stable fold-dot verify so the doubles match the DuckDB
+    oracle bit-for-bit. The fixture threshold (0.4) sits at the noise
+    floor where the hyperplane-block equi-join prunes ~nothing and
+    pays a 2M-row per-pair fold verify (measured 4.2 s vs 0.8 s at
+    sf0.1); at a production dedup threshold (>= 0.9 on clustered
+    corpora) the blocked path (``_threshold_pairs_verified``) becomes
+    the right plan again. The oracle below is the brute-force SQL, so
+    the driver gate re-proves the equality at sf0.01.
     """
-    from .similarity import _threshold_pairs_verified
+    from .similarity import _gemm_threshold_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    return _threshold_pairs_verified(emb, EMB_DUP_THRESHOLD).select(
+    return _gemm_threshold_pairs(spark, sf_dir, EMB_DUP_THRESHOLD).select(
         F.col("id_a").alias("keep_doc"),
         F.col("id_b").alias("dup_doc"),
         "cosine",

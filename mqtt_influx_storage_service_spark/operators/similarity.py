@@ -295,28 +295,12 @@ GEMM_CHUNK = 1024
 _GEMM_MARGIN = 2e-6
 
 
-def _gemm_candidate_pairs(
-    emb: DataFrame, n_rows: int, threshold: float, chunk: int = GEMM_CHUNK
-) -> DataFrame:
-    """Exact all-pairs candidates via tiled GEMM: tile t = vec_id
-    div chunk; each vector is replicated to every tile pair (i <= j)
-    touching its tile, and one ``applyInPandas`` group per (i, j)
-    runs a single NumPy float64 matmul over the two tiles, emitting
-    the (id_a < id_b) pairs whose cosine clears threshold - margin.
-
-    This is the honest plan for an exact threshold sweep at the noise
-    floor (SIM_THRESHOLD sits 3.2σ into the background similarity
-    distribution, where NO LSH family prunes — see the blocking note
-    above): O(n²) dot products are inherent, so the goal is optimal
-    constants — BLAS tiles instead of 6x-duplicated join rows (the
-    fixture's pairs match ~6 of the 24 blocks, so the block equi-join
-    materializes every pair ~6 times and then pays a distinct). Group
-    state is bounded at 2 x chunk rows; shuffle volume is
-    n x (n/chunk + 1) rows, the quadratic-over-tile-count floor any
-    exact formulation pays. Per-vector Arrow transfer is n/chunk + 1
-    copies — group-granularity, NOT the measured pair-granularity
-    dead end documented at the top of this module.
-    """
+def _tile_exploded(emb: DataFrame, n_rows: int, chunk: int) -> DataFrame:
+    """Tile t = vec_id div chunk; replicate each vector to every tile
+    pair (i <= j) touching its tile. Shared fan-out stage for the
+    tiled-GEMM kernels (threshold sweep + block-masked kNN): shuffle
+    volume is n x (n/chunk + 1) rows, the quadratic-over-tile-count
+    floor any exact all-pairs formulation pays."""
     n_tiles = max(1, -(-n_rows // chunk))
     tagged = emb.select(
         "vec_id",
@@ -337,12 +321,34 @@ def _gemm_candidate_pairs(
             lambda j: F.struct(F.col("tile").alias("ti"), j.alias("tj")),
         ),
     ).otherwise(F.array().cast("array<struct<ti:int,tj:int>>"))
-    exploded = tagged.select(
+    return tagged.select(
         "vec_id",
         "embedding",
         "tile",
         F.explode(F.concat(left, right)).alias("tp"),
     ).select("vec_id", "embedding", "tile", "tp.ti", "tp.tj")
+
+
+def _gemm_candidate_pairs(
+    emb: DataFrame, n_rows: int, threshold: float, chunk: int = GEMM_CHUNK
+) -> DataFrame:
+    """Exact all-pairs candidates via tiled GEMM: one ``applyInPandas``
+    group per tile pair (i, j) runs a single NumPy float64 matmul over
+    the two tiles, emitting the (id_a < id_b) pairs whose cosine clears
+    threshold - margin.
+
+    This is the honest plan for an exact threshold sweep at the noise
+    floor (SIM_THRESHOLD sits 3.2σ into the background similarity
+    distribution, where NO LSH family prunes — see the blocking note
+    above): O(n²) dot products are inherent, so the goal is optimal
+    constants — BLAS tiles instead of 6x-duplicated join rows (the
+    fixture's pairs match ~6 of the 24 blocks, so the block equi-join
+    materializes every pair ~6 times and then pays a distinct). Group
+    state is bounded at 2 x chunk rows. Per-vector Arrow transfer is
+    n/chunk + 1 copies — group-granularity, NOT the measured
+    pair-granularity dead end documented at the top of this module.
+    """
+    exploded = _tile_exploded(emb, n_rows, chunk)
 
     cut = threshold - _GEMM_MARGIN
 
@@ -788,40 +794,148 @@ SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+# Margin for the GEMM pre-rank inside _gemm_block_knn_candidates: the
+# final rank orders by round(fold_cosine, 6), so a neighbor whose raw
+# GEMM score trails the per-vector kth by up to one rounding quantum
+# (1e-6) can still round EQUAL and then win the neighbor_id tie-break.
+# 2e-6 covers the quantum plus the <1e-12 GEMM-vs-fold delta, so the
+# survivor set provably contains the exact rounded top-k.
+_KNN_GEMM_MARGIN = 2e-6
+
+
+def _gemm_block_knn_candidates(
+    emb: DataFrame, n_rows: int, k: int = KNN_K, chunk: int = GEMM_CHUNK
+) -> DataFrame:
+    """(vec_id, neighbor_id) kNN survivor pairs via tiled GEMM with the
+    hyperplane-block candidate mask applied INSIDE the kernel.
+
+    Semantics are identical to scoring ``_block_candidate_pairs``
+    output and cutting to top-k: per tile pair one float64 matmul
+    scores all cross-tile dots, one (48-plane sign matmul → 24x2-bit
+    block values) comparison masks out pairs sharing NO block (the
+    same candidate criterion, computed from the same ``_hyperplanes``
+    stream with the same matmul orientation as ``_block_keys_udf``),
+    and each vector keeps its local top-k plus everything within
+    ``_KNN_GEMM_MARGIN`` of the local kth score. Any neighbor in the
+    global rounded top-k ranks <= k within its own tile pair up to
+    the margin, so the union of local survivors is a superset of the
+    exact answer; the caller re-scores survivors with the order-stable
+    fold so the emitted doubles stay bit-identical to the oracle.
+
+    Replaces the 2M-row fold-dot verify the block equi-join needed at
+    kNN (threshold -inf: NOTHING prunes, measured 8.5 s at sf0.1 for
+    2000 vectors vs ~1.5 s for this kernel). Survivor volume is
+    n x (n/chunk + 1) x ~k rows — the per-pair fold now touches
+    O(n*k), not O(n²).
+    """
+    exploded = _tile_exploded(emb, n_rows, chunk)
+    H = np.array(_hyperplanes(N_BLOCKS * BLOCK_BITS), dtype=np.float64)
+    w = 1 << np.arange(BLOCK_BITS)
+    empty = pd.DataFrame(
+        {"vec_id": pd.Series(dtype="int64"), "neighbor_id": pd.Series(dtype="int64")}
+    )
+
+    def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = key
+        a = pdf[pdf["tile"] == ti]
+        b = pdf[pdf["tile"] == tj] if ti != tj else a
+        if a.empty or b.empty:
+            return empty
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
+        B = (
+            A
+            if ti == tj
+            else np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        )
+        na = np.linalg.norm(A, axis=1)
+        nb = na if ti == tj else np.linalg.norm(B, axis=1)
+        na = np.where(na == 0, 1.0, na)
+        nb = np.where(nb == 0, 1.0, nb)
+        scores = (A / na[:, None]) @ (B / nb[:, None]).T
+        blk_a = (
+            ((A @ H.T) > 0).reshape(len(A), N_BLOCKS, BLOCK_BITS) @ w
+        )  # (na, 24) block values
+        blk_b = (
+            blk_a
+            if ti == tj
+            else ((B @ H.T) > 0).reshape(len(B), N_BLOCKS, BLOCK_BITS) @ w
+        )
+        match = (blk_a[:, None, :] == blk_b[None, :, :]).any(axis=-1)
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy() if ti != tj else ids_a
+        if ti == tj:
+            match &= ids_a[:, None] != ids_b[None, :]
+
+        qs, ns = [], []
+
+        def _local_topk(M: np.ndarray, qids: np.ndarray, nids: np.ndarray) -> None:
+            kk = min(k, M.shape[1])
+            if kk == 0:
+                return
+            kth = -np.partition(-M, kk - 1, axis=1)[:, kk - 1]
+            keep = np.isfinite(M) & (M >= kth[:, None] - _KNN_GEMM_MARGIN)
+            qi, ni = np.nonzero(keep)
+            qs.append(qids[qi])
+            ns.append(nids[ni])
+
+        masked = np.where(match, scores, -np.inf)
+        _local_topk(masked, ids_a, ids_b)
+        if ti != tj:
+            _local_topk(masked.T, ids_b, ids_a)
+        if not qs:
+            return empty
+        return pd.DataFrame(
+            {"vec_id": np.concatenate(qs), "neighbor_id": np.concatenate(ns)}
+        )
+
+    return exploded.groupBy("ti", "tj").applyInPandas(
+        _kernel, "vec_id long, neighbor_id long"
+    )
+
+
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole corpus (the
     SemDeDup / semantic-clustering building block: every vector gets
     its k best neighbors, not just a fixed query set).
 
-    Candidates come from the 24x2-bit hyperplane block equi-self-join
-    (``_block_candidate_pairs`` — never a cross product), verified with
-    the exact order-stable cosine, symmetrized (each candidate pair
-    feeds both endpoints' neighbor lists), then cut to top-k per vector
-    with a rank window — Spark plans that as WindowGroupLimit, pushing
-    the k-filter below the final sort. Approximate by construction
-    (vectors sharing no block can't be neighbors): rows-only driver
-    check; recall floor vs the exact numpy kNN is pinned in
-    tests/test_similarity.py. Deterministic tie-break:
-    (cosine DESC, neighbor_id ASC).
+    The candidate relation is the 24x2-bit hyperplane-block criterion
+    (pairs sharing >= 1 block — the oracle below encodes exactly that
+    structure); it is evaluated by the tiled-GEMM kernel with the block
+    mask applied in-kernel (``_gemm_block_knn_candidates``), because at
+    kNN the block equi-join prunes NOTHING (every pair is a candidate
+    at threshold -inf) and scoring 2M materialized candidate rows with
+    the per-pair fold costs 5x the BLAS tiles. Survivors (~n*k rows)
+    are re-scored with the exact order-stable fold cosine, then cut to
+    top-k per vector with a rank window — Spark plans that as
+    WindowGroupLimit. Approximate by construction (vectors sharing no
+    block can't be neighbors); recall floor vs the oracle-anchored
+    ``sim_knn_exact`` is pinned in tests/test_similarity.py. The true
+    10^9-vector scale path is the ``sim_ann_*`` family — an exact
+    block-masked kNN graph is inherently quadratic over tile pairs.
+    Deterministic tie-break: (cosine DESC, neighbor_id ASC).
     """
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    pairs = _threshold_pairs_verified(emb, -1.0)  # all candidates, scored
-    sym = pairs.select(
-        F.col("id_a").alias("vec_id"),
-        F.col("id_b").alias("neighbor_id"),
-        "cosine",
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("vec_id"),
-            F.col("id_a").alias("neighbor_id"),
+    n_rows = table_row_count(sf_dir, "embeddings")
+    cand = _gemm_block_knn_candidates(emb, n_rows)
+    q = _with_norm(emb, "vec_id", "qv")
+    c = _with_norm(emb, "neighbor_id", "cv")
+    scored = (
+        cand.join(q, "vec_id")
+        .join(c, "neighbor_id")
+        .withColumn(
             "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("vec_id_norm") * F.col("neighbor_id_norm")),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
-        sym.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
         .select("vec_id", "neighbor_id", "cosine", "rank")
     )
