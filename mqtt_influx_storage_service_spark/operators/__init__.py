@@ -40,6 +40,13 @@ from . import (
 # newest green row is ever older than two rounds.
 _PRIORITY = [
     # new in r4 — no driver row yet
+    "text_chunking",
+    "emb_quantize_int8",
+    "sim_centroid_assign",
+    "ts_elapsed",
+    "ts_top_per_bucket",
+    "ts_sample",
+    "ts_changepoint",
     "sim_knn_exact",
     "text_langid_ngram",
     "sim_range_search",

@@ -999,6 +999,199 @@ SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
 """.replace("{keys}", _block_keys_sql("embedding"))
 
 
+# --------------------------------------------------------------------------
+# Embedding int8 quantization (storage/serving compression audit)
+# --------------------------------------------------------------------------
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4x storage compression an embedding-serving / vector-index
+    pipeline applies before shipping vectors (absmax scaling, the
+    standard llm.int8 / faiss SQ8 regime) — plus the reconstruction
+    audit that decides whether the compression is safe.
+
+    Determinism: absmax via array_max (exact, associative); codes are
+    per-element round()s (identical single IEEE op in both engines);
+    the reconstruction error folds sequentially in the same order in
+    both engines and is reported in 1e-6 units so the 6-dp hash canon
+    keeps signal. Zero vectors quantize to all-zero codes (nullif
+    guard), not NULL/inf.
+
+    Scale: pure per-row projection — no shuffle, no UDF, whole-stage
+    codegen end to end; codes are emitted as a CSV string so the
+    driver's column canon sees a scalar.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", arr.alias("arr")).select(
+        "vec_id",
+        "arr",
+        F.array_max(F.transform(F.col("arr"), F.abs)).alias("amax"),
+    )
+    code = lambda x: F.coalesce(  # noqa: E731 - inline element kernel
+        F.round(x * 127.0 / F.nullif(F.col("amax"), F.lit(0.0))).cast("int"),
+        F.lit(0),
+    )
+    quant = base.select(
+        "vec_id",
+        "arr",
+        "amax",
+        F.transform(F.col("arr"), code).alias("codes"),
+    )
+    err2 = F.aggregate(
+        F.zip_with(
+            F.col("arr"),
+            F.col("codes"),
+            lambda x, c: F.pow(x - c * F.col("amax") / 127.0, 2),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return quant.select(
+        "vec_id",
+        F.round(F.col("amax"), 6).alias("amax6"),
+        F.size(F.filter(F.col("codes"), lambda c: F.abs(c) == 127)).alias(
+            "n_sat"
+        ),
+        F.array_join(F.col("codes"), ",").alias("codes_str"),
+        F.round(err2 * 1e6 / 64, 6).alias("mse_e6"),
+    )
+
+
+EMB_QUANTIZE_INT8_SQL = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS arr
+    FROM embeddings
+), m AS (
+    SELECT vec_id, arr,
+           list_max(list_transform(arr, x -> abs(x))) AS amax
+    FROM v
+), q AS (
+    SELECT vec_id, arr, amax,
+           list_transform(arr, x -> coalesce(
+               CAST(round(x * 127.0 / nullif(amax, 0.0), 0) AS INTEGER), 0))
+               AS codes
+    FROM m
+)
+SELECT vec_id,
+       round(amax, 6) AS amax6,
+       len(list_filter(codes, c -> abs(c) = 127)) AS n_sat,
+       array_to_string(codes, ',') AS codes_str,
+       round(list_reduce(
+           list_prepend(0.0, list_transform(range(1, 65),
+               i -> (arr[i] - codes[i] * amax / 127.0) ** 2)),
+           (a, b) -> a + b) * 1e6 / 64, 6) AS mse_e6
+FROM q
+"""
+
+
+# --------------------------------------------------------------------------
+# Label-centroid assignment (clustering purity / SemDeDup stage 1)
+# --------------------------------------------------------------------------
+
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector to its nearest LABEL centroid by cosine —
+    the cluster-assignment stage of SemDeDup-style semantic curation
+    (centroids here are the labeled group means, so the query doubles
+    as a clustering-purity audit: ``correct`` marks vectors whose
+    nearest centroid is their own label's).
+
+    Determinism: centroid components are exact integer-micro sums
+    divided once (``Σround(x·1e6) / (n·1e6)`` — associative int64
+    arithmetic, then a single IEEE division both engines perform
+    identically); scoring uses the shared order-stable fold cosine.
+
+    Scale: the centroid relation is n_labels x 64 — built by one
+    map-side-combinable (label, pos) aggregation over posexplode, then
+    broadcast; assignment is a broadcast nested-loop over n_labels
+    rows per vector (bounded dimension table, the sim_cosine_topk
+    pattern), argmax via WindowGroupLimit. The corpus is never
+    shuffled.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vd = emb.select("vec_id", F.col("label").alias("true_label"), arr.alias("arr"))
+    micro = F.transform(
+        F.col("arr"), lambda x: F.round(x * 1e6).cast("long")
+    )
+    comp = (
+        vd.select("true_label", F.posexplode(micro).alias("pos", "mv"))
+        .groupBy(F.col("true_label").alias("cl"), "pos")
+        .agg(F.sum("mv").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    cent = comp.groupBy("cl").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        (F.col("s") / (F.col("cnt") * 1000000.0)).alias("v"),
+                    )
+                )
+            ),
+            lambda st: st["v"],
+        ).alias("cvec")
+    )
+    scored = vd.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "true_label",
+        "cl",
+        F.round(
+            _dot(F.col("arr"), F.col("cvec"))
+            / (
+                F.sqrt(_dot(F.col("arr"), F.col("arr")))
+                * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+            ),
+            6,
+        ).alias("cos6"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos6"), F.asc("cl"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("cl").alias("assigned_label"),
+            "cos6",
+            (F.col("cl") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+SIM_CENTROID_ASSIGN_SQL = f"""
+WITH vd AS (
+    SELECT vec_id, label AS true_label,
+           list_transform(embedding, x -> x::DOUBLE) AS arr
+    FROM embeddings
+), comp AS (
+    SELECT true_label AS cl, t.i AS pos,
+           CAST(sum(CAST(round(arr[t.i] * 1e6, 0) AS BIGINT)) AS BIGINT) AS s,
+           count(*) AS cnt
+    FROM vd, unnest(range(1, 65)) AS t(i)
+    GROUP BY 1, 2
+), cent AS (
+    SELECT cl, list(s / (cnt * 1000000.0) ORDER BY pos) AS cvec
+    FROM comp GROUP BY 1
+), scored AS (
+    SELECT v.vec_id, v.true_label, c.cl,
+           round({_DOT_SQL.format(a='v.arr', b='c.cvec')}
+                 / (sqrt({_DOT_SQL.format(a='v.arr', b='v.arr')})
+                    * sqrt({_DOT_SQL.format(a='c.cvec', b='c.cvec')})),
+                 6) AS cos6
+    FROM vd v CROSS JOIN cent c
+), ranked AS (
+    SELECT vec_id, true_label, cl, cos6,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos6 DESC, cl) AS rn
+    FROM scored
+)
+SELECT vec_id, true_label, cl AS assigned_label, cos6,
+       cl = true_label AS correct
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_range_search": sim_range_search,
@@ -1008,6 +1201,8 @@ QUERIES = {
     "sim_ann_lsh": sim_ann_lsh,
     "sim_label_centroid": sim_label_centroid,
     "sim_label_trimmed_norm": sim_label_trimmed_norm,
+    "emb_quantize_int8": emb_quantize_int8,
+    "sim_centroid_assign": sim_centroid_assign,
 }
 
 ORACLES = {
@@ -1019,6 +1214,8 @@ ORACLES = {
     "sim_knn_graph": SIM_KNN_GRAPH_SQL,
     "sim_label_centroid": SIM_LABEL_CENTROID_SQL,
     "sim_label_trimmed_norm": SIM_LABEL_TRIMMED_NORM_SQL,
+    "emb_quantize_int8": EMB_QUANTIZE_INT8_SQL,
+    "sim_centroid_assign": SIM_CENTROID_ASSIGN_SQL,
     # sim_ann_lsh / sim_knn_graph carry FULL oracles despite being
     # approximate: the approximate STRUCTURE (seeded hyperplane buckets
     # / blocks, probe expansion, exact re-rank) is deterministic and

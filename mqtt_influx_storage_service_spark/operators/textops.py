@@ -1047,6 +1047,76 @@ FROM feats
 """
 
 
+# --------------------------------------------------------------------------
+# Document chunking: overlapping token windows (context-length prep)
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64   # tokens per chunk (the training context window)
+CHUNK_STRIDE = 48   # window stride → 16-token overlap between chunks
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping token-window chunks — the
+    context-length preparation step every pretraining / RAG-indexing
+    pipeline runs before tokenization proper (window CHUNK_TOKENS,
+    stride CHUNK_STRIDE, so consecutive chunks share the overlap that
+    keeps boundary sentences learnable).
+
+    Pure built-ins: one split, one sequence→explode over chunk starts,
+    one slice per chunk — per-row projection work, no shuffle at all,
+    embarrassingly parallel at any corpus size. A doc shorter than one
+    window yields exactly one (possibly short) chunk; the final
+    partial window is kept iff it starts inside the document (standard
+    fixed-stride chunking semantics).
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = _tokens()
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE))
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_TOKENS)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n.alias("n_tokens"),
+            F.explode(starts).alias("start"),
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            "start",
+            F.size(chunk).alias("chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+TEXT_CHUNKING_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+), starts AS (
+    SELECT doc_id, lang, toks, n_tokens,
+           unnest(range(1, greatest(n_tokens, 1) + 1, {CHUNK_STRIDE}))
+               AS start
+    FROM base
+)
+SELECT doc_id, lang, n_tokens,
+       (start - 1) // {CHUNK_STRIDE} AS chunk_idx,
+       start,
+       len(toks[start : least(start + {CHUNK_TOKENS} - 1, n_tokens)])
+           AS chunk_tokens,
+       array_to_string(
+           toks[start : least(start + {CHUNK_TOKENS} - 1, n_tokens)], ' ')
+           AS chunk_text
+FROM starts
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_gopher_rules": text_gopher_rules,
@@ -1061,6 +1131,7 @@ QUERIES = {
     "text_langid_ngram": text_langid_ngram,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
+    "text_chunking": text_chunking,
 }
 
 ORACLES = {
@@ -1077,4 +1148,5 @@ ORACLES = {
     "text_langid_ngram": TEXT_LANGID_NGRAM_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_chunking": TEXT_CHUNKING_SQL,
 }

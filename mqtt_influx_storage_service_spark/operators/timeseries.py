@@ -2044,6 +2044,231 @@ FROM ranked WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# InfluxQL ELAPSED(): time between consecutive points per series
+# --------------------------------------------------------------------------
+
+def ts_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``ELAPSED(value, 1ms)`` over the reference's series
+    shape (user_id=device, event_type=transducer — influx_service.py
+    :183-189): microseconds between consecutive points of a series.
+    First point of each series has no predecessor → elapsed_us NULL
+    (InfluxQL drops it; keeping the NULL row preserves the 1:1 input
+    mapping and the hash gate covers it).
+
+    Determinism: pure integer math (epoch microseconds), no floats.
+    Scale: one lag window per series key — partition-parallel, running
+    frame, nothing materialized beyond a single row of look-back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        (us - F.lag(us).over(w)).alias("elapsed_us"),
+    )
+
+
+TS_ELAPSED_SQL = """
+SELECT event_id, user_id, event_type, ts,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+       ) AS elapsed_us
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# InfluxQL TOP(value, N) per time bucket
+# --------------------------------------------------------------------------
+
+TOP_PER_BUCKET_N = 3
+
+
+def ts_top_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``SELECT TOP(value, 3) .. GROUP BY time(1d), type``:
+    the N highest readings per (event_type, day bucket), deterministic
+    tie-break (value DESC, event_id ASC).
+
+    Scale: rank windows partition on (type, bucket) — fine-grained
+    keys, partition-parallel; Spark plans the rank-1..N filter as
+    WindowGroupLimit so only each bucket's N best rows survive the
+    final sort (same shape as ts_mode / rel_topk_orders).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("bucket")
+    w = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.select("event_id", "user_id", "event_type", day, "ts", "value")
+        .withColumn("rank_in_bucket", F.row_number().over(w))
+        .filter(F.col("rank_in_bucket") <= TOP_PER_BUCKET_N)
+        .select(
+            "event_type", "bucket", "rank_in_bucket",
+            "event_id", "user_id", "ts", "value",
+        )
+    )
+
+
+TS_TOP_PER_BUCKET_SQL = f"""
+WITH ranked AS (
+    SELECT event_type, date_trunc('day', ts) AS bucket,
+           row_number() OVER (
+               PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY value DESC, event_id
+           ) AS rank_in_bucket,
+           event_id, user_id, ts, value
+    FROM events
+)
+SELECT event_type, bucket, rank_in_bucket, event_id, user_id, ts, value
+FROM ranked WHERE rank_in_bucket <= {TOP_PER_BUCKET_N}
+"""
+
+
+# --------------------------------------------------------------------------
+# InfluxQL SAMPLE(value, N): deterministic pseudo-random sample
+# --------------------------------------------------------------------------
+
+SAMPLE_N = 5
+
+
+def ts_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``SAMPLE(value, 5)`` per series, made REPRODUCIBLE:
+    instead of InfluxQL's nondeterministic reservoir, rows are ranked
+    by ``md5(event_id)`` — a fixed keyed hash both engines compute
+    byte-identically — and the 5 smallest digests win. Same
+    deterministic-sampling discipline as pipeline_stratified_sample
+    (LCG there, md5 here: the per-row key is already unique so a
+    cryptographic digest needs no mixing care).
+
+    Scale: hash + rank window per series key; no shuffle beyond the
+    series repartition, WindowGroupLimit cuts to N per group.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    digest = F.md5(F.col("event_id").cast("string").cast("binary"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        digest.asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_N)
+        .select(
+            "user_id", "event_type",
+            F.col("rn").alias("sample_idx"),
+            "event_id", "ts", "value",
+        )
+    )
+
+
+TS_SAMPLE_SQL = f"""
+WITH ranked AS (
+    SELECT user_id, event_type,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+           ) AS sample_idx,
+           event_id, ts, value
+    FROM events
+)
+SELECT user_id, event_type, sample_idx, event_id, ts, value
+FROM ranked WHERE sample_idx <= {SAMPLE_N}
+"""
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint: per-series mean-shift locator
+# --------------------------------------------------------------------------
+
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series CUSUM changepoint: the point maximizing the absolute
+    centered cumulative sum |S_i| = |Σ_{j≤i}(x_j − x̄)| — the classic
+    single-changepoint estimate for a mean shift (Page's CUSUM /
+    binary-segmentation first split).
+
+    Determinism: ALL integer math. With cents c_j = round(100·x_j) and
+    n the series length, n·S_i = n·Σ_{j≤i}c_j − i·Σc_j is exact in
+    int64 (|n·S| ≤ n²·max|c| ≈ 10⁴·10⁴·10⁵ ≪ 2⁶³ at any per-series
+    cardinality the fixtures reach; at 10⁹-row series switch to
+    decimal(38)). The argmax tie-breaks toward the earliest (ts,
+    event_id) — fully ordered, hash-stable. ``score_cents`` reports
+    |S_i| = |n·S_i|/n in exact cents scaled back to value units.
+
+    Scale: two windows per series key (running sum + rank), both
+    partition-parallel running frames; one broadcastable per-series
+    total via a window over the same partition — no driver round-trip,
+    no global window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    series = Window.partitionBy("user_id", "event_type")
+    wrun = series.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = series.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    widx = series.orderBy("ts", "event_id")
+    scored = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.count(F.lit(1)).over(wall) * F.sum(cents).over(wrun)
+            - F.row_number().over(widx) * F.sum(cents).over(wall)
+        ).alias("ns"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    wbest = Window.partitionBy("user_id", "event_type").orderBy(
+        F.abs(F.col("ns")).desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("cp_ts"),
+            F.col("event_id").alias("cp_event_id"),
+            (F.abs(F.col("ns")) / (F.col("n") * F.lit(100.0))).alias("cusum_peak"),
+        )
+    )
+
+
+TS_CHANGEPOINT_SQL = """
+WITH c AS (
+    SELECT user_id, event_type, ts, event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+), scored AS (
+    SELECT user_id, event_type, ts, event_id,
+           count(*) OVER (PARTITION BY user_id, event_type)
+             * sum(cents) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id)
+             * sum(cents) OVER (PARTITION BY user_id, event_type)
+           AS ns,
+           count(*) OVER (PARTITION BY user_id, event_type) AS n
+    FROM c
+), ranked AS (
+    SELECT user_id, event_type, ts, event_id, ns, n,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY abs(ns) DESC, ts, event_id) AS rn
+    FROM scored
+)
+SELECT user_id, event_type, ts AS cp_ts, event_id AS cp_event_id,
+       abs(ns) / (n * 100.0) AS cusum_peak
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "ts_anomaly_zscore": ts_anomaly_zscore,
     "ts_mode": ts_mode,
@@ -2078,6 +2303,10 @@ QUERIES = {
     "ts_counter_rate": ts_counter_rate,
     "ts_percentile": ts_percentile,
     "ts_spread": ts_spread,
+    "ts_elapsed": ts_elapsed,
+    "ts_top_per_bucket": ts_top_per_bucket,
+    "ts_sample": ts_sample,
+    "ts_changepoint": ts_changepoint,
 }
 
 ORACLES = {
@@ -2114,4 +2343,8 @@ ORACLES = {
     "ts_counter_rate": TS_COUNTER_RATE_SQL,
     "ts_percentile": TS_PERCENTILE_SQL,
     "ts_spread": TS_SPREAD_SQL,
+    "ts_elapsed": TS_ELAPSED_SQL,
+    "ts_top_per_bucket": TS_TOP_PER_BUCKET_SQL,
+    "ts_sample": TS_SAMPLE_SQL,
+    "ts_changepoint": TS_CHANGEPOINT_SQL,
 }

@@ -484,3 +484,195 @@ def test_seasonal_profile_residuals_center_on_zero(spark, sf_dir):
     )
     # mean residual per slot bounded by the 1e-6 rounding of the profile
     assert all(abs(r.sum_resid) / r.n < 1e-5 for r in slots)
+
+
+# ----- r4 batch 2: InfluxQL completions + LLM-pipeline ops -----------------
+
+
+def test_chunking_covers_and_overlaps(spark, sf_dir):
+    """Every token lands in >= 1 chunk, full windows carry exactly
+    CHUNK_TOKENS tokens, and consecutive chunks share the stride
+    overlap (reassembling chunk tails reproduces the document)."""
+    from mqtt_influx_storage_service_spark.operators.textops import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunking,
+    )
+
+    rows = text_chunking(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id].split(" ")
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert len(chunks) == (len(toks) - 1) // CHUNK_STRIDE + 1
+        for c in chunks:
+            start = c.chunk_idx * CHUNK_STRIDE  # 0-based
+            expect = toks[start:start + CHUNK_TOKENS]
+            assert c.chunk_text.split(" ") == expect
+            assert c.chunk_tokens == len(expect)
+        # stitching strides back together reproduces the document
+        stitched = []
+        for c in chunks:
+            stitched.extend(c.chunk_text.split(" ")[:CHUNK_STRIDE])
+        stitched.extend(chunks[-1].chunk_text.split(" ")[CHUNK_STRIDE:])
+        assert stitched == toks
+
+
+def test_quantize_int8_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        emb_quantize_int8,
+    )
+
+    rows = {r.vec_id: r for r in emb_quantize_int8(spark, sf_dir).collect()}
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    assert set(rows) == set(emb["vec_id"])
+    for _, er in emb.iterrows():
+        x = np.asarray(er.embedding, dtype=np.float64)
+        r = rows[er.vec_id]
+        amax = np.abs(x).max()
+        codes = np.array([int(c) for c in r.codes_str.split(",")])
+        assert np.abs(codes).max() <= 127
+        expect = np.round(x * 127.0 / amax).astype(int) if amax else 0 * codes
+        assert (codes == expect).all()
+        mse = ((x - codes * amax / 127.0) ** 2).sum() * 1e6 / 64
+        assert abs(r.mse_e6 - mse) < 1e-4
+        assert abs(r.amax6 - round(amax, 6)) < 1e-9
+
+
+def test_centroid_assign_is_argmax_of_label_means(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        sim_centroid_assign,
+    )
+
+    rows = sim_centroid_assign(spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    micro = np.round(M * 1e6)
+    labels = emb["label"].to_numpy()
+    cents = {
+        lb: micro[labels == lb].sum(axis=0) / ((labels == lb).sum() * 1e6)
+        for lb in np.unique(labels)
+    }
+    assert len(rows) == len(emb)
+    ids = {int(v): i for i, v in enumerate(emb["vec_id"])}
+    for r in rows:
+        x = M[ids[r.vec_id]]
+        scored = sorted(
+            (
+                (-round(
+                    float(x @ c) / (np.linalg.norm(x) * np.linalg.norm(c)), 6
+                ), lb)
+                for lb, c in cents.items()
+            ),
+        )
+        assert r.assigned_label == scored[0][1]
+        assert r.correct == (r.assigned_label == r.true_label)
+
+
+def test_elapsed_matches_pandas_diff(spark, sf_dir):
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_elapsed,
+    )
+
+    rows = ts_elapsed(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "event_type", "ts", "event_id"]
+    )
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["expect"] = ev.groupby(["user_id", "event_type"])["ts_us"].diff()
+    expect = {
+        int(r.event_id): None if pd.isna(r.expect) else int(r.expect)
+        for r in ev.itertuples()
+    }
+    assert len(rows) == len(ev)
+    for r in rows:
+        assert r.elapsed_us == expect[r.event_id]
+        if r.elapsed_us is not None:
+            assert r.elapsed_us >= 0
+
+
+def test_top_per_bucket_is_true_topn(spark, sf_dir):
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        TOP_PER_BUCKET_N,
+        ts_top_per_bucket,
+    )
+
+    rows = ts_top_per_bucket(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["bucket"] = ev["ts"].dt.floor("D")
+    got = {}
+    for r in rows:
+        got.setdefault((r.event_type, r.bucket), []).append(r)
+    for (et, bucket), grp in ev.groupby(["event_type", "bucket"]):
+        want = grp.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(TOP_PER_BUCKET_N)
+        g = sorted(got[(et, bucket.to_pydatetime())], key=lambda r: r.rank_in_bucket)
+        assert [r.event_id for r in g] == list(want["event_id"])
+
+
+def test_sample_is_deterministic_subset(spark, sf_dir):
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        SAMPLE_N,
+        ts_sample,
+    )
+
+    a = sorted((r.user_id, r.event_type, r.event_id)
+               for r in ts_sample(spark, sf_dir).collect())
+    b = sorted((r.user_id, r.event_type, r.event_id)
+               for r in ts_sample(spark, sf_dir).collect())
+    assert a == b  # reproducible sample
+    ev = load_table(spark, sf_dir, "events")
+    sizes = {
+        (r.user_id, r.event_type): r.n
+        for r in ev.groupBy("user_id", "event_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    per_series = {}
+    for u, t, _ in a:
+        per_series[(u, t)] = per_series.get((u, t), 0) + 1
+    for key, n in sizes.items():
+        assert per_series.get(key, 0) == min(SAMPLE_N, n)
+
+
+def test_changepoint_matches_numpy_cusum(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_changepoint,
+    )
+
+    rows = {
+        (r.user_id, r.event_type): r
+        for r in ts_changepoint(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "event_type", "ts", "event_id"]
+    )
+    for (u, t), grp in ev.groupby(["user_id", "event_type"]):
+        cents = np.round(grp["value"].to_numpy() * 100).astype(np.int64)
+        n = len(cents)
+        ns = n * np.cumsum(cents) - np.arange(1, n + 1) * cents.sum()
+        best = int(np.abs(ns).argmax())  # ties -> earliest, same as query
+        r = rows[(u, t)]
+        assert r.cp_event_id == grp["event_id"].iloc[best]
+        assert abs(r.cusum_peak - abs(ns[best]) / (n * 100.0)) < 1e-9
