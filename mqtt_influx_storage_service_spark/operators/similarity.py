@@ -832,7 +832,11 @@ def _gemm_block_knn_candidates(
     H = np.array(_hyperplanes(N_BLOCKS * BLOCK_BITS), dtype=np.float64)
     w = 1 << np.arange(BLOCK_BITS)
     empty = pd.DataFrame(
-        {"vec_id": pd.Series(dtype="int64"), "neighbor_id": pd.Series(dtype="int64")}
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "gemm": pd.Series(dtype="float64"),
+        }
     )
 
     def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -866,7 +870,7 @@ def _gemm_block_knn_candidates(
         if ti == tj:
             match &= ids_a[:, None] != ids_b[None, :]
 
-        qs, ns = [], []
+        qs, ns, gs = [], [], []
 
         def _local_topk(M: np.ndarray, qids: np.ndarray, nids: np.ndarray) -> None:
             kk = min(k, M.shape[1])
@@ -877,6 +881,7 @@ def _gemm_block_knn_candidates(
             qi, ni = np.nonzero(keep)
             qs.append(qids[qi])
             ns.append(nids[ni])
+            gs.append(M[qi, ni])
 
         masked = np.where(match, scores, -np.inf)
         _local_topk(masked, ids_a, ids_b)
@@ -885,11 +890,43 @@ def _gemm_block_knn_candidates(
         if not qs:
             return empty
         return pd.DataFrame(
-            {"vec_id": np.concatenate(qs), "neighbor_id": np.concatenate(ns)}
+            {
+                "vec_id": np.concatenate(qs),
+                "neighbor_id": np.concatenate(ns),
+                "gemm": np.concatenate(gs),
+            }
         )
 
-    return exploded.groupBy("ti", "tj").applyInPandas(
-        _kernel, "vec_id long, neighbor_id long"
+    local = exploded.groupBy("ti", "tj").applyInPandas(
+        _kernel, "vec_id long, neighbor_id long, gemm double"
+    )
+    # Global prune before the fold rescore: local survivors are
+    # n x (n/chunk + 1) x ~k rows — at sf1.0 (21 tiles) that is ~1.3M
+    # fold dots, most of which cannot reach the global top-k. Two
+    # windows over the SKINNY (24-byte) survivor relation cut it to the
+    # global top-k + margin (still provably a superset of the rounded
+    # answer: every true top-k member's gemm clears the global kth by
+    # more than the margin covers) so the expensive array-join rescore
+    # touches only ~n*k rows at any scale. At few-tile corpora the
+    # survivor set is already ~n*k and the extra windows cost more than
+    # the ~2x rescore they save — skip the prune there.
+    n_tiles = max(1, -(-n_rows // chunk))
+    if n_tiles <= 4:
+        return local.select("vec_id", "neighbor_id")
+    wg = Window.partitionBy("vec_id").orderBy(
+        F.desc("gemm"), F.asc("neighbor_id")
+    )
+    kth = F.max(F.when(F.col("gemm_rank") == k, F.col("gemm"))).over(
+        Window.partitionBy("vec_id")
+    )
+    return (
+        local.withColumn("gemm_rank", F.row_number().over(wg))
+        .withColumn("kth", kth)
+        .filter(
+            F.col("kth").isNull()
+            | (F.col("gemm") >= F.col("kth") - _KNN_GEMM_MARGIN)
+        )
+        .select("vec_id", "neighbor_id")
     )
 
 

@@ -135,6 +135,11 @@ def main() -> int:
     results: dict = {"scale": "synthetic sf1.0 (10x sf0.1)", "timings": {}}
     for name in ("dedup_minhash_lsh", "dedup_components",
                  "sim_threshold_pairs",
+                 # r4 embedding-tier rebuild: GEMM-masked kNN graph
+                 # (exercises the >4-tile global gemm prune), GEMM
+                 # threshold dedup, driver-trained IVF/IVF-PQ
+                 "sim_knn_graph", "dedup_embedding_cosine",
+                 "sim_ann_ivf", "sim_ann_ivf_pq",
                  # series-count scaling (10x the series, same depth)
                  "ts_bucket_agg", "ts_holt_winters", "ts_seasonal_profile",
                  "ts_counter_rate", "ts_cumulative_sum",
