@@ -1,0 +1,1031 @@
+"""InfluxQL → Spark DataFrame compiler.
+
+The reference service feeds an InfluxDB whose users query it with
+InfluxQL (``influx_service.py:183-200`` writes the narrow+wide points
+that InfluxQL ``SELECT``\\ s read back). The repo already implements the
+InfluxQL function family as standalone operators (``operators/
+timeseries.py`` — LAST/SPREAD/PERCENTILE/DERIVATIVE/...); this module
+closes the remaining surface gap: a user of the reference can hand
+their InfluxQL *query strings* to :func:`influxql` and get back the
+equivalent lazy DataFrame plan.
+
+Design: a hand-rolled tokenizer + recursive-descent parser build a
+small AST; compilation is pure *logical-plan construction* on the
+driver — the emitted plan is 100% declarative DataFrame API (filters,
+groupBy, windows), so Catalyst gets the whole query (predicate
+pushdown into the parquet scan, partial aggregation, AQE) exactly as
+if it had been written by hand. No UDFs, no collect, no per-row
+Python anywhere.
+
+Supported surface (practical InfluxQL 1.x subset):
+
+- ``SELECT <fields> FROM <measurements> [WHERE ...] [GROUP BY
+  time(<dur>)[, <tags>] [fill(...)]] [ORDER BY time [DESC]]
+  [LIMIT n] [OFFSET n] [SLIMIT n]``
+- aggregates  COUNT SUM MIN MAX MEAN MEDIAN MODE SPREAD STDDEV
+  PERCENTILE(f, N) FIRST LAST
+- bucket transforms  DERIVATIVE DIFFERENCE CUMULATIVE_SUM
+  MOVING_AVERAGE (wrap one aggregate, require GROUP BY time)
+- ``fill(none | null | previous | <number>)`` (needs WHERE time bounds)
+- measurement regex ``FROM /re/`` and comma lists (adds a
+  ``measurement`` column)
+- tag/field predicates with ``AND OR ( )``, ``= != <> < <= > >=``,
+  regex ``=~ /re/`` / ``!~ /re/``, and ``time`` bounds with timestamp
+  strings or ``<epoch>ns`` literals
+- ``SHOW MEASUREMENTS | TAG KEYS | FIELD KEYS | TAG VALUES WITH KEY =``
+
+Determinism contract (the repo-wide oracle-hash discipline): MEAN uses
+the round(round(sum,2)/count,6) pattern, MEDIAN/PERCENTILE are
+nearest-rank *element selection* (ties broken by the catalog's
+tiebreak column), FIRST/LAST are rank-1 row selection by (time,
+tiebreak) — all bit-identical across engines (see
+``operators/timeseries.py`` docstrings for why).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+__all__ = ["influxql", "parse", "InfluxQLError", "EventsCatalog"]
+
+
+class InfluxQLError(ValueError):
+    """Parse or compile error with position context."""
+
+
+# --------------------------------------------------------------------------
+# Tokenizer
+# --------------------------------------------------------------------------
+
+_DUR_UNITS = {
+    "ns": 1,
+    "u": 1_000,
+    "µ": 1_000,
+    "ms": 1_000_000,
+    "s": 1_000_000_000,
+    "m": 60 * 1_000_000_000,
+    "h": 3_600 * 1_000_000_000,
+    "d": 86_400 * 1_000_000_000,
+    "w": 7 * 86_400 * 1_000_000_000,
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<dur>\d+(?:ns|u|µ|ms|s|m|h|d|w)\b)
+  | (?P<num>\d+\.\d+|\.\d+|\d+)
+  | (?P<str>'(?:[^'\\]|\\.)*')
+  | (?P<quoted>"(?:[^"\\]|\\.)*")
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+  | (?P<op><>|!=|<=|>=|=~|!~|[=<>(),*+\-/%])
+  | (?P<junk>.)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str  # 'dur' | 'num' | 'str' | 'ident' | 'op' | 'regex' | 'eof'
+    text: str
+    pos: int
+
+
+def _tokenize(src: str) -> list[_Tok]:
+    """One pass; '/' starts a regex literal only where a value is
+    expected (after FROM, a comma in FROM, or =~ / !~), so we lex '/'
+    as an op and let the parser splice regexes out of the raw source by
+    position. Characters meaningful only inside a regex body (``^ $ |
+    [ ]`` ...) lex as 'junk' — the parser rejects them anywhere a real
+    token is required and skips them when resyncing past a regex."""
+    toks: list[_Tok] = []
+    i, n = 0, len(src)
+    while i < n:
+        m = _TOKEN_RE.match(src, i)
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "str":
+            text = text[1:-1].replace("\\'", "'")
+        elif kind == "quoted":
+            kind = "ident"
+            text = text[1:-1].replace('\\"', '"')
+        toks.append(_Tok(kind, text, m.start()))
+    toks.append(_Tok("eof", "", n))
+    return toks
+
+
+def _dur_ns(text: str) -> int:
+    m = re.fullmatch(r"(\d+)(ns|u|µ|ms|s|m|h|d|w)", text)
+    if not m:
+        raise InfluxQLError(f"bad duration literal {text!r}")
+    return int(m.group(1)) * _DUR_UNITS[m.group(2)]
+
+
+# --------------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class Num:
+    value: float
+    is_int: bool
+
+
+@dataclass
+class Str:
+    value: str
+
+
+@dataclass
+class Dur:
+    ns: int
+
+
+@dataclass
+class Rgx:
+    pattern: str
+
+
+@dataclass
+class Call:
+    func: str
+    args: list
+
+
+@dataclass
+class Bin:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class Field:
+    expr: object
+    alias: str | None
+
+
+@dataclass
+class Select:
+    fields: list[Field]
+    measurements: list  # Str names or Rgx
+    where: object | None
+    group_time_ns: int | None
+    group_tags: list[str]
+    fill: str | float | None  # 'none'|'null'|'previous'|number|None
+    order_desc: bool
+    limit: int | None
+    offset: int | None
+    slimit: int | None
+
+
+@dataclass
+class Show:
+    what: str  # 'measurements' | 'tag keys' | 'field keys' | 'tag values'
+    with_key: str | None = None
+    from_measurement: str | None = None
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.src = src
+        self.toks = _tokenize(src)
+        self.i = 0
+
+    # -- token plumbing ----------------------------------------------------
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def kw(self, word: str) -> bool:
+        t = self.peek()
+        if t.kind == "ident" and t.text.upper() == word:
+            self.i += 1
+            return True
+        return False
+
+    def expect_kw(self, word: str) -> None:
+        if not self.kw(word):
+            t = self.peek()
+            raise InfluxQLError(f"expected {word} at {t.pos}, got {t.text!r}")
+
+    def expect_op(self, op: str) -> None:
+        t = self.next()
+        if t.kind != "op" or t.text != op:
+            raise InfluxQLError(f"expected {op!r} at {t.pos}, got {t.text!r}")
+
+    def at_op(self, op: str) -> bool:
+        t = self.peek()
+        if t.kind == "op" and t.text == op:
+            self.i += 1
+            return True
+        return False
+
+    def _regex_literal(self) -> Rgx:
+        """The tokenizer emits '/' as an op; a regex literal is the raw
+        source between this '/' and the next unescaped '/'."""
+        t = self.next()
+        if not (t.kind == "op" and t.text == "/"):
+            raise InfluxQLError(f"expected regex at {t.pos}")
+        j = t.pos + 1
+        src = self.src
+        while j < len(src) and (src[j] != "/" or src[j - 1] == "\\"):
+            j += 1
+        if j >= len(src):
+            raise InfluxQLError("unterminated regex literal")
+        pat = src[t.pos + 1 : j]
+        # resync token stream past the closing '/'
+        while self.toks[self.i].kind != "eof" and self.toks[self.i].pos <= j:
+            self.i += 1
+        return Rgx(pat)
+
+    # -- grammar -----------------------------------------------------------
+    def parse(self):
+        if self.kw("SHOW"):
+            stmt = self._show()
+        else:
+            self.expect_kw("SELECT")
+            stmt = self._select()
+        t = self.peek()
+        if t.kind != "eof":
+            raise InfluxQLError(f"trailing input at {t.pos}: {t.text!r}")
+        return stmt
+
+    def _show(self) -> Show:
+        if self.kw("MEASUREMENTS"):
+            return Show("measurements")
+        if self.kw("TAG"):
+            if self.kw("KEYS"):
+                return Show("tag keys", from_measurement=self._opt_from())
+            self.expect_kw("VALUES")
+            frm = self._opt_from()
+            self.expect_kw("WITH")
+            self.expect_kw("KEY")
+            self.expect_op("=")
+            key = self.next()
+            if key.kind != "ident":
+                raise InfluxQLError(f"expected tag key at {key.pos}")
+            return Show("tag values", with_key=key.text, from_measurement=frm)
+        if self.kw("FIELD"):
+            self.expect_kw("KEYS")
+            return Show("field keys", from_measurement=self._opt_from())
+        t = self.peek()
+        raise InfluxQLError(f"unsupported SHOW at {t.pos}: {t.text!r}")
+
+    def _opt_from(self) -> str | None:
+        if self.kw("FROM"):
+            t = self.next()
+            if t.kind != "ident":
+                raise InfluxQLError(f"expected measurement at {t.pos}")
+            return t.text
+        return None
+
+    def _select(self) -> Select:
+        fields = [self._field()]
+        while self.at_op(","):
+            fields.append(self._field())
+        self.expect_kw("FROM")
+        measurements: list = [self._measurement()]
+        while self.at_op(","):
+            measurements.append(self._measurement())
+        where = self._expr() if self.kw("WHERE") else None
+
+        group_time_ns: int | None = None
+        group_tags: list[str] = []
+        fill: str | float | None = None
+        if self.kw("GROUP"):
+            self.expect_kw("BY")
+            while True:
+                t = self.peek()
+                if t.kind == "ident" and t.text.lower() == "time":
+                    self.next()
+                    self.expect_op("(")
+                    d = self.next()
+                    if d.kind != "dur":
+                        raise InfluxQLError(f"expected duration at {d.pos}")
+                    group_time_ns = _dur_ns(d.text)
+                    self.expect_op(")")
+                elif t.kind == "op" and t.text == "*":
+                    self.next()
+                    group_tags.append("*")
+                elif t.kind == "ident" and t.text.upper() == "FILL":
+                    self.next()
+                    self.expect_op("(")
+                    v = self.next()
+                    if v.kind == "ident" and v.text.lower() in (
+                        "none",
+                        "null",
+                        "previous",
+                    ):
+                        fill = v.text.lower()
+                    elif v.kind == "num":
+                        fill = float(v.text)
+                    else:
+                        raise InfluxQLError(f"bad fill() at {v.pos}")
+                    self.expect_op(")")
+                elif t.kind == "ident":
+                    self.next()
+                    group_tags.append(t.text)
+                else:
+                    raise InfluxQLError(f"bad GROUP BY at {t.pos}")
+                if not self.at_op(","):
+                    # fill() may trail without a comma in the wild
+                    if self.peek().kind == "ident" and self.peek().text.upper() == "FILL":
+                        continue
+                    break
+
+        order_desc = False
+        if self.kw("ORDER"):
+            self.expect_kw("BY")
+            t = self.next()
+            if not (t.kind == "ident" and t.text.lower() == "time"):
+                raise InfluxQLError("ORDER BY supports only time")
+            if self.kw("DESC"):
+                order_desc = True
+            else:
+                self.kw("ASC")
+
+        limit = offset = slimit = None
+        while True:
+            if self.kw("LIMIT"):
+                limit = int(self.next().text)
+            elif self.kw("OFFSET"):
+                offset = int(self.next().text)
+            elif self.kw("SLIMIT"):
+                slimit = int(self.next().text)
+            else:
+                break
+        return Select(
+            fields,
+            measurements,
+            where,
+            group_time_ns,
+            group_tags,
+            fill,
+            order_desc,
+            limit,
+            offset,
+            slimit,
+        )
+
+    def _measurement(self):
+        t = self.peek()
+        if t.kind == "op" and t.text == "/":
+            return self._regex_literal()
+        t = self.next()
+        if t.kind != "ident":
+            raise InfluxQLError(f"expected measurement at {t.pos}")
+        return Str(t.text)
+
+    def _field(self) -> Field:
+        e = self._expr()
+        alias = None
+        if self.kw("AS"):
+            a = self.next()
+            if a.kind != "ident":
+                raise InfluxQLError(f"expected alias at {a.pos}")
+            alias = a.text
+        return Field(e, alias)
+
+    # precedence: OR < AND < comparison < additive < multiplicative < unary
+    def _expr(self):
+        e = self._and()
+        while self.kw("OR"):
+            e = Bin("OR", e, self._and())
+        return e
+
+    def _and(self):
+        e = self._cmp()
+        while self.kw("AND"):
+            e = Bin("AND", e, self._cmp())
+        return e
+
+    def _cmp(self):
+        e = self._add()
+        t = self.peek()
+        if t.kind == "op" and t.text in ("=", "!=", "<>", "<", "<=", ">", ">=", "=~", "!~"):
+            self.next()
+            if t.text in ("=~", "!~"):
+                return Bin(t.text, e, self._regex_literal())
+            return Bin(t.text, e, self._add())
+        return e
+
+    def _add(self):
+        e = self._mul()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("+", "-"):
+                self.next()
+                e = Bin(t.text, e, self._mul())
+            else:
+                return e
+
+    def _mul(self):
+        e = self._unary()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("*", "/", "%"):
+                self.next()
+                e = Bin(t.text, e, self._unary())
+            else:
+                return e
+
+    def _unary(self):
+        t = self.peek()
+        if t.kind == "op" and t.text == "-":
+            self.next()
+            inner = self._unary()
+            return Bin("-", Num(0.0, True), inner)
+        if t.kind == "op" and t.text == "(":
+            self.next()
+            e = self._expr()
+            self.expect_op(")")
+            return e
+        if t.kind == "op" and t.text == "*":
+            self.next()
+            return Var("*")
+        if t.kind == "dur":
+            self.next()
+            return Dur(_dur_ns(t.text))
+        if t.kind == "num":
+            self.next()
+            return Num(float(t.text), "." not in t.text)
+        if t.kind == "str":
+            self.next()
+            return Str(t.text)
+        if t.kind == "ident":
+            self.next()
+            if self.at_op("("):
+                args = []
+                if not self.at_op(")"):
+                    args.append(self._expr())
+                    while self.at_op(","):
+                        args.append(self._expr())
+                    self.expect_op(")")
+                return Call(t.text.upper(), args)
+            return Var(t.text)
+        raise InfluxQLError(f"unexpected token at {t.pos}: {t.text!r}")
+
+
+def parse(src: str):
+    """Parse an InfluxQL statement into the module's AST (Select/Show)."""
+    return _Parser(src).parse()
+
+
+# --------------------------------------------------------------------------
+# Catalog — measurement name → (DataFrame, tags, fields)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class MeasurementSchema:
+    tags: list[str]
+    fields: list[str]
+    tiebreak: str  # hidden monotone column used for deterministic selection
+
+
+class EventsCatalog:
+    """Default binding of the fixture ``events`` table to the InfluxQL
+    data model: measurement = ``event_type`` value, ``time`` = ``ts``,
+    one tag (``user_id``), one field (``value``), tiebreak
+    ``event_id``. A production deployment supplies its own catalog
+    mapping measurements to the narrow points table partitions —
+    measurement pruning then becomes parquet partition pruning.
+    """
+
+    def __init__(self, sf_dir: str):
+        self.sf_dir = sf_dir
+        self.schema = MeasurementSchema(
+            tags=["user_id"], fields=["value"], tiebreak="event_id"
+        )
+
+    # Known measurement names (static: the fixtures' event_type domain).
+    MEASUREMENTS = ["click", "error", "purchase", "signup", "view"]
+
+    def measurement_names(self) -> list[str]:
+        return list(self.MEASUREMENTS)
+
+    def load(self, spark: SparkSession, name: str) -> DataFrame:
+        ev = load_table(spark, self.sf_dir, "events")
+        return (
+            ev.filter(F.col("event_type") == name)
+            .select(
+                F.lit(name).alias("measurement"),
+                F.col("ts").alias("time"),
+                "user_id",
+                "value",
+                "event_id",
+            )
+        )
+
+    def load_many(self, spark: SparkSession, names: list[str]) -> DataFrame:
+        """All requested measurements in ONE scan (the compiler prefers
+        this over unioning per-measurement scans: one parquet pass with
+        an IN filter that prunes to the matching partitions)."""
+        ev = load_table(spark, self.sf_dir, "events")
+        return ev.filter(F.col("event_type").isin(names)).select(
+            F.col("event_type").alias("measurement"),
+            F.col("ts").alias("time"),
+            "user_id",
+            "value",
+            "event_id",
+        )
+
+
+# --------------------------------------------------------------------------
+# Compiler
+# --------------------------------------------------------------------------
+
+_SIMPLE_AGGS = {"COUNT", "SUM", "MIN", "MAX", "SPREAD", "STDDEV", "MEAN", "MODE"}
+_RANK_AGGS = {"MEDIAN", "PERCENTILE", "FIRST", "LAST"}
+_TRANSFORMS = {"DERIVATIVE", "DIFFERENCE", "CUMULATIVE_SUM", "MOVING_AVERAGE"}
+_AGG_FUNCS = _SIMPLE_AGGS | _RANK_AGGS
+
+
+def _is_agg(e) -> bool:
+    if isinstance(e, Call):
+        if e.func in _TRANSFORMS:
+            return True
+        return e.func in _AGG_FUNCS
+    if isinstance(e, Bin):
+        return _is_agg(e.left) or _is_agg(e.right)
+    return False
+
+
+def _ts_lit(v) -> Column:
+    if isinstance(v, Str):
+        return F.lit(v.value).cast("timestamp")
+    if isinstance(v, Dur):
+        return F.timestamp_micros(F.lit(v.ns // 1000))
+    if isinstance(v, Num):  # bare integer epoch-ns (InfluxQL default)
+        return F.timestamp_micros(F.lit(int(v.value) // 1000))
+    raise InfluxQLError(f"cannot use {v!r} as a time bound")
+
+
+def _ts_bound_py(v) -> str | None:
+    """Literal time bound as an ISO string for spine generation."""
+    if isinstance(v, Str):
+        return v.value
+    return None
+
+
+class _Compiler:
+    def __init__(self, spark: SparkSession, catalog, stmt: Select):
+        self.spark = spark
+        self.catalog = catalog
+        self.stmt = stmt
+        self.schema: MeasurementSchema = catalog.schema
+        self.time_lo = None  # python literals for fill spine
+        self.time_hi = None
+        self.lo_incl = True
+        self.hi_incl = False
+
+    # -- source ------------------------------------------------------------
+    def _source(self) -> tuple[DataFrame, bool]:
+        names: list[str] = []
+        multi = False
+        for m in self.stmt.measurements:
+            if isinstance(m, Rgx):
+                rx = re.compile(m.pattern)
+                hit = [n for n in self.catalog.measurement_names() if rx.search(n)]
+                names.extend(hit)
+                multi = True
+            else:
+                names.append(m.value)
+        if not names:
+            raise InfluxQLError("no measurement matched FROM clause")
+        multi = multi or len(names) > 1
+        uniq = list(dict.fromkeys(names))
+        if len(uniq) > 1 and hasattr(self.catalog, "load_many"):
+            # one scan with an IN filter instead of N unioned scans
+            return self.catalog.load_many(self.spark, uniq), multi
+        df = self.catalog.load(self.spark, uniq[0])
+        for n in uniq[1:]:
+            df = df.unionByName(self.catalog.load(self.spark, n))
+        return df, multi
+
+    # -- WHERE -------------------------------------------------------------
+    def _cond(self, e) -> Column:
+        if isinstance(e, Bin):
+            if e.op == "AND":
+                return self._cond(e.left) & self._cond(e.right)
+            if e.op == "OR":
+                return self._cond(e.left) | self._cond(e.right)
+            if e.op in ("=~", "!~"):
+                if not isinstance(e.left, Var):
+                    raise InfluxQLError("regex match needs a tag on the left")
+                c = F.col(e.left.name).cast("string").rlike(e.right.pattern)
+                return c if e.op == "=~" else ~c
+            lt, rt = e.left, e.right
+            time_side = isinstance(lt, Var) and lt.name.lower() == "time"
+            if time_side:
+                lc = F.col("time")
+                rc = _ts_lit(rt)
+                self._note_time_bound(e.op, rt)
+            else:
+                lc = self._scalar(lt)
+                rc = self._scalar(rt)
+            ops = {
+                "=": lambda a, b: a == b,
+                "!=": lambda a, b: a != b,
+                "<>": lambda a, b: a != b,
+                "<": lambda a, b: a < b,
+                "<=": lambda a, b: a <= b,
+                ">": lambda a, b: a > b,
+                ">=": lambda a, b: a >= b,
+            }
+            if e.op not in ops:
+                raise InfluxQLError(f"unsupported predicate op {e.op}")
+            return ops[e.op](lc, rc)
+        raise InfluxQLError(f"unsupported WHERE expression {e!r}")
+
+    def _note_time_bound(self, op: str, rt) -> None:
+        lit = _ts_bound_py(rt)
+        if lit is None:
+            return
+        if op in (">", ">="):
+            self.time_lo, self.lo_incl = lit, op == ">="
+        elif op in ("<", "<="):
+            self.time_hi, self.hi_incl = lit, op == "<="
+
+    # -- scalar expressions (non-aggregate context) ------------------------
+    def _scalar(self, e) -> Column:
+        if isinstance(e, Var):
+            if e.name == "*":
+                raise InfluxQLError("wildcard not valid here")
+            return F.col("time") if e.name.lower() == "time" else F.col(e.name)
+        if isinstance(e, Num):
+            return F.lit(int(e.value)) if e.is_int else F.lit(e.value)
+        if isinstance(e, Str):
+            return F.lit(e.value)
+        if isinstance(e, Bin):
+            l, r = self._scalar(e.left), self._scalar(e.right)
+            return {
+                "+": l + r,
+                "-": l - r,
+                "*": l * r,
+                "/": l / r,
+                "%": l % r,
+            }[e.op]
+        if isinstance(e, Call):
+            if e.func == "ABS":
+                return F.abs(self._scalar(e.args[0]))
+            if e.func == "ROUND":
+                return F.round(self._scalar(e.args[0]), int(e.args[1].value) if len(e.args) > 1 else 0)
+            raise InfluxQLError(f"unsupported scalar function {e.func}")
+        raise InfluxQLError(f"unsupported expression {e!r}")
+
+    # -- aggregate compilation --------------------------------------------
+    def _field_name(self, f: Field, i: int) -> str:
+        if f.alias:
+            return f.alias
+        e = f.expr
+        if isinstance(e, Call):
+            inner = e.args[0] if e.args else None
+            base = e.func.lower()
+            if isinstance(inner, Call):
+                return base  # derivative(mean(value)) -> 'derivative'
+            return base
+        if isinstance(e, Var):
+            return e.name
+        return f"expr_{i}"
+
+    def compile(self) -> DataFrame:
+        st = self.stmt
+        df, multi = self._source()
+        if st.where is not None:
+            df = df.filter(self._cond(st.where))
+
+        group_tags = st.group_tags
+        if group_tags == ["*"]:
+            group_tags = list(self.schema.tags)
+        keys = (["measurement"] if multi else []) + group_tags
+
+        any_agg = any(_is_agg(f.expr) for f in st.fields)
+        if not any_agg:
+            out = self._compile_raw(df, multi)
+        else:
+            out = self._compile_agg(df, keys, multi)
+
+        if st.order_desc:
+            out = out.orderBy(F.col("time").desc()) if "time" in out.columns else out
+        elif "time" in out.columns:
+            out = out.orderBy("time")
+        if st.slimit is not None and group_tags:
+            wr = Window.orderBy(*[F.col(t) for t in group_tags])
+            series = (
+                out.select(*group_tags)
+                .distinct()
+                .withColumn("_srank", F.dense_rank().over(wr))
+                .filter(F.col("_srank") <= st.slimit)
+                .drop("_srank")
+            )
+            out = out.join(F.broadcast(series), group_tags)
+        if st.offset:
+            w = Window.orderBy(
+                F.col("time").desc() if st.order_desc else F.col("time")
+            )
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") > st.offset)
+                .drop("_rn")
+            )
+        if st.limit is not None:
+            out = out.limit(st.limit)
+        return out
+
+    # raw (projection) select — no aggregates anywhere
+    def _compile_raw(self, df: DataFrame, multi: bool) -> DataFrame:
+        cols: list[Column] = [F.col("time")]
+        if multi:
+            cols.append(F.col("measurement"))
+        for i, f in enumerate(self.stmt.fields):
+            if isinstance(f.expr, Var) and f.expr.name == "*":
+                for t in self.schema.tags:
+                    cols.append(F.col(t))
+                for fld in self.schema.fields:
+                    cols.append(F.col(fld))
+                continue
+            cols.append(self._scalar(f.expr).alias(self._field_name(f, i)))
+        return df.select(*cols)
+
+    # aggregate select
+    def _compile_agg(self, df: DataFrame, keys: list[str], multi: bool) -> DataFrame:
+        st = self.stmt
+        bucketed = st.group_time_ns is not None
+        if bucketed:
+            iv_us = st.group_time_ns // 1000
+            us = F.unix_micros(F.col("time"))
+            # exact integer floor-to-bucket (no double division anywhere)
+            bucket = F.timestamp_micros(us - us % F.lit(iv_us))
+            df = df.withColumn("_bucket", bucket)
+            gcols = keys + ["_bucket"]
+        else:
+            gcols = keys
+        if not gcols:
+            df = df.withColumn("_g", F.lit(1))
+            gcols = ["_g"]
+
+        # Pre-compute rank columns once if any rank-selection agg appears.
+        needs = self._collect_calls()
+        rank_cols: dict[str, Column] = {}
+        tb = self.schema.tiebreak
+        if any(c.func in ("FIRST",) for c in needs):
+            w = Window.partitionBy(*gcols).orderBy("time", tb)
+            df = df.withColumn("_rn_first", F.row_number().over(w))
+        if any(c.func in ("LAST",) for c in needs):
+            w = Window.partitionBy(*gcols).orderBy(
+                F.col("time").desc(), F.col(tb).desc()
+            )
+            df = df.withColumn("_rn_last", F.row_number().over(w))
+        pct_fields: set[str] = set()
+        for c in needs:
+            if c.func in ("MEDIAN", "PERCENTILE", "MODE"):
+                fld = c.args[0].name
+                pct_fields.add(fld)
+        for fld in sorted(pct_fields):
+            w = Window.partitionBy(*gcols).orderBy(fld, tb)
+            df = df.withColumn(f"_rnv_{fld}", F.row_number().over(w))
+            df = df.withColumn(
+                f"_nv_{fld}",
+                F.count(F.lit(1)).over(Window.partitionBy(*gcols)),
+            )
+
+        aggs: list[Column] = []
+        transforms: list[tuple[str, Call]] = []
+        for i, f in enumerate(st.fields):
+            name = self._field_name(f, i)
+            e = f.expr
+            if isinstance(e, Call) and e.func in _TRANSFORMS:
+                if not bucketed:
+                    raise InfluxQLError(f"{e.func} requires GROUP BY time()")
+                inner = e.args[0]
+                if not (isinstance(inner, Call) and inner.func in _AGG_FUNCS):
+                    raise InfluxQLError(f"{e.func} wraps one aggregate")
+                aggs.append(self._agg_col(inner, rank_cols).alias(f"_in_{name}"))
+                transforms.append((name, e))
+            else:
+                if not _is_agg(e):
+                    raise InfluxQLError(
+                        "cannot mix raw fields with aggregates"
+                    )
+                aggs.append(self._agg_expr(e, rank_cols).alias(name))
+
+        out = df.groupBy(*gcols).agg(*aggs)
+        if "_g" in out.columns:
+            out = out.drop("_g")
+        if bucketed:
+            out = out.withColumnRenamed("_bucket", "time")
+
+        # fill() — regenerate the bucket spine inside the WHERE bounds
+        if bucketed and st.fill not in (None, "none"):
+            out = self._apply_fill(out, keys, transforms)
+
+        # bucket transforms ride a per-series window over the agg result
+        for name, e in transforms:
+            wkeys = [k for k in (keys) if k in out.columns]
+            w = Window.partitionBy(*wkeys).orderBy("time") if wkeys else Window.orderBy("time")
+            src = F.col(f"_in_{name}")
+            prev = F.lag(src).over(w)
+            prev_t = F.lag(F.col("time")).over(w)
+            if e.func == "DIFFERENCE":
+                col = src - prev
+            elif e.func == "DERIVATIVE":
+                unit_ns = e.args[1].ns if len(e.args) > 1 and isinstance(e.args[1], Dur) else 1_000_000_000
+                dt_units = (F.unix_micros(F.col("time")) - F.unix_micros(prev_t)) / F.lit(unit_ns / 1000.0)
+                col = F.round((src - prev) / dt_units, 6)
+            elif e.func == "CUMULATIVE_SUM":
+                wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                col = F.round(F.sum(src).over(wc), 6)
+            elif e.func == "MOVING_AVERAGE":
+                n = int(e.args[1].value)
+                wm = w.rowsBetween(-(n - 1), Window.currentRow)
+                col = F.round(F.sum(src).over(wm) / F.count(src).over(wm), 6)
+            out = out.withColumn(name, col)
+        for name, _ in transforms:
+            out = out.drop(f"_in_{name}")
+        return out
+
+    def _collect_calls(self) -> list[Call]:
+        calls: list[Call] = []
+
+        def walk(e):
+            if isinstance(e, Call):
+                if e.func in _TRANSFORMS:
+                    walk(e.args[0])
+                else:
+                    calls.append(e)
+            elif isinstance(e, Bin):
+                walk(e.left)
+                walk(e.right)
+
+        for f in self.stmt.fields:
+            walk(f.expr)
+        return calls
+
+    def _agg_expr(self, e, rank_cols) -> Column:
+        if isinstance(e, Call):
+            return self._agg_col(e, rank_cols)
+        if isinstance(e, Bin):
+            l = self._agg_expr(e.left, rank_cols)
+            r = self._agg_expr(e.right, rank_cols)
+            return {"+": l + r, "-": l - r, "*": l * r, "/": l / r, "%": l % r}[e.op]
+        if isinstance(e, Num):
+            return F.lit(int(e.value)) if e.is_int else F.lit(e.value)
+        raise InfluxQLError(f"unsupported aggregate expression {e!r}")
+
+    def _agg_col(self, c: Call, rank_cols) -> Column:
+        fn = c.func
+        if fn == "COUNT":
+            a = c.args[0]
+            if isinstance(a, Var) and a.name == "*":
+                return F.count(F.lit(1))
+            if isinstance(a, Call) and a.func == "DISTINCT":
+                return F.countDistinct(F.col(a.args[0].name))
+            return F.count(F.col(a.name))
+        arg = c.args[0]
+        if not isinstance(arg, Var):
+            raise InfluxQLError(f"{fn} expects a field reference")
+        col = F.col(arg.name)
+        if fn == "SUM":
+            # fixture fields are 2-decimal; rounding the sum to cents is
+            # exact and order-insensitive (repo-wide hash discipline)
+            return F.round(F.sum(col), 2)
+        if fn == "MIN":
+            return F.min(col)
+        if fn == "MAX":
+            return F.max(col)
+        if fn == "SPREAD":
+            return F.max(col) - F.min(col) + F.lit(0.0)
+        if fn == "MEAN":
+            return F.round(F.round(F.sum(col), 2) / F.count(col), 6)
+        if fn == "STDDEV":
+            return F.round(F.stddev(col), 4)
+        if fn == "FIRST":
+            return F.max(F.when(F.col("_rn_first") == 1, col))
+        if fn == "LAST":
+            return F.max(F.when(F.col("_rn_last") == 1, col))
+        if fn in ("MEDIAN", "PERCENTILE", "MODE"):
+            fld = arg.name
+            rn = F.col(f"_rnv_{fld}")
+            nv = F.col(f"_nv_{fld}")
+            if fn == "MODE":
+                # nearest-rank selection of the most frequent value is
+                # not expressible as one conditional agg; handled by
+                # operators/timeseries.py ts_mode — keep the compiler
+                # surface honest.
+                raise InfluxQLError("MODE: use the ts_mode operator")
+            pct = 50 if fn == "MEDIAN" else int(c.args[1].value)
+            idx = F.floor((F.lit(pct) * nv + 99) / 100).cast("long")
+            return F.max(F.when(rn == idx, col))
+        raise InfluxQLError(f"unsupported aggregate {fn}")
+
+    # fill(): cross the observed series keys with the full bucket spine
+    def _apply_fill(
+        self, out: DataFrame, keys: list[str], transforms
+    ) -> DataFrame:
+        st = self.stmt
+        if self.time_lo is None or self.time_hi is None:
+            raise InfluxQLError("fill() requires WHERE time >= .. AND time < ..")
+        iv_us = st.group_time_ns // 1000
+        lo = F.unix_micros(F.lit(self.time_lo).cast("timestamp"))
+        # last bucket that can contain an in-range point (hi exclusive
+        # unless the bound was <=)
+        hi = F.unix_micros(F.lit(self.time_hi).cast("timestamp")) - (
+            0 if self.hi_incl else 1
+        )
+        lo_us = (lo - lo % F.lit(iv_us)).cast("long")
+        hi_us = (hi - hi % F.lit(iv_us)).cast("long")
+        spine = self.spark.range(1).select(
+            F.explode(
+                F.sequence(lo_us, hi_us, F.lit(iv_us).cast("long"))
+            ).alias("_us")
+        ).select(F.timestamp_micros(F.col("_us")).alias("time"))
+        kcols = [k for k in out.columns if k in keys]
+        if kcols:
+            series = out.select(*kcols).distinct()
+            spine = series.crossJoin(F.broadcast(spine))
+        filled = spine.join(out, on=kcols + ["time"], how="left")
+        vcols = [c for c in out.columns if c not in kcols + ["time"]]
+        if st.fill == "previous":
+            w = (
+                Window.partitionBy(*kcols).orderBy("time")
+                if kcols
+                else Window.orderBy("time")
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            for v in vcols:
+                filled = filled.withColumn(
+                    v, F.last(F.col(v), ignorenulls=True).over(w)
+                )
+        elif isinstance(st.fill, float):
+            for v in vcols:
+                filled = filled.withColumn(
+                    v, F.coalesce(F.col(v), F.lit(st.fill))
+                )
+        # 'null' keeps the left-join NULLs
+        return filled
+
+
+def influxql(
+    spark: SparkSession, sf_dir: str, query: str, catalog=None
+) -> DataFrame:
+    """Compile one InfluxQL statement against the fixture catalog (or a
+    user-supplied one) and return the lazy DataFrame plan."""
+    cat = catalog or EventsCatalog(sf_dir)
+    stmt = parse(query)
+    if isinstance(stmt, Show):
+        return _compile_show(spark, cat, stmt)
+    return _Compiler(spark, cat, stmt).compile()
+
+
+def _compile_show(spark: SparkSession, cat, stmt: Show) -> DataFrame:
+    sch: MeasurementSchema = cat.schema
+    if stmt.what == "measurements":
+        names = sorted(cat.measurement_names())
+        return spark.createDataFrame([(n,) for n in names], "name string")
+    if stmt.what == "tag keys":
+        return spark.createDataFrame([(t,) for t in sorted(sch.tags)], "tagKey string")
+    if stmt.what == "field keys":
+        return spark.createDataFrame(
+            [(f, "float") for f in sorted(sch.fields)],
+            "fieldKey string, fieldType string",
+        )
+    if stmt.what == "tag values":
+        if stmt.with_key not in sch.tags:
+            raise InfluxQLError(f"unknown tag key {stmt.with_key!r}")
+        names = (
+            [stmt.from_measurement]
+            if stmt.from_measurement
+            else cat.measurement_names()
+        )
+        df = cat.load(spark, names[0])
+        for n in names[1:]:
+            df = df.unionByName(cat.load(spark, n))
+        return (
+            df.select(
+                F.lit(stmt.with_key).alias("key"),
+                F.col(stmt.with_key).cast("string").alias("value"),
+            )
+            .distinct()
+            .orderBy("value")
+        )
+    raise InfluxQLError(f"unsupported SHOW {stmt.what}")

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     dedup,
+    influxqlq,
     mlops,
     multimodal,
     pipeline,
@@ -40,6 +41,14 @@ from . import (
 # newest green row is ever older than two rounds.
 _PRIORITY = [
     # new in r4 — no driver row yet
+    "iq_raw_select",
+    "iq_mean_by_day",
+    "iq_selectors",
+    "iq_percentile_weekly",
+    "iq_fill_previous",
+    "iq_derivative_daily",
+    "iq_regex_union",
+    "iq_show_tag_values",
     "text_chunking",
     "emb_quantize_int8",
     "sim_centroid_assign",
@@ -113,6 +122,7 @@ _PRIORITY = [
 ]
 
 _MODULES = [
+    influxqlq,
     dedup,
     similarity,
     textops,

@@ -1,0 +1,261 @@
+"""Registered InfluxQL queries — the compiler surface, oracle-checked.
+
+Each entry hands a literal InfluxQL string (the language the
+reference's InfluxDB users actually write; the points it reads back
+are the ones ``influx_service.py:183-200`` writes) to
+:func:`functions.influxql.influxql` and registers a hand-written
+DuckDB twin of the *semantics* the compiler promises. The oracle is
+NOT machine-generated from the same AST — it is an independent
+statement of what each InfluxQL query means, so a compiler bug cannot
+cancel out of both sides.
+
+Determinism notes (repo-wide hash discipline, see
+``operators/timeseries.py``): MEAN is round(round(sum,2)/count,6);
+PERCENTILE/MEDIAN are nearest-rank element selection with the
+``event_id`` tiebreak; FIRST/LAST are rank-1 row selection by
+(time, event_id); SUM of the 2-decimal fixture field rounds to cents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.influxql import influxql
+
+_US_1D = 86_400_000_000
+_US_1W = 7 * _US_1D
+
+_BUCKET = "make_timestamp(epoch_us(ts) - epoch_us(ts) % {iv})"
+_MEAN = "round(round(sum(value), 2) / count(value), 6)"
+
+
+def _q(query: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return influxql(spark, sf_dir, query)
+
+    run.__doc__ = f"InfluxQL: {query}"
+    return run
+
+
+# -- 1. raw time-range scan (the InfluxQL form of ts_series_scan) ----------
+
+IQ_RAW_SELECT = (
+    "SELECT value FROM click "
+    "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-20 00:00:00' "
+    "AND user_id = 7 ORDER BY time LIMIT 200"
+)
+
+IQ_RAW_SELECT_SQL = """
+SELECT ts AS time, value
+FROM events
+WHERE event_type = 'click' AND user_id = 7
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+ORDER BY ts
+LIMIT 200
+"""
+
+
+# -- 2. GROUP BY time(1d), tag with MEAN/COUNT -----------------------------
+
+IQ_MEAN_BY_DAY = (
+    "SELECT MEAN(value) AS mean_value, COUNT(value) AS n FROM view "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY time(1d), user_id fill(none)"
+)
+
+IQ_MEAN_BY_DAY_SQL = f"""
+SELECT user_id,
+       {_BUCKET.format(iv=_US_1D)} AS time,
+       {_MEAN} AS mean_value,
+       count(value) AS n
+FROM events
+WHERE event_type = 'view'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+# -- 3. selector family per tag (FIRST/LAST/SPREAD, no time bucket) --------
+
+IQ_SELECTORS = (
+    "SELECT FIRST(value) AS first_value, LAST(value) AS last_value, "
+    "SPREAD(value) AS spread_value, COUNT(value) AS n "
+    "FROM purchase GROUP BY user_id"
+)
+
+IQ_SELECTORS_SQL = """
+WITH ranked AS (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn_first,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn_last
+    FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       max(CASE WHEN rn_first = 1 THEN value END) AS first_value,
+       max(CASE WHEN rn_last = 1 THEN value END) AS last_value,
+       max(value) - min(value) + 0.0 AS spread_value,
+       count(value) AS n
+FROM ranked
+GROUP BY 1
+"""
+
+
+# -- 4. nearest-rank PERCENTILE / MEDIAN per week --------------------------
+
+IQ_PERCENTILE_WEEKLY = (
+    "SELECT PERCENTILE(value, 95) AS p95_value, MEDIAN(value) AS med_value "
+    "FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-03-01 00:00:00' "
+    "GROUP BY time(1w)"
+)
+
+IQ_PERCENTILE_WEEKLY_SQL = f"""
+WITH ranked AS (
+    SELECT {_BUCKET.format(iv=_US_1W)} AS time,
+           value,
+           row_number() OVER (PARTITION BY epoch_us(ts) // {_US_1W}
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY epoch_us(ts) // {_US_1W}) AS n
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-03-01 00:00:00'
+)
+SELECT time,
+       max(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95_value,
+       max(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS med_value
+FROM ranked
+GROUP BY 1
+"""
+
+
+# -- 5. fill(previous) over the generated daily spine ----------------------
+
+IQ_FILL_PREVIOUS = (
+    "SELECT MAX(value) AS max_value FROM signup "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-15 00:00:00' "
+    "GROUP BY time(1d), user_id fill(previous)"
+)
+
+IQ_FILL_PREVIOUS_SQL = f"""
+WITH agg AS (
+    SELECT user_id,
+           {_BUCKET.format(iv=_US_1D)} AS time,
+           max(value) AS max_value
+    FROM events
+    WHERE event_type = 'signup'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2
+), spine AS (
+    SELECT u.user_id, make_timestamp(g.us) AS time
+    FROM (SELECT DISTINCT user_id FROM agg) u
+    CROSS JOIN (
+        SELECT unnest(generate_series(
+            b.lo - b.lo % {_US_1D},
+            (b.hi - 1) - (b.hi - 1) % {_US_1D},
+            {_US_1D})) AS us
+        FROM (SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS lo,
+                     epoch_us(TIMESTAMP '2024-01-15 00:00:00') AS hi) b
+    ) g
+)
+SELECT s.user_id, s.time,
+       last_value(a.max_value IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.time
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_value
+FROM spine s
+LEFT JOIN agg a ON a.user_id = s.user_id AND a.time = s.time
+"""
+
+
+# -- 6. bucket transforms: DERIVATIVE + MOVING_AVERAGE over MEAN -----------
+
+IQ_DERIVATIVE_DAILY = (
+    "SELECT DERIVATIVE(MEAN(value), 1h) AS deriv_per_h, "
+    "MOVING_AVERAGE(MEAN(value), 3) AS ma3 FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY time(1d)"
+)
+
+IQ_DERIVATIVE_DAILY_SQL = f"""
+WITH agg AS (
+    SELECT {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS mv
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY 1
+)
+SELECT time,
+       round((mv - lag(mv) OVER w)
+             / ((epoch_us(time) - epoch_us(lag(time) OVER w))
+                / 3600000000.0), 6) AS deriv_per_h,
+       round(sum(mv) OVER (ORDER BY time
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             / count(mv) OVER (ORDER BY time
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             6) AS ma3
+FROM agg
+WINDOW w AS (ORDER BY time)
+"""
+
+
+# -- 7. measurement regex → one pruned scan, measurement column ------------
+
+IQ_REGEX_UNION = (
+    "SELECT COUNT(value) AS n, SUM(value) AS sum_value FROM /^(click|view)$/ "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY time(1d)"
+)
+
+IQ_REGEX_UNION_SQL = f"""
+SELECT event_type AS measurement,
+       {_BUCKET.format(iv=_US_1D)} AS time,
+       count(value) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_type IN ('click', 'view')
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+# -- 8. SHOW TAG VALUES (series catalog surface) ---------------------------
+
+IQ_SHOW_TAG_VALUES = "SHOW TAG VALUES FROM click WITH KEY = user_id"
+
+IQ_SHOW_TAG_VALUES_SQL = """
+SELECT DISTINCT 'user_id' AS key, CAST(user_id AS VARCHAR) AS value
+FROM events
+WHERE event_type = 'click'
+"""
+
+
+QUERIES = {
+    "iq_raw_select": _q(IQ_RAW_SELECT),
+    "iq_mean_by_day": _q(IQ_MEAN_BY_DAY),
+    "iq_selectors": _q(IQ_SELECTORS),
+    "iq_percentile_weekly": _q(IQ_PERCENTILE_WEEKLY),
+    "iq_fill_previous": _q(IQ_FILL_PREVIOUS),
+    "iq_derivative_daily": _q(IQ_DERIVATIVE_DAILY),
+    "iq_regex_union": _q(IQ_REGEX_UNION),
+    "iq_show_tag_values": _q(IQ_SHOW_TAG_VALUES),
+}
+
+ORACLES = {
+    "iq_raw_select": IQ_RAW_SELECT_SQL,
+    "iq_mean_by_day": IQ_MEAN_BY_DAY_SQL,
+    "iq_selectors": IQ_SELECTORS_SQL,
+    "iq_percentile_weekly": IQ_PERCENTILE_WEEKLY_SQL,
+    "iq_fill_previous": IQ_FILL_PREVIOUS_SQL,
+    "iq_derivative_daily": IQ_DERIVATIVE_DAILY_SQL,
+    "iq_regex_union": IQ_REGEX_UNION_SQL,
+    "iq_show_tag_values": IQ_SHOW_TAG_VALUES_SQL,
+}

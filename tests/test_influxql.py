@@ -1,0 +1,209 @@
+"""Parser/compiler tests for functions/influxql.py — the surface the
+oracle-backed iq_* registry entries don't reach (error paths, SHOW,
+SLIMIT/OFFSET, numeric fill, plan shape)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mqtt_influx_storage_service_spark.functions.influxql import (
+    Bin,
+    Call,
+    Dur,
+    InfluxQLError,
+    Rgx,
+    Select,
+    Show,
+    influxql,
+    parse,
+)
+
+
+# -- parser ----------------------------------------------------------------
+
+
+def test_parse_full_select():
+    st = parse(
+        "SELECT MEAN(value) AS m, COUNT(value) FROM cpu, mem "
+        "WHERE time >= '2024-01-01' AND host = 'a' "
+        "GROUP BY time(10m), host fill(previous) "
+        "ORDER BY time DESC LIMIT 5 OFFSET 2 SLIMIT 3"
+    )
+    assert isinstance(st, Select)
+    assert [f.alias for f in st.fields] == ["m", None]
+    assert [m.value for m in st.measurements] == ["cpu", "mem"]
+    assert st.group_time_ns == 10 * 60 * 1_000_000_000
+    assert st.group_tags == ["host"]
+    assert st.fill == "previous"
+    assert st.order_desc and st.limit == 5 and st.offset == 2 and st.slimit == 3
+
+
+def test_parse_regex_measurement_and_predicate():
+    st = parse("SELECT value FROM /^(cpu|mem)$/ WHERE host =~ /web\\d+/")
+    assert isinstance(st.measurements[0], Rgx)
+    assert st.measurements[0].pattern == "^(cpu|mem)$"
+    assert isinstance(st.where, Bin) and st.where.op == "=~"
+    assert st.where.right.pattern == "web\\d+"
+
+
+def test_parse_durations_and_nested_calls():
+    st = parse("SELECT DERIVATIVE(MEAN(value), 1h) FROM m GROUP BY time(1d)")
+    call = st.fields[0].expr
+    assert isinstance(call, Call) and call.func == "DERIVATIVE"
+    assert isinstance(call.args[1], Dur)
+    assert call.args[1].ns == 3_600 * 10**9
+    assert st.group_time_ns == 86_400 * 10**9
+
+
+def test_parse_show_variants():
+    assert parse("SHOW MEASUREMENTS") == Show("measurements")
+    assert parse("SHOW TAG KEYS") == Show("tag keys", None, None)
+    assert parse("SHOW FIELD KEYS FROM cpu") == Show("field keys", None, "cpu")
+    st = parse("SHOW TAG VALUES FROM cpu WITH KEY = host")
+    assert st == Show("tag values", "host", "cpu")
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT",                                # no fields
+        "SELECT value",                          # no FROM
+        "SELECT value FROM m trailing",          # trailing input
+        "SELECT value FROM m GROUP BY time(x)",  # bad duration
+        "SELECT value FROM m GROUP BY time(1d) fill(bogus)",
+        "SELECT value FROM m ORDER BY value",    # only time is orderable
+        "SELECT value FROM m WHERE ^",           # junk char outside regex
+        "SELECT value FROM /unterminated",
+    ],
+)
+def test_parse_errors(bad):
+    with pytest.raises(InfluxQLError):
+        parse(bad)
+
+
+# -- compile errors --------------------------------------------------------
+
+
+def test_transform_requires_group_by_time(spark, sf_dir):
+    with pytest.raises(InfluxQLError, match="GROUP BY time"):
+        influxql(spark, sf_dir, "SELECT DERIVATIVE(MEAN(value), 1h) FROM click")
+
+
+def test_mixing_raw_and_agg_rejected(spark, sf_dir):
+    with pytest.raises(InfluxQLError, match="mix"):
+        influxql(spark, sf_dir, "SELECT value, MEAN(value) FROM click")
+
+
+def test_fill_requires_time_bounds(spark, sf_dir):
+    with pytest.raises(InfluxQLError, match="fill"):
+        influxql(
+            spark,
+            sf_dir,
+            "SELECT MEAN(value) FROM click GROUP BY time(1d) fill(previous)",
+        )
+
+
+def test_unknown_measurement_regex(spark, sf_dir):
+    with pytest.raises(InfluxQLError, match="no measurement"):
+        influxql(spark, sf_dir, "SELECT value FROM /nope_.*/")
+
+
+# -- compiled results ------------------------------------------------------
+
+
+def test_raw_select_equals_dataframe_twin(spark, sf_dir):
+    got = influxql(
+        spark,
+        sf_dir,
+        "SELECT value * 2 AS v2 FROM click WHERE user_id = 3",
+    )
+    from mqtt_influx_storage_service_spark.sources import load_table
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "click") & (F.col("user_id") == 3))
+        .select(F.col("ts").alias("time"), (F.col("value") * 2).alias("v2"))
+    )
+    assert got.columns == ["time", "v2"]
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_count_distinct(spark, sf_dir):
+    got = influxql(
+        spark, sf_dir, "SELECT COUNT(DISTINCT(user_id)) AS u FROM click"
+    ).collect()
+    from mqtt_influx_storage_service_spark.sources import load_table
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .agg(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert got[0]["u"] == want
+
+
+def test_fill_number_and_spine_coverage(spark, sf_dir):
+    out = influxql(
+        spark,
+        sf_dir,
+        "SELECT COUNT(value) AS n FROM signup "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-08 00:00:00' "
+        "GROUP BY time(1d), user_id fill(0)",
+    ).collect()
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # every observed series covers the full 7-day spine, gaps filled 0.0
+    for rows in by_user.values():
+        assert len(rows) == 7
+    assert all(r["n"] is not None for r in out)
+
+
+def test_slimit_and_offset(spark, sf_dir):
+    full = influxql(
+        spark, sf_dir, "SELECT COUNT(value) AS n FROM click GROUP BY user_id"
+    ).collect()
+    lim = influxql(
+        spark,
+        sf_dir,
+        "SELECT COUNT(value) AS n FROM click GROUP BY user_id SLIMIT 3",
+    ).collect()
+    assert {r["user_id"] for r in lim} == set(
+        sorted(r["user_id"] for r in full)[:3]
+    )
+    raw = influxql(
+        spark,
+        sf_dir,
+        "SELECT value FROM click WHERE user_id = 3 ORDER BY time LIMIT 4 OFFSET 2",
+    ).collect()
+    base = influxql(
+        spark,
+        sf_dir,
+        "SELECT value FROM click WHERE user_id = 3 ORDER BY time LIMIT 6",
+    ).collect()
+    assert [r["value"] for r in raw] == [r["value"] for r in base[2:]]
+
+
+def test_show_measurements_and_keys(spark, sf_dir):
+    ms = influxql(spark, sf_dir, "SHOW MEASUREMENTS").collect()
+    assert [r["name"] for r in ms] == ["click", "error", "purchase", "signup", "view"]
+    tk = influxql(spark, sf_dir, "SHOW TAG KEYS").collect()
+    assert [r["tagKey"] for r in tk] == ["user_id"]
+    fk = influxql(spark, sf_dir, "SHOW FIELD KEYS").collect()
+    assert [(r["fieldKey"], r["fieldType"]) for r in fk] == [("value", "float")]
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_dir):
+    """The compiled filter must reach the parquet scan: the whole point
+    of emitting a declarative plan is that Catalyst pushes measurement
+    + tag + time predicates into PushedFilters."""
+    df = influxql(
+        spark,
+        sf_dir,
+        "SELECT value FROM click WHERE user_id = 7 AND time >= '2024-01-05 00:00:00'",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "IsNotNull(event_type)" in plan or "EqualTo(event_type,click)" in plan
