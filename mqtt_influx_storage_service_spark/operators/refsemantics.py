@@ -293,6 +293,51 @@ GROUP BY o.device_id, o.transducer
 """
 
 
+def ref_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every event as an InfluxDB line-protocol line (the wire
+    format the reference's client emits for the points built at
+    ``influx_service.py:183-200``), parse it back with the built-in
+    parser, and return the typed columns — a full encode→decode
+    round-trip proven lossless against the source table. The whole
+    round-trip is one narrow projection (zero Python, zero shuffle):
+    at 100 TB a line-protocol export/import rides the scan.
+    """
+    from ..functions.lineprotocol import (
+        field_as_double,
+        parse_line_protocol,
+        to_line_protocol,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("measurement"),
+        F.col("user_id"),
+        F.col("value"),
+        (F.unix_micros(F.col("ts")) * 1000).alias("time_ns"),
+    )
+    lines = ev.select(
+        to_line_protocol(
+            ev, "measurement", tags=["user_id"], fields=["value"],
+            time_ns="time_ns",
+        ).alias("line")
+    )
+    p = parse_line_protocol(F.col("line")).alias("p")
+    return lines.select(p).select(
+        F.col("p.measurement").alias("measurement"),
+        F.element_at("p.tags", "user_id").alias("user_id"),
+        field_as_double(F.col("p.fields"), "value").alias("value"),
+        F.col("p.time_ns").alias("time_ns"),
+    )
+
+
+REF_LINE_PROTOCOL_SQL = """
+SELECT event_type AS measurement,
+       CAST(user_id AS VARCHAR) AS user_id,
+       value,
+       epoch_us(ts) * 1000 AS time_ns
+FROM events
+"""
+
+
 QUERIES = {
     "ref_topic_parse": ref_topic_parse,
     "ref_payload_coercion": ref_payload_coercion,
@@ -300,6 +345,7 @@ QUERIES = {
     "ref_registry_filter": ref_registry_filter,
     "ref_registry_cdc": ref_registry_cdc,
     "ref_transducer_create": ref_transducer_create,
+    "ref_line_protocol": ref_line_protocol,
 }
 
 ORACLES = {
@@ -309,4 +355,5 @@ ORACLES = {
     "ref_registry_filter": REF_REGISTRY_FILTER_SQL,
     "ref_registry_cdc": REF_REGISTRY_CDC_SQL,
     "ref_transducer_create": REF_TRANSDUCER_CREATE_SQL,
+    "ref_line_protocol": REF_LINE_PROTOCOL_SQL,
 }
