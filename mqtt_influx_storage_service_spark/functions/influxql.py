@@ -491,6 +491,38 @@ def parse(src: str):
     return _Parser(src).parse()
 
 
+@dataclass
+class ContinuousQuery:
+    name: str
+    database: str
+    select: Select
+
+
+def parse_continuous_query(src: str) -> ContinuousQuery:
+    """Parse ``CREATE CONTINUOUS QUERY <name> ON <db> BEGIN <select>
+    END`` — the InfluxQL statement the streaming tier's
+    :mod:`..streaming.cq` compiles into an incremental rollup."""
+    p = _Parser(src)
+    p.expect_kw("CREATE")
+    p.expect_kw("CONTINUOUS")
+    p.expect_kw("QUERY")
+    name = p.next()
+    if name.kind != "ident":
+        raise InfluxQLError(f"expected CQ name at {name.pos}")
+    p.expect_kw("ON")
+    db = p.next()
+    if db.kind != "ident":
+        raise InfluxQLError(f"expected database name at {db.pos}")
+    p.expect_kw("BEGIN")
+    p.expect_kw("SELECT")
+    sel = p._select()
+    p.expect_kw("END")
+    t = p.peek()
+    if t.kind != "eof":
+        raise InfluxQLError(f"trailing input at {t.pos}: {t.text!r}")
+    return ContinuousQuery(name.text, db.text, sel)
+
+
 # --------------------------------------------------------------------------
 # Catalog — measurement name → (DataFrame, tags, fields)
 # --------------------------------------------------------------------------
