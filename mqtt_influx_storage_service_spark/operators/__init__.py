@@ -41,6 +41,7 @@ from . import (
 # newest green row is ever older than two rounds.
 _PRIORITY = [
     # new in r4 — no driver row yet
+    "text_pii_scrub",
     "ref_line_protocol",
     "iq_raw_select",
     "iq_mean_by_day",

@@ -1117,7 +1117,125 @@ FROM starts
 """
 
 
+# --------------------------------------------------------------------------
+# PII scrub — detect + redact emails / IPv4s / phone numbers
+# --------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common dialect so Spark
+# and DuckDB compile them identically (no lookaround, no backrefs).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{1,2}-\d{3}-\d{3}-\d{4}"
+
+
+def _pii_augmented() -> F.Column:
+    """The fixture text is synthetic word soup with no PII, so the
+    query INJECTS deterministic PII derived from doc_id (the same
+    synthesize-inside-the-query pattern refsemantics uses for MQTT
+    frames) — every modulus class exercises a different entity mix,
+    including docs with several entities and docs with none."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit("user"), did.cast("string"), F.lit("@example.com")),
+    )
+    ip = F.when(
+        did % 5 == 0,
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (did % 200).cast("string"),
+            (did % 250).cast("string"),
+            (did % 254 + 1).cast("string"),
+        ),
+    )
+    phone = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit("+1-555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return F.concat_ws(" ", F.col("text"), email, ip, phone)
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub gate every LLM training
+    corpus passes before tokenization. Counts each entity class
+    (emails, IPv4s, phone numbers) and replaces them with typed
+    redaction tokens; the scrubbed text is verified by hash so the
+    oracle proves the REDACTED BYTES, not just the counts.
+
+    Pure per-row regexp projection (count via regexp_extract_all,
+    redact via chained regexp_replace): no shuffle, whole-stage
+    codegen, embarrassingly parallel at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    aug = docs.select("doc_id", _pii_augmented().alias("aug"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IPV4,
+        "[IP]",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(_PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(_PII_IPV4), F.lit(0))).alias(
+            "n_ips"
+        ),
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(_PII_PHONE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.length(scrubbed).alias("scrub_len"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+_PII_AUG_SQL = """
+concat_ws(' ', text,
+    CASE WHEN doc_id % 3 = 0
+         THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com' END,
+    CASE WHEN doc_id % 5 = 0
+         THEN concat_ws('.', '10', CAST(doc_id % 200 AS VARCHAR),
+                        CAST(doc_id % 250 AS VARCHAR),
+                        CAST(doc_id % 254 + 1 AS VARCHAR)) END,
+    CASE WHEN doc_id % 7 = 0
+         THEN '+1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END)
+"""
+
+TEXT_PII_SCRUB_SQL = f"""
+WITH aug AS (
+    SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents
+), scrub AS (
+    SELECT doc_id, aug,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(aug, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IPV4}', '[IP]', 'g') AS scrubbed
+    FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(aug, '{_PII_IPV4}')) AS n_ips,
+       len(regexp_extract_all(aug, '{_PII_PHONE}')) AS n_phones,
+       length(scrubbed) AS scrub_len,
+       md5(scrubbed) AS scrub_hash
+FROM scrub
+"""
+
+
 QUERIES = {
+    "text_pii_scrub": text_pii_scrub,
     "text_token_stats": text_token_stats,
     "text_gopher_rules": text_gopher_rules,
     "text_bigram_lm": text_bigram_lm,
@@ -1135,6 +1253,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_pii_scrub": TEXT_PII_SCRUB_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_gopher_rules": TEXT_GOPHER_RULES_SQL,
     "text_bigram_lm": TEXT_BIGRAM_LM_SQL,
