@@ -273,6 +273,10 @@ class _Parser:
     def _show(self) -> Show:
         if self.kw("MEASUREMENTS"):
             return Show("measurements")
+        if self.kw("SERIES"):
+            if self.kw("CARDINALITY"):
+                return Show("series cardinality", from_measurement=self._opt_from())
+            return Show("series", from_measurement=self._opt_from())
         if self.kw("TAG"):
             if self.kw("KEYS"):
                 return Show("tag keys", from_measurement=self._opt_from())
@@ -391,6 +395,13 @@ class _Parser:
         t = self.peek()
         if t.kind == "op" and t.text == "/":
             return self._regex_literal()
+        if t.kind == "op" and t.text == "(":
+            # InfluxQL 1.2+ subquery: FROM (SELECT ...)
+            self.next()
+            self.expect_kw("SELECT")
+            inner = self._select()
+            self.expect_op(")")
+            return inner
         t = self.next()
         if t.kind != "ident":
             raise InfluxQLError(f"expected measurement at {t.pos}")
@@ -626,6 +637,10 @@ class _Compiler:
         self.catalog = catalog
         self.stmt = stmt
         self.schema: MeasurementSchema = catalog.schema
+        # per-source shape; _source overrides these for subqueries
+        self.src_tags = list(self.schema.tags)
+        self.src_fields = list(self.schema.fields)
+        self.tiebreak = [self.schema.tiebreak]
         self.time_lo = None  # python literals for fill spine
         self.time_hi = None
         self.lo_incl = True
@@ -633,9 +648,14 @@ class _Compiler:
 
     # -- source ------------------------------------------------------------
     def _source(self) -> tuple[DataFrame, bool]:
+        ms = self.stmt.measurements
+        if any(isinstance(m, Select) for m in ms):
+            if len(ms) != 1:
+                raise InfluxQLError("a subquery must be the only FROM source")
+            return self._subquery_source(ms[0]), False
         names: list[str] = []
         multi = False
-        for m in self.stmt.measurements:
+        for m in ms:
             if isinstance(m, Rgx):
                 rx = re.compile(m.pattern)
                 hit = [n for n in self.catalog.measurement_names() if rx.search(n)]
@@ -654,6 +674,26 @@ class _Compiler:
         for n in uniq[1:]:
             df = df.unionByName(self.catalog.load(self.spark, n))
         return df, multi
+
+    def _subquery_source(self, inner_stmt: Select) -> DataFrame:
+        """Compile the inner SELECT and present its result as this
+        query's source relation: inner GROUP BY tags stay tags, inner
+        output values become fields, and — since the inner result has
+        no per-point tiebreak column — rank-selection aggregates break
+        ties on (time, tags), which is the inner result's primary key.
+        One lazy plan end to end: Catalyst sees through the nesting
+        (column pruning reaches the inner scan)."""
+        inner = _Compiler(self.spark, self.catalog, inner_stmt)
+        df = inner.compile()
+        tags = list(inner_stmt.group_tags)
+        if tags == ["*"]:
+            tags = list(self.schema.tags)
+        self.src_tags = tags
+        self.src_fields = [
+            c for c in df.columns if c not in tags and c != "time"
+        ]
+        self.tiebreak = [t for t in ["time", *tags]]
+        return df
 
     # -- WHERE -------------------------------------------------------------
     def _cond(self, e) -> Column:
@@ -749,7 +789,7 @@ class _Compiler:
 
         group_tags = st.group_tags
         if group_tags == ["*"]:
-            group_tags = list(self.schema.tags)
+            group_tags = list(self.src_tags)
         keys = (["measurement"] if multi else []) + group_tags
 
         any_agg = any(_is_agg(f.expr) for f in st.fields)
@@ -792,9 +832,9 @@ class _Compiler:
             cols.append(F.col("measurement"))
         for i, f in enumerate(self.stmt.fields):
             if isinstance(f.expr, Var) and f.expr.name == "*":
-                for t in self.schema.tags:
+                for t in self.src_tags:
                     cols.append(F.col(t))
-                for fld in self.schema.fields:
+                for fld in self.src_fields:
                     cols.append(F.col(fld))
                 continue
             cols.append(self._scalar(f.expr).alias(self._field_name(f, i)))
@@ -820,13 +860,13 @@ class _Compiler:
         # Pre-compute rank columns once if any rank-selection agg appears.
         needs = self._collect_calls()
         rank_cols: dict[str, Column] = {}
-        tb = self.schema.tiebreak
+        tb = [t for t in self.tiebreak if t in df.columns]
         if any(c.func in ("FIRST",) for c in needs):
-            w = Window.partitionBy(*gcols).orderBy("time", tb)
+            w = Window.partitionBy(*gcols).orderBy("time", *tb)
             df = df.withColumn("_rn_first", F.row_number().over(w))
         if any(c.func in ("LAST",) for c in needs):
             w = Window.partitionBy(*gcols).orderBy(
-                F.col("time").desc(), F.col(tb).desc()
+                F.col("time").desc(), *[F.col(c).desc() for c in tb]
             )
             df = df.withColumn("_rn_last", F.row_number().over(w))
         pct_fields: set[str] = set()
@@ -835,7 +875,7 @@ class _Compiler:
                 fld = c.args[0].name
                 pct_fields.add(fld)
         for fld in sorted(pct_fields):
-            w = Window.partitionBy(*gcols).orderBy(fld, tb)
+            w = Window.partitionBy(*gcols).orderBy(fld, *tb)
             df = df.withColumn(f"_rnv_{fld}", F.row_number().over(w))
             df = df.withColumn(
                 f"_nv_{fld}",
@@ -1041,6 +1081,30 @@ def _compile_show(spark: SparkSession, cat, stmt: Show) -> DataFrame:
             [(f, "float") for f in sorted(sch.fields)],
             "fieldKey string, fieldType string",
         )
+    if stmt.what in ("series", "series cardinality"):
+        names = (
+            [stmt.from_measurement]
+            if stmt.from_measurement
+            else cat.measurement_names()
+        )
+        if len(names) > 1 and hasattr(cat, "load_many"):
+            df = cat.load_many(spark, names)
+        else:
+            df = cat.load(spark, names[0])
+            for n in names[1:]:
+                df = df.unionByName(cat.load(spark, n))
+        key = F.concat_ws(
+            ",",
+            F.col("measurement"),
+            *[
+                F.concat(F.lit(f"{t}="), F.col(t).cast("string"))
+                for t in sorted(sch.tags)
+            ],
+        )
+        series = df.select(key.alias("key")).distinct()
+        if stmt.what == "series cardinality":
+            return series.agg(F.count(F.lit(1)).alias("cardinality"))
+        return series.orderBy("key")
     if stmt.what == "tag values":
         if stmt.with_key not in sch.tags:
             raise InfluxQLError(f"unknown tag key {stmt.with_key!r}")

@@ -43,6 +43,8 @@ _PRIORITY = [
     # new in r4 — no driver row yet
     "text_pii_scrub",
     "ref_line_protocol",
+    "iq_subquery_rollup",
+    "iq_show_series",
     "iq_raw_select",
     "iq_mean_by_day",
     "iq_selectors",

@@ -238,7 +238,51 @@ WHERE event_type = 'click'
 """
 
 
+# -- 9. subquery: weekly envelope over the daily per-user mean -------------
+
+IQ_SUBQUERY_ROLLUP = (
+    "SELECT MAX(mean_value) AS max_mean, MIN(mean_value) AS min_mean, "
+    "COUNT(mean_value) AS n_cells FROM "
+    "(SELECT MEAN(value) AS mean_value FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY time(1d), user_id) "
+    "GROUP BY time(1w)"
+)
+
+IQ_SUBQUERY_ROLLUP_SQL = f"""
+WITH inner_q AS (
+    SELECT user_id,
+           {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS mean_value
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY 1, 2
+)
+SELECT make_timestamp(epoch_us(time) - epoch_us(time) % {_US_1W}) AS time,
+       max(mean_value) AS max_mean,
+       min(mean_value) AS min_mean,
+       count(mean_value) AS n_cells
+FROM inner_q
+GROUP BY 1
+"""
+
+
+# -- 10. SHOW SERIES (series-key catalog) ----------------------------------
+
+IQ_SHOW_SERIES = "SHOW SERIES FROM purchase"
+
+IQ_SHOW_SERIES_SQL = """
+SELECT DISTINCT 'purchase,user_id=' || CAST(user_id AS VARCHAR) AS key
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
+    "iq_subquery_rollup": _q(IQ_SUBQUERY_ROLLUP),
+    "iq_show_series": _q(IQ_SHOW_SERIES),
     "iq_raw_select": _q(IQ_RAW_SELECT),
     "iq_mean_by_day": _q(IQ_MEAN_BY_DAY),
     "iq_selectors": _q(IQ_SELECTORS),
@@ -250,6 +294,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "iq_subquery_rollup": IQ_SUBQUERY_ROLLUP_SQL,
+    "iq_show_series": IQ_SHOW_SERIES_SQL,
     "iq_raw_select": IQ_RAW_SELECT_SQL,
     "iq_mean_by_day": IQ_MEAN_BY_DAY_SQL,
     "iq_selectors": IQ_SELECTORS_SQL,

@@ -308,7 +308,7 @@ def ref_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_line_protocol,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=True).select(
         F.col("event_type").alias("measurement"),
         F.col("user_id"),
         F.col("value"),

@@ -195,6 +195,42 @@ def test_show_measurements_and_keys(spark, sf_dir):
     assert [(r["fieldKey"], r["fieldType"]) for r in fk] == [("value", "float")]
 
 
+def test_show_series_cardinality(spark, sf_dir):
+    card = influxql(spark, sf_dir, "SHOW SERIES CARDINALITY").collect()[0][
+        "cardinality"
+    ]
+    series = influxql(spark, sf_dir, "SHOW SERIES").collect()
+    assert card == len(series)
+    assert all("," in r["key"] and "user_id=" in r["key"] for r in series)
+
+
+def test_subquery_raw_passthrough(spark, sf_dir):
+    """Outer aggregate over a raw (non-aggregated) subquery."""
+    got = influxql(
+        spark,
+        sf_dir,
+        "SELECT SUM(v2) AS s FROM (SELECT value * 2 AS v2 FROM click)",
+    ).collect()[0]["s"]
+    from mqtt_influx_storage_service_spark.sources import load_table
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .agg(F.round(F.sum(F.col("value") * 2), 2))
+        .collect()[0][0]
+    )
+    assert got == want
+
+
+def test_subquery_requires_single_source(spark, sf_dir):
+    with pytest.raises(InfluxQLError, match="only FROM source"):
+        influxql(
+            spark,
+            sf_dir,
+            "SELECT SUM(v) AS s FROM (SELECT value AS v FROM click), view",
+        )
+
+
 def test_predicate_pushdown_reaches_scan(spark, sf_dir):
     """The compiled filter must reach the parquet scan: the whole point
     of emitting a declarative plan is that Catalyst pushes measurement
