@@ -614,28 +614,44 @@ def _is_agg(e) -> bool:
     return False
 
 
-def _ts_lit(v) -> Column:
+def _eval_time(v, now) -> "datetime.datetime":
+    """Evaluate a time-bound expression to a concrete instant on the
+    driver: timestamp strings, bare epoch-ns integers, ``now()`` (from
+    the compiler's injectable clock), and ``now() ± <dur>``
+    arithmetic. The result is embedded as a LITERAL in the plan, so
+    relative bounds still push down into the scan."""
+    import datetime
+
     if isinstance(v, Str):
-        return F.lit(v.value).cast("timestamp")
-    if isinstance(v, Dur):
-        return F.timestamp_micros(F.lit(v.ns // 1000))
+        try:
+            return datetime.datetime.fromisoformat(v.value)
+        except ValueError as exc:
+            raise InfluxQLError(f"bad timestamp literal {v.value!r}") from exc
     if isinstance(v, Num):  # bare integer epoch-ns (InfluxQL default)
-        return F.timestamp_micros(F.lit(int(v.value) // 1000))
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=int(v.value) // 1000
+        )
+    if isinstance(v, Call) and v.func == "NOW":
+        if now is None:
+            raise InfluxQLError(
+                "now() used but no clock given — pass now= to influxql()"
+            )
+        return now
+    if isinstance(v, Bin) and v.op in ("+", "-"):
+        base = _eval_time(v.left, now)
+        if not isinstance(v.right, Dur):
+            raise InfluxQLError("time arithmetic needs a duration literal")
+        delta = datetime.timedelta(microseconds=v.right.ns // 1000)
+        return base + delta if v.op == "+" else base - delta
     raise InfluxQLError(f"cannot use {v!r} as a time bound")
 
 
-def _ts_bound_py(v) -> str | None:
-    """Literal time bound as an ISO string for spine generation."""
-    if isinstance(v, Str):
-        return v.value
-    return None
-
-
 class _Compiler:
-    def __init__(self, spark: SparkSession, catalog, stmt: Select):
+    def __init__(self, spark: SparkSession, catalog, stmt: Select, now=None):
         self.spark = spark
         self.catalog = catalog
         self.stmt = stmt
+        self.now = now
         self.schema: MeasurementSchema = catalog.schema
         # per-source shape; _source overrides these for subqueries
         self.src_tags = list(self.schema.tags)
@@ -683,7 +699,7 @@ class _Compiler:
         ties on (time, tags), which is the inner result's primary key.
         One lazy plan end to end: Catalyst sees through the nesting
         (column pruning reaches the inner scan)."""
-        inner = _Compiler(self.spark, self.catalog, inner_stmt)
+        inner = _Compiler(self.spark, self.catalog, inner_stmt, now=self.now)
         df = inner.compile()
         tags = list(inner_stmt.group_tags)
         if tags == ["*"]:
@@ -711,8 +727,11 @@ class _Compiler:
             time_side = isinstance(lt, Var) and lt.name.lower() == "time"
             if time_side:
                 lc = F.col("time")
-                rc = _ts_lit(rt)
-                self._note_time_bound(e.op, rt)
+                dt = _eval_time(rt, self.now)
+                rc = F.lit(dt.strftime("%Y-%m-%d %H:%M:%S.%f")).cast(
+                    "timestamp"
+                )
+                self._note_time_bound(e.op, dt)
             else:
                 lc = self._scalar(lt)
                 rc = self._scalar(rt)
@@ -730,10 +749,8 @@ class _Compiler:
             return ops[e.op](lc, rc)
         raise InfluxQLError(f"unsupported WHERE expression {e!r}")
 
-    def _note_time_bound(self, op: str, rt) -> None:
-        lit = _ts_bound_py(rt)
-        if lit is None:
-            return
+    def _note_time_bound(self, op: str, dt) -> None:
+        lit = dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         if op in (">", ">="):
             self.time_lo, self.lo_incl = lit, op == ">="
         elif op in ("<", "<="):
@@ -1058,15 +1075,25 @@ class _Compiler:
 
 
 def influxql(
-    spark: SparkSession, sf_dir: str, query: str, catalog=None
+    spark: SparkSession, sf_dir: str, query: str, catalog=None, now=None
 ) -> DataFrame:
     """Compile one InfluxQL statement against the fixture catalog (or a
-    user-supplied one) and return the lazy DataFrame plan."""
+    user-supplied one) and return the lazy DataFrame plan.
+
+    ``now`` pins the clock ``now()`` evaluates against — a datetime or
+    an ISO string. Always injectable (never read from the wall clock
+    implicitly) so relative-time queries stay deterministic: tests,
+    oracles, and a batch campaign all evaluate one fixed instant.
+    """
+    import datetime
+
+    if isinstance(now, str):
+        now = datetime.datetime.fromisoformat(now)
     cat = catalog or EventsCatalog(sf_dir)
     stmt = parse(query)
     if isinstance(stmt, Show):
         return _compile_show(spark, cat, stmt)
-    return _Compiler(spark, cat, stmt).compile()
+    return _Compiler(spark, cat, stmt, now=now).compile()
 
 
 def _compile_show(spark: SparkSession, cat, stmt: Show) -> DataFrame:

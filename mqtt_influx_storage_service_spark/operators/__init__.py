@@ -44,6 +44,7 @@ _PRIORITY = [
     "text_pii_scrub",
     "ref_line_protocol",
     "iq_subquery_rollup",
+    "iq_now_relative",
     "iq_show_series",
     "iq_raw_select",
     "iq_mean_by_day",

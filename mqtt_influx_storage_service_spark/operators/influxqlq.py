@@ -29,11 +29,11 @@ _BUCKET = "make_timestamp(epoch_us(ts) - epoch_us(ts) % {iv})"
 _MEAN = "round(round(sum(value), 2) / count(value), 6)"
 
 
-def _q(query: str):
+def _q(query: str, now: str | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return influxql(spark, sf_dir, query)
+        return influxql(spark, sf_dir, query, now=now)
 
-    run.__doc__ = f"InfluxQL: {query}"
+    run.__doc__ = f"InfluxQL: {query}" + (f" [now={now}]" if now else "")
     return run
 
 
@@ -269,6 +269,30 @@ GROUP BY 1
 """
 
 
+# -- 9b. now()-relative range (the most common InfluxQL idiom) -------------
+# now() is pinned to a fixed instant (the compiler's injectable clock),
+# so the relative bound is deterministic and the oracle states the same
+# resolved instant: now() - 2w = 2024-01-16 00:00:00.
+
+IQ_NOW_RELATIVE = (
+    "SELECT COUNT(value) AS n, MAX(value) AS max_value FROM error "
+    "WHERE time >= now() - 2w AND time < now() "
+    "GROUP BY time(1d), user_id"
+)
+
+IQ_NOW_RELATIVE_SQL = f"""
+SELECT user_id,
+       {_BUCKET.format(iv=_US_1D)} AS time,
+       count(value) AS n,
+       max(value) AS max_value
+FROM events
+WHERE event_type = 'error'
+  AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-30 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 # -- 10. SHOW SERIES (series-key catalog) ----------------------------------
 
 IQ_SHOW_SERIES = "SHOW SERIES FROM purchase"
@@ -282,6 +306,7 @@ WHERE event_type = 'purchase'
 
 QUERIES = {
     "iq_subquery_rollup": _q(IQ_SUBQUERY_ROLLUP),
+    "iq_now_relative": _q(IQ_NOW_RELATIVE, now="2024-01-30 00:00:00"),
     "iq_show_series": _q(IQ_SHOW_SERIES),
     "iq_raw_select": _q(IQ_RAW_SELECT),
     "iq_mean_by_day": _q(IQ_MEAN_BY_DAY),
@@ -295,6 +320,7 @@ QUERIES = {
 
 ORACLES = {
     "iq_subquery_rollup": IQ_SUBQUERY_ROLLUP_SQL,
+    "iq_now_relative": IQ_NOW_RELATIVE_SQL,
     "iq_show_series": IQ_SHOW_SERIES_SQL,
     "iq_raw_select": IQ_RAW_SELECT_SQL,
     "iq_mean_by_day": IQ_MEAN_BY_DAY_SQL,

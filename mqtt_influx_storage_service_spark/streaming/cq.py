@@ -171,6 +171,7 @@ def cq_partials(cc: CompiledCQ, batch: DataFrame) -> DataFrame:
         comp = _Compiler.__new__(_Compiler)
         comp.time_lo = comp.time_hi = None
         comp.lo_incl, comp.hi_incl = True, False
+        comp.now = None
         df = df.filter(comp._cond(cc.stmt.where))
     us = F.unix_micros(F.col("time"))
     df = df.withColumn(

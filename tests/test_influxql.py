@@ -195,6 +195,27 @@ def test_show_measurements_and_keys(spark, sf_dir):
     assert [(r["fieldKey"], r["fieldType"]) for r in fk] == [("value", "float")]
 
 
+def test_now_requires_injected_clock(spark, sf_dir):
+    with pytest.raises(InfluxQLError, match="now"):
+        influxql(spark, sf_dir, "SELECT value FROM click WHERE time >= now() - 1d")
+
+
+def test_now_relative_equals_absolute(spark, sf_dir):
+    rel = influxql(
+        spark,
+        sf_dir,
+        "SELECT COUNT(value) AS n FROM click WHERE time >= now() - 1w AND time < now()",
+        now="2024-01-15 00:00:00",
+    ).collect()[0]["n"]
+    abs_ = influxql(
+        spark,
+        sf_dir,
+        "SELECT COUNT(value) AS n FROM click "
+        "WHERE time >= '2024-01-08 00:00:00' AND time < '2024-01-15 00:00:00'",
+    ).collect()[0]["n"]
+    assert rel == abs_ and rel > 0
+
+
 def test_show_series_cardinality(spark, sf_dir):
     card = influxql(spark, sf_dir, "SHOW SERIES CARDINALITY").collect()[0][
         "cardinality"
