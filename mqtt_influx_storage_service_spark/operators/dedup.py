@@ -187,6 +187,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with Jaccard >= threshold via the exploded shingle
+    self-join: join output feeds the (doc_a, doc_b) count aggregation
+    in the SAME stage, so the Σ c(s)² intermediate pair rows are
+    partially combined map-side and only pair-level partials shuffle.
+
+    Measured dead end (sf1.0 stress corpus, local[32]): AllPairs-style
+    prefix filtering (Bayardo et al., WWW'07 — index only each doc's
+    ``n - ceil(t*n) + 1`` rarest-by-df shingles, verify candidates with
+    ``array_intersect``) ran 2x SLOWER end-to-end (42.7s vs 20.9s for
+    the pair step; 157s vs ~35s for cold dedup_components). Prefix
+    filtering pays when document frequency is skewed so prefixes hit
+    LOW-collision shingles; this corpus's rotation-variant dups share
+    every shingle ~uniformly (c(s) ≈ fanout), so candidates only
+    dropped ~4x while the verify step shuffled full shingle ARRAYS per
+    candidate (wide rows) and the df-rank window added two more
+    exploded-table shuffles. On a real crawl with Zipfian shingle df,
+    revisit — the hook is exactly this function.
+    """
     ds = _doc_shingles(spark, sf_dir)
     exploded = ds.select("doc_id", F.explode("shingles").alias("shingle"))
     a = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
