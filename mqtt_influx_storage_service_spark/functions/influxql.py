@@ -192,6 +192,7 @@ class Select:
     limit: int | None
     offset: int | None
     slimit: int | None
+    into: str | None = None  # SELECT ... INTO <measurement>
 
 
 @dataclass
@@ -307,6 +308,12 @@ class _Parser:
         fields = [self._field()]
         while self.at_op(","):
             fields.append(self._field())
+        into = None
+        if self.kw("INTO"):
+            t = self.next()
+            if t.kind != "ident":
+                raise InfluxQLError(f"expected INTO measurement at {t.pos}")
+            into = t.text
         self.expect_kw("FROM")
         measurements: list = [self._measurement()]
         while self.at_op(","):
@@ -389,6 +396,7 @@ class _Parser:
             limit,
             offset,
             slimit,
+            into,
         )
 
     def _measurement(self):
@@ -1094,6 +1102,51 @@ def influxql(
     if isinstance(stmt, Show):
         return _compile_show(spark, cat, stmt)
     return _Compiler(spark, cat, stmt, now=now).compile()
+
+
+def influxql_into(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    table_path: str,
+    catalog=None,
+    now=None,
+):
+    """Execute a ``SELECT ... INTO <measurement>`` — InfluxDB's batch
+    materialization (backfill / downsample-once) — by MERGE-ing the
+    result into a :class:`..tableformat.SnapshotTable` at
+    ``table_path``. Upsert keyed on (time, tags): re-running the INTO
+    over an overlapping range REPLACES those rows, exactly InfluxDB's
+    write-wins point semantics, and the table stays readable
+    snapshot-isolated throughout. Returns the table handle.
+
+    The recurring flavor of the same idea is a CONTINUOUS QUERY —
+    ``..streaming.cq`` maintains the rollup incrementally; INTO is the
+    one-shot batch form over history.
+    """
+    from ..tableformat import snapshot_table
+
+    stmt = parse(query)
+    if not isinstance(stmt, Select) or not stmt.into:
+        raise InfluxQLError("influxql_into needs a SELECT ... INTO query")
+    import datetime
+
+    if isinstance(now, str):
+        now = datetime.datetime.fromisoformat(now)
+    cat = catalog or EventsCatalog(sf_dir)
+    df = _Compiler(spark, cat, stmt, now=now).compile()
+    tags = stmt.group_tags if stmt.group_tags != ["*"] else list(cat.schema.tags)
+    keys = [c for c in df.columns if c == "time" or c in tags or c == "measurement"]
+    if not keys:
+        raise InfluxQLError(
+            "SELECT ... INTO needs a time bucket or tag grouping to key on"
+        )
+    table = snapshot_table(spark, table_path, key_cols=keys)
+    if table.version() == 0:
+        table.overwrite(df)  # first write: no current snapshot to merge
+    else:
+        table.merge(df)
+    return table
 
 
 def _compile_show(spark: SparkSession, cat, stmt: Show) -> DataFrame:

@@ -252,6 +252,35 @@ def test_subquery_requires_single_source(spark, sf_dir):
         )
 
 
+def test_select_into_materializes_and_upserts(spark, sf_dir, tmp_path):
+    from mqtt_influx_storage_service_spark.functions.influxql import influxql_into
+
+    q = (
+        "SELECT MEAN(value) AS mv INTO daily_click FROM click "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-10 00:00:00' "
+        "GROUP BY time(1d), user_id"
+    )
+    t = influxql_into(spark, sf_dir, q, str(tmp_path / "tbl"))
+    first = {(r["user_id"], r["time"]): r["mv"] for r in t.read().collect()}
+    assert len(first) > 0
+    # overlapping re-run with a wider range: old keys REPLACED, new added
+    q2 = q.replace("2024-01-10", "2024-01-15")
+    t2 = influxql_into(spark, sf_dir, q2, str(tmp_path / "tbl"))
+    second = {(r["user_id"], r["time"]): r["mv"] for r in t2.read().collect()}
+    assert set(first) <= set(second) and len(second) > len(first)
+    for k, v in first.items():
+        assert second[k] == v  # same data, same buckets → same values
+
+
+def test_select_into_requires_grouping(spark, sf_dir, tmp_path):
+    from mqtt_influx_storage_service_spark.functions.influxql import influxql_into
+
+    with pytest.raises(InfluxQLError, match="INTO"):
+        influxql_into(
+            spark, sf_dir, "SELECT value FROM click", str(tmp_path / "t2")
+        )
+
+
 def test_predicate_pushdown_reaches_scan(spark, sf_dir):
     """The compiled filter must reach the parquet scan: the whole point
     of emitting a declarative plan is that Catalyst pushes measurement
