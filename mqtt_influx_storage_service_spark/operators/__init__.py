@@ -42,6 +42,7 @@ from . import (
 _PRIORITY = [
     # new in r4 — no driver row yet
     "text_pii_scrub",
+    "pipeline_curriculum",
     "ref_line_protocol",
     "iq_subquery_rollup",
     "iq_now_relative",

@@ -595,7 +595,84 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# Curriculum ordering — stage by difficulty, shuffle within stage
+# --------------------------------------------------------------------------
+
+CURRICULUM_STAGES = 4
+
+
+def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning data ordering: bucket the corpus into
+    difficulty stages (difficulty proxy = token count — short docs
+    first, the canonical length curriculum) and give every doc a
+    reproducible within-stage shuffle key. The consumer range-sorts on
+    (stage, shuffle_key, doc_id) when writing training shards — sort
+    keys, not materialized positions, so nothing here ever needs a
+    corpus-wide single-partition window.
+
+    Stage boundaries are exact corpus quantiles computed from the
+    TOKEN-COUNT HISTOGRAM: group by n_tokens (domain-sized, ~hundreds
+    of rows at any corpus size), one cumulative window over that tiny
+    relation, broadcast back onto the corpus. The corpus itself is
+    touched once, map-side only — the same
+    histogram-instead-of-global-window trick pack_sequences uses. Ties
+    (equal n_tokens) land in the same stage deterministically.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    t = docs.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    hist = t.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    # domain-sized window (distinct token counts), NOT corpus-sized
+    wcum = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = t.select(F.count(F.lit(1)).alias("total"))  # 1 row, broadcast
+    staged = (
+        hist.withColumn("cum", F.sum("c").over(wcum).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_tokens",
+            F.floor(
+                (F.lit(CURRICULUM_STAGES) * F.col("cum") + F.col("total") - 1)
+                / F.col("total")
+            )
+            .cast("long")
+            .alias("stage"),
+        )
+    )
+    return t.join(F.broadcast(staged), "n_tokens").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "stage",
+        ((F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M).alias("shuffle_key"),
+    )
+
+
+PIPELINE_CURRICULUM_SQL = f"""
+WITH t AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+), h AS (
+    SELECT n_tokens, count(*) AS c FROM t GROUP BY 1
+), staged AS (
+    SELECT n_tokens,
+           ({CURRICULUM_STAGES} * CAST(sum(c) OVER (ORDER BY n_tokens
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            + (SELECT count(*) FROM t) - 1)
+           // (SELECT count(*) FROM t) AS stage
+    FROM h
+)
+SELECT doc_id, lang, t.n_tokens, stage,
+       (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS shuffle_key
+FROM t JOIN staged ON staged.n_tokens = t.n_tokens
+"""
+
+
 QUERIES = {
+    "pipeline_curriculum": pipeline_curriculum,
     "pipeline_training_mix": pipeline_training_mix,
     "pipeline_quality_gate": pipeline_quality_gate,
     "pipeline_token_budget": pipeline_token_budget,
@@ -605,6 +682,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_curriculum": PIPELINE_CURRICULUM_SQL,
     "pipeline_training_mix": PIPELINE_TRAINING_MIX_SQL,
     "pipeline_quality_gate": PIPELINE_QUALITY_GATE_SQL,
     "pipeline_token_budget": PIPELINE_TOKEN_BUDGET_SQL,
