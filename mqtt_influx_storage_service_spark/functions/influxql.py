@@ -378,11 +378,11 @@ class _Parser:
         limit = offset = slimit = None
         while True:
             if self.kw("LIMIT"):
-                limit = int(self.next().text)
+                limit = self._int()
             elif self.kw("OFFSET"):
-                offset = int(self.next().text)
+                offset = self._int()
             elif self.kw("SLIMIT"):
-                slimit = int(self.next().text)
+                slimit = self._int()
             else:
                 break
         return Select(
@@ -398,6 +398,12 @@ class _Parser:
             slimit,
             into,
         )
+
+    def _int(self) -> int:
+        t = self.next()
+        if t.kind != "num" or "." in t.text:
+            raise InfluxQLError(f"expected integer at {t.pos}, got {t.text!r}")
+        return int(t.text)
 
     def _measurement(self):
         t = self.peek()
@@ -897,8 +903,9 @@ class _Compiler:
         pct_fields: set[str] = set()
         for c in needs:
             if c.func in ("MEDIAN", "PERCENTILE", "MODE"):
-                fld = c.args[0].name
-                pct_fields.add(fld)
+                if not c.args or not isinstance(c.args[0], Var):
+                    raise InfluxQLError(f"{c.func} expects a field reference")
+                pct_fields.add(c.args[0].name)
         for fld in sorted(pct_fields):
             w = Window.partitionBy(*gcols).orderBy(fld, *tb)
             df = df.withColumn(f"_rnv_{fld}", F.row_number().over(w))
@@ -915,7 +922,7 @@ class _Compiler:
             if isinstance(e, Call) and e.func in _TRANSFORMS:
                 if not bucketed:
                     raise InfluxQLError(f"{e.func} requires GROUP BY time()")
-                inner = e.args[0]
+                inner = e.args[0] if e.args else None
                 if not (isinstance(inner, Call) and inner.func in _AGG_FUNCS):
                     raise InfluxQLError(f"{e.func} wraps one aggregate")
                 aggs.append(self._agg_col(inner, rank_cols).alias(f"_in_{name}"))
@@ -954,6 +961,10 @@ class _Compiler:
                 wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
                 col = F.round(F.sum(src).over(wc), 6)
             elif e.func == "MOVING_AVERAGE":
+                if len(e.args) < 2 or not isinstance(e.args[1], Num):
+                    raise InfluxQLError(
+                        "MOVING_AVERAGE(agg, N) needs an integer window N"
+                    )
                 n = int(e.args[1].value)
                 wm = w.rowsBetween(-(n - 1), Window.currentRow)
                 col = F.round(F.sum(src).over(wm) / F.count(src).over(wm), 6)
@@ -968,7 +979,8 @@ class _Compiler:
         def walk(e):
             if isinstance(e, Call):
                 if e.func in _TRANSFORMS:
-                    walk(e.args[0])
+                    if e.args:
+                        walk(e.args[0])
                 else:
                     calls.append(e)
             elif isinstance(e, Bin):
@@ -992,6 +1004,8 @@ class _Compiler:
 
     def _agg_col(self, c: Call, rank_cols) -> Column:
         fn = c.func
+        if not c.args:
+            raise InfluxQLError(f"{fn} needs a field argument")
         if fn == "COUNT":
             a = c.args[0]
             if isinstance(a, Var) and a.name == "*":
@@ -1031,7 +1045,12 @@ class _Compiler:
                 # operators/timeseries.py ts_mode — keep the compiler
                 # surface honest.
                 raise InfluxQLError("MODE: use the ts_mode operator")
-            pct = 50 if fn == "MEDIAN" else int(c.args[1].value)
+            if fn == "MEDIAN":
+                pct = 50
+            else:
+                if len(c.args) < 2 or not isinstance(c.args[1], Num):
+                    raise InfluxQLError("PERCENTILE(field, N) needs an integer N")
+                pct = int(c.args[1].value)
             idx = F.floor((F.lit(pct) * nv + 99) / 100).cast("long")
             return F.max(F.when(rn == idx, col))
         raise InfluxQLError(f"unsupported aggregate {fn}")

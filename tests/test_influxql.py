@@ -281,6 +281,55 @@ def test_select_into_requires_grouping(spark, sf_dir, tmp_path):
         )
 
 
+def test_parser_total_on_arbitrary_input():
+    """The parser is TOTAL over arbitrary strings: any input either
+    parses or raises InfluxQLError — never an internal exception (an
+    IndexError/AttributeError escaping the tokenizer would crash a
+    query service on malformed user input)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=120))
+    def fuzz(s):
+        try:
+            parse(s)
+        except InfluxQLError:
+            pass
+
+    fuzz()
+
+    # structured fuzz: mutations of a real query (truncations, swaps)
+    base = (
+        "SELECT MEAN(value) AS m FROM cpu WHERE time >= now() - 1d "
+        "AND host =~ /web.*/ GROUP BY time(10m), host fill(previous) "
+        "ORDER BY time DESC LIMIT 5"
+    )
+    for i in range(len(base)):
+        for frag in (base[:i], base[i:], base[:i] + "(" + base[i:]):
+            try:
+                parse(frag)
+            except InfluxQLError:
+                pass
+
+
+def test_compiler_errors_cleanly_on_malformed_aggregates(spark, sf_dir):
+    """Compile-path argument validation: wrong arities / argument
+    kinds raise InfluxQLError, not IndexError/ValueError."""
+    bad = [
+        "SELECT PERCENTILE(value) FROM click GROUP BY time(1d)",
+        "SELECT PERCENTILE(value, 'x') FROM click GROUP BY time(1d)",
+        "SELECT MOVING_AVERAGE(MEAN(value)) FROM click GROUP BY time(1d)",
+        "SELECT DERIVATIVE() FROM click GROUP BY time(1d)",
+        "SELECT SUM() FROM click",
+        "SELECT MEDIAN(1) FROM click",
+        "SELECT MODE(value) FROM click GROUP BY time(1d)",
+    ]
+    for q in bad:
+        with pytest.raises(InfluxQLError):
+            influxql(spark, sf_dir, q)
+
+
 def test_predicate_pushdown_reaches_scan(spark, sf_dir):
     """The compiled filter must reach the parquet scan: the whole point
     of emitting a declarative plan is that Catalyst pushes measurement
