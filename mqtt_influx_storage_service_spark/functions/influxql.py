@@ -202,6 +202,12 @@ class Show:
     from_measurement: str | None = None
 
 
+@dataclass
+class Delete:
+    measurement: str | None  # None = every measurement (DROP-less form)
+    where: object | None
+
+
 class _Parser:
     def __init__(self, src: str):
         self.src = src
@@ -263,6 +269,18 @@ class _Parser:
     def parse(self):
         if self.kw("SHOW"):
             stmt = self._show()
+        elif self.kw("DELETE"):
+            m = self._opt_from()
+            where = self._expr() if self.kw("WHERE") else None
+            if m is None and where is None:
+                raise InfluxQLError("DELETE needs FROM or WHERE")
+            stmt = Delete(m, where)
+        elif self.kw("DROP"):
+            self.expect_kw("MEASUREMENT")
+            t = self.next()
+            if t.kind != "ident":
+                raise InfluxQLError(f"expected measurement at {t.pos}")
+            stmt = Delete(t.text, None)
         else:
             self.expect_kw("SELECT")
             stmt = self._select()
@@ -1121,6 +1139,45 @@ def influxql(
     if isinstance(stmt, Show):
         return _compile_show(spark, cat, stmt)
     return _Compiler(spark, cat, stmt, now=now).compile()
+
+
+def _bare_compiler(now=None) -> "_Compiler":
+    """A condition-only compiler context (no catalog, no statement) —
+    shared by DELETE and the streaming CQ's per-batch WHERE."""
+    c = _Compiler.__new__(_Compiler)
+    c.now = now
+    c.time_lo = c.time_hi = None
+    c.lo_incl, c.hi_incl = True, False
+    return c
+
+
+def delete_condition(stmt: Delete, now=None) -> Column:
+    """The row predicate a parsed DELETE/DROP statement selects."""
+    cond = F.lit(True)
+    if stmt.measurement is not None:
+        cond = cond & (F.col("measurement") == stmt.measurement)
+    if stmt.where is not None:
+        cond = cond & _bare_compiler(now)._cond(stmt.where)
+    return cond
+
+
+def influxql_delete(table, query: str, now=None) -> None:
+    """Apply ``DELETE FROM <m> [WHERE ...]`` or ``DROP MEASUREMENT
+    <m>`` to a points SnapshotTable (columns: measurement, time, tags,
+    fields) — one atomic snapshot version via the table format's
+    delete; prior versions stay time-travelable, InfluxDB's
+    tombstone-then-compact made explicit. Time-range-only deletes over
+    the date-partitioned warehouse should instead use
+    ``..retention.enforce_retention`` (metadata-only partition drops).
+    """
+    import datetime
+
+    if isinstance(now, str):
+        now = datetime.datetime.fromisoformat(now)
+    stmt = parse(query)
+    if not isinstance(stmt, Delete):
+        raise InfluxQLError("influxql_delete needs a DELETE/DROP statement")
+    table.delete(delete_condition(stmt, now))
 
 
 def influxql_into(

@@ -48,7 +48,7 @@ from ..functions.influxql import (
     InfluxQLError,
     Rgx,
     Var,
-    _Compiler,
+    _bare_compiler,
     parse_continuous_query,
 )
 from ..functions.influxql import EventsCatalog
@@ -168,11 +168,7 @@ def cq_partials(cc: CompiledCQ, batch: DataFrame) -> DataFrame:
     Applies the CQ's measurement filter and WHERE clause first."""
     df = _layout(batch).filter(F.col("measurement").isin(cc.measurements))
     if cc.stmt.where is not None:
-        comp = _Compiler.__new__(_Compiler)
-        comp.time_lo = comp.time_hi = None
-        comp.lo_incl, comp.hi_incl = True, False
-        comp.now = None
-        df = df.filter(comp._cond(cc.stmt.where))
+        df = df.filter(_bare_compiler()._cond(cc.stmt.where))
     us = F.unix_micros(F.col("time"))
     df = df.withColumn(
         "time", F.timestamp_micros(us - us % F.lit(cc.iv_us))

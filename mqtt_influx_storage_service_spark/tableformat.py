@@ -234,6 +234,15 @@ class SnapshotTable:
         self._publish(merged, batch_id, prev)
         return True
 
+    def delete(self, condition) -> None:
+        """Delete every row matching ``condition`` (a Column
+        predicate) as ONE new snapshot version — atomic, snapshot-
+        isolated (readers of the old version are untouched), and
+        time-travelable like every other write. The InfluxQL
+        DELETE/DROP MEASUREMENT surface lands here."""
+        prev = self._current()
+        self._publish(self.read().filter(~condition), None, prev)
+
     def compact(self, target_files: int = 8) -> None:
         """Log-safe small-file rewrite: same rows, fewer files, new
         snapshot version — concurrent readers keep their old manifest
@@ -408,6 +417,11 @@ class DeltaSnapshotTable:
             else:
                 m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
         return True
+
+    def delete(self, condition) -> None:
+        """Same contract as SnapshotTable.delete — one ACID Delta
+        DELETE commit."""
+        self._table().delete(condition)
 
     def compact(self, target_files: int = 8) -> None:
         # OPTIMIZE bin-packs to its own target size; target_files is a

@@ -313,6 +313,48 @@ def test_parser_total_on_arbitrary_input():
                 pass
 
 
+def test_delete_and_drop_measurement(spark, sf_dir, tmp_path):
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        EventsCatalog,
+        influxql_delete,
+    )
+    from mqtt_influx_storage_service_spark.tableformat import SnapshotTable
+
+    pts = EventsCatalog(sf_dir).load_many(
+        spark, ["click", "view", "error"]
+    )
+    table = SnapshotTable(
+        spark, str(tmp_path / "pts"), key_cols=["measurement", "event_id"]
+    )
+    table.overwrite(pts)
+    n0 = table.read().count()
+
+    influxql_delete(
+        table,
+        "DELETE FROM click WHERE time < now() - 20d",
+        now="2024-01-30 00:00:00",
+    )
+    after = table.read()
+    gone = after.filter(
+        (F.col("measurement") == "click")
+        & (F.col("time") < F.lit("2024-01-10 00:00:00").cast("timestamp"))
+    ).count()
+    assert gone == 0
+    kept_click = after.filter(F.col("measurement") == "click").count()
+    assert 0 < kept_click
+    # non-click rows untouched
+    assert after.filter(F.col("measurement") != "click").count() == pts.filter(
+        F.col("measurement") != "click"
+    ).count()
+
+    influxql_delete(table, "DROP MEASUREMENT view")
+    v = table.read()
+    assert v.filter(F.col("measurement") == "view").count() == 0
+    assert v.count() < n0
+    # every version is still time-travelable
+    assert table.read(version=1).count() == n0
+
+
 def test_compiler_errors_cleanly_on_malformed_aggregates(spark, sf_dir):
     """Compile-path argument validation: wrong arities / argument
     kinds raise InfluxQLError, not IndexError/ValueError."""
