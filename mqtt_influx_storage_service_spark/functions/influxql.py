@@ -193,6 +193,7 @@ class Select:
     offset: int | None
     slimit: int | None
     into: str | None = None  # SELECT ... INTO <measurement>
+    offset_ns: int = 0  # GROUP BY time(iv, offset) bucket shift
 
 
 @dataclass
@@ -339,6 +340,7 @@ class _Parser:
         where = self._expr() if self.kw("WHERE") else None
 
         group_time_ns: int | None = None
+        group_time_offset_ns = 0
         group_tags: list[str] = []
         fill: str | float | None = None
         if self.kw("GROUP"):
@@ -352,6 +354,13 @@ class _Parser:
                     if d.kind != "dur":
                         raise InfluxQLError(f"expected duration at {d.pos}")
                     group_time_ns = _dur_ns(d.text)
+                    if self.at_op(","):
+                        d2 = self.next()
+                        if d2.kind != "dur":
+                            raise InfluxQLError(
+                                f"expected offset duration at {d2.pos}"
+                            )
+                        group_time_offset_ns = _dur_ns(d2.text)
                     self.expect_op(")")
                 elif t.kind == "op" and t.text == "*":
                     self.next()
@@ -415,6 +424,7 @@ class _Parser:
             offset,
             slimit,
             into,
+            group_time_offset_ns,
         )
 
     def _int(self) -> int:
@@ -895,9 +905,10 @@ class _Compiler:
         bucketed = st.group_time_ns is not None
         if bucketed:
             iv_us = st.group_time_ns // 1000
-            us = F.unix_micros(F.col("time"))
+            off_us = st.offset_ns // 1000
+            us = F.unix_micros(F.col("time")) - F.lit(off_us)
             # exact integer floor-to-bucket (no double division anywhere)
-            bucket = F.timestamp_micros(us - us % F.lit(iv_us))
+            bucket = F.timestamp_micros(us - us % F.lit(iv_us) + F.lit(off_us))
             df = df.withColumn("_bucket", bucket)
             gcols = keys + ["_bucket"]
         else:
@@ -1081,14 +1092,17 @@ class _Compiler:
         if self.time_lo is None or self.time_hi is None:
             raise InfluxQLError("fill() requires WHERE time >= .. AND time < ..")
         iv_us = st.group_time_ns // 1000
-        lo = F.unix_micros(F.lit(self.time_lo).cast("timestamp"))
+        off_us = st.offset_ns // 1000
+        lo = F.unix_micros(F.lit(self.time_lo).cast("timestamp")) - F.lit(off_us)
         # last bucket that can contain an in-range point (hi exclusive
         # unless the bound was <=)
-        hi = F.unix_micros(F.lit(self.time_hi).cast("timestamp")) - (
-            0 if self.hi_incl else 1
+        hi = (
+            F.unix_micros(F.lit(self.time_hi).cast("timestamp"))
+            - F.lit(off_us)
+            - (0 if self.hi_incl else 1)
         )
-        lo_us = (lo - lo % F.lit(iv_us)).cast("long")
-        hi_us = (hi - hi % F.lit(iv_us)).cast("long")
+        lo_us = (lo - lo % F.lit(iv_us) + F.lit(off_us)).cast("long")
+        hi_us = (hi - hi % F.lit(iv_us) + F.lit(off_us)).cast("long")
         spine = self.spark.range(1).select(
             F.explode(
                 F.sequence(lo_us, hi_us, F.lit(iv_us).cast("long"))

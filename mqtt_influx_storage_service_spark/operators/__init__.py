@@ -46,6 +46,7 @@ _PRIORITY = [
     "ref_line_protocol",
     "iq_subquery_rollup",
     "iq_now_relative",
+    "iq_lineitem_profile",
     "iq_show_series",
     "iq_raw_select",
     "iq_mean_by_day",

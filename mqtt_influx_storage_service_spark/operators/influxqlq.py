@@ -20,7 +20,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.influxql import influxql
+from pyspark.sql import functions as F
+
+from ..functions.influxql import MeasurementSchema, influxql
+from ..sources import load_table
+
+
+class LineitemCatalog:
+    """A second measurement catalog — over the TPC-H ``lineitem``
+    table — proving the compiler is schema-generic, not hardwired to
+    the events fixture: two tags (returnflag, linestatus), two fields
+    (quantity, extendedprice), time = l_shipdate, tiebreak =
+    (l_orderkey, l_linenumber) folded into one synthetic key."""
+
+    MEASUREMENTS = ["lineitem"]
+
+    def __init__(self, sf_dir: str):
+        self.sf_dir = sf_dir
+        self.schema = MeasurementSchema(
+            tags=["returnflag", "linestatus"],
+            fields=["quantity", "extendedprice"],
+            tiebreak="rowkey",
+        )
+
+    def measurement_names(self) -> list[str]:
+        return list(self.MEASUREMENTS)
+
+    def load(self, spark, name):
+        li = load_table(spark, self.sf_dir, "lineitem")
+        return li.select(
+            F.lit(name).alias("measurement"),
+            F.col("l_shipdate").cast("timestamp").alias("time"),
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rowkey"),
+        )
 
 _US_1D = 86_400_000_000
 _US_1W = 7 * _US_1D
@@ -29,9 +65,10 @@ _BUCKET = "make_timestamp(epoch_us(ts) - epoch_us(ts) % {iv})"
 _MEAN = "round(round(sum(value), 2) / count(value), 6)"
 
 
-def _q(query: str, now: str | None = None):
+def _q(query: str, now: str | None = None, catalog_cls=None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return influxql(spark, sf_dir, query, now=now)
+        cat = catalog_cls(sf_dir) if catalog_cls else None
+        return influxql(spark, sf_dir, query, catalog=cat, now=now)
 
     run.__doc__ = f"InfluxQL: {query}" + (f" [now={now}]" if now else "")
     return run
@@ -293,6 +330,33 @@ GROUP BY 1, 2
 """
 
 
+# -- 9c. second catalog: multi-tag multi-field lineitem measurement --------
+
+IQ_LINEITEM_PROFILE = (
+    "SELECT SUM(quantity) AS sum_qty, MEAN(extendedprice) AS avg_price, "
+    "COUNT(quantity) AS n FROM lineitem "
+    "WHERE time >= '1996-01-01 00:00:00' AND time < '1998-01-01 00:00:00' "
+    "GROUP BY time(12w), returnflag, linestatus"
+)
+
+_US_12W = 12 * _US_1W
+
+IQ_LINEITEM_PROFILE_SQL = f"""
+SELECT l_returnflag AS returnflag,
+       l_linestatus AS linestatus,
+       make_timestamp(epoch_us(CAST(l_shipdate AS TIMESTAMP))
+           - epoch_us(CAST(l_shipdate AS TIMESTAMP)) % {_US_12W}) AS time,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(round(sum(l_extendedprice), 2) / count(l_extendedprice), 6)
+           AS avg_price,
+       count(l_quantity) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
 # -- 10. SHOW SERIES (series-key catalog) ----------------------------------
 
 IQ_SHOW_SERIES = "SHOW SERIES FROM purchase"
@@ -307,6 +371,7 @@ WHERE event_type = 'purchase'
 QUERIES = {
     "iq_subquery_rollup": _q(IQ_SUBQUERY_ROLLUP),
     "iq_now_relative": _q(IQ_NOW_RELATIVE, now="2024-01-30 00:00:00"),
+    "iq_lineitem_profile": _q(IQ_LINEITEM_PROFILE, catalog_cls=LineitemCatalog),
     "iq_show_series": _q(IQ_SHOW_SERIES),
     "iq_raw_select": _q(IQ_RAW_SELECT),
     "iq_mean_by_day": _q(IQ_MEAN_BY_DAY),
@@ -321,6 +386,7 @@ QUERIES = {
 ORACLES = {
     "iq_subquery_rollup": IQ_SUBQUERY_ROLLUP_SQL,
     "iq_now_relative": IQ_NOW_RELATIVE_SQL,
+    "iq_lineitem_profile": IQ_LINEITEM_PROFILE_SQL,
     "iq_show_series": IQ_SHOW_SERIES_SQL,
     "iq_raw_select": IQ_RAW_SELECT_SQL,
     "iq_mean_by_day": IQ_MEAN_BY_DAY_SQL,

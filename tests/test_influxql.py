@@ -313,6 +313,23 @@ def test_parser_total_on_arbitrary_input():
                 pass
 
 
+def test_group_by_time_offset(spark, sf_dir):
+    """time(1d, 6h) shifts bucket boundaries to 06:00; every returned
+    bucket timestamp lands on the shifted grid and totals are
+    conserved."""
+    plain = influxql(
+        spark, sf_dir, "SELECT COUNT(value) AS n FROM click GROUP BY time(1d)"
+    ).collect()
+    shifted = influxql(
+        spark,
+        sf_dir,
+        "SELECT COUNT(value) AS n FROM click GROUP BY time(1d, 6h)",
+    ).collect()
+    assert all(r["time"].hour == 6 for r in shifted)
+    assert sum(r["n"] for r in shifted) == sum(r["n"] for r in plain)
+    assert {r["time"] for r in shifted} != {r["time"] for r in plain}
+
+
 def test_delete_and_drop_measurement(spark, sf_dir, tmp_path):
     from mqtt_influx_storage_service_spark.functions.influxql import (
         EventsCatalog,
