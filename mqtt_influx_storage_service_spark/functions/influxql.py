@@ -818,10 +818,17 @@ class _Compiler:
                 "%": l % r,
             }[e.op]
         if isinstance(e, Call):
+            if e.func in ("ABS", "ROUND") and not e.args:
+                raise InfluxQLError(f"{e.func} needs an argument")
             if e.func == "ABS":
                 return F.abs(self._scalar(e.args[0]))
             if e.func == "ROUND":
-                return F.round(self._scalar(e.args[0]), int(e.args[1].value) if len(e.args) > 1 else 0)
+                nd = 0
+                if len(e.args) > 1:
+                    if not isinstance(e.args[1], Num):
+                        raise InfluxQLError("ROUND(x, N) needs an integer N")
+                    nd = int(e.args[1].value)
+                return F.round(self._scalar(e.args[0]), nd)
             raise InfluxQLError(f"unsupported scalar function {e.func}")
         raise InfluxQLError(f"unsupported expression {e!r}")
 
@@ -872,6 +879,8 @@ class _Compiler:
             )
             out = out.join(F.broadcast(series), group_tags)
         if st.offset:
+            if "time" not in out.columns:
+                raise InfluxQLError("OFFSET requires a time-ordered result")
             w = Window.orderBy(
                 F.col("time").desc() if st.order_desc else F.col("time")
             )
