@@ -43,6 +43,7 @@ _PRIORITY = [
     # new in r4 — no driver row yet
     "text_pii_scrub",
     "pipeline_curriculum",
+    "mm_token_budget",
     "ref_line_protocol",
     "iq_subquery_rollup",
     "iq_now_relative",

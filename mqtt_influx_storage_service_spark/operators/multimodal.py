@@ -254,13 +254,83 @@ WHERE f.idx < n_frames
 """
 
 
+# --------------------------------------------------------------------------
+# Multimodal token accounting — VLM sequence-length budgeting
+# --------------------------------------------------------------------------
+
+PATCH = 16  # ViT-style patch edge
+AUDIO_FPS = 25  # frames per second of audio
+VIDEO_FPS = 8  # sampled frames per second of video
+FRAME_TOKENS = 64  # tokens per sampled video frame
+
+
+def mm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset TOKEN accounting for a vision-language training mix:
+    how many sequence positions each media asset consumes after
+    encoding — image → ceil(w/16)·ceil(h/16) ViT patches, audio →
+    25 tokens/s, video → 8 frames/s × 64 tokens/frame. The number
+    every multimodal packer/batcher needs before it can budget
+    sequence length; all INTEGER arithmetic (ceil-division identities,
+    duration reconstructed exactly from its 6-decimal encoding) so the
+    hash gate is airtight. Pure per-row projection: no shuffle, prunes
+    the payload column (metadata-only scan, same property the
+    manifest test pins).
+    """
+    media = build_media_table(spark, sf_dir)
+    # duration_s = round(n_chars/37, 6) → n_chars recovered exactly
+    n_chars = F.round(F.col("duration_s") * 37).cast("long")
+    patches = ((F.col("width") + PATCH - 1).cast("long") / PATCH).cast(
+        "long"
+    ) * ((F.col("height") + PATCH - 1).cast("long") / PATCH).cast("long")
+    audio_tokens = ((n_chars * AUDIO_FPS + 36) / 37).cast("long")
+    video_tokens = ((n_chars * VIDEO_FPS + 36) / 37).cast("long") * FRAME_TOKENS
+    media_tokens = (
+        F.when(F.col("modality") == "image", patches)
+        .when(F.col("modality") == "audio", audio_tokens)
+        .otherwise(video_tokens)
+    )
+    return media.select(
+        "doc_id",
+        "modality",
+        media_tokens.alias("media_tokens"),
+        (media_tokens + 2).alias("seq_len"),  # +BOS/EOS
+    )
+
+
+MM_TOKEN_BUDGET_SQL = f"""
+WITH media AS (
+    SELECT doc_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+           CAST(n_chars % 1920 + 16 AS INT) AS width,
+           CAST(n_chars % 1080 + 16 AS INT) AS height,
+           n_chars
+    FROM documents
+), toks AS (
+    SELECT doc_id, modality,
+           CASE modality
+               WHEN 'image' THEN ((width + {PATCH - 1}) // {PATCH})
+                                 * ((height + {PATCH - 1}) // {PATCH})
+               WHEN 'audio' THEN (n_chars * {AUDIO_FPS} + 36) // 37
+               ELSE ((n_chars * {VIDEO_FPS} + 36) // 37) * {FRAME_TOKENS}
+           END AS media_tokens
+    FROM media
+)
+SELECT doc_id, modality,
+       CAST(media_tokens AS BIGINT) AS media_tokens,
+       CAST(media_tokens + 2 AS BIGINT) AS seq_len
+FROM toks
+"""
+
+
 QUERIES = {
+    "mm_token_budget": mm_token_budget,
     "mm_manifest": mm_manifest,
     "mm_extract_features": mm_extract_features,
     "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLES = {
+    "mm_token_budget": MM_TOKEN_BUDGET_SQL,
     "mm_manifest": MM_MANIFEST_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     # mm_extract_features: decode is a stubbed codec behind mapInPandas,
