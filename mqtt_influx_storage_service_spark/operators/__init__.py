@@ -44,6 +44,9 @@ _PRIORITY = [
     "text_pii_scrub",
     "pipeline_curriculum",
     "mm_token_budget",
+    "rel_revenue_threshold",
+    "rel_sales_opportunity",
+    "rel_top_supplier",
     "ref_line_protocol",
     "iq_subquery_rollup",
     "iq_now_relative",

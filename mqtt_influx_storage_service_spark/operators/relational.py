@@ -849,7 +849,163 @@ def rel_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q11 shape — HAVING against a global scalar threshold
+# --------------------------------------------------------------------------
+
+def rel_revenue_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds a fraction of GLOBAL revenue (TPC-H
+    Q11 shape, adapted to the fixture's partsupp-less star): the
+    per-group aggregate is compared against a scalar aggregate of the
+    WHOLE fact table. The scalar side is a 1-row aggregate broadcast
+    onto every group — no second scan pass, no driver round-trip;
+    both sides round to cents before comparing so the cut is
+    bit-identical across engines. The cut itself is SCALE-FREE (TPC-H
+    parameterizes Q11's fraction by 1/SF for the same reason): 1.6x
+    the mean per-part share selects the above-average tail at any
+    corpus size instead of going empty or all-pass as parts grow.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(rev, 2).alias("part_revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+    total = li.agg(
+        F.round(rev * 1.6 / F.countDistinct("l_partkey"), 2).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_revenue") > F.col("threshold"))
+        .join(F.broadcast(part), per_part.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey", "p_name", "part_revenue", "n_lineitems", "threshold"
+        )
+    )
+
+
+REL_REVENUE_THRESHOLD_SQL = """
+WITH per_part AS (
+    SELECT l_partkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_revenue,
+           count(*) AS n_lineitems
+    FROM lineitem GROUP BY 1
+), t AS (
+    SELECT round(sum(l_extendedprice * (1 - l_discount)) * 1.6
+                 / count(DISTINCT l_partkey), 2) AS threshold
+    FROM lineitem
+)
+SELECT p_partkey, p_name, part_revenue, n_lineitems, threshold
+FROM per_part, t
+JOIN part ON p_partkey = l_partkey
+WHERE part_revenue > threshold
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape — scalar avg subquery + anti join + group
+# --------------------------------------------------------------------------
+
+def rel_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wealthy-but-inactive customers per nation (TPC-H Q22 shape):
+    acctbal above the average POSITIVE balance (scalar subquery),
+    restricted to customers with no RECENT orders (anti join on the
+    date-filtered order set; every fixture customer has some order, so
+    the spec's never-ordered form would be vacuously empty), rolled up
+    by nation. Scalar side is one broadcast row; the anti join streams
+    the customer side against broadcast recent-order keys.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1)), 6).alias(
+            "avg_bal"
+        )
+    )
+    inactive = cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        inactive.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+REL_SALES_OPPORTUNITY_SQL = """
+WITH ab AS (
+    SELECT round(round(sum(c_acctbal), 2) / count(*), 6) AS avg_bal
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS n_custs,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer, ab
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape — aggregate CTE reused against its own max
+# --------------------------------------------------------------------------
+
+def rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with maximum revenue (TPC-H Q15 shape): the revenue
+    CTE is referenced twice — once as the relation, once reduced to its
+    max — without recomputation: the same lazy plan feeds both and the
+    max side is a broadcast single row. Ties (same rounded revenue)
+    all return, like the spec's view formulation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+REL_TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
 QUERIES = {
+    "rel_revenue_threshold": rel_revenue_threshold,
+    "rel_sales_opportunity": rel_sales_opportunity,
+    "rel_top_supplier": rel_top_supplier,
     "rel_pricing_summary": rel_pricing_summary,
     "rel_shipping_priority": rel_shipping_priority,
     "rel_map_funcs": rel_map_funcs,
@@ -881,6 +1037,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_revenue_threshold": REL_REVENUE_THRESHOLD_SQL,
+    "rel_sales_opportunity": REL_SALES_OPPORTUNITY_SQL,
+    "rel_top_supplier": REL_TOP_SUPPLIER_SQL,
     "rel_pricing_summary": REL_PRICING_SUMMARY_SQL,
     "rel_shipping_priority": REL_SHIPPING_PRIORITY_SQL,
     "rel_map_funcs": REL_MAP_FUNCS_SQL,
