@@ -521,7 +521,10 @@ class _Parser:
             return Dur(_dur_ns(t.text))
         if t.kind == "num":
             self.next()
-            return Num(float(t.text), "." not in t.text)
+            is_int = "." not in t.text
+            # exact int for integer literals: float would round epoch-ns
+            # magnitudes (> 2^53) and corrupt time bounds
+            return Num(int(t.text) if is_int else float(t.text), is_int)
         if t.kind == "str":
             self.next()
             return Str(t.text)
@@ -673,6 +676,12 @@ def _eval_time(v, now) -> "datetime.datetime":
         return datetime.datetime(1970, 1, 1) + datetime.timedelta(
             microseconds=int(v.value) // 1000
         )
+    if isinstance(v, Dur):
+        # '<epoch>ns' lexes as a duration token; as a standalone time
+        # bound it IS the epoch instant (1700000000000000000ns)
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=v.ns // 1000
+        )
     if isinstance(v, Call) and v.func == "NOW":
         if now is None:
             raise InfluxQLError(
@@ -754,12 +763,16 @@ class _Compiler:
         return df
 
     # -- WHERE -------------------------------------------------------------
-    def _cond(self, e) -> Column:
+    def _cond(self, e, note: bool = True) -> Column:
+        """``note=True`` only along the top-level AND spine: a time
+        bound inside an OR branch does NOT constrain the whole result,
+        so harvesting it for fill()'s spine would silently drop real
+        buckets outside that branch's range."""
         if isinstance(e, Bin):
             if e.op == "AND":
-                return self._cond(e.left) & self._cond(e.right)
+                return self._cond(e.left, note) & self._cond(e.right, note)
             if e.op == "OR":
-                return self._cond(e.left) | self._cond(e.right)
+                return self._cond(e.left, False) | self._cond(e.right, False)
             if e.op in ("=~", "!~"):
                 if not isinstance(e.left, Var):
                     raise InfluxQLError("regex match needs a tag on the left")
@@ -773,7 +786,8 @@ class _Compiler:
                 rc = F.lit(dt.strftime("%Y-%m-%d %H:%M:%S.%f")).cast(
                     "timestamp"
                 )
-                self._note_time_bound(e.op, dt)
+                if note:
+                    self._note_time_bound(e.op, dt)
             else:
                 lc = self._scalar(lt)
                 rc = self._scalar(rt)
@@ -838,14 +852,24 @@ class _Compiler:
             return f.alias
         e = f.expr
         if isinstance(e, Call):
-            inner = e.args[0] if e.args else None
-            base = e.func.lower()
-            if isinstance(inner, Call):
-                return base  # derivative(mean(value)) -> 'derivative'
-            return base
+            return e.func.lower()  # derivative(mean(value)) -> 'derivative'
         if isinstance(e, Var):
             return e.name
         return f"expr_{i}"
+
+    def _field_names(self) -> list[str]:
+        """Output name per field, de-duplicated the way InfluxQL does
+        (mean, mean_1, mean_2 ...) so two unaliased aggregates of the
+        same function stay distinguishable and fill()'s withColumn
+        never hits an ambiguous reference."""
+        names: list[str] = []
+        seen: dict[str, int] = {}
+        for i, f in enumerate(self.stmt.fields):
+            base = self._field_name(f, i)
+            n = seen.get(base, 0)
+            seen[base] = n + 1
+            names.append(base if n == 0 else f"{base}_{n}")
+        return names
 
     def compile(self) -> DataFrame:
         st = self.stmt
@@ -898,6 +922,7 @@ class _Compiler:
         cols: list[Column] = [F.col("time")]
         if multi:
             cols.append(F.col("measurement"))
+        names = self._field_names()
         for i, f in enumerate(self.stmt.fields):
             if isinstance(f.expr, Var) and f.expr.name == "*":
                 for t in self.src_tags:
@@ -905,7 +930,7 @@ class _Compiler:
                 for fld in self.src_fields:
                     cols.append(F.col(fld))
                 continue
-            cols.append(self._scalar(f.expr).alias(self._field_name(f, i)))
+            cols.append(self._scalar(f.expr).alias(names[i]))
         return df.select(*cols)
 
     # aggregate select
@@ -954,8 +979,9 @@ class _Compiler:
 
         aggs: list[Column] = []
         transforms: list[tuple[str, Call]] = []
+        names = self._field_names()
         for i, f in enumerate(st.fields):
-            name = self._field_name(f, i)
+            name = names[i]
             e = f.expr
             if isinstance(e, Call) and e.func in _TRANSFORMS:
                 if not bucketed:

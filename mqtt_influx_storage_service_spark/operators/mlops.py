@@ -164,7 +164,11 @@ def _ivf_train(unit: DataFrame, n_vecs: int) -> tuple["np.ndarray", "np.ndarray"
     df.count() here would fire a full-corpus job at plan-construction
     time (VERDICT r2 #4; pinned by test_ann_construction_fires_no_count).
     """
-    stride = max(1, n_vecs // IVF_SAMPLE)
+    # CEIL stride: floor would admit up to ~2x IVF_SAMPLE strided rows
+    # and the limit() below would then keep a partition-order-dependent
+    # (nondeterministic) subset — ceil keeps the strided set itself
+    # within the cap, so limit() is a pure guard that never cuts.
+    stride = max(1, -(-n_vecs // IVF_SAMPLE))
     rows = (
         unit.filter(F.col("vec_id") % stride == 0)
         .select("unit")

@@ -42,9 +42,10 @@ def lines_to_points(lines: DataFrame, field: str = "value") -> DataFrame:
         F.element_at("p.tags", "user_id").alias("user_id"),
         field_as_double(F.col("p.fields"), field).alias("value"),
         F.col("p.time_ns").alias("ts_ns"),
-        F.timestamp_micros(
-            (F.col("p.time_ns") / F.lit(1000)).cast("long")
-        ).alias("ts"),
+        # integer `div`, not float division: double rounding above 2^53
+        # would break the ts == floor(ts_ns/1000) invariant load_table
+        # documents for the events table
+        F.timestamp_micros(F.expr("p.time_ns div 1000")).alias("ts"),
     )
 
 

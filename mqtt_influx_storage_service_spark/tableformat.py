@@ -239,9 +239,15 @@ class SnapshotTable:
         predicate) as ONE new snapshot version — atomic, snapshot-
         isolated (readers of the old version are untouched), and
         time-travelable like every other write. The InfluxQL
-        DELETE/DROP MEASUREMENT surface lands here."""
+        DELETE/DROP MEASUREMENT surface lands here.
+
+        SQL DELETE semantics: rows where the predicate is NULL are
+        KEPT (only condition IS TRUE deletes), matching Delta's
+        delete(condition) so both implementations of the contract
+        produce the same table."""
         prev = self._current()
-        self._publish(self.read().filter(~condition), None, prev)
+        keep = ~F.coalesce(condition, F.lit(False))
+        self._publish(self.read().filter(keep), None, prev)
 
     def compact(self, target_files: int = 8) -> None:
         """Log-safe small-file rewrite: same rows, fewer files, new

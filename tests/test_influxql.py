@@ -313,6 +313,67 @@ def test_parser_total_on_arbitrary_input():
                 pass
 
 
+def test_duplicate_unaliased_fields_get_suffixes(spark, sf_dir):
+    from mqtt_influx_storage_service_spark.operators.influxqlq import (
+        LineitemCatalog,
+    )
+
+    df = influxql(
+        spark,
+        sf_dir,
+        "SELECT MEAN(quantity), MEAN(extendedprice) FROM lineitem "
+        "GROUP BY time(30d)",
+        catalog=LineitemCatalog(sf_dir),
+    )
+    assert df.columns.count("mean") == 1 and "mean_1" in df.columns
+
+
+def test_fill_ignores_or_branch_time_bounds(spark, sf_dir):
+    """A time bound inside an OR branch must not become fill()'s
+    spine: with no top-level AND bounds, fill() refuses instead of
+    silently dropping buckets outside the OR branch's range."""
+    with pytest.raises(InfluxQLError, match="fill"):
+        influxql(
+            spark,
+            sf_dir,
+            "SELECT COUNT(value) AS n FROM click "
+            "WHERE (time >= '2024-01-01 00:00:00' AND time < '2024-01-02 00:00:00') "
+            "OR user_id = 5 "
+            "GROUP BY time(1d), user_id fill(0)",
+        )
+
+
+def test_delete_null_predicate_rows_kept(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL survive."""
+    from mqtt_influx_storage_service_spark.tableformat import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 20.0)], "id long, v double"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "t"), key_cols=["id"])
+    t.overwrite(df)
+    t.delete(F.col("v") < 10)
+    assert sorted(r["id"] for r in t.read().collect()) == [2, 3]
+
+
+def test_epoch_ns_time_bounds(spark, sf_dir):
+    """Bare-integer and ns-suffixed epoch bounds agree with the string
+    form, exactly (no float rounding above 2^53)."""
+    base = influxql(
+        spark,
+        sf_dir,
+        "SELECT COUNT(value) AS n FROM click WHERE time >= '2024-01-15 00:00:00'",
+    ).collect()[0]["n"]
+    ns = 1705276800000000000  # 2024-01-15T00:00:00Z in epoch ns
+    for bound in (str(ns), f"{ns}ns"):
+        got = influxql(
+            spark,
+            sf_dir,
+            f"SELECT COUNT(value) AS n FROM click WHERE time >= {bound}",
+        ).collect()[0]["n"]
+        assert got == base
+
+
 def test_group_by_time_offset(spark, sf_dir):
     """time(1d, 6h) shifts bucket boundaries to 06:00; every returned
     bucket timestamp lands on the shifted grid and totals are
