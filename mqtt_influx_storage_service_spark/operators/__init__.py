@@ -44,6 +44,7 @@ _PRIORITY = [
     "text_pii_scrub",
     "pipeline_curriculum",
     "mm_token_budget",
+    "sim_mmr",
     "rel_revenue_threshold",
     "rel_sales_opportunity",
     "rel_top_supplier",

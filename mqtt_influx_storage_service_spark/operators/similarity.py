@@ -1229,7 +1229,172 @@ FROM ranked WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# Maximal marginal relevance — diversity-aware re-rank of a retrieved pool
+# --------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 200
+MMR_K = 5
+
+# keyed like _SHINGLE_CACHE: the greedy stages persist pool + K 1-row
+# picks; re-building them per call would leak a fresh cache entry set
+# every invocation
+_MMR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    greedily pick MMR_K results that balance relevance to the query
+    (vec 0) against redundancy with what's already picked —
+    score = λ·rel − (1−λ)·max_sim_to_selected. The dedupe-at-rank
+    step of a retrieval/training-mix pipeline.
+
+    Scale shape: MMR is quadratic in its POOL, so the pool is the
+    top-MMR_POOL by relevance (one WindowGroupLimit-style pass over
+    the corpus — the ANN/rerank regime at 10^9 vectors), persisted so
+    the K unrolled selection stages reuse one materialization. Each
+    greedy step is a lazily-unrolled argmax (orderBy + limit 1) with
+    the ≤K selected rows broadcast into the penalty join — no driver
+    loop, no action: the whole K-step greedy is ONE plan.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MMR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    q = _with_norm(emb.filter(F.col("vec_id") == 0), "q_id", "qv")
+    c = _with_norm(emb.filter(F.col("vec_id") != 0), "vec_id", "cv")
+    rel = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn(
+            "rel",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("q_id_norm") * F.col("vec_id_norm")),
+                6,
+            ),
+        )
+        .select("vec_id", "rel", "cv", F.col("vec_id_norm").alias("n"))
+    )
+    pool = rel.orderBy(F.col("rel").desc(), "vec_id").limit(MMR_POOL).persist()
+
+    lam = MMR_LAMBDA
+    picks: list[DataFrame] = []
+    carry = ["vec_id", "rel", "cv", "n"]
+    for rank in range(1, MMR_K + 1):
+        if not picks:
+            pick = pool.withColumn("score", F.col("rel"))
+        else:
+            selected = picks[0]
+            for p in picks[1:]:
+                selected = selected.unionByName(p)
+            sel = selected.select(
+                F.col("vec_id").alias("s_id"),
+                F.col("cv").alias("sv"),
+                F.col("n").alias("sn"),
+            )
+            pen = (
+                pool.join(
+                    F.broadcast(selected.select("vec_id")), "vec_id", "left_anti"
+                )
+                .crossJoin(F.broadcast(sel))
+                .withColumn(
+                    "pair_sim",
+                    F.round(
+                        _dot(F.col("cv"), F.col("sv"))
+                        / (F.col("n") * F.col("sn")),
+                        6,
+                    ),
+                )
+                .groupBy(*carry)
+                .agg(F.max("pair_sim").alias("pen"))
+            )
+            pick = pen.withColumn(
+                "score",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1 - lam) * F.col("pen"),
+                    6,
+                ),
+            )
+        picks.append(
+            pick.orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+            .select(*carry, "score")
+            .withColumn("rank", F.lit(rank).cast("long"))
+            # persist each 1-row pick: pick_i is referenced by every
+            # later stage's selected-set union, so an unpersisted tree
+            # re-evaluates pick subtrees ~2^K times (measured 3.7 s ->
+            # sub-second at sf0.1 with the caches)
+            .persist()
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    out = out.select("rank", "vec_id", "rel", "score")
+    _MMR_CACHE[key] = out
+    return out
+
+
+def _mmr_sql() -> str:
+    lam = MMR_LAMBDA
+    dot_ps = _DOT_SQL.format(a="p.cv", b="s.cv")
+    ctes = [
+        f"""v AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS cv,
+           {_NORM_SQL} AS n
+    FROM embeddings
+), qv AS (
+    SELECT cv AS qe, n AS qn FROM v WHERE vec_id = 0
+), rel AS (
+    SELECT vec_id, round({_DOT_SQL.format(a='cv', b='qe')} / (qn * n), 6)
+               AS rel,
+           cv, n
+    FROM v, qv WHERE vec_id <> 0
+), pool AS (
+    SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
+), p1 AS (
+    SELECT vec_id, rel, cv, n, rel AS score FROM pool
+    ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    ]
+    # penalty via CROSS JOIN + GROUP BY, not a correlated subquery:
+    # DuckDB lambdas (inside the unrolled dot) cannot capture
+    # correlated outer columns
+    for r in range(2, MMR_K + 1):
+        ctes.append(
+            f"""sel{r} AS (
+    {' UNION ALL '.join(f'SELECT * FROM p{i}' for i in range(1, r))}
+), c{r} AS (
+    SELECT p.vec_id,
+           max(round({dot_ps} / (p.n * s.n), 6)) AS pen
+    FROM pool p CROSS JOIN sel{r} s
+    WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{r})
+    GROUP BY p.vec_id
+), sc{r} AS (
+    SELECT pool.vec_id, pool.rel, pool.cv, pool.n,
+           round({lam} * pool.rel - {round(1 - lam, 10)} * c{r}.pen, 6)
+               AS score
+    FROM pool JOIN c{r} USING (vec_id)
+), p{r} AS (
+    SELECT vec_id, rel, cv, n, score FROM sc{r}
+    ORDER BY score DESC, vec_id LIMIT 1
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS rank, vec_id, rel, score FROM p{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+SIM_MMR_SQL = _mmr_sql()
+
+
 QUERIES = {
+    "sim_mmr": sim_mmr,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_range_search": sim_range_search,
     "sim_knn_exact": sim_knn_exact,
@@ -1243,6 +1408,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sim_mmr": SIM_MMR_SQL,
     "sim_cosine_topk": SIM_COSINE_TOPK_SQL,
     "sim_range_search": SIM_RANGE_SEARCH_SQL,
     "sim_knn_exact": SIM_KNN_EXACT_SQL,
