@@ -19,20 +19,29 @@ Python anywhere.
 
 Supported surface (practical InfluxQL 1.x subset):
 
-- ``SELECT <fields> FROM <measurements> [WHERE ...] [GROUP BY
-  time(<dur>)[, <tags>] [fill(...)]] [ORDER BY time [DESC]]
-  [LIMIT n] [OFFSET n] [SLIMIT n]``
+- ``SELECT <fields> [INTO <m>] FROM <measurements> [WHERE ...]
+  [GROUP BY time(<dur>[, <offset>])[, <tags>] [fill(...)]]
+  [ORDER BY time [DESC]] [LIMIT n] [OFFSET n] [SLIMIT n]``
+- subqueries: ``FROM (SELECT ...)`` (single source; inner GROUP BY
+  tags stay tags, inner outputs become fields)
 - aggregates  COUNT SUM MIN MAX MEAN MEDIAN MODE SPREAD STDDEV
   PERCENTILE(f, N) FIRST LAST
 - bucket transforms  DERIVATIVE DIFFERENCE CUMULATIVE_SUM
   MOVING_AVERAGE (wrap one aggregate, require GROUP BY time)
-- ``fill(none | null | previous | <number>)`` (needs WHERE time bounds)
+- ``fill(none | null | previous | <number>)`` (needs WHERE time bounds
+  on the top-level AND spine)
 - measurement regex ``FROM /re/`` and comma lists (adds a
-  ``measurement`` column)
+  ``measurement`` column; one IN-filtered scan when the catalog
+  supports it)
 - tag/field predicates with ``AND OR ( )``, ``= != <> < <= > >=``,
-  regex ``=~ /re/`` / ``!~ /re/``, and ``time`` bounds with timestamp
-  strings or ``<epoch>ns`` literals
-- ``SHOW MEASUREMENTS | TAG KEYS | FIELD KEYS | TAG VALUES WITH KEY =``
+  regex ``=~ /re/`` / ``!~ /re/``, and ``time`` bounds as timestamp
+  strings, exact integer epoch-ns literals (bare or ``ns``-suffixed),
+  or ``now() ± <dur>`` against the injectable clock
+- ``SHOW MEASUREMENTS | SERIES [CARDINALITY] | TAG KEYS | FIELD KEYS |
+  TAG VALUES WITH KEY =``
+- ``SELECT ... INTO`` (:func:`influxql_into`), ``DELETE FROM ...
+  WHERE`` / ``DROP MEASUREMENT`` (:func:`influxql_delete`), and
+  ``CREATE CONTINUOUS QUERY`` (compiled by ``..streaming.cq``)
 
 Determinism contract (the repo-wide oracle-hash discipline): MEAN uses
 the round(round(sum,2)/count,6) pattern, MEDIAN/PERCENTILE are
