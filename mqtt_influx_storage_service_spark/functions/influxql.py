@@ -891,11 +891,16 @@ class _Compiler:
             group_tags = list(self.src_tags)
         keys = (["measurement"] if multi else []) + group_tags
 
-        any_agg = any(_is_agg(f.expr) for f in st.fields)
-        if not any_agg:
-            out = self._compile_raw(df, multi)
-        else:
+        if (
+            len(st.fields) == 1
+            and isinstance(st.fields[0].expr, Call)
+            and st.fields[0].expr.func in ("TOP", "BOTTOM")
+        ):
+            out = self._compile_top_bottom(df, keys)
+        elif any(_is_agg(f.expr) for f in st.fields):
             out = self._compile_agg(df, keys, multi)
+        else:
+            out = self._compile_raw(df, multi)
 
         if st.order_desc:
             out = out.orderBy(F.col("time").desc()) if "time" in out.columns else out
@@ -924,6 +929,55 @@ class _Compiler:
             )
         if st.limit is not None:
             out = out.limit(st.limit)
+        return out
+
+    # TOP/BOTTOM selectors — return the actual N extreme POINTS per
+    # group (InfluxQL semantics: the point rows, point time preserved)
+    def _compile_top_bottom(self, df: DataFrame, keys: list[str]) -> DataFrame:
+        st = self.stmt
+        call: Call = st.fields[0].expr
+        if (
+            len(call.args) != 2
+            or not isinstance(call.args[0], Var)
+            or not isinstance(call.args[1], Num)
+        ):
+            raise InfluxQLError(f"{call.func}(field, N) needs a field and an integer N")
+        fld = call.args[0].name
+        n = int(call.args[1].value)
+        name = st.fields[0].alias or call.func.lower()
+        gcols = list(keys)
+        if st.group_time_ns is not None:
+            iv_us = st.group_time_ns // 1000
+            off_us = st.offset_ns // 1000
+            us = F.unix_micros(F.col("time")) - F.lit(off_us)
+            df = df.withColumn(
+                "_bucket", F.timestamp_micros(us - us % F.lit(iv_us) + F.lit(off_us))
+            )
+            gcols = gcols + ["_bucket"]
+        tb = [t for t in self.tiebreak if t in df.columns]
+        order = [
+            F.col(fld).desc() if call.func == "TOP" else F.col(fld).asc(),
+            F.col("time"),
+            *[F.col(c) for c in tb],
+        ]
+        w = (
+            Window.partitionBy(*gcols).orderBy(*order)
+            if gcols
+            else Window.orderBy(*order)
+        )
+        out = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            # point time survives; the bucket is the grouping key
+            .select(
+                *[c for c in gcols if c != "_bucket"],
+                *(["_bucket"] if "_bucket" in gcols else []),
+                "time",
+                F.col(fld).alias(name),
+            )
+        )
+        if "_bucket" in out.columns:
+            out = out.withColumnRenamed("_bucket", "bucket")
         return out
 
     # raw (projection) select — no aggregates anywhere

@@ -52,6 +52,7 @@ _PRIORITY = [
     "iq_subquery_rollup",
     "iq_now_relative",
     "iq_lineitem_profile",
+    "iq_top_points",
     "iq_show_series",
     "iq_raw_select",
     "iq_mean_by_day",

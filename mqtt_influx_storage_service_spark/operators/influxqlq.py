@@ -357,6 +357,34 @@ GROUP BY 1, 2, 3
 """
 
 
+# -- 9d. TOP selector: the N extreme POINTS per bucket ---------------------
+
+IQ_TOP_POINTS = (
+    "SELECT TOP(value, 3) AS top_value FROM view "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-29 00:00:00' "
+    "GROUP BY time(1w), user_id"
+)
+
+IQ_TOP_POINTS_SQL = f"""
+WITH b AS (
+    SELECT user_id,
+           {_BUCKET.format(iv=_US_1W)} AS bucket,
+           ts AS time, value, event_id
+    FROM events
+    WHERE event_type = 'view'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+), r AS (
+    SELECT user_id, bucket, time, value,
+           row_number() OVER (PARTITION BY user_id, bucket
+                              ORDER BY value DESC, time, event_id) AS rn
+    FROM b
+)
+SELECT user_id, bucket, time, value AS top_value
+FROM r WHERE rn <= 3
+"""
+
+
 # -- 10. SHOW SERIES (series-key catalog) ----------------------------------
 
 IQ_SHOW_SERIES = "SHOW SERIES FROM purchase"
@@ -372,6 +400,7 @@ QUERIES = {
     "iq_subquery_rollup": _q(IQ_SUBQUERY_ROLLUP),
     "iq_now_relative": _q(IQ_NOW_RELATIVE, now="2024-01-30 00:00:00"),
     "iq_lineitem_profile": _q(IQ_LINEITEM_PROFILE, catalog_cls=LineitemCatalog),
+    "iq_top_points": _q(IQ_TOP_POINTS),
     "iq_show_series": _q(IQ_SHOW_SERIES),
     "iq_raw_select": _q(IQ_RAW_SELECT),
     "iq_mean_by_day": _q(IQ_MEAN_BY_DAY),
@@ -387,6 +416,7 @@ ORACLES = {
     "iq_subquery_rollup": IQ_SUBQUERY_ROLLUP_SQL,
     "iq_now_relative": IQ_NOW_RELATIVE_SQL,
     "iq_lineitem_profile": IQ_LINEITEM_PROFILE_SQL,
+    "iq_top_points": IQ_TOP_POINTS_SQL,
     "iq_show_series": IQ_SHOW_SERIES_SQL,
     "iq_raw_select": IQ_RAW_SELECT_SQL,
     "iq_mean_by_day": IQ_MEAN_BY_DAY_SQL,
