@@ -383,14 +383,22 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(list(codes))
 
     @pandas_udf("double")
-    def _adc(q_units: pd.Series, codes: pd.Series) -> pd.Series:
-        Q = np.stack([np.asarray(v) for v in q_units.to_numpy()])
-        Q = Q.reshape(len(Q), PQ_M, sub)
-        lut = np.einsum("nms,mks->nmk", Q, books)     # (n, M, KS)
+    def _adc(q_ids: pd.Series, q_units: pd.Series, codes: pd.Series) -> pd.Series:
+        # LUT per UNIQUE query in the batch, not per row: a batch holds
+        # ~10^4 candidate pairs over ~10^2 queries, and the LUT build
+        # (M*KS*sub mults) is 16x the cost of the 4-gather ADC score —
+        # per-row LUTs made ADC slower than brute dots (measured; this
+        # dedupe is the restore of PQ's actual asymptotics)
+        ids = q_ids.to_numpy()
+        uniq, first, inv = np.unique(ids, return_index=True, return_inverse=True)
+        Q = np.stack([np.asarray(q_units.iloc[int(i)]) for i in first])
+        Q = Q.reshape(len(uniq), PQ_M, sub)
+        lut = np.einsum("qms,mks->qmk", Q, books)     # (uniq, M, KS)
         C = np.stack([np.asarray(c) for c in codes.to_numpy()])  # (n, M)
-        score = np.take_along_axis(lut, C[:, :, None], axis=2)[:, :, 0].sum(
-            axis=1
-        )
+        per_row = lut[inv]                            # view-ish gather
+        score = np.take_along_axis(per_row, C[:, :, None], axis=2)[
+            :, :, 0
+        ].sum(axis=1)
         return pd.Series(score)
 
     assigned = unit.select(
@@ -408,7 +416,9 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "q_unit",
             "vec_id",
-            _adc(F.col("q_unit"), F.col("codes")).alias("adc"),
+            _adc(F.col("query_id"), F.col("q_unit"), F.col("codes")).alias(
+                "adc"
+            ),
         )
     )
     w_adc = Window.partitionBy("query_id").orderBy(
