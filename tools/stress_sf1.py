@@ -144,7 +144,13 @@ def main() -> int:
                  "ts_bucket_agg", "ts_holt_winters", "ts_seasonal_profile",
                  "ts_counter_rate", "ts_cumulative_sum",
                  # linear single-scan curation gates
-                 "text_gopher_rules", "pipeline_quality_gate"):
+                 "text_gopher_rules", "pipeline_quality_gate",
+                 # InfluxQL compiler at 10x the series count, plus the
+                 # line-protocol roundtrip (pure codegen projection)
+                 "iq_mean_by_day", "iq_fill_previous",
+                 "iq_percentile_weekly", "ref_line_protocol",
+                 # MMR re-rank over a 10x corpus (pool stays capped)
+                 "sim_mmr"):
         t0 = time.time()
         try:
             qs[name](spark, STRESS_DIR).write.format("noop").mode(
