@@ -44,6 +44,7 @@ _PRIORITY = [
     # new in r4 — no driver row yet
     "text_pii_scrub",
     "pipeline_curriculum",
+    "pipeline_dedup_mix",
     "mm_token_budget",
     "sim_mmr",
     "rel_revenue_threshold",

@@ -671,7 +671,67 @@ FROM t JOIN staged ON staged.n_tokens = t.n_tokens
 """
 
 
+# --------------------------------------------------------------------------
+# Dedup-aware mix — operators COMPOSE: components feed the mix rollup
+# --------------------------------------------------------------------------
+
+def pipeline_dedup_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus mix AFTER near-dup collapse: keep one
+    representative per connected dup component (the full
+    dedup_components machinery — shingle candidates, exact verify,
+    min-label propagation — feeds this directly) and report the
+    docs/tokens that survive next to the raw totals. The query a
+    curation campaign actually runs between 'dedupe' and 'set the
+    training mix'; proves the operator tiers compose in one lazy plan.
+    """
+    from .dedup import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    comp = dedup_components(spark, sf_dir).select(
+        "doc_id", "is_representative"
+    )
+    t = docs.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    rep = F.col("is_representative")
+    return (
+        t.join(comp, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs_total"),
+            F.sum(F.when(rep, 1).otherwise(0)).cast("long").alias("docs_kept"),
+            F.sum(F.when(rep, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+
+
+def _dedup_mix_sql() -> str:
+    from .dedup import _edges_cte
+
+    return f"""
+WITH RECURSIVE {_edges_cte()}
+, toks AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+)
+SELECT t.lang,
+       count(*) AS docs_total,
+       CAST(sum(CASE WHEN c.doc_id = c.component_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_kept,
+       CAST(sum(CASE WHEN c.doc_id = c.component_id THEN t.n_tokens
+                ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM toks t JOIN comp c USING (doc_id)
+GROUP BY 1
+"""
+
+
+PIPELINE_DEDUP_MIX_SQL = _dedup_mix_sql()
+
+
 QUERIES = {
+    "pipeline_dedup_mix": pipeline_dedup_mix,
     "pipeline_curriculum": pipeline_curriculum,
     "pipeline_training_mix": pipeline_training_mix,
     "pipeline_quality_gate": pipeline_quality_gate,
@@ -682,6 +742,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_dedup_mix": PIPELINE_DEDUP_MIX_SQL,
     "pipeline_curriculum": PIPELINE_CURRICULUM_SQL,
     "pipeline_training_mix": PIPELINE_TRAINING_MIX_SQL,
     "pipeline_quality_gate": PIPELINE_QUALITY_GATE_SQL,
