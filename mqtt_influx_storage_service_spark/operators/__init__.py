@@ -87,6 +87,8 @@ _PRIORITY = [
     "ts_holt_winters",
     "ts_seasonal_profile",
     "ts_mode",
+    "text_bm25",
+    "sim_hybrid_rrf",
     # r1-only greens (3 rounds old — keep inside the checked prefix even
     # though their TPC-H inputs are unchanged since r01)
     "rel_set_ops",

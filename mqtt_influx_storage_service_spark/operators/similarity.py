@@ -1393,7 +1393,136 @@ def _mmr_sql() -> str:
 SIM_MMR_SQL = _mmr_sql()
 
 
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and cosine rankings
+# (Cormack, Clarke & Buettcher, SIGIR'09 — the fusion every production
+# RAG stack runs over its lexical + vector retrievers)
+# --------------------------------------------------------------------------
+
+RRF_K = 60       # the SIGIR'09 constant
+RRF_POOL = 50    # per-retriever candidate list depth
+RRF_TOPK = 10
+
+
+def _rrf_contrib(rank: Column) -> Column:
+    """round(1e6/(K+rank)) as exact integer micros; absent rank -> 0.
+    Integer micros make the fused sum order-free for the hash gate."""
+    return (
+        F.when(
+            rank.isNotNull(),
+            F.round(F.lit(1000000.0) / (F.lit(RRF_K) + rank), 0).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+
+
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the BM25 lexical ranking (textops.bm25_ranked)
+    with the exact-cosine vector ranking of the SAME query set
+    (``doc_id``/``vec_id`` are aligned ids in the fixtures — one corpus
+    with both a text and an embedding column) via reciprocal-rank
+    fusion: score(d) = Σ_retrievers 1/(60 + rank_r(d)), over each
+    retriever's top-``RRF_POOL`` list.
+
+    Scale shape: both retriever lists are top-N per query — bounded
+    ×|queries| relations — so the full-outer fusion join and the final
+    re-rank window touch only candidate lists, never a corpus-sized
+    relation. The corpus is scanned by each retriever exactly as in its
+    standalone operator (BM25: broadcast-pruned token explode; cosine:
+    broadcast query set streamed over the corpus, WindowGroupLimit).
+    """
+    from .textops import BM25_QUERY_STRIDE, bm25_ranked
+
+    text = bm25_ranked(spark, sf_dir, RRF_POOL).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_text")
+    )
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    q = _with_norm(
+        emb.filter(F.col("vec_id") % BM25_QUERY_STRIDE == 0), "query_id", "qv"
+    )
+    c = _with_norm(emb, "doc_id", "cv")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("query_id_norm") * F.col("doc_id_norm")),
+                6,
+            ),
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id")
+    )
+    vec = (
+        scored.withColumn("rank_vec", F.row_number().over(wv))
+        .filter(F.col("rank_vec") <= RRF_POOL)
+        .select("query_id", "doc_id", "rank_vec")
+    )
+    fused = text.join(vec, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_micro",
+        _rrf_contrib(F.col("rank_text")) + _rrf_contrib(F.col("rank_vec")),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select("query_id", "doc_id", "rank", "rrf_micro", "rank_text", "rank_vec")
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from .textops import _BM25_RANKED_SQL_TMPL, BM25_QUERY_STRIDE
+
+    bm25 = _BM25_RANKED_SQL_TMPL.format(
+        cols="query_id, doc_id, rank AS rank_text", topk=RRF_POOL
+    )
+    contrib = (
+        "CASE WHEN {r} IS NOT NULL THEN "
+        f"CAST(round(1000000.0 / ({RRF_K} + {{r}}), 0) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    return f"""
+WITH bm25 AS ({bm25}),
+v AS (
+    SELECT vec_id, embedding, {_NORM_SQL} AS norm FROM embeddings
+), vscored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                 / (q.norm * c.norm), 6) AS cosine
+    FROM v q JOIN v c ON q.vec_id % {BM25_QUERY_STRIDE} = 0
+), vranked AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id) AS rank_vec
+    FROM vscored
+), vec AS (
+    SELECT query_id, doc_id, rank_vec FROM vranked
+    WHERE rank_vec <= {RRF_POOL}
+), fused AS (
+    SELECT query_id, doc_id, rank_text, rank_vec,
+           {contrib.format(r='rank_text')}
+           + {contrib.format(r='rank_vec')} AS rrf_micro
+    FROM bm25 FULL JOIN vec USING (query_id, doc_id)
+), ranked AS (
+    SELECT query_id, doc_id, rrf_micro, rank_text, rank_vec,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_micro DESC, doc_id) AS rank
+    FROM fused
+)
+SELECT query_id, doc_id, rank, rrf_micro, rank_text, rank_vec
+FROM ranked WHERE rank <= {RRF_TOPK}"""
+
+
+SIM_HYBRID_RRF_SQL = _hybrid_rrf_sql()
+
+
 QUERIES = {
+    "sim_hybrid_rrf": sim_hybrid_rrf,
     "sim_mmr": sim_mmr,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_range_search": sim_range_search,
@@ -1408,6 +1537,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sim_hybrid_rrf": SIM_HYBRID_RRF_SQL,
     "sim_mmr": SIM_MMR_SQL,
     "sim_cosine_topk": SIM_COSINE_TOPK_SQL,
     "sim_range_search": SIM_RANGE_SEARCH_SQL,

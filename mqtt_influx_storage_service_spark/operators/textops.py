@@ -1234,7 +1234,167 @@ FROM scrub
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 retrieval (Okapi BM25 — Robertson et al., TREC-3)
+# --------------------------------------------------------------------------
+
+# Standard Okapi constants. Injected into the oracle SQL via repr() so
+# both engines parse the IDENTICAL double (Python repr round-trips, and
+# both strtod implementations are correctly rounded).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_STRIDE = 100  # every-100th doc poses a query
+BM25_QUERY_TERMS = 8     # query = first N distinct words of that doc
+BM25_TOPK = 5
+
+
+def _bm25_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, bm25_micro, n_terms) — exact integer-micro BM25
+    partial scores summed per (query, doc).
+
+    Scale shape: the query set is bounded (one doc per
+    ``BM25_QUERY_STRIDE``) and its distinct word set broadcasts; the
+    token explode is pruned to query vocabulary BY that broadcast join
+    BEFORE any aggregation, so both the tf and df aggregations see only
+    query-vocabulary tokens (word-count-shaped, map-side combinable).
+    The per-term float score is rounded to 6 dp and summed as integer
+    micros — order-free, so the hash gate cannot be broken by shuffle
+    nondeterminism. Corpus stats (N, avgdl) ride the plan as a 1-row
+    broadcast aggregate, never an eager count.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    tok = docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("dl"),
+        F.explode(_tokens()).alias("word"),
+    )
+    qterms = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % BM25_QUERY_STRIDE == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(F.slice(_tokens(), 1, BM25_QUERY_TERMS))
+            ).alias("word"),
+        )
+    )
+    tok_q = tok.join(F.broadcast(qterms.select("word").distinct()), "word")
+    df_tbl = tok_q.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tok_q.groupBy("doc_id", "dl", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(_tokens())).alias("avgdl"),
+    )
+    idf = F.ln(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(F.broadcast(df_tbl), "word")
+        .join(F.broadcast(stats), F.lit(True))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.round(idf * tfn, 6) * 1000000, 0)
+            .cast("bigint")
+            .alias("smicro"),
+        )
+    )
+    return scored.groupBy("query_id", "doc_id").agg(
+        F.sum("smicro").alias("bm25_micro"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+def bm25_ranked(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
+    """BM25 ranking per query, cut to ``topk`` via WindowGroupLimit."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_micro").desc(), F.col("doc_id")
+    )
+    return (
+        _bm25_micro(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a bounded query set — the lexical
+    half of every RAG / contamination-screen retrieval stack (the other
+    half, embedding ANN, lives in operators/similarity.py; their fusion
+    is ``sim_hybrid_rrf``)."""
+    return bm25_ranked(spark, sf_dir, BM25_TOPK).select(
+        "query_id",
+        "doc_id",
+        "rank",
+        F.round(F.col("bm25_micro") / 1000000.0, 6).alias("bm25"),
+        "n_terms",
+    )
+
+
+# Shared CTE chain: everything up to the ranked relation. Embedded both
+# by TEXT_BM25_SQL and (as a subquery) by SIM_HYBRID_RRF_SQL.
+_BM25_RANKED_SQL_TMPL = f"""
+WITH qterms AS (
+    SELECT doc_id AS query_id,
+           unnest(list_distinct(string_split(text, ' ')[1:{BM25_QUERY_TERMS}]))
+               AS word
+    FROM documents WHERE doc_id % {BM25_QUERY_STRIDE} = 0
+), tok AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+), qwords AS (SELECT DISTINCT word FROM qterms),
+tok_q AS (SELECT t.* FROM tok t JOIN qwords USING (word)),
+dft AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok_q GROUP BY 1),
+tf AS (
+    SELECT doc_id, dl, word, count(*) AS tf FROM tok_q GROUP BY 1, 2, 3
+), stats AS (
+    SELECT count(*)::DOUBLE AS n_docs,
+           avg(len(string_split(text, ' '))) AS avgdl
+    FROM documents
+), scored AS (
+    SELECT q.query_id, tf.doc_id,
+           CAST(round(round(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * {BM25_K1 + 1.0!r}
+                  / (tf + {BM25_K1!r}
+                     * ({1.0 - BM25_B!r} + {BM25_B!r} * dl / avgdl)))
+           , 6) * 1000000, 0) AS BIGINT) AS smicro
+    FROM tf
+    JOIN qterms q USING (word)
+    JOIN dft USING (word)
+    CROSS JOIN stats
+), agg AS (
+    SELECT query_id, doc_id,
+           CAST(sum(smicro) AS BIGINT) AS bm25_micro,
+           count(*) AS n_terms
+    FROM scored GROUP BY 1, 2
+), ranked AS (
+    SELECT query_id, doc_id, bm25_micro, n_terms,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY bm25_micro DESC, doc_id) AS rank
+    FROM agg
+)
+SELECT {{cols}} FROM ranked WHERE rank <= {{topk}}"""
+
+TEXT_BM25_SQL = _BM25_RANKED_SQL_TMPL.format(
+    cols="query_id, doc_id, rank, "
+    "round(bm25_micro / 1000000.0, 6) AS bm25, n_terms",
+    topk=BM25_TOPK,
+)
+
+
 QUERIES = {
+    "text_bm25": text_bm25,
     "text_pii_scrub": text_pii_scrub,
     "text_token_stats": text_token_stats,
     "text_gopher_rules": text_gopher_rules,
@@ -1253,6 +1413,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bm25": TEXT_BM25_SQL,
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_gopher_rules": TEXT_GOPHER_RULES_SQL,
