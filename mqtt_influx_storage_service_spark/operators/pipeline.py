@@ -194,6 +194,113 @@ FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
 
 
 # --------------------------------------------------------------------------
+# Data-constrained epoch allocation (repeat data when unique tokens run out)
+# --------------------------------------------------------------------------
+
+# Muennighoff et al. 2023 ("Scaling Data-Constrained Language Models"):
+# repeating a corpus up to ~4 epochs costs almost nothing vs fresh
+# data; past that, returns decay to zero. EPOCH_BUDGET is sized so the
+# sf0.01 survivor pools (~2-4k tokens/language) land BELOW the budget —
+# exercising whole-corpus repetition — while the cap still bites on the
+# smaller sf0.001 pools.
+EPOCH_CAP = 4
+EPOCH_BUDGET = 6000
+
+
+def pipeline_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language epoch allocator for a token budget that may EXCEED
+    the unique survivor pool: every survivor doc gets
+    ``base = min(EPOCH_CAP, budget // unique_tokens)`` full epochs, and
+    the remaining budget is filled with ONE extra epoch of the
+    quality-ranked prefix (the same greedy window as
+    ``pipeline_token_budget``). Guarantees Σ tokens_contributed ≤
+    budget and n_epochs ≤ EPOCH_CAP per language — both test-pinned.
+
+    Scale shape: the per-language unique-pool rollup collapses to
+    |languages| rows and broadcasts back; the only corpus-sized wide op
+    is the same per-language quality window as the budget query (and
+    the same quantile-cutoff two-pass replaces it at 100 TB). All
+    arithmetic after one exact floor-division is integer.
+    """
+    survivors = _curated_docs(spark, sf_dir)
+    # The per-language unique pool is a window total over the SAME
+    # partitioning as the quality cumsum — one shuffle, and the curated
+    # subtree (label propagation + feature scan) is evaluated once, not
+    # twice (a groupBy+join formulation re-ran the whole subtree for
+    # the pool side: 3.0 s -> 1.2 s at sf0.1).
+    wlang = Window.partitionBy("predicted_lang")
+    base = F.least(
+        F.lit(EPOCH_CAP).cast("long"),
+        F.floor(F.lit(float(EPOCH_BUDGET)) / F.col("unique_tokens")),
+    )
+    w = (
+        Window.partitionBy("predicted_lang")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    alloc = (
+        survivors.withColumn(
+            "unique_tokens", F.sum("n_tokens").over(wlang).cast("long")
+        )
+        .withColumn("base_epochs", base)
+        .withColumn(
+            "rem_budget",
+            F.when(
+                F.col("base_epochs") < EPOCH_CAP,
+                F.lit(EPOCH_BUDGET) - F.col("base_epochs") * F.col("unique_tokens"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn(
+            "n_epochs",
+            (
+                F.col("base_epochs")
+                + F.when(F.col("cum_tokens") <= F.col("rem_budget"), 1).otherwise(0)
+            ).cast("long"),
+        )
+        .filter(F.col("n_epochs") >= 1)
+    )
+    return alloc.select(
+        "doc_id",
+        "predicted_lang",
+        "n_tokens",
+        "quality_score",
+        "n_epochs",
+        (F.col("n_epochs") * F.col("n_tokens")).alias("tokens_contributed"),
+    )
+
+
+PIPELINE_EPOCHS_SQL = f"""
+WITH RECURSIVE {{edges}}{{survivors}}, alloc AS (
+    SELECT doc_id, predicted_lang, n_tokens, quality_score,
+           least(CAST({EPOCH_CAP} AS BIGINT),
+                 CAST(floor({float(EPOCH_BUDGET)!r}
+                      / CAST(sum(n_tokens) OVER (
+                            PARTITION BY predicted_lang) AS BIGINT))
+                      AS BIGINT)) AS base_epochs,
+           CAST(sum(n_tokens) OVER (PARTITION BY predicted_lang)
+                AS BIGINT) AS unique_tokens,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY predicted_lang
+               ORDER BY quality_score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM survivors
+), epochs AS (
+    SELECT doc_id, predicted_lang, n_tokens, quality_score,
+           base_epochs
+           + CASE WHEN cum_tokens <= (CASE WHEN base_epochs < {EPOCH_CAP}
+                       THEN {EPOCH_BUDGET} - base_epochs * unique_tokens
+                       ELSE 0 END)
+                  THEN 1 ELSE 0 END AS n_epochs
+    FROM alloc
+)
+SELECT doc_id, predicted_lang, n_tokens, quality_score, n_epochs,
+       n_epochs * n_tokens AS tokens_contributed
+FROM epochs WHERE n_epochs >= 1
+""".format(edges=_edges_cte(), survivors=_SURVIVORS_CTE_SQL)
+
+
+# --------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk) via a scalable two-level prefix sum
 # --------------------------------------------------------------------------
 
@@ -731,6 +838,7 @@ PIPELINE_DEDUP_MIX_SQL = _dedup_mix_sql()
 
 
 QUERIES = {
+    "pipeline_epochs": pipeline_epochs,
     "pipeline_dedup_mix": pipeline_dedup_mix,
     "pipeline_curriculum": pipeline_curriculum,
     "pipeline_training_mix": pipeline_training_mix,
@@ -742,6 +850,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_epochs": PIPELINE_EPOCHS_SQL,
     "pipeline_dedup_mix": PIPELINE_DEDUP_MIX_SQL,
     "pipeline_curriculum": PIPELINE_CURRICULUM_SQL,
     "pipeline_training_mix": PIPELINE_TRAINING_MIX_SQL,

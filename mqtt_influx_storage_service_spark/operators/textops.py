@@ -1279,10 +1279,14 @@ def _bm25_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tok_q = tok.join(F.broadcast(qterms.select("word").distinct()), "word")
-    df_tbl = tok_q.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     tf = tok_q.groupBy("doc_id", "dl", "word").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    # df falls out of tf for free: each (doc, word) is one tf row, so
+    # df(word) = count(*) — no second pass over raw tokens, and the tf
+    # shuffle is reused (ReusedExchange) instead of re-aggregating the
+    # exploded corpus.
+    df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     stats = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.size(_tokens())).alias("avgdl"),
@@ -1354,10 +1358,10 @@ WITH qterms AS (
     FROM documents
 ), qwords AS (SELECT DISTINCT word FROM qterms),
 tok_q AS (SELECT t.* FROM tok t JOIN qwords USING (word)),
-dft AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok_q GROUP BY 1),
 tf AS (
     SELECT doc_id, dl, word, count(*) AS tf FROM tok_q GROUP BY 1, 2, 3
-), stats AS (
+), dft AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+stats AS (
     SELECT count(*)::DOUBLE AS n_docs,
            avg(len(string_split(text, ' '))) AS avgdl
     FROM documents

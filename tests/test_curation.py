@@ -191,3 +191,49 @@ def test_retention_week_zero_covers_every_user(spark):
     )
     assert all(r.week_n >= 0 for r in out)
     assert sum(r.n_users for r in out if r.week_n == 0) == n_users
+
+
+def test_epoch_allocation_respects_budget_and_cap(spark):
+    """pipeline_epochs invariants (Muennighoff-style repetition): per
+    language, Σ tokens_contributed ≤ EPOCH_BUDGET and every doc's
+    n_epochs ≤ EPOCH_CAP; the extra epoch goes to a quality-ranked
+    PREFIX (no doc with an extra epoch ranks below one without)."""
+    from mqtt_influx_storage_service_spark.operators.pipeline import (
+        EPOCH_BUDGET,
+        EPOCH_CAP,
+        pipeline_epochs,
+        _curated_docs,
+    )
+
+    out = pipeline_epochs(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    assert (out["n_epochs"] >= 1).all()
+    assert (out["n_epochs"] <= EPOCH_CAP).all()
+    assert (
+        out["tokens_contributed"] == out["n_epochs"] * out["n_tokens"]
+    ).all()
+    for lang, grp in out.groupby("predicted_lang"):
+        assert grp["tokens_contributed"].sum() <= EPOCH_BUDGET
+        base = grp["n_epochs"].min()
+        extra = grp[grp["n_epochs"] > base].sort_values(
+            ["quality_score", "doc_id"], ascending=[False, True]
+        )
+        if len(extra):
+            # extra-epoch docs form a prefix of the quality ranking
+            ranked = grp.sort_values(
+                ["quality_score", "doc_id"], ascending=[False, True]
+            ).reset_index(drop=True)
+            assert set(extra["doc_id"]) == set(
+                ranked.iloc[: len(extra)]["doc_id"]
+            )
+    # when the unique pool fits the budget EPOCH_CAP times over, every
+    # survivor is repeated exactly EPOCH_CAP times (the cap engages)
+    survivors = _curated_docs(spark, "/root/testdata/sf0.001").toPandas()
+    pools = survivors.groupby("predicted_lang")["n_tokens"].sum()
+    for lang, pool in pools.items():
+        if EPOCH_BUDGET // pool >= EPOCH_CAP:
+            grp = out[out["predicted_lang"] == lang]
+            assert (grp["n_epochs"] == EPOCH_CAP).all()
+            assert set(grp["doc_id"]) == set(
+                survivors[survivors["predicted_lang"] == lang]["doc_id"]
+            )
