@@ -90,6 +90,7 @@ _PRIORITY = [
     "text_bm25",
     "sim_hybrid_rrf",
     "pipeline_epochs",
+    "rel_waiting_supplier",
     # r1-only greens (3 rounds old — keep inside the checked prefix even
     # though their TPC-H inputs are unchanged since r01)
     "rel_set_ops",

@@ -1002,7 +1002,97 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
 
 
+# --------------------------------------------------------------------------
+# Suppliers who kept orders waiting (TPC-H Q21 shape)
+# --------------------------------------------------------------------------
+
+# The fixtures carry no receipt/commit dates, so "late" is adapted to
+# l_shipdate > o_orderdate + LATE_DAYS (90 days ≈ the 75th percentile
+# of the fixture's ship delay — late is the exception, as in the spec).
+LATE_DAYS = 90
+
+
+def rel_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: for finished ('F') multi-supplier orders where
+    EXACTLY ONE supplier shipped late, count that supplier's late
+    lineitems, rolled up per supplier for a nation subset
+    (s_nationkey % 5 = 2 — scale-free, no literal key list).
+
+    The spec formulation is EXISTS (another supplier in the order) AND
+    NOT EXISTS (another LATE supplier) — two lineitem self-joins. The
+    Spark plan uses the scale rewrite: ONE aggregation per order
+    computing (distinct suppliers, distinct late suppliers), then a
+    filter ``n_supp >= 2 AND n_late_supp = 1``; late rows of such
+    orders belong to the unique late supplier by construction. That
+    turns two corpus-vs-corpus self-joins into one combinable groupBy
+    plus an equi-join on the order key. The oracle below keeps the
+    spec's EXISTS/NOT EXISTS form, so the two INDEPENDENT derivations
+    must agree row-for-row.
+    """
+    lateness = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {LATE_DAYS} DAYS"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).withColumn("late", lateness)
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        l.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") % 5 == 2
+    )
+    return (
+        waiting.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            waiting.l_suppkey == supp.s_suppkey,
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+REL_WAITING_SUPPLIER_SQL = f"""
+WITH l AS (
+    SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM l l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL {LATE_DAYS} DAY
+  AND s_nationkey % 5 = 2
+  AND EXISTS (
+      SELECT 1 FROM l l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM l l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > l3.o_orderdate + INTERVAL {LATE_DAYS} DAY)
+GROUP BY s_name
+"""
+
+
 QUERIES = {
+    "rel_waiting_supplier": rel_waiting_supplier,
     "rel_revenue_threshold": rel_revenue_threshold,
     "rel_sales_opportunity": rel_sales_opportunity,
     "rel_top_supplier": rel_top_supplier,
@@ -1037,6 +1127,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_waiting_supplier": REL_WAITING_SUPPLIER_SQL,
     "rel_revenue_threshold": REL_REVENUE_THRESHOLD_SQL,
     "rel_sales_opportunity": REL_SALES_OPPORTUNITY_SQL,
     "rel_top_supplier": REL_TOP_SUPPLIER_SQL,
