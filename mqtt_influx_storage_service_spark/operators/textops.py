@@ -1283,9 +1283,17 @@ def _bm25_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf")
     )
     # df falls out of tf for free: each (doc, word) is one tf row, so
-    # df(word) = count(*) — no second pass over raw tokens, and the tf
-    # shuffle is reused (ReusedExchange) instead of re-aggregating the
-    # exploded corpus.
+    # df(word) = count(*) — aggregated to a vocabulary-bounded table
+    # and broadcast back. Measured A/B at sf0.1: this groupBy+broadcast
+    # form beats a count() OVER (PARTITION BY word) window (1.75 s vs
+    # 2.12 s) — the window must SORT every tf row within per-word
+    # partitions, and word frequencies are Zipf-skewed (the fixture has
+    # ~31 distinct words), while the groupBy collapses map-side.
+    # Catalyst does evaluate the tf subtree twice (one per consumer);
+    # both evaluations are pruned to query vocabulary by the broadcast
+    # join below, and two combinable aggregations over one corpus scan
+    # each is the standard TF-IDF shape (text_tfidf_top ships the
+    # same plan).
     df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     stats = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
