@@ -91,6 +91,7 @@ _PRIORITY = [
     "sim_hybrid_rrf",
     "pipeline_epochs",
     "rel_waiting_supplier",
+    "dedup_passage",
     # r1-only greens (3 rounds old — keep inside the checked prefix even
     # though their TPC-H inputs are unchanged since r01)
     "rel_set_ops",

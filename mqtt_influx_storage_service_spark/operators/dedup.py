@@ -964,7 +964,91 @@ WHERE round(list_reduce(
 """
 
 
+# --------------------------------------------------------------------------
+# Passage-level duplication (substring dedup signal, RefinedWeb-style)
+# --------------------------------------------------------------------------
+
+PASSAGE_TOKENS = 32  # non-overlapping block size (tokens)
+
+
+def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-passage ratio: split every doc into
+    NON-overlapping ``PASSAGE_TOKENS``-token blocks, hash each block,
+    and count how many of a doc's blocks occur elsewhere in the corpus
+    (>1 total occurrences of the hash). This is the passage/substring
+    granularity between `dedup_exact` (whole doc) and shingle near-dup
+    — the signal RefinedWeb/MassiveText use to strip copied passages
+    from otherwise-unique pages.
+
+    Scale shape: explode to blocks (~n_tokens/32 rows per doc), one
+    map-side-combinable count per block hash, one equi-join back on
+    the hash, one per-doc rollup — all word-count-shaped shuffles;
+    nothing is ever quadratic in the corpus. Blocks are non-overlapping
+    on purpose: overlapping windows (text_chunking's RAG shape) would
+    self-collide on the shared stride and inflate the signal.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(PASSAGE_TOKENS)
+    )
+    blocks = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(starts).alias("start"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), F.col("start"), PASSAGE_TOKENS), " ")
+        ).alias("phash"),
+    )
+    counts = blocks.groupBy("phash").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        blocks.join(counts, "phash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_passages"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_passages") / F.col("n_passages"), 6),
+        )
+    )
+
+
+DEDUP_PASSAGE_SQL = f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+), blocks AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               toks[start : least(start + {PASSAGE_TOKENS} - 1, n_tokens)],
+               ' ')) AS phash
+    FROM (SELECT doc_id, toks, n_tokens,
+                 unnest(range(1, greatest(n_tokens, 1) + 1,
+                              {PASSAGE_TOKENS})) AS start
+          FROM base)
+), counts AS (
+    SELECT phash, count(*) AS cnt FROM blocks GROUP BY 1
+)
+SELECT doc_id,
+       count(*) AS n_passages,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_passages,
+       round(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) / count(*), 6)
+           AS dup_ratio
+FROM blocks JOIN counts USING (phash)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_passage": dedup_passage,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_components": dedup_components,
@@ -1073,6 +1157,7 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 3
 
 
 ORACLES = {
+    "dedup_passage": DEDUP_PASSAGE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,

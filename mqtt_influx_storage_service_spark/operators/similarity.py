@@ -1431,14 +1431,19 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone operator (BM25: broadcast-pruned token explode; cosine:
     broadcast query set streamed over the corpus, WindowGroupLimit).
     """
-    from .textops import BM25_QUERY_STRIDE, bm25_ranked
+    from .textops import BM25_MAX_QUERIES, BM25_QUERY_STRIDE, bm25_ranked
 
     text = bm25_ranked(spark, sf_dir, RRF_POOL).select(
         "query_id", "doc_id", F.col("rank").alias("rank_text")
     )
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     q = _with_norm(
-        emb.filter(F.col("vec_id") % BM25_QUERY_STRIDE == 0), "query_id", "qv"
+        emb.filter(
+            (F.col("vec_id") % BM25_QUERY_STRIDE == 0)
+            & (F.col("vec_id") < BM25_QUERY_STRIDE * BM25_MAX_QUERIES)
+        ),
+        "query_id",
+        "qv",
     )
     c = _with_norm(emb, "doc_id", "cv")
     scored = (
@@ -1476,7 +1481,11 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hybrid_rrf_sql() -> str:
-    from .textops import _BM25_RANKED_SQL_TMPL, BM25_QUERY_STRIDE
+    from .textops import (
+        _BM25_RANKED_SQL_TMPL,
+        BM25_MAX_QUERIES,
+        BM25_QUERY_STRIDE,
+    )
 
     bm25 = _BM25_RANKED_SQL_TMPL.format(
         cols="query_id, doc_id, rank AS rank_text", topk=RRF_POOL
@@ -1494,7 +1503,9 @@ v AS (
     SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
            round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
                  / (q.norm * c.norm), 6) AS cosine
-    FROM v q JOIN v c ON q.vec_id % {BM25_QUERY_STRIDE} = 0
+    FROM v q JOIN v c
+      ON q.vec_id % {BM25_QUERY_STRIDE} = 0
+     AND q.vec_id < {BM25_QUERY_STRIDE * BM25_MAX_QUERIES}
 ), vranked AS (
     SELECT query_id, doc_id,
            row_number() OVER (PARTITION BY query_id

@@ -1243,9 +1243,23 @@ FROM scrub
 # both strtod implementations are correctly rounded).
 BM25_K1 = 1.2
 BM25_B = 0.75
-BM25_QUERY_STRIDE = 100  # every-100th doc poses a query
+BM25_QUERY_STRIDE = 100  # every-100th doc poses a query...
+BM25_MAX_QUERIES = 50    # ...but the query SET is bounded (measured: an
+                         # unbounded every-100th set made the scored
+                         # relation grow superlinearly — 2 s at sf0.1 vs
+                         # 40 s at the 10x stress corpus, whose 31-word
+                         # vocabulary makes every query match every doc;
+                         # bounded queries restore linear corpus scaling,
+                         # the same contract as sim_cosine_topk's
+                         # vec_id < 100 query set)
 BM25_QUERY_TERMS = 8     # query = first N distinct words of that doc
 BM25_TOPK = 5
+
+
+def _bm25_query_filter() -> F.Column:
+    return (F.col("doc_id") % BM25_QUERY_STRIDE == 0) & (
+        F.col("doc_id") < BM25_QUERY_STRIDE * BM25_MAX_QUERIES
+    )
 
 
 def _bm25_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,7 +1284,7 @@ def _bm25_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qterms = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % BM25_QUERY_STRIDE == 0)
+        .filter(_bm25_query_filter())
         .select(
             F.col("doc_id").alias("query_id"),
             F.explode(
@@ -1359,7 +1373,9 @@ WITH qterms AS (
     SELECT doc_id AS query_id,
            unnest(list_distinct(string_split(text, ' ')[1:{BM25_QUERY_TERMS}]))
                AS word
-    FROM documents WHERE doc_id % {BM25_QUERY_STRIDE} = 0
+    FROM documents
+    WHERE doc_id % {BM25_QUERY_STRIDE} = 0
+      AND doc_id < {BM25_QUERY_STRIDE * BM25_MAX_QUERIES}
 ), tok AS (
     SELECT doc_id, len(string_split(text, ' ')) AS dl,
            unnest(string_split(text, ' ')) AS word

@@ -154,3 +154,21 @@ def test_components_fixpoint_and_semantics(spark, sf_dir):
     for r in dd.dedup_ngram_jaccard(spark, sf_dir).collect():
         assert base[r.doc_a].component_id == base[r.doc_b].component_id
     dd.release_shingles(spark)
+
+
+def test_passage_dedup_exact_duplicates_fully_flagged(spark, sf_dir):
+    """Every block of an exact-duplicate document pair must be flagged
+    (their block hashes all collide), and a ratio is always in [0,1]
+    with n_dup <= n_passages."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        dedup_passage,
+    )
+    from mqtt_influx_storage_service_spark.sources import load_table
+
+    out = dedup_passage(spark, sf_dir).toPandas().set_index("doc_id")
+    assert (out["n_dup_passages"] <= out["n_passages"]).all()
+    assert ((out["dup_ratio"] >= 0) & (out["dup_ratio"] <= 1)).all()
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    dup_texts = docs[docs.duplicated("text", keep=False)]
+    for _, row in dup_texts.iterrows():
+        assert out.loc[row["doc_id"], "dup_ratio"] == 1.0

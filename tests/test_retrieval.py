@@ -19,6 +19,7 @@ from mqtt_influx_storage_service_spark.operators.textops import (
     BM25_QUERY_STRIDE,
     BM25_QUERY_TERMS,
     BM25_TOPK,
+    _bm25_query_filter,
     bm25_ranked,
     text_bm25,
 )
@@ -29,7 +30,7 @@ def test_bm25_rank_structure(spark, sf_dir):
     out = text_bm25(spark, sf_dir).toPandas()
     n_queries = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % BM25_QUERY_STRIDE == 0)
+        .filter(_bm25_query_filter())
         .count()
     )
     assert set(out["query_id"].unique()) == set(
@@ -65,7 +66,7 @@ def test_bm25_hits_contain_query_terms(spark, sf_dir):
             dict.fromkeys(r["text"].split(" ")[:BM25_QUERY_TERMS])
         )
         for r in load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % BM25_QUERY_STRIDE == 0)
+        .filter(_bm25_query_filter())
         .collect()
     }
     for _, row in out.iterrows():

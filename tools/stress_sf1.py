@@ -150,7 +150,14 @@ def main() -> int:
                  "iq_mean_by_day", "iq_fill_previous",
                  "iq_percentile_weekly", "ref_line_protocol",
                  # MMR re-rank over a 10x corpus (pool stays capped)
-                 "sim_mmr"):
+                 "sim_mmr",
+                 # retrieval tier: BM25's query set GROWS with the
+                 # corpus (every-100th doc — 500 queries here), RRF
+                 # fuses two 10x retriever pools; epoch allocator rides
+                 # the curated-survivors subtree at 10x; passage dedup
+                 # is two word-count-shaped shuffles over 10x blocks
+                 "text_bm25", "sim_hybrid_rrf", "pipeline_epochs",
+                 "dedup_passage"):
         t0 = time.time()
         try:
             qs[name](spark, STRESS_DIR).write.format("noop").mode(
