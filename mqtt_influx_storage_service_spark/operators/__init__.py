@@ -30,15 +30,14 @@ from . import (
 # Registration ORDER is load-bearing: the driver's correctness gate
 # walks the registry in insertion order and checks a bounded prefix
 # (50 entries every round so far), so entries WITHOUT a recent green
-# row must come first. r3 re-certified slots 0-49; for r4 the prefix
-# front-loads the ~45 operators ADDED this round (no driver row yet —
-# all oracle-backed, so every one of the 50 checked slots can go
-# hash-green), then the two r1-only TPC-H entries, then the cohort
-# whose newest green is r02. The overflow past slot 50 lands on
-# entries already green under the CURRENT fixtures (r2-r3 rows whose
-# inputs have not been regenerated since), so union-of-rounds coverage
-# stays complete. Local tools/check_oracles.py runs the FULL registry
-# (134 entries) regardless — the prefix only bounds what the driver
+# row must come first. r3 re-certified slots 0-49; the r4 prefix is
+# EXACTLY the 50 operators ADDED this round (no driver row yet — all
+# oracle-backed, so every checked slot can go hash-green). Everything
+# past slot 50 already has a green row under the CURRENT fixtures
+# (r1 for the TPC-H-only pair rel_set_ops/rel_merge_join, whose inputs
+# have never been regenerated; r2/r3 for the rest), so union-of-rounds
+# coverage stays complete. Local tools/check_oracles.py runs the FULL
+# registry regardless — the prefix only bounds what the driver
 # re-certifies per round.
 _PRIORITY = [
     # new in r4 — no driver row yet
