@@ -91,14 +91,12 @@ _PRIORITY = [
     "pipeline_epochs",
     "rel_waiting_supplier",
     "dedup_passage",
-    # r1-only greens (3 rounds old — keep inside the checked prefix even
-    # though their TPC-H inputs are unchanged since r01)
+    # ---- slot 50 boundary: everything below overflows the driver's
+    # checked prefix. First the r1-only TPC-H pair (their inputs have
+    # never been regenerated, so the r01 green rows cannot silently
+    # stale), then the cohort whose newest green is r02/r03.
     "rel_set_ops",
     "rel_merge_join",
-    # cohort last green in r02 (rotation). Entries past slot ~50 overflow
-    # the driver's checked prefix; the overflow lands on win_* entries
-    # whose inputs (TPC-H tables) have never been regenerated, so their
-    # r2 certification cannot silently stale.
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_components",

@@ -1431,19 +1431,14 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone operator (BM25: broadcast-pruned token explode; cosine:
     broadcast query set streamed over the corpus, WindowGroupLimit).
     """
-    from .textops import BM25_MAX_QUERIES, BM25_QUERY_STRIDE, bm25_ranked
+    from .textops import _bm25_query_filter, bm25_ranked
 
     text = bm25_ranked(spark, sf_dir, RRF_POOL).select(
         "query_id", "doc_id", F.col("rank").alias("rank_text")
     )
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     q = _with_norm(
-        emb.filter(
-            (F.col("vec_id") % BM25_QUERY_STRIDE == 0)
-            & (F.col("vec_id") < BM25_QUERY_STRIDE * BM25_MAX_QUERIES)
-        ),
-        "query_id",
-        "qv",
+        emb.filter(_bm25_query_filter("vec_id")), "query_id", "qv"
     )
     c = _with_norm(emb, "doc_id", "cv")
     scored = (

@@ -1256,9 +1256,12 @@ BM25_QUERY_TERMS = 8     # query = first N distinct words of that doc
 BM25_TOPK = 5
 
 
-def _bm25_query_filter() -> F.Column:
-    return (F.col("doc_id") % BM25_QUERY_STRIDE == 0) & (
-        F.col("doc_id") < BM25_QUERY_STRIDE * BM25_MAX_QUERIES
+def _bm25_query_filter(id_col: str = "doc_id") -> F.Column:
+    """Query-set membership predicate, shared by the lexical retriever
+    (over doc_id) and the hybrid fusion's vector side (over vec_id) so
+    the two retrievers can never drift onto different query sets."""
+    return (F.col(id_col) % BM25_QUERY_STRIDE == 0) & (
+        F.col(id_col) < BM25_QUERY_STRIDE * BM25_MAX_QUERIES
     )
 
 

@@ -205,7 +205,7 @@ def test_epoch_allocation_respects_budget_and_cap(spark):
         _curated_docs,
     )
 
-    out = pipeline_epochs(spark, "/root/testdata/sf0.001").toPandas()
+    out = pipeline_epochs(spark, SF).toPandas()
     assert len(out) > 0
     assert (out["n_epochs"] >= 1).all()
     assert (out["n_epochs"] <= EPOCH_CAP).all()
@@ -228,7 +228,7 @@ def test_epoch_allocation_respects_budget_and_cap(spark):
             )
     # when the unique pool fits the budget EPOCH_CAP times over, every
     # survivor is repeated exactly EPOCH_CAP times (the cap engages)
-    survivors = _curated_docs(spark, "/root/testdata/sf0.001").toPandas()
+    survivors = _curated_docs(spark, SF).toPandas()
     pools = survivors.groupby("predicted_lang")["n_tokens"].sum()
     for lang, pool in pools.items():
         if EPOCH_BUDGET // pool >= EPOCH_CAP:

@@ -7,8 +7,6 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import functions as F
-
 from mqtt_influx_storage_service_spark.operators.similarity import (
     RRF_K,
     RRF_POOL,

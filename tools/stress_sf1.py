@@ -151,9 +151,10 @@ def main() -> int:
                  "iq_percentile_weekly", "ref_line_protocol",
                  # MMR re-rank over a 10x corpus (pool stays capped)
                  "sim_mmr",
-                 # retrieval tier: BM25's query set GROWS with the
-                 # corpus (every-100th doc — 500 queries here), RRF
-                 # fuses two 10x retriever pools; epoch allocator rides
+                 # retrieval tier: BM25's bounded 50-query set scored
+                 # against a 10x corpus (the unbounded stride-grown set
+                 # measured 40 s here and was capped — see SCALE.md);
+                 # RRF fuses two 10x retriever pools; epoch allocator rides
                  # the curated-survivors subtree at 10x; passage dedup
                  # is two word-count-shaped shuffles over 10x blocks
                  "text_bm25", "sim_hybrid_rrf", "pipeline_epochs",
