@@ -194,3 +194,25 @@ def test_new_series_ops_single_exchange(spark):
         df = all_queries()[name](spark, SF)
         assert plans.exchange_count(df) == 1, name
         assert not plans.has_cartesian(df), name
+
+
+def test_bm25_prunes_tokens_with_broadcast_and_stays_partitioned(spark):
+    """The retrieval tier's scale contract: BM25's token explode is
+    pruned by BROADCAST joins (query terms / df / stats never shuffle
+    the corpus side); the only single-partition exchange is the 1-row
+    corpus-stats rollup (N, avgdl) — partial-aggregated map-side, one
+    row per task crosses it — never a corpus-sized relation."""
+    df = all_queries()["text_bm25"](spark, SF)
+    assert plans.has_broadcast_join(df)
+    assert plans.single_partition_exchanges(df) <= 1
+
+
+def test_hybrid_rrf_fuses_lists_without_corpus_shuffle(spark):
+    """RRF's fusion join runs over the two top-N candidate lists; the
+    embedding corpus reaches the plan only through the broadcast
+    query-set nested loop (same shape as sim_cosine_topk); the only
+    single-partition exchange is BM25's 1-row corpus-stats rollup."""
+    df = all_queries()["sim_hybrid_rrf"](spark, SF)
+    assert plans.has_broadcast_join(df)
+    assert plans.single_partition_exchanges(df) <= 1
+    assert not plans.has_cartesian(df)
