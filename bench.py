@@ -8,6 +8,19 @@ JSON line:
 Execution is forced with the built-in `noop` sink (full pipeline runs on
 executors, nothing is collected to the driver) so the timings reflect
 distributed execution cost, not driver materialization.
+
+Artifact-size contract (VERDICT r4 "Next round" #4): the driver records
+only the LAST ~2000 characters of stdout, and the r4 suite's 142-query
+JSON overflowed that window, truncating the line's head and leaving
+``BENCH_r04.json parsed: null``. So the final stdout line is now kept
+under ``_TAIL_BUDGET`` chars — if the full payload fits, it IS the full
+payload; otherwise the "queries" dict keeps as many entries as fit
+(slowest first, the ones that matter for grading) plus
+``queries_omitted``/``queries_file`` pointers — and the COMPLETE
+payload is always written to ``BENCH_DETAIL.json`` at the repo root,
+which the end-of-round commit preserves. The payload also embeds the
+common-query ratio vs the newest machine-readable prior round so the
+round-over-round trend survives even if per-query detail is elided.
 """
 
 from __future__ import annotations
@@ -56,11 +69,18 @@ def main() -> int:
     # long-lived deployment) and min-of-2 shields the number from
     # noisy-neighbor CPU on shared hardware. One broken query reports
     # null instead of aborting the suite (VERDICT r2 "What's wrong" #2).
+    from mqtt_influx_storage_service_spark.operators.similarity import release_mmr
+
     timings: dict[str, float | None] = {}
     for name in headline_names(qs):
         best = float("inf")
         try:
             for _ in range(2):
+                if name == "sim_mmr":
+                    # sim_mmr memoizes its persisted pool+picks; without
+                    # this the second rep times the cache, not the plan
+                    # (VERDICT r4 "What's wrong").
+                    release_mmr(spark)
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -85,15 +105,91 @@ def main() -> int:
         if failed
         else round(sum(v for v in timings.values() if v is not None), 3)
     )
-    print(json.dumps({
+    payload = {
         "metric": "headline_query_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "failed": failed,
         "sf": sf,
-    }))
+        "n_queries": len(timings),
+    }
+    payload.update(_prior_round_ratio(timings))
+    _emit(payload)
     return 0
+
+
+# stay safely inside the driver's ~2000-char stdout tail window; the
+# margin absorbs a trailing newline and any straggler log line.
+_TAIL_BUDGET = 1800
+
+
+def _prior_round_ratio(timings: dict[str, float | None]) -> dict:
+    """Sum this run's timings over the queries shared with the newest
+    machine-readable prior round's bench and report the ratio (<1 =
+    faster than last round). Makes the trend self-contained in the
+    artifact even when per-query detail is elided from stdout."""
+    import glob
+
+    best_round, prior = None, None
+    for path in sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json"))):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+            parsed = rec.get("parsed")
+            if parsed and parsed.get("queries"):
+                best_round, prior = os.path.basename(path)[6:-5], parsed
+        except Exception:  # noqa: BLE001 - artifact files are best-effort
+            continue
+    if prior is None:
+        return {}
+    common = [
+        k
+        for k, v in prior["queries"].items()
+        if v is not None and timings.get(k) is not None
+    ]
+    if not common:
+        return {}
+    now = round(sum(timings[k] for k in common), 3)
+    then = round(sum(prior["queries"][k] for k in common), 3)
+    return {
+        "common_vs_round": best_round,
+        "common_n": len(common),
+        "common_now_sec": now,
+        "common_prior_sec": then,
+        "common_ratio": round(now / then, 3) if then else None,
+    }
+
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _emit(payload: dict) -> None:
+    with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=False)
+        fh.write("\n")
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) <= _TAIL_BUDGET:
+        print(line)
+        return
+    # Elide per-query detail, slowest-first survivors: rank queries by
+    # time descending and keep as many as fit the budget.
+    ranked = sorted(
+        payload["queries"].items(),
+        key=lambda kv: (kv[1] is not None, kv[1] or 0.0),
+        reverse=True,
+    )
+    slim = dict(payload)
+    slim["queries_file"] = "BENCH_DETAIL.json"
+    keep = len(ranked)
+    while keep > 0:
+        slim["queries"] = dict(ranked[:keep])
+        slim["queries_omitted"] = len(ranked) - keep
+        line = json.dumps(slim, separators=(",", ":"))
+        if len(line) <= _TAIL_BUDGET:
+            break
+        keep -= max(1, (len(line) - _TAIL_BUDGET) // 30)
+    print(line)
 
 
 def _bench_stream_ingest(spark, sf_dir: str) -> float:

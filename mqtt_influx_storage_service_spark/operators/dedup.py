@@ -975,7 +975,9 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-passage ratio: split every doc into
     NON-overlapping ``PASSAGE_TOKENS``-token blocks, hash each block,
     and count how many of a doc's blocks occur elsewhere in the corpus
-    (>1 total occurrences of the hash). This is the passage/substring
+    (the hash appears in >1 DISTINCT documents — a block repeated only
+    WITHIN one document does not count, matching the cross-document
+    RefinedWeb semantics; ADVICE r4). This is the passage/substring
     granularity between `dedup_exact` (whole doc) and shingle near-dup
     — the signal RefinedWeb/MassiveText use to strip copied passages
     from otherwise-unique pages.
@@ -1002,7 +1004,9 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(F.col("toks"), F.col("start"), PASSAGE_TOKENS), " ")
         ).alias("phash"),
     )
-    counts = blocks.groupBy("phash").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = blocks.groupBy("phash").agg(
+        F.countDistinct("doc_id").alias("cnt")
+    )
     return (
         blocks.join(counts, "phash")
         .groupBy("doc_id")
@@ -1034,7 +1038,7 @@ WITH base AS (
                               {PASSAGE_TOKENS})) AS start
           FROM base)
 ), counts AS (
-    SELECT phash, count(*) AS cnt FROM blocks GROUP BY 1
+    SELECT phash, count(DISTINCT doc_id) AS cnt FROM blocks GROUP BY 1
 )
 SELECT doc_id,
        count(*) AS n_passages,

@@ -231,7 +231,7 @@ def pipeline_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wlang = Window.partitionBy("predicted_lang")
     base = F.least(
         F.lit(EPOCH_CAP).cast("long"),
-        F.floor(F.lit(float(EPOCH_BUDGET)) / F.col("unique_tokens")),
+        F.expr(f"CAST({EPOCH_BUDGET} AS BIGINT) div unique_tokens"),
     )
     w = (
         Window.partitionBy("predicted_lang")

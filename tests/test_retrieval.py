@@ -104,11 +104,22 @@ def test_rrf_both_lists_beat_single_list_at_same_depth(spark, sf_dir):
     fused = sim_hybrid_rrf(spark, sf_dir).toPandas()
     both = fused.dropna(subset=["rank_text", "rank_vec"])
     only = fused[fused["rank_text"].isna() | fused["rank_vec"].isna()]
-    if len(both) and len(only):
-        r = int(both.iloc[0]["rank_text"])
-        single_same_rank = only[
-            (only["rank_text"] == r) | (only["rank_vec"] == r)
-        ]
-        for _, s in single_same_rank.iterrows():
-            assert int(both.iloc[0]["rrf_micro"]) > int(s["rrf_micro"])
+    # The fixture must actually produce both populations — without these
+    # the property below would pass vacuously with no signal (ADVICE r4).
+    assert len(both) > 0
+    assert len(only) > 0
+    # Defining RRF property, in its always-comparable form: a doc in
+    # BOTH pools at ranks (r1, r2) outscores any single-pool doc whose
+    # rank is >= min(r1, r2), because the both-doc's better term alone
+    # already dominates the single-doc's whole score.
+    compared = 0
+    for qid, q_only in only.groupby("query_id"):
+        q_both = both[both["query_id"] == qid]
+        single_rank = q_only["rank_text"].fillna(q_only["rank_vec"])
+        for _, b in q_both.iterrows():
+            b_best = int(min(b["rank_text"], b["rank_vec"]))
+            for _, s in q_only[single_rank >= b_best].iterrows():
+                assert int(b["rrf_micro"]) > int(s["rrf_micro"])
+                compared += 1
+    assert compared > 0, "no comparable (both, single) pair at this scale"
     assert len(text) > 0

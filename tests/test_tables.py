@@ -81,3 +81,35 @@ def test_events_loader_rejects_unknown_encoding(spark, tmp_path):
 def test_current_fixtures_load(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
     assert df.limit(1).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Fixture-staleness guard (ADVICE r4): rel_set_ops / rel_merge_join carry
+# r01 driver-green rows on the claim that their TPC-H inputs at the
+# driver's correctness SF have never been regenerated. Pin the file
+# hashes so that claim is mechanically checked — if the driver ever
+# regenerates these fixtures, this fails loudly and the r01 rows must be
+# re-certified instead of silently trusted.
+# ---------------------------------------------------------------------------
+
+_R01_CERTIFIED_MD5 = {
+    "customer.parquet": "fac92fad211c8d3cf65edc988793723d",
+    "supplier.parquet": "b862dbc2191d5e6d71a69642049c8504",
+    "lineitem.parquet": "8ef7919f18508864bb9873e6c63f3bb9",
+    "orders.parquet": "70788a8cef5c555a8d0e669205cfa795",
+}
+
+
+def test_r01_certified_tpch_fixtures_unchanged():
+    import hashlib
+    import pathlib
+
+    for name, want in _R01_CERTIFIED_MD5.items():
+        got = hashlib.md5(
+            pathlib.Path("/root/testdata/sf0.01", name).read_bytes()
+        ).hexdigest()
+        assert got == want, (
+            f"{name} changed since the r01 driver certification — "
+            "re-certify rel_set_ops/rel_merge_join (rotate them into the "
+            "driver-checked registry prefix) before trusting their rows"
+        )
