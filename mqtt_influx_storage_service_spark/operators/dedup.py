@@ -281,13 +281,56 @@ CC_ROUNDS = 5
 _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+# Per-node propagation-edge cap (VERDICT r4 #5): dup-group edge count
+# is quadratic in group size (a 100-member boilerplate cluster emits
+# 4 950 pairs), and every propagation round re-joins the whole edge
+# set, so group fan-out multiplies CC cost by g²·CC_ROUNDS. Each node
+# keeps its EDGE_CAP best edges (weight DESC — exact dups at 1.0 rank
+# above near-dups — then dst ASC) PLUS, unconditionally, its
+# smallest-id neighbor: within a dup group every member adjacent to
+# the group minimum keeps that edge, so the min-label star survives
+# any trim. A trimmed graph can in principle split a component whose
+# connectivity relied ONLY on >cap-degree nodes' dropped edges
+# (synthetic adversarial chains through dense hubs); the audit view
+# :func:`component_edge_trim` makes every trimmed node visible, and
+# the fixtures (max degree < cap) are untouched — driver hashes
+# unchanged.
+EDGE_CAP = 8
+
+
+def _dup_edges_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED symmetric weighted edges (src, dst, w): Jaccard >= 0.5
+    pairs (w = jaccard) UNION exact-text duplicate pairs (w = 1.0;
+    short docs have no shingles, so identical <3-token docs only
+    appear via the exact leg)."""
+    jac = _jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("w")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    rep = F.min("doc_id").over(Window.partitionBy("text"))
+    exact = (
+        docs.select("doc_id", rep.alias("rep"))
+        .filter(F.col("rep") < F.col("doc_id"))
+        .select(
+            F.col("rep").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+    und = jac.unionByName(exact)
+    return und.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), "w").unionByName(
+        und.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"), "w")
+    )
+
+
 def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric near-dup edge list ``(src, dst)``: Jaccard >= 0.5
-    pairs UNION exact-text duplicate pairs (short docs have no
-    shingles, so identical <3-token docs only appear via the exact
-    leg). Duplicate edges between the two legs are NOT distinct-ed
-    away: min-propagation is idempotent and an edge-level distinct is
-    a full shuffle of the edge set at 100 TB for zero semantic gain.
+    """Symmetric near-dup edge list ``(src, dst)``, per-node capped to
+    EDGE_CAP best edges + the smallest-id neighbor (see the cap note
+    above), then re-symmetrized (a kept direction keeps its reverse, so
+    propagation still flows both ways). Duplicate edges between the two
+    legs / directions are NOT distinct-ed away: min-propagation is
+    idempotent and an edge-level distinct is a full shuffle of the edge
+    set at 100 TB for zero semantic gain.
 
     Persisted via the same keyed-cache discipline as
     :func:`_doc_shingles` (released by :func:`release_shingles`):
@@ -299,19 +342,20 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached
-    jac = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    docs = load_table(spark, sf_dir, "documents")
-    rep = F.min("doc_id").over(Window.partitionBy("text"))
-    exact = (
-        docs.select("doc_id", rep.alias("rep"))
-        .filter(F.col("rep") < F.col("doc_id"))
-        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    sym_all = _dup_edges_all(spark, sf_dir)
+    wsrc = Window.partitionBy("src")
+    kept = (
+        sym_all.withColumn(
+            "rk",
+            F.row_number().over(wsrc.orderBy(F.desc("w"), F.asc("dst"))),
+        )
+        .withColumn("min_dst", F.min("dst").over(wsrc))
+        .filter((F.col("rk") <= EDGE_CAP) | (F.col("dst") == F.col("min_dst")))
+        .select("src", "dst")
     )
-    und = jac.unionByName(exact)
     sym = (
-        und.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            und.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        kept.unionByName(
+            kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         # Hash-partition by the propagation join key BEFORE persisting:
         # the cached layout would otherwise inherit the jaccard join's
@@ -323,6 +367,26 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _EDGE_CACHE[key] = sym
     return sym
+
+
+def component_edge_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit view of the nodes :func:`_dup_edges` TRIMS under EDGE_CAP
+    (twin of :func:`lsh_hot_buckets`): (src, degree, n_kept) for every
+    node whose degree exceeds the cap. Truncation is never silent —
+    empty on the test fixtures; non-empty means dense dup clusters
+    whose components should be spot-checked against
+    :func:`dedup_components_converged`."""
+    deg = (
+        _dup_edges_all(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"), F.min("dst").alias("min_dst"))
+    )
+    return deg.filter(F.col("degree") > EDGE_CAP).select(
+        "src",
+        "degree",
+        # kept = cap best + the min neighbor when it ranked below cap
+        F.least(F.col("degree"), F.lit(EDGE_CAP + 1)).alias("n_kept_max"),
+    )
 
 
 _LABEL_CACHE: dict[tuple[str, str, int], DataFrame] = {}
@@ -921,9 +985,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup: document pairs whose embeddings (vec_id ==
     doc_id, FIXTURES.md) have cosine >= 0.4; keep_doc is the lower id.
 
-    Candidates come from the similarity tier's tiled-GEMM exact
-    all-pairs kernel (``similarity._gemm_threshold_pairs`` — recall
-    1.0 by construction, margin covers rounding), then the shared
+    Candidates come from the similarity tier's tiled-GEMM kernel
+    (``similarity._gemm_threshold_pairs`` — exact all-pairs with
+    recall 1.0 up to GEMM_EXACT_MAX vectors; within multi-probed IVF
+    lists above it, so compute stays ∝ Σ list² at 10⁹ vectors), then
+    the shared
     order-stable fold-dot verify so the doubles match the DuckDB
     oracle bit-for-bit. The fixture threshold (0.4) sits at the noise
     floor where the hyperplane-block equi-join prunes ~nothing and

@@ -354,29 +354,180 @@ def _gemm_candidate_pairs(
 
     def _gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ti, tj = key
-        a = pdf[pdf["tile"] == ti]
-        b = pdf[pdf["tile"] == tj] if ti != tj else a
-        if a.empty or b.empty:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
-        B = (
-            A
-            if ti == tj
-            else np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
-        )
-        na = np.linalg.norm(A, axis=1)
-        nb = na if ti == tj else np.linalg.norm(B, axis=1)
-        na = np.where(na == 0, 1.0, na)
-        nb = np.where(nb == 0, 1.0, nb)
-        scores = (A / na[:, None]) @ (B / nb[:, None]).T
-        ia, ib = np.nonzero(scores >= cut)
-        id_a = a["vec_id"].to_numpy()[ia]
-        id_b = b["vec_id"].to_numpy()[ib]
-        keep = id_a < id_b
-        return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+        return _pairs_tile_kernel(pdf, ti, tj, cut)
 
     return exploded.groupBy("ti", "tj").applyInPandas(
         _gemm, "id_a long, id_b long"
+    )
+
+
+def _pairs_tile_kernel(
+    pdf: pd.DataFrame, ti: int, tj: int, cut: float
+) -> pd.DataFrame:
+    """Pure-pandas tile-pair scorer shared by the global-tile and
+    IVF-list GEMM plans: one float64 matmul over the (ti, tj) tiles of
+    ``pdf``, emitting (id_a < id_b) pairs whose cosine clears ``cut``."""
+    a = pdf[pdf["tile"] == ti]
+    b = pdf[pdf["tile"] == tj] if ti != tj else a
+    if a.empty or b.empty:
+        return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+    A = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
+    B = (
+        A
+        if ti == tj
+        else np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+    )
+    na = np.linalg.norm(A, axis=1)
+    nb = na if ti == tj else np.linalg.norm(B, axis=1)
+    na = np.where(na == 0, 1.0, na)
+    nb = np.where(nb == 0, 1.0, nb)
+    scores = (A / na[:, None]) @ (B / nb[:, None]).T
+    ia, ib = np.nonzero(scores >= cut)
+    id_a = a["vec_id"].to_numpy()[ia]
+    id_b = b["vec_id"].to_numpy()[ib]
+    keep = id_a < id_b
+    return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+
+
+# ---- IVF-list gating of the exact all-pairs family (VERDICT r4 #2) ----
+#
+# The tiled-GEMM plan distributes beautifully but its COMPUTE is O(n²)
+# dot products — at 10⁹ vectors that plan does not exist. Above
+# GEMM_EXACT_MAX the same kernels run WITHIN coarse IVF lists instead
+# (the SemDeDup regime): vectors are multi-assigned to their
+# IVF_PAIR_PROBES nearest centroids (so near-boundary pairs still share
+# a list — the symmetric analogue of query-side probing), and the
+# tile-pair explosion happens per list. Work becomes
+# Σ_list (p·n/K)²·K/2 ≈ p²·n·L/2 where L = IVF_TARGET_LIST sizes the
+# lists and K grows with the corpus — linear in n at fixed list size,
+# not n². The fixtures (≤2k vectors at sf0.1) stay below the gate, so
+# every driver-hashed result keeps the exact path bit-for-bit; recall
+# of the IVF path vs the exact kernel is pinned in
+# tests/test_similarity.py by forcing the gate down at sf0.01.
+GEMM_EXACT_MAX = 10_000
+IVF_PAIR_PROBES = 2
+IVF_TARGET_LIST = 2048
+
+
+def _pair_centroids(emb: DataFrame, n_rows: int) -> "np.ndarray":
+    """Coarse centroids for symmetric pair generation: deterministic
+    strided sample of unit vectors (flat in corpus size, the faiss
+    training regime) → driver-side Lloyd. K scales as n/IVF_TARGET_LIST
+    so list size — and with it per-list GEMM work — stays bounded as
+    the corpus grows."""
+    from .mlops import IVF_SAMPLE, _lloyd
+
+    k = max(8, min(-(-n_rows // IVF_TARGET_LIST), IVF_SAMPLE // 8))
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    unit = emb.select(
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") / norm
+        ).alias("unit"),
+        "vec_id",
+    )
+    stride = max(1, -(-n_rows // IVF_SAMPLE))
+    rows = (
+        unit.filter(F.col("vec_id") % stride == 0)
+        .select("unit")
+        .limit(IVF_SAMPLE)
+        .collect()
+    )
+    sample = np.array([r.unit for r in rows])
+    return _lloyd(sample, k=k)
+
+
+def _multi_assign_udf(centers: "np.ndarray", probes: int):
+    """Arrow-vectorized top-``probes`` nearest-centroid assignment
+    (array<long> of list ids). Same matmul form as mlops._assign_udf;
+    ties break on centroid index via stable argsort, so assignment is
+    deterministic."""
+    C = centers
+    c2 = (C**2).sum(axis=1)
+    p = min(probes, len(C))
+
+    @pandas_udf("array<long>")
+    def _assign(embs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in embs.to_numpy()])
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / np.where(n == 0, 1.0, n)
+        d2 = (X**2).sum(axis=1, keepdims=True) - 2 * (X @ C.T) + c2[None, :]
+        idx = np.argsort(d2, kind="stable", axis=1)[:, :p]
+        return pd.Series(list(idx.astype(np.int64)))
+
+    return _assign
+
+
+def _list_tile_exploded(assigned: DataFrame, chunk: int) -> DataFrame:
+    """Per-list analogue of :func:`_tile_exploded`: tile index comes
+    from the vector's rank WITHIN its list (vec_ids are sparse per
+    list), and the tile-pair fan-out uses the per-list tile count.
+    Shuffle volume is Σ_list n_list x (n_list/chunk + 1) rows."""
+    w = Window.partitionBy("lst").orderBy("vec_id")
+    wc = Window.partitionBy("lst")
+    ranked = assigned.select(
+        "vec_id",
+        "embedding",
+        "lst",
+        ((F.row_number().over(w) - F.lit(1)) / chunk).cast("int").alias("tile"),
+        F.ceil(F.count(F.lit(1)).over(wc) / F.lit(chunk))
+        .cast("int")
+        .alias("n_tiles"),
+    )
+    left = F.transform(
+        F.sequence(F.lit(0), F.col("tile")),
+        lambda i: F.struct(i.alias("ti"), F.col("tile").alias("tj")),
+    )
+    right = F.when(
+        F.col("tile") + 1 <= F.col("n_tiles") - 1,
+        F.transform(
+            F.sequence(F.col("tile") + 1, F.col("n_tiles") - 1),
+            lambda j: F.struct(F.col("tile").alias("ti"), j.alias("tj")),
+        ),
+    ).otherwise(F.array().cast("array<struct<ti:int,tj:int>>"))
+    return ranked.select(
+        "vec_id",
+        "embedding",
+        "lst",
+        "tile",
+        F.explode(F.concat(left, right)).alias("tp"),
+    ).select("vec_id", "embedding", "lst", "tile", "tp.ti", "tp.tj")
+
+
+def _ivf_assigned(emb: DataFrame, n_rows: int, probes: int) -> DataFrame:
+    centers = _pair_centroids(emb, n_rows)
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            _multi_assign_udf(centers, probes)(F.col("embedding"))
+        ).alias("lst"),
+    )
+
+
+def _ivf_gemm_candidate_pairs(
+    emb: DataFrame,
+    n_rows: int,
+    threshold: float,
+    chunk: int = GEMM_CHUNK,
+    probes: int = IVF_PAIR_PROBES,
+) -> DataFrame:
+    """Within-list tiled-GEMM candidates: multi-assign → per-list tile
+    pairs → the shared :func:`_pairs_tile_kernel` → distinct (a pair
+    sharing two lists is generated twice). Approximate by construction:
+    a qualifying pair whose members share NO coarse list is missed —
+    recall vs the exact kernel is pinned in tests."""
+    assigned = _ivf_assigned(emb, n_rows, probes)
+    exploded = _list_tile_exploded(assigned, chunk)
+    cut = threshold - _GEMM_MARGIN
+
+    def _gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _lst, ti, tj = key
+        return _pairs_tile_kernel(pdf, ti, tj, cut)
+
+    return (
+        exploded.groupBy("lst", "ti", "tj")
+        .applyInPandas(_gemm, "id_a long, id_b long")
+        .distinct()
     )
 
 
@@ -384,13 +535,19 @@ def _gemm_threshold_pairs(
     spark: SparkSession, sf_dir: str, threshold: float, chunk: int = GEMM_CHUNK
 ) -> DataFrame:
     """Tiled-GEMM candidates → exact fold-dot verify. The candidate
-    set is exact-with-margin, so the verify joins touch only the
-    qualifying pairs (+ a margin sliver); the emitted cosine comes
-    from the same Spark-side fold/round expressions as every other
-    scored query, keeping bit-parity with the DuckDB oracle."""
+    set is exact-with-margin below GEMM_EXACT_MAX (the fixture regime,
+    so driver hashes are unchanged) and IVF-list-bounded above it (the
+    plan that still exists at 10⁹ vectors); either way the verify joins
+    touch only qualifying pairs (+ a margin sliver) and the emitted
+    cosine comes from the same Spark-side fold/round expressions as
+    every other scored query, keeping bit-parity with the DuckDB
+    oracle."""
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     n_rows = table_row_count(sf_dir, "embeddings")
-    cand = _gemm_candidate_pairs(emb, n_rows, threshold, chunk)
+    if n_rows <= GEMM_EXACT_MAX:
+        cand = _gemm_candidate_pairs(emb, n_rows, threshold, chunk)
+    else:
+        cand = _ivf_gemm_candidate_pairs(emb, n_rows, threshold, chunk)
     return _verify_cosine_pairs(emb, cand, threshold)
 
 
@@ -398,12 +555,15 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All vector pairs (a < b) with cosine >= SIM_THRESHOLD (0.4),
     with their labels — the 'find all near-duplicate embeddings'
     sweep. Candidates from the tiled-GEMM exact all-pairs kernel
-    (recall 1.0 by construction — the margin covers rounding), then
-    the shared fold-dot verify; the oracle below is the brute-force
-    formulation, so the driver gate re-proves equality. The blocked
-    LSH path (:func:`_threshold_pairs_verified`) is NOT used here:
-    at a noise-floor threshold its candidate join materializes every
-    pair ~6 times (measured 164 s vs <20 s at sf1.0)."""
+    (recall 1.0 by construction — the margin covers rounding) up to
+    GEMM_EXACT_MAX vectors, and from the same kernel run WITHIN
+    multi-probed IVF lists above it (compute ∝ Σ list², the plan that
+    survives 10⁹ vectors); then the shared fold-dot verify. The oracle
+    below is the brute-force formulation, so the driver gate re-proves
+    equality on the (exact-path) fixtures. The blocked LSH path
+    (:func:`_threshold_pairs_verified`) is NOT used here: at a
+    noise-floor threshold its candidate join materializes every pair
+    ~6 times (measured 164 s vs <20 s at sf1.0)."""
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     labels = emb.select("vec_id", "label")
     pairs = _gemm_threshold_pairs(spark, sf_dir, SIM_THRESHOLD)
@@ -803,6 +963,77 @@ SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
 _KNN_GEMM_MARGIN = 2e-6
 
 
+def _knn_tile_kernel(
+    pdf: pd.DataFrame,
+    ti: int,
+    tj: int,
+    k: int,
+    H: "np.ndarray",
+    w: "np.ndarray",
+    empty: pd.DataFrame,
+) -> pd.DataFrame:
+    """Pure-pandas block-masked kNN tile scorer shared by the
+    global-tile and IVF-list plans: one float64 matmul scores the
+    (ti, tj) tile pair, the 48-plane sign matmul applies the
+    hyperplane-block candidate mask in-kernel, and each vector keeps
+    its local top-k (+ margin)."""
+    a = pdf[pdf["tile"] == ti]
+    b = pdf[pdf["tile"] == tj] if ti != tj else a
+    if a.empty or b.empty:
+        return empty
+    A = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
+    B = (
+        A
+        if ti == tj
+        else np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+    )
+    na = np.linalg.norm(A, axis=1)
+    nb = na if ti == tj else np.linalg.norm(B, axis=1)
+    na = np.where(na == 0, 1.0, na)
+    nb = np.where(nb == 0, 1.0, nb)
+    scores = (A / na[:, None]) @ (B / nb[:, None]).T
+    blk_a = (
+        ((A @ H.T) > 0).reshape(len(A), N_BLOCKS, BLOCK_BITS) @ w
+    )  # (na, 24) block values
+    blk_b = (
+        blk_a
+        if ti == tj
+        else ((B @ H.T) > 0).reshape(len(B), N_BLOCKS, BLOCK_BITS) @ w
+    )
+    match = (blk_a[:, None, :] == blk_b[None, :, :]).any(axis=-1)
+    ids_a = a["vec_id"].to_numpy()
+    ids_b = b["vec_id"].to_numpy() if ti != tj else ids_a
+    if ti == tj:
+        match &= ids_a[:, None] != ids_b[None, :]
+
+    qs, ns, gs = [], [], []
+
+    def _local_topk(M: np.ndarray, qids: np.ndarray, nids: np.ndarray) -> None:
+        kk = min(k, M.shape[1])
+        if kk == 0:
+            return
+        kth = -np.partition(-M, kk - 1, axis=1)[:, kk - 1]
+        keep = np.isfinite(M) & (M >= kth[:, None] - _KNN_GEMM_MARGIN)
+        qi, ni = np.nonzero(keep)
+        qs.append(qids[qi])
+        ns.append(nids[ni])
+        gs.append(M[qi, ni])
+
+    masked = np.where(match, scores, -np.inf)
+    _local_topk(masked, ids_a, ids_b)
+    if ti != tj:
+        _local_topk(masked.T, ids_b, ids_a)
+    if not qs:
+        return empty
+    return pd.DataFrame(
+        {
+            "vec_id": np.concatenate(qs),
+            "neighbor_id": np.concatenate(ns),
+            "gemm": np.concatenate(gs),
+        }
+    )
+
+
 def _gemm_block_knn_candidates(
     emb: DataFrame, n_rows: int, k: int = KNN_K, chunk: int = GEMM_CHUNK
 ) -> DataFrame:
@@ -841,61 +1072,7 @@ def _gemm_block_knn_candidates(
 
     def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ti, tj = key
-        a = pdf[pdf["tile"] == ti]
-        b = pdf[pdf["tile"] == tj] if ti != tj else a
-        if a.empty or b.empty:
-            return empty
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
-        B = (
-            A
-            if ti == tj
-            else np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
-        )
-        na = np.linalg.norm(A, axis=1)
-        nb = na if ti == tj else np.linalg.norm(B, axis=1)
-        na = np.where(na == 0, 1.0, na)
-        nb = np.where(nb == 0, 1.0, nb)
-        scores = (A / na[:, None]) @ (B / nb[:, None]).T
-        blk_a = (
-            ((A @ H.T) > 0).reshape(len(A), N_BLOCKS, BLOCK_BITS) @ w
-        )  # (na, 24) block values
-        blk_b = (
-            blk_a
-            if ti == tj
-            else ((B @ H.T) > 0).reshape(len(B), N_BLOCKS, BLOCK_BITS) @ w
-        )
-        match = (blk_a[:, None, :] == blk_b[None, :, :]).any(axis=-1)
-        ids_a = a["vec_id"].to_numpy()
-        ids_b = b["vec_id"].to_numpy() if ti != tj else ids_a
-        if ti == tj:
-            match &= ids_a[:, None] != ids_b[None, :]
-
-        qs, ns, gs = [], [], []
-
-        def _local_topk(M: np.ndarray, qids: np.ndarray, nids: np.ndarray) -> None:
-            kk = min(k, M.shape[1])
-            if kk == 0:
-                return
-            kth = -np.partition(-M, kk - 1, axis=1)[:, kk - 1]
-            keep = np.isfinite(M) & (M >= kth[:, None] - _KNN_GEMM_MARGIN)
-            qi, ni = np.nonzero(keep)
-            qs.append(qids[qi])
-            ns.append(nids[ni])
-            gs.append(M[qi, ni])
-
-        masked = np.where(match, scores, -np.inf)
-        _local_topk(masked, ids_a, ids_b)
-        if ti != tj:
-            _local_topk(masked.T, ids_b, ids_a)
-        if not qs:
-            return empty
-        return pd.DataFrame(
-            {
-                "vec_id": np.concatenate(qs),
-                "neighbor_id": np.concatenate(ns),
-                "gemm": np.concatenate(gs),
-            }
-        )
+        return _knn_tile_kernel(pdf, ti, tj, k, H, w, empty)
 
     local = exploded.groupBy("ti", "tj").applyInPandas(
         _kernel, "vec_id long, neighbor_id long, gemm double"
@@ -913,6 +1090,15 @@ def _gemm_block_knn_candidates(
     n_tiles = max(1, -(-n_rows // chunk))
     if n_tiles <= 4:
         return local.select("vec_id", "neighbor_id")
+    return _global_knn_prune(local, k)
+
+
+def _global_knn_prune(local: DataFrame, k: int) -> DataFrame:
+    """Cut the union of local tile survivors to the global top-k (+
+    margin) per vector before the expensive array-join rescore: two
+    windows over the skinny 24-byte survivor relation. Still provably a
+    superset of the rounded answer — every true top-k member's gemm
+    clears the global kth by more than the margin covers."""
     wg = Window.partitionBy("vec_id").orderBy(
         F.desc("gemm"), F.asc("neighbor_id")
     )
@@ -928,6 +1114,46 @@ def _gemm_block_knn_candidates(
         )
         .select("vec_id", "neighbor_id")
     )
+
+
+def _ivf_block_knn_candidates(
+    emb: DataFrame,
+    n_rows: int,
+    k: int = KNN_K,
+    chunk: int = GEMM_CHUNK,
+    probes: int = IVF_PAIR_PROBES,
+) -> DataFrame:
+    """IVF-list analogue of :func:`_gemm_block_knn_candidates` — the
+    kNN-graph plan that still exists at 10⁹ vectors: multi-assign to
+    IVF_PAIR_PROBES coarse lists, run the SAME block-masked GEMM tile
+    kernel within each list, take each vector's best gemm per neighbor
+    across its lists (the same pair can score in two shared lists),
+    then the same global top-k prune. Neighbors outside all of a
+    vector's lists are missed by construction; recall vs the exact
+    kernel is pinned in tests."""
+    assigned = _ivf_assigned(emb, n_rows, probes)
+    exploded = _list_tile_exploded(assigned, chunk)
+    H = np.array(_hyperplanes(N_BLOCKS * BLOCK_BITS), dtype=np.float64)
+    w = 1 << np.arange(BLOCK_BITS)
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "gemm": pd.Series(dtype="float64"),
+        }
+    )
+
+    def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _lst, ti, tj = key
+        return _knn_tile_kernel(pdf, ti, tj, k, H, w, empty)
+
+    local = (
+        exploded.groupBy("lst", "ti", "tj")
+        .applyInPandas(_kernel, "vec_id long, neighbor_id long, gemm double")
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.max("gemm").alias("gemm"))
+    )
+    return _global_knn_prune(local, k)
 
 
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,14 +1172,19 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k per vector with a rank window — Spark plans that as
     WindowGroupLimit. Approximate by construction (vectors sharing no
     block can't be neighbors); recall floor vs the oracle-anchored
-    ``sim_knn_exact`` is pinned in tests/test_similarity.py. The true
-    10^9-vector scale path is the ``sim_ann_*`` family — an exact
-    block-masked kNN graph is inherently quadratic over tile pairs.
+    ``sim_knn_exact`` is pinned in tests/test_similarity.py.
+    Above GEMM_EXACT_MAX the kernel runs within coarse IVF lists
+    (``_ivf_block_knn_candidates``) so compute is Σ list² ≪ n² — the
+    plan that survives 10⁹ vectors; the fixtures stay on the exact
+    tile path, keeping the driver hashes.
     Deterministic tie-break: (cosine DESC, neighbor_id ASC).
     """
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     n_rows = table_row_count(sf_dir, "embeddings")
-    cand = _gemm_block_knn_candidates(emb, n_rows)
+    if n_rows <= GEMM_EXACT_MAX:
+        cand = _gemm_block_knn_candidates(emb, n_rows)
+    else:
+        cand = _ivf_block_knn_candidates(emb, n_rows)
     q = _with_norm(emb, "vec_id", "qv")
     c = _with_norm(emb, "neighbor_id", "cv")
     scored = (

@@ -172,3 +172,46 @@ def test_passage_dedup_exact_duplicates_fully_flagged(spark, sf_dir):
     dup_texts = docs[docs.duplicated("text", keep=False)]
     for _, row in dup_texts.iterrows():
         assert out.loc[row["doc_id"], "dup_ratio"] == 1.0
+
+
+def test_edge_cap_preserves_dense_group_components(spark, tmp_path):
+    """Dense-group scenario (VERDICT r4 #5): a 30-member near-dup
+    group (every member's degree 29 ≫ EDGE_CAP) plus a cold pair. The
+    per-node cap must trim the propagation edges — visible via
+    component_edge_trim, never silent — while every group member still
+    collapses to ONE component (each keeps its smallest-id neighbor,
+    so the min-label star survives the trim)."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        EDGE_CAP,
+        component_edge_trim,
+        dedup_components,
+        release_shingles,
+    )
+
+    base = [f"w{i}" for i in range(40)]
+    rows = []
+    # 30 rotation variants: adjacent rotations share ~all shingles, so
+    # the group is densely connected (jaccard well above threshold)
+    for v in range(30):
+        rows.append((v, " ".join(base[v % 3:] + base[: v % 3])))
+    cold = " ".join(f"cold{i}" for i in range(30))
+    rows += [(100, cold), (101, cold)]
+    sf = str(tmp_path / "dense")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(4).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    try:
+        trims = component_edge_trim(spark, sf).collect()
+        assert len(trims) > 0 and all(r.degree > EDGE_CAP for r in trims)
+        comp = {r.doc_id: r.component_id for r in dedup_components(spark, sf).collect()}
+        # the whole dense group lands in the min-id component
+        assert {comp[v] for v in range(30)} == {0}
+        assert comp[100] == comp[101] == 100
+    finally:
+        release_shingles(spark)
+
+
+def test_edge_trim_audit_empty_on_fixtures(spark, sf_dir):
+    from mqtt_influx_storage_service_spark.operators.dedup import component_edge_trim
+
+    assert component_edge_trim(spark, sf_dir).count() == 0

@@ -180,3 +180,91 @@ def test_knn_graph_recall_and_shape(spark, sf_dir):
             assert (t.vec_id, t.neighbor_id) in got
     recall = hits / total
     assert recall >= 0.5, recall
+
+
+# ---------------------------------------------------------------------------
+# IVF-list gating of the exact all-pairs family (VERDICT r4 #2): above
+# GEMM_EXACT_MAX the tiled-GEMM kernels run within multi-probed coarse
+# lists. These tests force the IVF path at fixture scale and pin (a) the
+# no-false-positives property (verify is exact, so IVF output ⊆ exact
+# output), (b) a recall floor on the adversarial near-orthogonal
+# fixtures, and (c) that the size gate actually switches plans.
+# ---------------------------------------------------------------------------
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_ivf_pair_candidates_subset_with_recall_floor(spark):
+    from mqtt_influx_storage_service_spark.operators import similarity as S
+    from mqtt_influx_storage_service_spark.sources import load_table
+    from mqtt_influx_storage_service_spark.sources.tables import table_row_count
+
+    emb = load_table(spark, SF001, "embeddings", rebalance=True)
+    n = table_row_count(SF001, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S._verify_cosine_pairs(
+            emb, S._gemm_candidate_pairs(emb, n, S.SIM_THRESHOLD), S.SIM_THRESHOLD
+        ).collect()
+    }
+    ivf = {
+        (r.id_a, r.id_b)
+        for r in S._verify_cosine_pairs(
+            emb, S._ivf_gemm_candidate_pairs(emb, n, S.SIM_THRESHOLD), S.SIM_THRESHOLD
+        ).collect()
+    }
+    assert len(exact) > 0
+    assert ivf <= exact, "exact verify must forbid false positives"
+    recall = len(ivf & exact) / len(exact)
+    # noise-floor threshold on near-orthogonal fixtures is the WORST
+    # case for coarse quantization (qualifying pairs are only weakly
+    # pulled toward a shared centroid); clustered real corpora sit far
+    # above this floor. Measured 0.88 at sf0.01 with 8 lists x 2 probes.
+    assert recall >= 0.75, f"IVF pair recall {recall:.3f}"
+
+
+def test_ivf_gate_switches_knn_plan(spark, monkeypatch):
+    """Force the gate to 0 so sim_knn_graph takes the IVF-list path at
+    fixture scale; the graph must keep its shape contract (k ranks per
+    vector, cosine non-increasing) and recall a healthy share of the
+    exact-path edges."""
+    from mqtt_influx_storage_service_spark.operators import similarity as S
+
+    exact_edges = {
+        (r.vec_id, r.neighbor_id)
+        for r in S.sim_knn_graph(spark, SF001).collect()
+    }
+    monkeypatch.setattr(S, "GEMM_EXACT_MAX", 0)
+    rows = S.sim_knn_graph(spark, SF001).collect()
+    by_vec: dict[int, list] = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for vec_rows in by_vec.values():
+        vec_rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in vec_rows] == list(range(1, len(vec_rows) + 1))
+        cosines = [r.cosine for r in vec_rows]
+        assert cosines == sorted(cosines, reverse=True)
+    ivf_edges = {(r.vec_id, r.neighbor_id) for r in rows}
+    assert len(exact_edges) > 0
+    recall = len(ivf_edges & exact_edges) / len(exact_edges)
+    # top-3 graph edges at the noise floor: candidate-set overlap
+    # measured 0.76 at sf0.01; the rescore+rank keeps the shared edges.
+    assert recall >= 0.6, f"IVF kNN-graph edge recall {recall:.3f}"
+
+
+def test_ivf_list_assignment_is_bounded_and_deterministic(spark):
+    from mqtt_influx_storage_service_spark.operators import similarity as S
+    from mqtt_influx_storage_service_spark.sources import load_table
+    from mqtt_influx_storage_service_spark.sources.tables import table_row_count
+
+    emb = load_table(spark, SF001, "embeddings", rebalance=True)
+    n = table_row_count(SF001, "embeddings")
+    a1 = S._ivf_assigned(emb, n, S.IVF_PAIR_PROBES)
+    sizes = {r.lst: r.cnt for r in a1.groupBy("lst").count().withColumnRenamed("count", "cnt").collect()}
+    assert sum(sizes.values()) == n * S.IVF_PAIR_PROBES
+    # every vector lands in exactly IVF_PAIR_PROBES distinct lists
+    per_vec = a1.groupBy("vec_id").count().collect()
+    assert all(r["count"] == S.IVF_PAIR_PROBES for r in per_vec)
+    # deterministic: a second plan construction assigns identically
+    a2 = {(r.vec_id, r.lst) for r in S._ivf_assigned(emb, n, S.IVF_PAIR_PROBES).collect()}
+    assert {(r.vec_id, r.lst) for r in a1.collect()} == a2

@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STRESS_DIR = "/tmp/spark_graft_sf1"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "STRESS_r04.json")
+                   "STRESS_r05.json")
 SRC = "/root/testdata/sf0.1"
 FANOUT = 10
 
@@ -220,6 +220,38 @@ def main() -> int:
             for r in hot[:10]
         ],
     }
+    # IVF-list work audit (VERDICT r4 #2): at this scale (20k vectors >
+    # GEMM_EXACT_MAX) the embedding-pair family runs within coarse
+    # lists; record Σ list² / n² — the compute bound of the within-list
+    # GEMM relative to the exact all-pairs plan. The ratio shrinks
+    # linearly as n grows at fixed IVF_TARGET_LIST (work ∝ p²·L·n, not
+    # n²), so even a modest ratio here certifies the structure.
+    from mqtt_influx_storage_service_spark.operators import similarity as S
+    from mqtt_influx_storage_service_spark.sources import load_table
+    from mqtt_influx_storage_service_spark.sources.tables import table_row_count
+
+    emb = load_table(spark, STRESS_DIR, "embeddings", rebalance=True)
+    n_vec = table_row_count(STRESS_DIR, "embeddings")
+    sizes = [
+        r["cnt"]
+        for r in S._ivf_assigned(emb, n_vec, S.IVF_PAIR_PROBES)
+        .groupBy("lst")
+        .agg({"*": "count"})
+        .withColumnRenamed("count(1)", "cnt")
+        .collect()
+    ]
+    results["ivf_pair_audit"] = {
+        "gate": S.GEMM_EXACT_MAX,
+        "n_vectors": n_vec,
+        "ivf_path_engaged": n_vec > S.GEMM_EXACT_MAX,
+        "n_lists": len(sizes),
+        "probes": S.IVF_PAIR_PROBES,
+        "max_list": max(sizes) if sizes else 0,
+        "sum_sq_over_n_sq": round(
+            sum(s * s for s in sizes) / float(n_vec) ** 2, 4
+        ),
+    }
+
     with open(OUT, "w") as fh:
         json.dump(results, fh, indent=2)
     print(json.dumps(results))
