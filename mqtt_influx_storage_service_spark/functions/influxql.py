@@ -382,6 +382,7 @@ class _Parser:
                         "none",
                         "null",
                         "previous",
+                        "linear",
                     ):
                         fill = v.text.lower()
                     elif v.kind == "num":
@@ -655,7 +656,11 @@ class EventsCatalog:
 _SIMPLE_AGGS = {"COUNT", "SUM", "MIN", "MAX", "SPREAD", "STDDEV", "MEAN", "MODE"}
 _RANK_AGGS = {"MEDIAN", "PERCENTILE", "FIRST", "LAST"}
 _TRANSFORMS = {"DERIVATIVE", "DIFFERENCE", "CUMULATIVE_SUM", "MOVING_AVERAGE"}
-_AGG_FUNCS = _SIMPLE_AGGS | _RANK_AGGS
+# INTEGRAL is an aggregate whose per-row term needs a lag window over
+# the group's points BEFORE the groupBy (trapezoid vs the previous
+# point) — precomputed in _compile_agg like the FIRST/LAST rank columns.
+_WINDOW_AGGS = {"INTEGRAL"}
+_AGG_FUNCS = _SIMPLE_AGGS | _RANK_AGGS | _WINDOW_AGGS
 
 
 def _is_agg(e) -> bool:
@@ -894,9 +899,15 @@ class _Compiler:
         if (
             len(st.fields) == 1
             and isinstance(st.fields[0].expr, Call)
-            and st.fields[0].expr.func in ("TOP", "BOTTOM")
+            and st.fields[0].expr.func in ("TOP", "BOTTOM", "SAMPLE")
         ):
             out = self._compile_top_bottom(df, keys)
+        elif (
+            len(st.fields) == 1
+            and isinstance(st.fields[0].expr, Call)
+            and st.fields[0].expr.func == "HOLT_WINTERS"
+        ):
+            out = self._compile_holt_winters(df, keys)
         elif any(_is_agg(f.expr) for f in st.fields):
             out = self._compile_agg(df, keys, multi)
         else:
@@ -955,11 +966,22 @@ class _Compiler:
             )
             gcols = gcols + ["_bucket"]
         tb = [t for t in self.tiebreak if t in df.columns]
-        order = [
-            F.col(fld).desc() if call.func == "TOP" else F.col(fld).asc(),
-            F.col("time"),
-            *[F.col(c) for c in tb],
-        ]
+        if call.func == "SAMPLE":
+            # InfluxQL SAMPLE(field, N) is a nondeterministic reservoir;
+            # this engine makes it REPRODUCIBLE by ranking on the md5 of
+            # the tiebreak key (same discipline as operators/timeseries.
+            # ts_sample — a fixed keyed hash both engines compute
+            # byte-identically), keeping the N smallest digests.
+            if not tb:
+                raise InfluxQLError("SAMPLE needs a tiebreak column")
+            digest = F.md5(F.col(tb[0]).cast("string").cast("binary"))
+            order = [digest.asc(), *[F.col(c) for c in tb]]
+        else:
+            order = [
+                F.col(fld).desc() if call.func == "TOP" else F.col(fld).asc(),
+                F.col("time"),
+                *[F.col(c) for c in tb],
+            ]
         w = (
             Window.partitionBy(*gcols).orderBy(*order)
             if gcols
@@ -980,12 +1002,149 @@ class _Compiler:
             out = out.withColumnRenamed("_bucket", "bucket")
         return out
 
+    # HOLT_WINTERS(agg(field), N, S) — Holt's linear-trend forecast of
+    # the bucketed aggregate, N future buckets (S=0: non-seasonal).
+    def _compile_holt_winters(self, df: DataFrame, keys: list[str]) -> DataFrame:
+        st = self.stmt
+        call: Call = st.fields[0].expr
+        if (
+            len(call.args) != 3
+            or not isinstance(call.args[1], Num)
+            or not isinstance(call.args[2], Num)
+        ):
+            raise InfluxQLError(
+                "HOLT_WINTERS(agg(field), N, S) needs an aggregate, a "
+                "forecast count and a seasonal pattern length"
+            )
+        inner = call.args[0]
+        if not (isinstance(inner, Call) and inner.func in _AGG_FUNCS):
+            raise InfluxQLError("HOLT_WINTERS wraps one aggregate")
+        horizon = int(call.args[1].value)
+        season = int(call.args[2].value)
+        if season != 0:
+            raise InfluxQLError(
+                "seasonal HOLT_WINTERS (S > 0) is not supported; S=0 "
+                "fits Holt's linear trend (see operators/timeseries."
+                "ts_holt_winters for the standalone form)"
+            )
+        if st.group_time_ns is None:
+            raise InfluxQLError("HOLT_WINTERS requires GROUP BY time()")
+        name = st.fields[0].alias or "holt_winters"
+
+        # bucketed aggregate of the inner call via the normal agg path
+        sub = Select(
+            [Field(inner, "_hw_in")],
+            st.measurements,
+            st.where,
+            st.group_time_ns,
+            st.group_tags,
+            None,
+            False,
+            None,
+            None,
+            None,
+            None,
+            st.offset_ns,
+        )
+        agg_df = _Compiler(self.spark, self.catalog, sub, now=self.now).compile()
+        kcols = [c for c in agg_df.columns if c not in ("time", "_hw_in")]
+
+        # Same fold as operators/timeseries.ts_holt_winters (cited
+        # there: the recurrence is inherently sequential, so bound the
+        # series to its buckets and fold the ARRAY — never iterate
+        # rows); α=β=0.5 exactly representable, raw doubles out.
+        from ..operators.timeseries import HW_ALPHA, HW_BETA
+
+        grouped = agg_df.groupBy(*kcols) if kcols else agg_df.groupBy(F.lit(1).alias("_g"))
+        arrs = (
+            grouped.agg(
+                F.array_sort(
+                    F.collect_list(F.struct("time", F.col("_hw_in")))
+                ).alias("pts")
+            )
+            .select(
+                *(kcols if kcols else []),
+                F.transform(F.col("pts"), lambda s: s["_hw_in"]).alias("xs"),
+                F.element_at(F.col("pts"), -1)["time"].alias("_last_t"),
+            )
+            .filter(F.size("xs") >= 2)
+        )
+        xs = F.col("xs")
+        a, na, b, nb = (
+            F.lit(v) for v in (HW_ALPHA, 1 - HW_ALPHA, HW_BETA, 1 - HW_BETA)
+        )
+        init = F.struct(
+            F.element_at(xs, 2).alias("l"),
+            (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("b"),
+        )
+        fold = F.aggregate(
+            F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0))),
+            init,
+            lambda acc, x: F.struct(
+                (a * x + na * (acc["l"] + acc["b"])).alias("l"),
+                (
+                    b * (a * x + na * (acc["l"] + acc["b"]) - acc["l"])
+                    + nb * acc["b"]
+                ).alias("b"),
+            ),
+        )
+        fitted = arrs.select(
+            *(kcols if kcols else []), "_last_t", fold.alias("_st")
+        )
+        iv_us = st.group_time_ns // 1000
+        h = F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("_h")
+        lvl, tr = F.col("_st")["l"], F.col("_st")["b"]
+        return fitted.select(*(kcols if kcols else []), "_last_t", "_st", h).select(
+            *(kcols if kcols else []),
+            F.timestamp_micros(
+                F.unix_micros(F.col("_last_t")) + F.col("_h") * F.lit(iv_us)
+            ).alias("time"),
+            (lvl + F.col("_h").cast("double") * tr).alias(name),
+        )
+
     # raw (projection) select — no aggregates anywhere
     def _compile_raw(self, df: DataFrame, multi: bool) -> DataFrame:
+        # ELAPSED(field[, unit]) — per-series delta between consecutive
+        # points in integer units (truncating division, InfluxQL
+        # semantics; default unit 1ns). Pure integer math over epoch
+        # microseconds; one lag window per series key. InfluxQL emits
+        # nothing for a series' first point, so rows where EVERY
+        # elapsed column is NULL are dropped.
+        elapsed_names: list[str] = []
+        names = self._field_names()
+        for i, f in enumerate(self.stmt.fields):
+            e = f.expr
+            if isinstance(e, Call) and e.func == "ELAPSED":
+                if not e.args or not isinstance(e.args[0], Var):
+                    raise InfluxQLError("ELAPSED expects a field reference")
+                unit_ns = (
+                    e.args[1].ns
+                    if len(e.args) > 1 and isinstance(e.args[1], Dur)
+                    else 1
+                )
+                series = ([F.col("measurement")] if multi else []) + [
+                    F.col(t) for t in self.src_tags
+                ]
+                tb = [t for t in self.tiebreak if t in df.columns]
+                w = (
+                    Window.partitionBy(*series) if series else Window.partitionBy()
+                ).orderBy("time", *tb)
+                us = F.unix_micros(F.col("time"))
+                elapsed_ns = (us - F.lag(us).over(w)) * F.lit(1000)
+                # exact truncating division: subtract the remainder so
+                # the double division is over an exact multiple (a bare
+                # a/b cast could round up across an integer boundary)
+                df = df.withColumn(
+                    f"_elapsed_{names[i]}",
+                    (
+                        (elapsed_ns - elapsed_ns % F.lit(unit_ns))
+                        / F.lit(unit_ns)
+                    ).cast("long"),
+                )
+                elapsed_names.append(names[i])
         cols: list[Column] = [F.col("time")]
         if multi:
             cols.append(F.col("measurement"))
-        names = self._field_names()
         for i, f in enumerate(self.stmt.fields):
             if isinstance(f.expr, Var) and f.expr.name == "*":
                 for t in self.src_tags:
@@ -993,8 +1152,18 @@ class _Compiler:
                 for fld in self.src_fields:
                     cols.append(F.col(fld))
                 continue
+            if isinstance(f.expr, Call) and f.expr.func == "ELAPSED":
+                cols.append(F.col(f"_elapsed_{names[i]}").alias(names[i]))
+                continue
             cols.append(self._scalar(f.expr).alias(names[i]))
-        return df.select(*cols)
+        out = df.select(*cols)
+        if elapsed_names:
+            keep = None
+            for n in elapsed_names:
+                c = F.col(n).isNotNull()
+                keep = c if keep is None else (keep | c)
+            out = out.filter(keep)
+        return out
 
     # aggregate select
     def _compile_agg(self, df: DataFrame, keys: list[str], multi: bool) -> DataFrame:
@@ -1032,6 +1201,35 @@ class _Compiler:
                 if not c.args or not isinstance(c.args[0], Var):
                     raise InfluxQLError(f"{c.func} expects a field reference")
                 pct_fields.add(c.args[0].name)
+        # INTEGRAL: per-row trapezoid term vs the previous point of the
+        # SAME group (so a bucketed integral sums intra-bucket
+        # trapezoids only — gaps between buckets contribute nothing).
+        # Exact-integer discipline (see operators/timeseries.ts_integral):
+        # each term ×1000 rounds to an integer milli-unit, so the SUM is
+        # order-insensitive long arithmetic.
+        int_terms: set[tuple[str, int]] = set()
+        for c in needs:
+            if c.func == "INTEGRAL":
+                if not c.args or not isinstance(c.args[0], Var):
+                    raise InfluxQLError("INTEGRAL expects a field reference")
+                unit_ns = (
+                    c.args[1].ns
+                    if len(c.args) > 1 and isinstance(c.args[1], Dur)
+                    else 1_000_000_000
+                )
+                int_terms.add((c.args[0].name, unit_ns))
+        for fld, unit_ns in sorted(int_terms):
+            w = Window.partitionBy(*gcols).orderBy("time", *tb)
+            us = F.unix_micros(F.col("time"))
+            prev_v = F.lag(F.col(fld)).over(w)
+            prev_us = F.lag(us).over(w)
+            term_milli = F.round(
+                (F.col(fld) + prev_v)
+                / 2.0
+                * ((us - prev_us) / F.lit(unit_ns / 1000.0))
+                * 1000.0
+            ).cast("long")
+            df = df.withColumn(f"_int_{fld}_{unit_ns}", term_milli)
         for fld in sorted(pct_fields):
             w = Window.partitionBy(*gcols).orderBy(fld, *tb)
             df = df.withColumn(f"_rnv_{fld}", F.row_number().over(w))
@@ -1158,6 +1356,13 @@ class _Compiler:
             return F.round(F.round(F.sum(col), 2) / F.count(col), 6)
         if fn == "STDDEV":
             return F.round(F.stddev(col), 4)
+        if fn == "INTEGRAL":
+            unit_ns = (
+                c.args[1].ns
+                if len(c.args) > 1 and isinstance(c.args[1], Dur)
+                else 1_000_000_000
+            )
+            return F.sum(F.col(f"_int_{arg.name}_{unit_ns}")) / 1000.0
         if fn == "FIRST":
             return F.max(F.when(F.col("_rn_first") == 1, col))
         if fn == "LAST":
@@ -1221,6 +1426,44 @@ class _Compiler:
             for v in vcols:
                 filled = filled.withColumn(
                     v, F.last(F.col(v), ignorenulls=True).over(w)
+                )
+        elif st.fill == "linear":
+            # linear interpolation across interior gaps, leading and
+            # trailing gaps stay NULL (InfluxQL semantics). Same
+            # bracket-with-two-window-passes form as
+            # operators/timeseries.ts_interpolate: nearest non-null
+            # bucket on each side via last/first(ignorenulls) over
+            # unbounded frames on the (spine-sized) result — never the
+            # raw facts. Interpolated values are round(·,6)+0.0 (the
+            # repo's double-determinism discipline); observed values
+            # pass through untouched.
+            base = (
+                Window.partitionBy(*kcols).orderBy("time")
+                if kcols
+                else Window.orderBy("time")
+            )
+            wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            us = F.unix_micros(F.col("time"))
+            for v in vcols:
+                at_val = F.when(F.col(v).isNotNull(), us)
+                prev_v = F.last(F.col(v), ignorenulls=True).over(wb)
+                next_v = F.first(F.col(v), ignorenulls=True).over(wf)
+                prev_t = F.last(at_val, ignorenulls=True).over(wb)
+                next_t = F.first(at_val, ignorenulls=True).over(wf)
+                interp = (
+                    F.round(
+                        prev_v
+                        + (next_v - prev_v) * ((us - prev_t) / (next_t - prev_t)),
+                        6,
+                    )
+                    + F.lit(0.0)
+                )
+                filled = filled.withColumn(
+                    v,
+                    F.when(F.col(v).isNotNull(), F.col(v))
+                    .when(prev_v.isNull() | next_v.isNull(), F.lit(None).cast("double"))
+                    .otherwise(interp),
                 )
         elif isinstance(st.fill, float):
             for v in vcols:

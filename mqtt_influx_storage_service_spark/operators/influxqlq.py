@@ -396,7 +396,211 @@ WHERE event_type = 'purchase'
 """
 
 
+# -- r5: the function-surface completions (VERDICT r4 "Next round" #3) -----
+# fill(linear), INTEGRAL, ELAPSED, SAMPLE, HOLT_WINTERS — each existed
+# as a standalone oracle-green ts_* operator; these entries exercise
+# the same semantics THROUGH the parser/compiler.
+
+# -- 14. fill(linear): interior gaps interpolated, edges stay NULL ---------
+
+IQ_FILL_LINEAR = (
+    "SELECT MEAN(value) AS mean_value FROM signup "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-15 00:00:00' "
+    "GROUP BY time(1d), user_id fill(linear)"
+)
+
+IQ_FILL_LINEAR_SQL = f"""
+WITH agg AS (
+    SELECT user_id,
+           {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS mean_value
+    FROM events
+    WHERE event_type = 'signup'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2
+), spine AS (
+    SELECT u.user_id, make_timestamp(g.us) AS time
+    FROM (SELECT DISTINCT user_id FROM agg) u
+    CROSS JOIN (
+        SELECT unnest(generate_series(
+            b.lo - b.lo % {_US_1D},
+            (b.hi - 1) - (b.hi - 1) % {_US_1D},
+            {_US_1D})) AS us
+        FROM (SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS lo,
+                     epoch_us(TIMESTAMP '2024-01-15 00:00:00') AS hi) b
+    ) g
+), joined AS (
+    SELECT s.user_id, s.time, a.mean_value AS mv
+    FROM spine s
+    LEFT JOIN agg a ON a.user_id = s.user_id AND a.time = s.time
+), br AS (
+    SELECT user_id, time, mv,
+           last_value(mv IGNORE NULLS) OVER wb AS prev_v,
+           first_value(mv IGNORE NULLS) OVER wf AS next_v,
+           last_value(CASE WHEN mv IS NOT NULL THEN epoch_us(time) END
+                      IGNORE NULLS) OVER wb AS prev_t,
+           first_value(CASE WHEN mv IS NOT NULL THEN epoch_us(time) END
+                       IGNORE NULLS) OVER wf AS next_t
+    FROM joined
+    WINDOW wb AS (PARTITION BY user_id ORDER BY time
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY time
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, time,
+       CASE WHEN mv IS NOT NULL THEN mv
+            WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+            ELSE round(prev_v + (next_v - prev_v)
+                       * ((epoch_us(time) - prev_t)
+                          / CAST(next_t - prev_t AS DOUBLE)), 6) + 0.0
+       END AS mean_value
+FROM br
+"""
+
+
+# -- 15. INTEGRAL: trapezoidal area per series per bucket ------------------
+
+IQ_INTEGRAL = (
+    "SELECT INTEGRAL(value, 1s) AS area FROM purchase "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-29 00:00:00' "
+    "GROUP BY time(7d), user_id"
+)
+
+IQ_INTEGRAL_SQL = f"""
+WITH pts AS (
+    SELECT user_id,
+           {_BUCKET.format(iv=_US_1W)} AS time,
+           ts, event_id, value, epoch_us(ts) AS us
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+), with_prev AS (
+    SELECT user_id, time, value, us,
+           lag(value) OVER w AS prev_v,
+           lag(us)    OVER w AS prev_us
+    FROM pts
+    WINDOW w AS (PARTITION BY user_id, time ORDER BY ts, event_id)
+)
+SELECT user_id, time,
+       CAST(sum(CAST(round((value + prev_v) / 2.0
+                           * ((us - prev_us) / 1000000.0)
+                           * 1000.0) AS BIGINT)) AS BIGINT) / 1000.0 AS area
+FROM with_prev
+GROUP BY 1, 2
+"""
+
+
+# -- 16. ELAPSED: integer gap between consecutive points of a series -------
+
+IQ_ELAPSED = (
+    "SELECT ELAPSED(value, 1ms) AS gap_ms FROM error "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-20 00:00:00'"
+)
+
+IQ_ELAPSED_SQL = """
+WITH pts AS (
+    SELECT user_id, ts, event_id
+    FROM events
+    WHERE event_type = 'error'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+), d AS (
+    SELECT ts AS time,
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+           )) * 1000 AS ns
+    FROM pts
+)
+SELECT time, CAST((ns - ns % 1000000) / 1000000 AS BIGINT) AS gap_ms
+FROM d WHERE ns IS NOT NULL
+"""
+
+
+# -- 17. SAMPLE: reproducible N-per-bucket sample (md5-ranked) -------------
+
+IQ_SAMPLE = (
+    "SELECT SAMPLE(value, 2) FROM view "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-29 00:00:00' "
+    "GROUP BY time(7d), user_id"
+)
+
+IQ_SAMPLE_SQL = f"""
+WITH ranked AS (
+    SELECT user_id,
+           {_BUCKET.format(iv=_US_1W)} AS bucket,
+           ts AS time, value,
+           row_number() OVER (
+               PARTITION BY user_id, {_BUCKET.format(iv=_US_1W)}
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+           ) AS rn
+    FROM events
+    WHERE event_type = 'view'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+)
+SELECT user_id, bucket, time, value AS sample
+FROM ranked WHERE rn <= 2
+"""
+
+
+# -- 18. HOLT_WINTERS: Holt linear-trend forecast of the daily mean --------
+
+IQ_HOLT_WINTERS = (
+    "SELECT HOLT_WINTERS(MEAN(value), 3, 0) AS fc FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-20 00:00:00' "
+    "GROUP BY time(1d), user_id"
+)
+
+# Recursive-CTE fold, NOT list_reduce (same DuckDB struct-lambda hazard
+# documented at operators/timeseries.TS_HOLT_WINTERS_SQL); α=β=0.5.
+IQ_HOLT_WINTERS_SQL = f"""
+WITH RECURSIVE agg AS (
+    SELECT user_id,
+           {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS mv
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY 1, 2
+), arrs AS (
+    SELECT user_id,
+           list_transform(list_sort(list({{'t': time, 'v': mv}})),
+                          s -> s.v) AS xs,
+           max(time) AS last_t
+    FROM agg GROUP BY 1
+), step(user_id, i, l, b) AS (
+    SELECT user_id, 2, xs[2], xs[2] - xs[1]
+    FROM arrs WHERE len(xs) >= 2
+  UNION ALL
+    SELECT s.user_id, s.i + 1,
+           0.5 * a.xs[s.i + 1] + 0.5 * (s.l + s.b),
+           0.5 * (0.5 * a.xs[s.i + 1] + 0.5 * (s.l + s.b) - s.l)
+               + 0.5 * s.b
+    FROM step s
+    JOIN arrs a ON s.user_id = a.user_id
+    WHERE s.i < len(a.xs)
+), fitted AS (
+    SELECT s.user_id, a.last_t, s.l, s.b
+    FROM step s
+    JOIN arrs a ON s.user_id = a.user_id AND s.i = len(a.xs)
+)
+SELECT f.user_id,
+       make_timestamp(epoch_us(f.last_t) + h.h * {_US_1D}) AS time,
+       f.l + CAST(h.h AS DOUBLE) * f.b AS fc
+FROM fitted f
+CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) h
+"""
+
+
 QUERIES = {
+    "iq_fill_linear": _q(IQ_FILL_LINEAR),
+    "iq_integral": _q(IQ_INTEGRAL),
+    "iq_elapsed": _q(IQ_ELAPSED),
+    "iq_sample": _q(IQ_SAMPLE),
+    "iq_holt_winters": _q(IQ_HOLT_WINTERS),
     "iq_subquery_rollup": _q(IQ_SUBQUERY_ROLLUP),
     "iq_now_relative": _q(IQ_NOW_RELATIVE, now="2024-01-30 00:00:00"),
     "iq_lineitem_profile": _q(IQ_LINEITEM_PROFILE, catalog_cls=LineitemCatalog),
@@ -413,6 +617,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "iq_fill_linear": IQ_FILL_LINEAR_SQL,
+    "iq_integral": IQ_INTEGRAL_SQL,
+    "iq_elapsed": IQ_ELAPSED_SQL,
+    "iq_sample": IQ_SAMPLE_SQL,
+    "iq_holt_winters": IQ_HOLT_WINTERS_SQL,
     "iq_subquery_rollup": IQ_SUBQUERY_ROLLUP_SQL,
     "iq_now_relative": IQ_NOW_RELATIVE_SQL,
     "iq_lineitem_profile": IQ_LINEITEM_PROFILE_SQL,
