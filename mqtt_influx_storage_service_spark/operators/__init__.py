@@ -30,83 +30,45 @@ from . import (
 # Registration ORDER is load-bearing: the driver's correctness gate
 # walks the registry in insertion order and checks a bounded prefix
 # (50 entries every round so far), so entries WITHOUT a recent green
-# row must come first. r3 re-certified slots 0-49; the r4 prefix is
-# EXACTLY the 50 operators ADDED this round (no driver row yet — all
-# oracle-backed, so every checked slot can go hash-green). Everything
-# past slot 50 already has a green row under the CURRENT fixtures
-# (r1 for the TPC-H-only pair rel_set_ops/rel_merge_join, whose inputs
-# have never been regenerated; r2/r3 for the rest), so union-of-rounds
-# coverage stays complete. Local tools/check_oracles.py runs the FULL
-# registry regardless — the prefix only bounds what the driver
-# re-certifies per round.
+# row must come first. The r5 rotation (VERDICT r4 "Next round" #1)
+# front-loads, in order: (a) the 5 oracle-backed entries that have
+# NEVER had a driver row (upgraded/rewritten in r4), (b) the 5 iq_*
+# entries new in r5, (c) every operator whose code changed in r5
+# (passage semantics, IVF gate, edge cap, epochs int-div), (d) the
+# r1-only TPC-H pair (4 rounds stale; their fixture hashes are also
+# test-pinned, tests/test_tables.py), then (e) the r2 cohort whose
+# newest green is 3 rounds old, back-filled to 50 with the Tier A
+# ref_* family (r3). Everything past slot 50 holds an r3/r4 green row
+# under the current fixtures, so union-of-rounds coverage stays
+# complete. Local tools/check_oracles.py runs the FULL registry
+# regardless — the prefix only bounds what the driver re-certifies
+# per round.
 _PRIORITY = [
-    # new in r4 — no driver row yet
-    "text_pii_scrub",
-    "pipeline_curriculum",
-    "pipeline_dedup_mix",
-    "mm_token_budget",
-    "sim_mmr",
-    "rel_revenue_threshold",
-    "rel_sales_opportunity",
-    "rel_top_supplier",
-    "ref_line_protocol",
-    "iq_subquery_rollup",
-    "iq_now_relative",
-    "iq_lineitem_profile",
-    "iq_top_points",
-    "iq_show_series",
-    "iq_raw_select",
-    "iq_mean_by_day",
-    "iq_selectors",
-    "iq_percentile_weekly",
-    "iq_fill_previous",
-    "iq_derivative_daily",
-    "iq_regex_union",
-    "iq_show_tag_values",
-    "text_chunking",
-    "emb_quantize_int8",
-    "sim_centroid_assign",
-    "ts_elapsed",
-    "ts_top_per_bucket",
-    "ts_sample",
-    "ts_changepoint",
-    "sim_knn_exact",
-    "text_langid_ngram",
-    "sim_range_search",
-    "ts_pattern_match",
-    "ts_downsample",
-    "ts_cross_correlation",
-    "text_bigram_lm",
-    "ts_cumulative_sum",
-    "ts_counter_rate",
-    "ts_percentile",
-    "ts_spread",
-    "text_gopher_rules",
-    "pipeline_quality_gate",
-    "ts_holt_winters",
-    "ts_seasonal_profile",
-    "ts_mode",
-    "text_bm25",
-    "sim_hybrid_rrf",
-    "pipeline_epochs",
-    "rel_waiting_supplier",
-    "dedup_passage",
-    # ---- slot 50 boundary: everything below overflows the driver's
-    # checked prefix. First the r1-only TPC-H pair (their inputs have
-    # never been regenerated, so the r01 green rows cannot silently
-    # stale), then the cohort whose newest green is r02/r03.
-    "rel_set_ops",
-    "rel_merge_join",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_components",
+    # (a) oracle-backed, never driver-checked
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "sim_threshold_pairs",
     "sim_knn_graph",
     "sim_ann_lsh",
+    "mm_extract_features",
+    # (b) new in r5 — InfluxQL function-surface completions
+    "iq_fill_linear",
+    "iq_integral",
+    "iq_elapsed",
+    "iq_sample",
+    "iq_holt_winters",
+    # (c) changed in r5
+    "dedup_passage",
+    "sim_threshold_pairs",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "pipeline_epochs",
+    # (d) r1-only pair
+    "rel_set_ops",
+    "rel_merge_join",
+    # (e) the r2 cohort
+    "dedup_exact",
+    "sim_cosine_topk",
     "sim_label_centroid",
     "sim_label_trimmed_norm",
     "text_token_stats",
@@ -119,12 +81,7 @@ _PRIORITY = [
     "text_quality",
     "text_fingerprint",
     "mm_manifest",
-    "mm_extract_features",
     "mm_frame_sample",
-    "dedup_minhash_ml",
-    "sim_ann_brp",
-    "sim_ann_ivf",
-    "sim_ann_ivf_pq",
     "pipeline_training_mix",
     "pipeline_token_budget",
     "pipeline_pack_sequences",
@@ -136,6 +93,24 @@ _PRIORITY = [
     "win_ntile_customers",
     "win_rollup",
     "win_cube",
+    # back-fill to 50: Tier A reference-semantics family (r3)
+    "ref_topic_parse",
+    "ref_registry_filter",
+    "ref_payload_coercion",
+    "ref_narrow_points",
+    "ref_registry_cdc",
+    "ref_transducer_create",
+    # ---- slot 50 boundary: everything below overflows the driver's
+    # checked prefix; newest green r3 (ts_*/rel_*/iq_* r4 cohorts) or
+    # r4 (the 50 operators added that round). Rows-only-by-nature
+    # entries (dedup_minhash_ml, sim_ann_brp/ivf/ivf_pq, rel_sketches)
+    # stay out of the prefix: a slot spent on them can never go
+    # hash-green.
+    "sim_mmr",
+    "dedup_minhash_ml",
+    "sim_ann_brp",
+    "sim_ann_ivf",
+    "sim_ann_ivf_pq",
 ]
 
 _MODULES = [

@@ -712,3 +712,101 @@ def test_enriched_ingest_sees_mid_stream_registry_update(spark, tmp_path):
 
     _run()  # replay with no new data: idempotent, no duplicate rows
     assert spark.read.parquet(root).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# Journal chaos tests (VERDICT r4 "Next round" #8): the r4 kill/restart
+# test covers clean restarts; these cover (a) a crash MID-WRITE — power
+# cut between pq.write_table and the atomic os.replace, leaving a torn
+# dot-prefixed temp file — and (b) QoS-1 duplicate delivery after an
+# un-acked publish. Both must converge to the no-crash run's contents.
+# ---------------------------------------------------------------------------
+
+def _frames(n, base_min=0, tag="Temp"):
+    return [
+        (
+            dt.datetime(2024, 2, 1, 0, base_min + i // 60, i % 60),
+            f"openchirp/device/dev{i % 3}/{tag}",
+            str(float(i)),
+        )
+        for i in range(n)
+    ]
+
+
+def test_journal_torn_tmp_file_is_invisible_and_recoverable(spark, tmp_path, monkeypatch):
+    """Crash between write_table and os.replace: only the dot-prefixed
+    temp exists. Spark's file listing ignores dot-prefixed names, so
+    batch reads and the streaming ingest never see the torn bytes; a
+    restarted relay re-publishes the frames under a fresh name and the
+    sink converges byte-identical to the no-crash run."""
+    journal = tmp_path / "journal"
+    relay = st.JournalRelay(str(journal))
+    a, b = _frames(20), _frames(20, base_min=10)
+    relay._flush(a)
+
+    # crash mid-flush: os.replace never happens for batch b
+    real_replace = __import__("os").replace
+
+    def _die(src, dst):
+        raise OSError("simulated power cut before publish")
+
+    monkeypatch.setattr("os.replace", _die)
+    with pytest.raises(OSError):
+        relay._flush(b)
+    monkeypatch.setattr("os.replace", real_replace)
+    # harden the scenario: the orphan temp is also TORN (half-written)
+    torn = [p for p in journal.iterdir() if p.name.startswith(".")]
+    assert len(torn) == 1
+    torn[0].write_bytes(torn[0].read_bytes()[:100])
+
+    # restarted relay re-delivers batch b under a fresh immutable name
+    st.JournalRelay(str(journal))._flush(b)
+
+    # the torn temp is invisible to both batch read and the ingest
+    assert spark.read.parquet(str(journal)).count() == len(a) + len(b)
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = st.start_ingest(spark, str(journal), str(out), str(ckpt),
+                        available_now=True)
+    q.awaitTermination(120)
+    st.stop_all(spark)
+
+    # baseline: the same frames journaled with no crash
+    base_j = tmp_path / "base_journal"
+    base_relay = st.JournalRelay(str(base_j))
+    base_relay._flush(a)
+    base_relay._flush(b)
+    bq = st.start_ingest(spark, str(base_j), str(tmp_path / "base_out"),
+                         str(tmp_path / "base_ckpt"), available_now=True)
+    bq.awaitTermination(120)
+    st.stop_all(spark)
+
+    cols = ["ts", "device_id", "transducer", "value_double"]
+    got = sorted(map(tuple, spark.read.parquet(str(out / "points")).select(*cols).collect()))
+    want = sorted(map(tuple, spark.read.parquet(str(tmp_path / "base_out" / "points")).select(*cols).collect()))
+    assert got == want and len(got) == len(a) + len(b)
+
+
+def test_journal_duplicate_delivery_absorbed_by_stream_dedup(spark, tmp_path):
+    """QoS-1 re-delivery: the bridge re-sends an un-acked batch, so the
+    journal holds the SAME frames twice (at-least-once below the
+    durability boundary — by design). dedup_messages on the source seam
+    drops the exact (topic, payload) repeats within the watermark, so
+    the sink converges to the single-delivery run."""
+    journal = tmp_path / "journal"
+    relay = st.JournalRelay(str(journal))
+    a = _frames(30)
+    relay._flush(a)
+    relay._flush(a)  # duplicate delivery lands as a second journal file
+    assert spark.read.parquet(str(journal)).count() == 2 * len(a)
+
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    src = st.dedup_messages(st.mqtt_file_stream(spark, str(journal)))
+    q = st.start_ingest(spark, str(journal), str(out), str(ckpt),
+                        available_now=True, source=src)
+    q.awaitTermination(120)
+    st.stop_all(spark)
+
+    pts = spark.read.parquet(str(out / "points"))
+    assert pts.count() == len(a)
+    vals = sorted(r.value_double for r in pts.select("value_double").collect())
+    assert vals == sorted(float(i) for i in range(len(a)))
