@@ -318,9 +318,26 @@ def _dup_edges_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     und = jac.unionByName(exact)
-    return und.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), "w").unionByName(
-        und.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"), "w")
-    )
+    # symmetrize by EXPLODING both directions out of each undirected
+    # row, not by self-union: a union references the (expensive
+    # jaccard-join) subtree twice and Spark evaluates each copy
+    # separately — explode duplicates rows, not the subtree.
+    return und.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"),
+                    F.col("w").alias("w"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"),
+                    F.col("doc_a").alias("dst"),
+                    F.col("w").alias("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
 
 
 def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,20 +360,41 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     sym_all = _dup_edges_all(spark, sf_dir)
-    wsrc = Window.partitionBy("src")
+    # one sorted window pass: row_number and the whole-partition min
+    # share (partitionBy, orderBy), so Catalyst evaluates both in a
+    # single WindowExec behind a single exchange+sort (plan-pinned in
+    # tests/test_plans.py — the two-spec formulation cost a second
+    # window pass on every consumer of the edge subtree).
+    wsrc = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
     kept = (
-        sym_all.withColumn(
-            "rk",
-            F.row_number().over(wsrc.orderBy(F.desc("w"), F.asc("dst"))),
+        sym_all.withColumn("rk", F.row_number().over(wsrc))
+        .withColumn(
+            "min_dst",
+            F.min("dst").over(
+                wsrc.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
         )
-        .withColumn("min_dst", F.min("dst").over(wsrc))
         .filter((F.col("rk") <= EDGE_CAP) | (F.col("dst") == F.col("min_dst")))
         .select("src", "dst")
     )
     sym = (
-        kept.unionByName(
-            kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # re-symmetrize (a kept direction keeps its reverse) by explode,
+        # same no-subtree-duplication reasoning as _dup_edges_all
+        kept.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"), F.col("dst").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         # Hash-partition by the propagation join key BEFORE persisting:
         # the cached layout would otherwise inherit the jaccard join's
         # (much wider) partitioning, and every propagation round would

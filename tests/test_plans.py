@@ -216,3 +216,29 @@ def test_hybrid_rrf_fuses_lists_without_corpus_shuffle(spark):
     assert plans.has_broadcast_join(df)
     assert plans.single_partition_exchanges(df) <= 1
     assert not plans.has_cartesian(df)
+
+
+def test_dup_edge_plan_single_trim_window_no_subtree_duplication(spark, sf_dir):
+    """The capped edge builder must cost ONE window pass over ONE
+    evaluation of the jaccard subtree: rank + whole-partition min share
+    a (partitionBy, orderBy) so Catalyst folds them into a single
+    WindowExec, and both symmetrizations are explodes (row duplication)
+    rather than self-unions (subtree duplication). 2 Window nodes
+    total: the exact-dup rep window + the trim window."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        _dup_edges,
+        release_shingles,
+    )
+
+    try:
+        plan = _dup_edges(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window ") <= 2, plan
+        # the shingle self-join appears ONCE (one explode per join
+        # side): the two symmetrizations are explodes (row
+        # duplication), so the expensive jaccard subtree is not copied
+        # into the plan. (the single legitimate Union is jac ∪ exact —
+        # two DIFFERENT legs, one evaluation each; a self-union
+        # formulation measured 4 copies / 6 Window nodes here.)
+        assert plan.count("explode(shingles") == 2, plan
+    finally:
+        release_shingles(spark)
