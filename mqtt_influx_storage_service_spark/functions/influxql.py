@@ -1021,12 +1021,8 @@ class _Compiler:
             raise InfluxQLError("HOLT_WINTERS wraps one aggregate")
         horizon = int(call.args[1].value)
         season = int(call.args[2].value)
-        if season != 0:
-            raise InfluxQLError(
-                "seasonal HOLT_WINTERS (S > 0) is not supported; S=0 "
-                "fits Holt's linear trend (see operators/timeseries."
-                "ts_holt_winters for the standalone form)"
-            )
+        if season < 0:
+            raise InfluxQLError("HOLT_WINTERS seasonal pattern must be >= 0")
         if st.group_time_ns is None:
             raise InfluxQLError("HOLT_WINTERS requires GROUP BY time()")
         name = st.fields[0].alias or "holt_winters"
@@ -1049,11 +1045,13 @@ class _Compiler:
         agg_df = _Compiler(self.spark, self.catalog, sub, now=self.now).compile()
         kcols = [c for c in agg_df.columns if c not in ("time", "_hw_in")]
 
-        # Same fold as operators/timeseries.ts_holt_winters (cited
-        # there: the recurrence is inherently sequential, so bound the
-        # series to its buckets and fold the ARRAY — never iterate
-        # rows); α=β=0.5 exactly representable, raw doubles out.
-        from ..operators.timeseries import HW_ALPHA, HW_BETA
+        # Same folds as operators/timeseries (cited there: the
+        # recurrence is inherently sequential, so bound the series to
+        # its buckets and fold the ARRAY — never iterate rows); S=0 is
+        # Holt's linear trend, S>0 the additive seasonal triple
+        # smoothing via timeseries.hw_seasonal_fold. α=β(=γ)=0.5
+        # exactly representable, raw doubles out.
+        from ..operators.timeseries import HW_ALPHA, HW_BETA, hw_seasonal_fold
 
         grouped = agg_df.groupBy(*kcols) if kcols else agg_df.groupBy(F.lit(1).alias("_g"))
         arrs = (
@@ -1067,39 +1065,49 @@ class _Compiler:
                 F.transform(F.col("pts"), lambda s: s["_hw_in"]).alias("xs"),
                 F.element_at(F.col("pts"), -1)["time"].alias("_last_t"),
             )
-            .filter(F.size("xs") >= 2)
+            .filter(F.size("xs") >= (season + 1 if season else 2))
         )
         xs = F.col("xs")
-        a, na, b, nb = (
-            F.lit(v) for v in (HW_ALPHA, 1 - HW_ALPHA, HW_BETA, 1 - HW_BETA)
-        )
-        init = F.struct(
-            F.element_at(xs, 2).alias("l"),
-            (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("b"),
-        )
-        fold = F.aggregate(
-            F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0))),
-            init,
-            lambda acc, x: F.struct(
-                (a * x + na * (acc["l"] + acc["b"])).alias("l"),
-                (
-                    b * (a * x + na * (acc["l"] + acc["b"]) - acc["l"])
-                    + nb * acc["b"]
-                ).alias("b"),
-            ),
-        )
+        if season:
+            fold = hw_seasonal_fold(xs, season)
+        else:
+            a, na, b, nb = (
+                F.lit(v)
+                for v in (HW_ALPHA, 1 - HW_ALPHA, HW_BETA, 1 - HW_BETA)
+            )
+            init = F.struct(
+                F.element_at(xs, 2).alias("l"),
+                (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("b"),
+            )
+            fold = F.aggregate(
+                F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0))),
+                init,
+                lambda acc, x: F.struct(
+                    (a * x + na * (acc["l"] + acc["b"])).alias("l"),
+                    (
+                        b * (a * x + na * (acc["l"] + acc["b"]) - acc["l"])
+                        + nb * acc["b"]
+                    ).alias("b"),
+                ),
+            )
         fitted = arrs.select(
             *(kcols if kcols else []), "_last_t", fold.alias("_st")
         )
         iv_us = st.group_time_ns // 1000
         h = F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("_h")
         lvl, tr = F.col("_st")["l"], F.col("_st")["b"]
+        fc = lvl + F.col("_h").cast("double") * tr
+        if season:
+            fc = fc + F.element_at(
+                F.col("_st")["seas"],
+                ((F.col("_h") - 1) % season + 1).cast("int"),
+            )
         return fitted.select(*(kcols if kcols else []), "_last_t", "_st", h).select(
             *(kcols if kcols else []),
             F.timestamp_micros(
                 F.unix_micros(F.col("_last_t")) + F.col("_h") * F.lit(iv_us)
             ).alias("time"),
-            (lvl + F.col("_h").cast("double") * tr).alias(name),
+            fc.alias(name),
         )
 
     # raw (projection) select — no aggregates anywhere

@@ -50,12 +50,15 @@ _PRIORITY = [
     "sim_knn_graph",
     "sim_ann_lsh",
     "mm_extract_features",
-    # (b) new in r5 — InfluxQL function-surface completions
+    # (b) new in r5 — InfluxQL function-surface completions + the
+    # additive seasonal Holt-Winters pair
     "iq_fill_linear",
     "iq_integral",
     "iq_elapsed",
     "iq_sample",
     "iq_holt_winters",
+    "iq_holt_winters_seasonal",
+    "ts_holt_winters_seasonal",
     # (c) changed in r5
     "dedup_passage",
     "sim_threshold_pairs",
@@ -98,8 +101,6 @@ _PRIORITY = [
     "ref_registry_filter",
     "ref_payload_coercion",
     "ref_narrow_points",
-    "ref_registry_cdc",
-    "ref_transducer_create",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix; newest green r3 (ts_*/rel_*/iq_* r4 cohorts) or
     # r4 (the 50 operators added that round). Rows-only-by-nature

@@ -595,7 +595,64 @@ CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) h
 """
 
 
+# -- 19. seasonal HOLT_WINTERS: additive triple smoothing, S=7 -------------
+
+IQ_HOLT_WINTERS_SEASONAL = (
+    "SELECT HOLT_WINTERS(MEAN(value), 3, 7) AS fc FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-29 00:00:00' "
+    "GROUP BY time(1d)"
+)
+
+# Same recursive-CTE discipline as the non-seasonal twin; the seasonal
+# state is a ROTATING 7-element list (pop head, append the freshly
+# smoothed component) so each step is one SELECT over the OLD row.
+IQ_HOLT_WINTERS_SEASONAL_SQL = f"""
+WITH RECURSIVE agg AS (
+    SELECT {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS mv
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+    GROUP BY 1
+), arrs AS (
+    SELECT 1 AS grp,
+           list_transform(list_sort(list({{'t': time, 'v': mv}})),
+                          s -> s.v) AS xs,
+           max(time) AS last_t
+    FROM agg
+), step(grp, i, l, b, seas) AS (
+    SELECT grp, 7, xs[7], (xs[7] - xs[1]) / 7.0,
+           list_transform(xs[1:7], v -> v - xs[7])
+    FROM arrs WHERE len(xs) >= 8
+  UNION ALL
+    SELECT s.grp, s.i + 1,
+           0.5 * (a.xs[s.i + 1] - s.seas[1]) + 0.5 * (s.l + s.b),
+           0.5 * (0.5 * (a.xs[s.i + 1] - s.seas[1]) + 0.5 * (s.l + s.b)
+                  - s.l) + 0.5 * s.b,
+           list_append(s.seas[2:],
+               0.5 * (a.xs[s.i + 1]
+                      - (0.5 * (a.xs[s.i + 1] - s.seas[1])
+                         + 0.5 * (s.l + s.b)))
+               + 0.5 * s.seas[1])
+    FROM step s
+    JOIN arrs a ON s.grp = a.grp
+    WHERE s.i < len(a.xs)
+), fitted AS (
+    SELECT s.grp, a.last_t, s.l, s.b, s.seas
+    FROM step s
+    JOIN arrs a ON s.grp = a.grp AND s.i = len(a.xs)
+)
+SELECT make_timestamp(epoch_us(f.last_t) + h.h * {_US_1D}) AS time,
+       f.l + CAST(h.h AS DOUBLE) * f.b
+           + f.seas[((h.h - 1) % 7) + 1] AS fc
+FROM fitted f
+CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) h
+"""
+
+
 QUERIES = {
+    "iq_holt_winters_seasonal": _q(IQ_HOLT_WINTERS_SEASONAL),
     "iq_fill_linear": _q(IQ_FILL_LINEAR),
     "iq_integral": _q(IQ_INTEGRAL),
     "iq_elapsed": _q(IQ_ELAPSED),
@@ -617,6 +674,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "iq_holt_winters_seasonal": IQ_HOLT_WINTERS_SEASONAL_SQL,
     "iq_fill_linear": IQ_FILL_LINEAR_SQL,
     "iq_integral": IQ_INTEGRAL_SQL,
     "iq_elapsed": IQ_ELAPSED_SQL,

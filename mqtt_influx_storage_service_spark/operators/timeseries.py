@@ -1934,6 +1934,156 @@ FROM fitted
 
 
 # --------------------------------------------------------------------------
+# Additive seasonal Holt-Winters (triple exponential smoothing)
+# --------------------------------------------------------------------------
+
+HWS_SEASON = 7    # weekly pattern over daily buckets
+HWS_HORIZON = 3
+HWS_GAMMA = 0.5   # seasonal smoothing (α, β shared with ts_holt_winters)
+
+
+def hw_seasonal_fold(xs: "F.Column", S: int) -> "F.Column":
+    """``struct(l, b, seas)`` fold column for the additive seasonal
+    Holt-Winters recurrence over a bucket-value array ``xs`` — shared
+    by :func:`ts_holt_winters_seasonal` and the InfluxQL compiler's
+    ``HOLT_WINTERS(…, N, S>0)`` lowering. Init: l₀ = x_S,
+    b₀ = (x_S − x₁)/S, seasᵢ = xᵢ − l₀ (rotated so seas[1] is the
+    component of the NEXT point); each step pops the head and appends
+    the freshly smoothed component. l′ appears EXPANDED inside b′ and
+    s′ — identical association to the DuckDB recursive-CTE twin, hence
+    bit-deterministic doubles."""
+    a, na = F.lit(HW_ALPHA), F.lit(1 - HW_ALPHA)
+    b, nb = F.lit(HW_BETA), F.lit(1 - HW_BETA)
+    g, ng = F.lit(HWS_GAMMA), F.lit(1 - HWS_GAMMA)
+    l0 = F.element_at(xs, S)
+    init = F.struct(
+        l0.alias("l"),
+        ((F.element_at(xs, S) - F.element_at(xs, 1)) / F.lit(float(S))).alias(
+            "b"
+        ),
+        F.transform(F.slice(xs, 1, S), lambda v: v - l0).alias("seas"),
+    )
+
+    def _step(acc, x):
+        s1 = F.element_at(acc["seas"], 1)
+        lp = a * (x - s1) + na * (acc["l"] + acc["b"])
+        return F.struct(
+            lp.alias("l"),
+            (b * (a * (x - s1) + na * (acc["l"] + acc["b"]) - acc["l"])
+             + nb * acc["b"]).alias("b"),
+            F.concat(
+                F.slice(acc["seas"], 2, S - 1),
+                F.array(
+                    g * (x - (a * (x - s1) + na * (acc["l"] + acc["b"])))
+                    + ng * s1
+                ),
+            ).alias("seas"),
+        )
+
+    return F.aggregate(
+        F.slice(xs, S + 1, F.greatest(F.size(xs) - S, F.lit(0))), init, _step
+    )
+
+
+def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal Holt-Winters (triple exponential smoothing)
+    per event_type over DAILY bucket means, season length
+    ``HWS_SEASON``=7 (weekly pattern) — the seasonal completion of
+    :func:`ts_holt_winters` (InfluxQL ``HOLT_WINTERS(…, N, S)`` with
+    S > 0; InfluxDB fits its smoothing constants with Nelder-Mead,
+    which is neither deterministic nor reproducible across builds, so
+    this engine pins α=β=γ=0.5 — exactly representable — and states
+    the init: l₀ = x_S, b₀ = (x_S − x₁)/S, seasᵢ = xᵢ − l₀).
+
+    The seasonal state rides the fold accumulator as a ROTATING
+    S-element array: seas[1] is always the component of the NEXT
+    point, and each step pops the head and appends the freshly
+    smoothed component — so the recurrence stays a single
+    ``F.aggregate`` over the per-series bucket array (the same
+    bound-the-sequence-then-fold composition rule as the non-seasonal
+    twin; state is O(S) per series, series partition-parallel).
+    Identical association is written in the DuckDB recursive-CTE twin,
+    hence bit-deterministic raw doubles.
+
+    Forecast h steps out: ŷ = l + h·b + seas[((h−1) mod S) + 1].
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(_avg2(F.sum("value"), F.count(F.lit(1))).alias("xv"))
+    arrs = (
+        daily.groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("day", "xv"))).alias("pts")
+        )
+        .select(
+            "event_type",
+            F.transform(F.col("pts"), lambda s: s["xv"]).alias("xs"),
+        )
+        .filter(F.size("xs") >= HWS_SEASON + 1)
+    )
+    S = HWS_SEASON
+    xs = F.col("xs")
+    fold = hw_seasonal_fold(xs, S)
+    fitted = arrs.select(
+        "event_type", F.size(xs).alias("n_fit"), fold.alias("st")
+    )
+    h = F.explode(F.sequence(F.lit(1), F.lit(HWS_HORIZON))).alias("horizon")
+    st = F.col("st")
+    return fitted.select("event_type", "n_fit", "st", h).select(
+        "event_type",
+        "n_fit",
+        F.col("horizon").cast("int").alias("horizon"),
+        (
+            st["l"]
+            + F.col("horizon").cast("double") * st["b"]
+            + F.element_at(st["seas"], ((F.col("horizon") - 1) % S + 1).cast("int"))
+        ).alias("forecast"),
+    )
+
+
+TS_HOLT_WINTERS_SEASONAL_SQL = f"""
+WITH RECURSIVE daily AS (
+    SELECT date_trunc('day', ts) AS day, event_type,
+           {_AVG2_SQL.format(v="value")} AS xv
+    FROM events GROUP BY 1, 2
+), arrs AS (
+    SELECT event_type,
+           list_transform(list_sort(list({{'d': day, 'v': xv}})),
+                          s -> s.v) AS xs
+    FROM daily GROUP BY 1
+), step(event_type, i, l, b, seas) AS (
+    SELECT event_type, {HWS_SEASON}, xs[{HWS_SEASON}],
+           (xs[{HWS_SEASON}] - xs[1]) / {float(HWS_SEASON)},
+           list_transform(xs[1:{HWS_SEASON}], v -> v - xs[{HWS_SEASON}])
+    FROM arrs WHERE len(xs) >= {HWS_SEASON} + 1
+  UNION ALL
+    SELECT s.event_type, s.i + 1,
+           0.5 * (a.xs[s.i + 1] - s.seas[1]) + 0.5 * (s.l + s.b),
+           0.5 * (0.5 * (a.xs[s.i + 1] - s.seas[1]) + 0.5 * (s.l + s.b)
+                  - s.l) + 0.5 * s.b,
+           list_append(s.seas[2:],
+               0.5 * (a.xs[s.i + 1]
+                      - (0.5 * (a.xs[s.i + 1] - s.seas[1])
+                         + 0.5 * (s.l + s.b)))
+               + 0.5 * s.seas[1])
+    FROM step s
+    JOIN arrs a ON s.event_type = a.event_type
+    WHERE s.i < len(a.xs)
+), fitted AS (
+    SELECT s.event_type, len(a.xs) AS n_fit, s.l, s.b, s.seas
+    FROM step s
+    JOIN arrs a ON s.event_type = a.event_type AND s.i = len(a.xs)
+)
+SELECT f.event_type, f.n_fit, h.h AS horizon,
+       f.l + CAST(h.h AS DOUBLE) * f.b
+           + f.seas[((h.h - 1) % {HWS_SEASON}) + 1] AS forecast
+FROM fitted f
+CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) h
+"""
+
+
+# --------------------------------------------------------------------------
 # Seasonal (hour-of-day) baseline profile + per-event residual
 # --------------------------------------------------------------------------
 
@@ -2274,6 +2424,7 @@ QUERIES = {
     "ts_mode": ts_mode,
     "ts_seasonal_profile": ts_seasonal_profile,
     "ts_holt_winters": ts_holt_winters,
+    "ts_holt_winters_seasonal": ts_holt_winters_seasonal,
     "ts_retention": ts_retention,
     "ts_series_scan": ts_series_scan,
     "ts_moving_avg": ts_moving_avg,
@@ -2312,6 +2463,7 @@ QUERIES = {
 ORACLES = {
     "ts_anomaly_zscore": TS_ANOMALY_ZSCORE_SQL,
     "ts_holt_winters": TS_HOLT_WINTERS_SQL,
+    "ts_holt_winters_seasonal": TS_HOLT_WINTERS_SEASONAL_SQL,
     "ts_seasonal_profile": TS_SEASONAL_PROFILE_SQL,
     "ts_mode": TS_MODE_SQL,
     "ts_retention": TS_RETENTION_SQL,

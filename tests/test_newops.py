@@ -676,3 +676,89 @@ def test_changepoint_matches_numpy_cusum(spark, sf_dir):
         r = rows[(u, t)]
         assert r.cp_event_id == grp["event_id"].iloc[best]
         assert abs(r.cusum_peak - abs(ns[best]) / (n * 100.0)) < 1e-9
+
+
+def test_holt_winters_seasonal_locks_to_pure_seasonal_line(spark, tmp_path):
+    """On value = trend·i + weekly_pattern (an exactly additive
+    seasonal-linear series), the seasonal fold's forecasts must
+    continue the pattern: with the engine's init (l0 = x_S,
+    b0 = (x_S − x1)/S, seas_i = x_i − l0) every smoothing update is a
+    Python-reproducible IEEE sequence — compare against a reference
+    fold, bit-exact, same discipline as the non-seasonal property
+    test."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        HWS_SEASON,
+        ts_holt_winters_seasonal,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    pattern = [5.0, -3.0, 2.0, 0.0, -4.0, 1.0, -1.0]
+    n_days = 28
+    rows = [
+        (
+            i,
+            base + dt.timedelta(days=i, hours=3),
+            1,
+            "click",
+            round(100.0 + 2.0 * i + pattern[i % 7], 2),
+            "{}",
+        )
+        for i in range(n_days)
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    got = {
+        r.horizon: r.forecast
+        for r in ts_holt_winters_seasonal(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    # reference fold (pure python, same association)
+    xs = [round(100.0 + 2.0 * i + pattern[i % 7], 2) for i in range(n_days)]
+    S = HWS_SEASON
+    l = xs[S - 1]
+    b = (xs[S - 1] - xs[0]) / float(S)
+    seas = [x - l for x in xs[:S]]
+    for x in xs[S:]:
+        s1 = seas[0]
+        lp = 0.5 * (x - s1) + 0.5 * (l + b)
+        nb = 0.5 * (0.5 * (x - s1) + 0.5 * (l + b) - l) + 0.5 * b
+        ns = 0.5 * (x - (0.5 * (x - s1) + 0.5 * (l + b))) + 0.5 * s1
+        l, b = lp, nb
+        seas = seas[1:] + [ns]
+    for h in (1, 2, 3):
+        want = l + float(h) * b + seas[(h - 1) % S]
+        assert got[h] == want  # bit-exact raw doubles
+    # and the forecasts land in the series' continuation region (the
+    # fixed α=β=γ=0.5 smoothing still carries an init transient after
+    # 21 steps, so exact truth-tracking is NOT a property to pin —
+    # bit-exactness of the fold above is; this is a garbage detector)
+    last = 100.0 + 2.0 * (n_days - 1) + pattern[(n_days - 1) % 7]
+    for h in (1, 2, 3):
+        assert last - 10.0 < got[h] < last + 2.0 * 3 + 12.0
+
+
+def test_influxql_seasonal_holt_winters_parses_and_matches_operator_shape(spark):
+    """HOLT_WINTERS(MEAN(value), 3, 7) through the PARSER produces 3
+    future daily buckets whose times continue the bucket grid."""
+    from mqtt_influx_storage_service_spark.functions.influxql import influxql
+
+    q = (
+        "SELECT HOLT_WINTERS(MEAN(value), 3, 7) AS fc FROM click "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-29 00:00:00' "
+        "GROUP BY time(1d)"
+    )
+    rows = influxql(spark, "/root/testdata/sf0.001", q).collect()
+    assert len(rows) == 3
+    times = [r.time for r in rows]
+    assert times == sorted(times)
+    import datetime as dt
+
+    assert times[0] == dt.datetime(2024, 1, 29)
+    assert all(isinstance(r.fc, float) for r in rows)
