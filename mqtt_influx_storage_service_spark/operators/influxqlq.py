@@ -387,6 +387,15 @@ FROM r WHERE rn <= 3
 
 # -- 10. SHOW SERIES (series-key catalog) ----------------------------------
 
+IQ_SERIES_CARDINALITY = "SHOW SERIES CARDINALITY"
+
+IQ_SERIES_CARDINALITY_SQL = """
+SELECT CAST(count(DISTINCT event_type || ',user_id='
+            || CAST(user_id AS VARCHAR)) AS BIGINT) AS cardinality
+FROM events
+"""
+
+
 IQ_SHOW_SERIES = "SHOW SERIES FROM purchase"
 
 IQ_SHOW_SERIES_SQL = """
@@ -663,6 +672,7 @@ QUERIES = {
     "iq_lineitem_profile": _q(IQ_LINEITEM_PROFILE, catalog_cls=LineitemCatalog),
     "iq_top_points": _q(IQ_TOP_POINTS),
     "iq_show_series": _q(IQ_SHOW_SERIES),
+    "iq_series_cardinality": _q(IQ_SERIES_CARDINALITY),
     "iq_raw_select": _q(IQ_RAW_SELECT),
     "iq_mean_by_day": _q(IQ_MEAN_BY_DAY),
     "iq_selectors": _q(IQ_SELECTORS),
@@ -685,6 +695,7 @@ ORACLES = {
     "iq_lineitem_profile": IQ_LINEITEM_PROFILE_SQL,
     "iq_top_points": IQ_TOP_POINTS_SQL,
     "iq_show_series": IQ_SHOW_SERIES_SQL,
+    "iq_series_cardinality": IQ_SERIES_CARDINALITY_SQL,
     "iq_raw_select": IQ_RAW_SELECT_SQL,
     "iq_mean_by_day": IQ_MEAN_BY_DAY_SQL,
     "iq_selectors": IQ_SELECTORS_SQL,

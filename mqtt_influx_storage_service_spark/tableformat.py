@@ -447,3 +447,91 @@ class DeltaSnapshotTable:
         finally:
             self.spark.conf.set(check, prev)
         return []  # Delta does not report the removed files
+
+
+# --------------------------------------------------------------------------
+# Point-data compaction (the streaming sink's small-files problem)
+# --------------------------------------------------------------------------
+
+def compact_point_partitions(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    partition_col: str = "ingest_date",
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Bronze→silver small-file compaction for the streaming POINT
+    sink's output: every micro-batch appends one file per partition, so
+    a long-running ingest (reference dataflow A8) accumulates thousands
+    of KB-sized files per day — the classic parquet-lake pathology that
+    makes a 100 TB scan metadata-bound.
+
+    Contract (the part a naive rewrite gets wrong):
+
+    - **Never in-place.** ``src_dir`` is governed by the sink's
+      ``_spark_metadata`` transaction log; batch readers of that path
+      list files THROUGH the log, so rewriting files under it corrupts
+      exactly-once reads. Compaction writes to a SEPARATE serving root
+      (``dst_dir``), the standard bronze→silver layout.
+    - **Per-partition atomic swap.** Each partition is rewritten to a
+      dot-prefixed temp dir and published with ``os.replace``-style
+      renames (same discipline as ``streaming.journal``): a reader of
+      ``dst_dir`` sees the old file set or the new one, never a mix.
+    - **Idempotent & incremental.** A ``_COMPACTED`` marker in each
+      output partition records the md5 fingerprint of the SOURCE file
+      set (names + sizes); a re-run skips partitions whose fingerprint
+      is unchanged and rewrites only partitions that received new
+      micro-batch files. Safe to run from cron against a live sink:
+      closed partitions (yesterday and older) converge in one run.
+
+    Output file count per partition is ceil(bytes / target_bytes) —
+    at 100 TB this is the knob that turns a 10⁶-file day into ~800
+    scan-sized files. Returns per-partition stats.
+    """
+    import hashlib
+    import math
+    import shutil
+
+    stats: dict[str, dict] = {}
+    os.makedirs(dst_dir, exist_ok=True)
+    for entry in sorted(os.listdir(src_dir)):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        src_part = os.path.join(src_dir, entry)
+        files = sorted(
+            f for f in os.listdir(src_part)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not files:
+            continue
+        sizes = [os.path.getsize(os.path.join(src_part, f)) for f in files]
+        fp = hashlib.md5(
+            json.dumps(list(zip(files, sizes))).encode()
+        ).hexdigest()
+        dst_part = os.path.join(dst_dir, entry)
+        marker = os.path.join(dst_part, "_COMPACTED")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if fh.read().strip() == fp:
+                    stats[entry] = {"skipped": True, "files_in": len(files)}
+                    continue
+        n_out = max(1, math.ceil(sum(sizes) / target_bytes))
+        df = spark.read.parquet(*[os.path.join(src_part, f) for f in files])
+        tmp = os.path.join(dst_dir, f".{entry}.compacting-{uuid.uuid4().hex}")
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_COMPACTED"), "w") as fh:
+            fh.write(fp + "\n")
+        old = None
+        if os.path.exists(dst_part):
+            old = dst_part + f".old-{uuid.uuid4().hex}"
+            os.rename(dst_part, old)
+        os.rename(tmp, dst_part)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+        stats[entry] = {
+            "skipped": False,
+            "files_in": len(files),
+            "files_out": n_out,
+            "bytes": sum(sizes),
+        }
+    return stats
