@@ -58,6 +58,7 @@ _PRIORITY = [
     "iq_sample",
     "iq_holt_winters",
     "iq_holt_winters_seasonal",
+    "iq_series_cardinality",
     "ts_holt_winters_seasonal",
     # (c) changed in r5
     "dedup_passage",
@@ -100,7 +101,6 @@ _PRIORITY = [
     "ref_topic_parse",
     "ref_registry_filter",
     "ref_payload_coercion",
-    "ref_narrow_points",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix; newest green r3 (ts_*/rel_*/iq_* r4 cohorts) or
     # r4 (the 50 operators added that round). Rows-only-by-nature
