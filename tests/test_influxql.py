@@ -462,3 +462,67 @@ def test_predicate_pushdown_reaches_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "IsNotNull(event_type)" in plan or "EqualTo(event_type,click)" in plan
+
+
+# -- r5 function-surface negative paths ------------------------------------
+
+def test_holt_winters_rejects_bad_shapes(spark, sf_dir):
+    base = ("FROM click WHERE time >= '2024-01-01 00:00:00' "
+            "AND time < '2024-01-20 00:00:00' GROUP BY time(1d)")
+    with pytest.raises(InfluxQLError, match="needs an aggregate"):
+        influxql(spark, sf_dir, f"SELECT HOLT_WINTERS(MEAN(value), 3) {base}")
+    with pytest.raises(InfluxQLError, match="wraps one aggregate"):
+        influxql(spark, sf_dir, f"SELECT HOLT_WINTERS(value, 3, 0) {base}")
+    with pytest.raises(InfluxQLError, match="GROUP BY time"):
+        influxql(
+            spark, sf_dir,
+            "SELECT HOLT_WINTERS(MEAN(value), 3, 0) FROM click",
+        )
+
+
+def test_elapsed_rejects_non_field(spark, sf_dir):
+    with pytest.raises(InfluxQLError, match="ELAPSED expects a field"):
+        influxql(spark, sf_dir, "SELECT ELAPSED(1, 1ms) FROM click")
+
+
+def test_integral_rejects_non_field(spark, sf_dir):
+    with pytest.raises(InfluxQLError, match="INTEGRAL expects a field"):
+        influxql(
+            spark, sf_dir, "SELECT INTEGRAL(MEAN(value)) FROM click GROUP BY user_id"
+        )
+
+
+def test_fill_linear_requires_time_bounds(spark, sf_dir):
+    with pytest.raises(InfluxQLError, match="fill"):
+        influxql(
+            spark, sf_dir,
+            "SELECT MEAN(value) FROM click GROUP BY time(1d) fill(linear)",
+        )
+
+
+def test_sample_requires_field_and_count(spark, sf_dir):
+    with pytest.raises(InfluxQLError, match="needs a field and an integer"):
+        influxql(spark, sf_dir, "SELECT SAMPLE(value) FROM click")
+
+
+def test_elapsed_drops_first_point_per_series(spark, sf_dir):
+    """ELAPSED emits nothing for a series' first point (InfluxQL), so
+    row count = points − series, and every gap is a non-negative
+    integer."""
+    out = influxql(
+        spark, sf_dir,
+        "SELECT ELAPSED(value, 1ms) AS gap FROM error "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-20 00:00:00'",
+    ).collect()
+    from mqtt_influx_storage_service_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "error")
+        & (F.col("ts") >= "2024-01-01")
+        & (F.col("ts") < "2024-01-20")
+    )
+    n_points = ev.count()
+    n_series = ev.select("user_id").distinct().count()
+    assert len(out) == n_points - n_series
+    assert all(r.gap >= 0 for r in out)
