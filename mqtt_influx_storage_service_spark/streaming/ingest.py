@@ -193,25 +193,38 @@ def split_malformed(msgs: DataFrame) -> tuple[DataFrame, DataFrame]:
 def compact(spark: SparkSession, points_dir: str, ingest_date: str,
             warehouse_dir: str, target_files: int = 8) -> None:
     """Small-file compaction for one CLOSED date partition of the
-    streaming sink (SCALE.md §streaming): read the partition directory
-    (bypassing the sink's ``_spark_metadata`` log, which only governs
-    root-path reads), coalesce, and publish into the batch-managed
-    warehouse directory with the same partition layout.
+    streaming sink: delegates to
+    :func:`..tableformat.compact_point_partitions` (the r5 generalized
+    form — fingerprint-idempotent, per-partition ATOMIC swap; the
+    ``mode("overwrite")`` this replaced deleted-then-wrote, so a
+    concurrent warehouse reader could see a partial partition), then
+    trims the output to ``target_files`` semantics by re-running with a
+    byte target derived from the partition size.
 
     In-place rewrites are deliberately NOT done: the streaming sink's
-    transaction log is the authoritative file list for its root, so
-    mutating files underneath it corrupts exactly-once reads — that
-    rewrite belongs to a table format (Delta/Iceberg). The
-    streaming-dir → warehouse-dir promotion needs no log surgery, never
-    races the live query (only closed partitions move), and batch
+    ``_spark_metadata`` log is the authoritative file list for its
+    root, so mutating files underneath it corrupts exactly-once reads —
+    the streaming-dir → warehouse-dir promotion needs no log surgery,
+    never races the live query (only closed partitions move), and batch
     queries read the warehouse root with plain partition pruning."""
+    import math
+    import os as _os
+
+    from ..tableformat import compact_point_partitions
+
     part = f"{points_dir}/ingest_date={ingest_date}"
-    out = f"{warehouse_dir}/ingest_date={ingest_date}"
-    (
-        spark.read.parquet(part)
-        .coalesce(target_files)
-        .write.mode("overwrite")
-        .parquet(out)
+    total = sum(
+        _os.path.getsize(_os.path.join(part, f))
+        for f in _os.listdir(part)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    target_bytes = max(1, math.ceil(total / target_files))
+    compact_point_partitions(
+        spark,
+        points_dir,
+        warehouse_dir,
+        target_bytes=target_bytes,
+        only=[ingest_date],
     )
 
 

@@ -459,6 +459,7 @@ def compact_point_partitions(
     dst_dir: str,
     partition_col: str = "ingest_date",
     target_bytes: int = 128 << 20,
+    only: "list[str] | None" = None,
 ) -> dict:
     """Bronze→silver small-file compaction for the streaming POINT
     sink's output: every micro-batch appends one file per partition, so
@@ -496,6 +497,10 @@ def compact_point_partitions(
     os.makedirs(dst_dir, exist_ok=True)
     for entry in sorted(os.listdir(src_dir)):
         if not entry.startswith(f"{partition_col}="):
+            continue
+        # ``only``: restrict to the named partition VALUES (a closed-
+        # partition promotion job names yesterday; None = full sweep)
+        if only is not None and entry.split("=", 1)[1] not in only:
             continue
         src_part = os.path.join(src_dir, entry)
         files = sorted(
