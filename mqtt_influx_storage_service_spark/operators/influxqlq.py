@@ -264,6 +264,72 @@ GROUP BY 1, 2
 """
 
 
+# -- r5 coverage completions for parser features without oracle rows ------
+
+# GROUP BY time(1d, 6h): offset-shifted buckets (InfluxQL's second
+# time() argument — local-midnight alignment for non-UTC fleets)
+IQ_BUCKET_OFFSET = (
+    "SELECT MEAN(value) AS mean_value FROM view "
+    "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-20 00:00:00' "
+    "GROUP BY time(1d, 6h)"
+)
+
+_OFF_6H = 6 * 3_600_000_000
+
+IQ_BUCKET_OFFSET_SQL = f"""
+SELECT make_timestamp((epoch_us(ts) - {_OFF_6H})
+       - (epoch_us(ts) - {_OFF_6H}) % {_US_1D} + {_OFF_6H}) AS time,
+       {_MEAN} AS mean_value
+FROM events
+WHERE event_type = 'view'
+  AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY 1
+"""
+
+
+# arithmetic over aggregates (field expression tree with a Bin root)
+IQ_AGG_ARITHMETIC = (
+    "SELECT MAX(value) - MIN(value) AS swing, "
+    "SUM(value) / COUNT(value) AS naive_mean "
+    "FROM purchase "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY user_id"
+)
+
+IQ_AGG_ARITHMETIC_SQL = """
+SELECT user_id,
+       max(value) - min(value) AS swing,
+       round(sum(value), 2) / count(value) AS naive_mean
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1
+"""
+
+
+# tag regex predicate (WHERE user_id =~ /…/ — rlike on the tag)
+IQ_TAG_REGEX = (
+    "SELECT COUNT(value) AS n, MEAN(value) AS mean_value FROM click "
+    "WHERE user_id =~ /^1[0-9]$/ "
+    "AND time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY user_id"
+)
+
+IQ_TAG_REGEX_SQL = f"""
+SELECT user_id,
+       count(value) AS n,
+       {_MEAN} AS mean_value
+FROM events
+WHERE event_type = 'click'
+  AND regexp_matches(CAST(user_id AS VARCHAR), '^1[0-9]$')
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1
+"""
+
+
 # -- 8. SHOW TAG VALUES (series catalog surface) ---------------------------
 
 IQ_SHOW_TAG_VALUES = "SHOW TAG VALUES FROM click WITH KEY = user_id"
@@ -673,6 +739,9 @@ QUERIES = {
     "iq_top_points": _q(IQ_TOP_POINTS),
     "iq_show_series": _q(IQ_SHOW_SERIES),
     "iq_series_cardinality": _q(IQ_SERIES_CARDINALITY),
+    "iq_bucket_offset": _q(IQ_BUCKET_OFFSET),
+    "iq_agg_arithmetic": _q(IQ_AGG_ARITHMETIC),
+    "iq_tag_regex": _q(IQ_TAG_REGEX),
     "iq_raw_select": _q(IQ_RAW_SELECT),
     "iq_mean_by_day": _q(IQ_MEAN_BY_DAY),
     "iq_selectors": _q(IQ_SELECTORS),
@@ -696,6 +765,9 @@ ORACLES = {
     "iq_top_points": IQ_TOP_POINTS_SQL,
     "iq_show_series": IQ_SHOW_SERIES_SQL,
     "iq_series_cardinality": IQ_SERIES_CARDINALITY_SQL,
+    "iq_bucket_offset": IQ_BUCKET_OFFSET_SQL,
+    "iq_agg_arithmetic": IQ_AGG_ARITHMETIC_SQL,
+    "iq_tag_regex": IQ_TAG_REGEX_SQL,
     "iq_raw_select": IQ_RAW_SELECT_SQL,
     "iq_mean_by_day": IQ_MEAN_BY_DAY_SQL,
     "iq_selectors": IQ_SELECTORS_SQL,
