@@ -330,6 +330,51 @@ GROUP BY 1
 """
 
 
+# SLIMIT: first N series in tag order (series pagination)
+IQ_SLIMIT = (
+    "SELECT MEAN(value) AS mean_value FROM signup "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY time(1w), user_id SLIMIT 5"
+)
+
+IQ_SLIMIT_SQL = f"""
+WITH agg AS (
+    SELECT user_id,
+           {_BUCKET.format(iv=_US_1W)} AS time,
+           {_MEAN} AS mean_value
+    FROM events
+    WHERE event_type = 'signup'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY 1, 2
+), series AS (
+    SELECT user_id FROM (
+        SELECT DISTINCT user_id FROM agg
+    ) ORDER BY user_id LIMIT 5
+)
+SELECT a.user_id, a.time, a.mean_value
+FROM agg a JOIN series s ON a.user_id = s.user_id
+"""
+
+
+# LIMIT + OFFSET: row pagination over the time-ordered raw result
+IQ_LIMIT_OFFSET = (
+    "SELECT value FROM purchase "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-20 00:00:00' "
+    "AND user_id = 95 ORDER BY time LIMIT 10 OFFSET 5"
+)
+
+IQ_LIMIT_OFFSET_SQL = """
+SELECT ts AS time, value
+FROM events
+WHERE event_type = 'purchase' AND user_id = 95
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+ORDER BY ts
+LIMIT 10 OFFSET 5
+"""
+
+
 # -- 8. SHOW TAG VALUES (series catalog surface) ---------------------------
 
 IQ_SHOW_TAG_VALUES = "SHOW TAG VALUES FROM click WITH KEY = user_id"
@@ -742,6 +787,8 @@ QUERIES = {
     "iq_bucket_offset": _q(IQ_BUCKET_OFFSET),
     "iq_agg_arithmetic": _q(IQ_AGG_ARITHMETIC),
     "iq_tag_regex": _q(IQ_TAG_REGEX),
+    "iq_slimit": _q(IQ_SLIMIT),
+    "iq_limit_offset": _q(IQ_LIMIT_OFFSET),
     "iq_raw_select": _q(IQ_RAW_SELECT),
     "iq_mean_by_day": _q(IQ_MEAN_BY_DAY),
     "iq_selectors": _q(IQ_SELECTORS),
@@ -768,6 +815,8 @@ ORACLES = {
     "iq_bucket_offset": IQ_BUCKET_OFFSET_SQL,
     "iq_agg_arithmetic": IQ_AGG_ARITHMETIC_SQL,
     "iq_tag_regex": IQ_TAG_REGEX_SQL,
+    "iq_slimit": IQ_SLIMIT_SQL,
+    "iq_limit_offset": IQ_LIMIT_OFFSET_SQL,
     "iq_raw_select": IQ_RAW_SELECT_SQL,
     "iq_mean_by_day": IQ_MEAN_BY_DAY_SQL,
     "iq_selectors": IQ_SELECTORS_SQL,
