@@ -837,7 +837,88 @@ GROUP BY 1
 PIPELINE_DEDUP_MIX_SQL = _dedup_mix_sql()
 
 
+# --------------------------------------------------------------------------
+# Temperature-based language sampling (XLM α-sampling)
+# --------------------------------------------------------------------------
+
+TEMPERATURE_BUDGET = 100_000  # tokens allocated across languages
+
+
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual sampling weights with temperature α = 0.5 (XLM,
+    Lample & Conneau 2019: p_l ∝ (n_l/N)^α — upsample low-resource
+    languages relative to their natural share) plus the resulting
+    integer token allocation of ``TEMPERATURE_BUDGET``.
+
+    α is 0.5 ON PURPOSE: the power becomes ``sqrt``, the one
+    transcendental-free root IEEE 754 requires to be CORRECTLY
+    rounded, so Spark and DuckDB produce bit-identical weights — a
+    general ``pow(x, 0.3)`` is libm-dependent and can differ in the
+    last ulp between engines (the repo-wide determinism discipline
+    forbids that in a hashed result). Weights are integer milli-sqrts
+    (``floor(sqrt(tokens)·1000)``) so the normalizing sum is exact
+    long arithmetic, order-free; the final shares are single rounded
+    divisions of exact integers.
+
+    Scale shape: one corpus scan → |languages| rows; the normalizer is
+    a window over that lang-count-sized relation (never the corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    q = F.floor(F.sqrt(F.col("n_tokens")) * 1000).cast("long")
+    wall = Window.partitionBy()
+    out = per_lang.withColumn("q_milli", q).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.sum("n_tokens").over(wall), 6
+        ).alias("nat_share"),
+        F.round(
+            F.col("q_milli") / F.sum("q_milli").over(wall), 6
+        ).alias("temp_share"),
+        F.expr(
+            f"q_milli * CAST({TEMPERATURE_BUDGET} AS BIGINT)"
+            " div sum(q_milli) OVER ()"
+        ).alias("alloc_tokens"),
+    )
+    return out.withColumn(
+        "boost", F.round(F.col("temp_share") / F.col("nat_share"), 4)
+    )
+
+
+PIPELINE_TEMPERATURE_MIX_SQL = f"""
+WITH per_lang AS (
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+), weighted AS (
+    SELECT lang, n_docs, n_tokens,
+           CAST(floor(sqrt(n_tokens) * 1000) AS BIGINT) AS q_milli
+    FROM per_lang
+)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6)
+           AS nat_share,
+       round(q_milli / CAST(sum(q_milli) OVER () AS DOUBLE), 6)
+           AS temp_share,
+       CAST((q_milli * {TEMPERATURE_BUDGET}) // sum(q_milli) OVER ()
+            AS BIGINT) AS alloc_tokens,
+       round(round(q_milli / CAST(sum(q_milli) OVER () AS DOUBLE), 6)
+             / round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6),
+             4) AS boost
+FROM weighted
+"""
+
+
 QUERIES = {
+    "pipeline_temperature_mix": pipeline_temperature_mix,
     "pipeline_epochs": pipeline_epochs,
     "pipeline_dedup_mix": pipeline_dedup_mix,
     "pipeline_curriculum": pipeline_curriculum,
@@ -850,6 +931,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_temperature_mix": PIPELINE_TEMPERATURE_MIX_SQL,
     "pipeline_epochs": PIPELINE_EPOCHS_SQL,
     "pipeline_dedup_mix": PIPELINE_DEDUP_MIX_SQL,
     "pipeline_curriculum": PIPELINE_CURRICULUM_SQL,

@@ -237,3 +237,26 @@ def test_epoch_allocation_respects_budget_and_cap(spark):
             assert set(grp["doc_id"]) == set(
                 survivors[survivors["predicted_lang"] == lang]["doc_id"]
             )
+
+
+def test_temperature_mix_compresses_language_distribution(spark, sf_dir):
+    """α=0.5 sampling must boost low-resource languages (boost > 1 for
+    below-average token share) and damp high-resource ones, shares must
+    each sum to ~1, and the integer allocation never exceeds budget."""
+    from mqtt_influx_storage_service_spark.operators.pipeline import (
+        TEMPERATURE_BUDGET,
+        pipeline_temperature_mix,
+    )
+
+    rows = pipeline_temperature_mix(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.nat_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
+    assert sum(r.alloc_tokens for r in rows) <= TEMPERATURE_BUDGET
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    largest = max(rows, key=lambda r: r.n_tokens)
+    assert smallest.boost > 1.0 > largest.boost
+    # order by share is preserved (temperature reweights, never reranks)
+    by_nat = sorted(rows, key=lambda r: r.nat_share)
+    by_temp = sorted(rows, key=lambda r: r.temp_share)
+    assert [r.lang for r in by_nat] == [r.lang for r in by_temp]
