@@ -1168,7 +1168,104 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Threshold-sweep planning view (how aggressive should the campaign be?)
+# --------------------------------------------------------------------------
+
+SWEEP_THRESHOLDS = [0.30, 0.35, 0.40, 0.45, 0.50, 0.60]
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Campaign-planning sweep: for each candidate cosine threshold,
+    how many embedding pairs qualify and how many documents the
+    drop-the-higher-id rule would remove — the one-pass answer to "how
+    aggressive should semantic dedup be?" before committing a 100 TB
+    rewrite.
+
+    ONE pair materialization at the loosest threshold (reusing the
+    gated tiled-GEMM/IVF kernel of ``dedup_embedding_cosine``), then a
+    thresholds × qualifying-pairs explode and a per-threshold distinct
+    count — the pair relation is candidate-sized, the explode is
+    |thresholds|-fold over it, and the corpus itself is touched only
+    by the kernel. min(SWEEP_THRESHOLDS)=0.30 sits just above the
+    fixtures' noise floor (~0.28; see sim_range_search), so the pair
+    set stays far from n².
+
+    Determinism: cosines are the shared round(·,6) fold doubles;
+    threshold literals parse to identical IEEE doubles in both
+    engines, so every ``>=`` decides identically.
+    """
+    from ..sources.tables import table_row_count
+    from .similarity import _gemm_threshold_pairs
+
+    n_vecs = table_row_count(sf_dir, "embeddings")
+    pairs = _gemm_threshold_pairs(spark, sf_dir, min(SWEEP_THRESHOLDS))
+    t = F.explode(
+        F.array(*[F.lit(x) for x in SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    counts = (
+        pairs.select("id_a", "id_b", "cosine", t)
+        .filter(F.col("cosine") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_docs_dropped"),
+        )
+    )
+    # threshold spine: a sweep point where NOTHING qualifies must still
+    # report 0 dropped / all surviving — a missing row reads as a hole
+    # in the planning curve, not as "dedup-free at this threshold"
+    spine = spark.createDataFrame(
+        [(float(x),) for x in SWEEP_THRESHOLDS], "threshold double"
+    )
+    return spine.join(counts, "threshold", "left_outer").select(
+        "threshold",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("n_docs_dropped", F.lit(0))
+        .cast("long")
+        .alias("n_docs_dropped"),
+        (F.lit(n_vecs) - F.coalesce("n_docs_dropped", F.lit(0)))
+        .cast("long")
+        .alias("n_survivors"),
+    )
+
+
+DEDUP_THRESHOLD_SWEEP_SQL = f"""
+WITH v AS (
+    SELECT vec_id, embedding,
+           sqrt(list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                   i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+               (x, y) -> x + y)) AS norm
+    FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+               (x, y) -> x + y) / (a.norm * b.norm), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+), counts AS (
+    SELECT t.threshold,
+           count(*) AS n_pairs,
+           count(DISTINCT p.id_b) AS n_docs_dropped
+    FROM pairs p
+    CROSS JOIN (SELECT unnest({SWEEP_THRESHOLDS}) AS threshold) t
+    WHERE p.cosine >= t.threshold
+    GROUP BY 1
+)
+SELECT s.threshold,
+       CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(c.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped,
+       CAST((SELECT count(*) FROM embeddings)
+            - coalesce(c.n_docs_dropped, 0) AS BIGINT) AS n_survivors
+FROM (SELECT unnest({SWEEP_THRESHOLDS}) AS threshold) s
+LEFT JOIN counts c ON s.threshold = c.threshold
+"""
+
+
 QUERIES = {
+    "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_passage": dedup_passage,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1278,6 +1375,7 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 3
 
 
 ORACLES = {
+    "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_SQL,
     "dedup_passage": DEDUP_PASSAGE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
