@@ -1210,6 +1210,84 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+HQ_PHIS = [0.5, 0.9, 0.99]
+
+
+def ts_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile(φ, …)`` over the fixed-bin histogram
+    (:func:`ts_histogram`): per event type and φ ∈ {0.5, 0.9, 0.99},
+    find the first bucket whose cumulative count reaches rank φ·N and
+    linearly interpolate inside it — the Prometheus estimator, which
+    answers quantile queries from the BUCKETED relation only (the
+    whole point of ``le``-bucket histograms at 100 TB: the raw stream
+    is never re-read, and this query's input is the ≤ types×bins
+    rollup).
+
+    Determinism: bucket counts and cumulatives are exact longs; rank
+    φ·N is one IEEE multiply of exact operands; the interpolation
+    ``lo + (rank − cum_prev)/n · width`` is written with identical
+    association in the DuckDB twin and rounded to 6.
+    """
+    buckets = ts_histogram(spark, sf_dir)
+    phi = F.explode(F.array(*[F.lit(p) for p in HQ_PHIS])).alias("phi")
+    w = Window.partitionBy("event_type", "phi").orderBy("bucket")
+    wtot = Window.partitionBy("event_type", "phi")
+    cum = (
+        buckets.select("event_type", "bucket", "bucket_lo", "n", phi)
+        .withColumn(
+            "cum",
+            F.sum("n").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("total", F.sum("n").over(wtot))
+        .withColumn("rank", F.col("phi") * F.col("total"))
+    )
+    hit = (
+        cum.filter(F.col("cum") >= F.col("rank"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    prev = F.col("cum") - F.col("n")
+    return hit.select(
+        "event_type",
+        "phi",
+        F.col("total").alias("n_samples"),
+        F.round(
+            F.col("bucket_lo")
+            + (F.col("rank") - prev) / F.col("n") * F.lit(HIST_WIDTH),
+            6,
+        ).alias("quantile_value"),
+    )
+
+
+TS_HISTOGRAM_QUANTILE_SQL = f"""
+WITH buckets AS ({TS_HISTOGRAM_SQL}),
+cum AS (
+    SELECT b.event_type, p.phi, b.bucket, b.bucket_lo, b.n,
+           sum(b.n) OVER (PARTITION BY b.event_type, p.phi
+                          ORDER BY b.bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+           sum(b.n) OVER (PARTITION BY b.event_type, p.phi) AS total
+    FROM buckets b
+    CROSS JOIN (SELECT unnest({HQ_PHIS}) AS phi) p
+), ranked AS (
+    SELECT event_type, phi, bucket_lo, n, cum, total,
+           phi * total AS rank,
+           row_number() OVER (PARTITION BY event_type, phi
+                              ORDER BY bucket) AS rn
+    FROM cum
+    WHERE cum >= phi * total
+)
+SELECT event_type, phi,
+       CAST(total AS BIGINT) AS n_samples,
+       round(bucket_lo + (rank - (cum - n)) / n * {HIST_WIDTH}, 6)
+           AS quantile_value
+FROM ranked WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Bounded-window EWMA (InfluxQL ``exponential_moving_average`` analog)
 # --------------------------------------------------------------------------
@@ -2425,6 +2503,7 @@ QUERIES = {
     "ts_seasonal_profile": ts_seasonal_profile,
     "ts_holt_winters": ts_holt_winters,
     "ts_holt_winters_seasonal": ts_holt_winters_seasonal,
+    "ts_histogram_quantile": ts_histogram_quantile,
     "ts_retention": ts_retention,
     "ts_series_scan": ts_series_scan,
     "ts_moving_avg": ts_moving_avg,
@@ -2464,6 +2543,7 @@ ORACLES = {
     "ts_anomaly_zscore": TS_ANOMALY_ZSCORE_SQL,
     "ts_holt_winters": TS_HOLT_WINTERS_SQL,
     "ts_holt_winters_seasonal": TS_HOLT_WINTERS_SEASONAL_SQL,
+    "ts_histogram_quantile": TS_HISTOGRAM_QUANTILE_SQL,
     "ts_seasonal_profile": TS_SEASONAL_PROFILE_SQL,
     "ts_mode": TS_MODE_SQL,
     "ts_retention": TS_RETENTION_SQL,

@@ -762,3 +762,31 @@ def test_influxql_seasonal_holt_winters_parses_and_matches_operator_shape(spark)
 
     assert times[0] == dt.datetime(2024, 1, 29)
     assert all(isinstance(r.fc, float) for r in rows)
+
+
+def test_histogram_quantile_brackets_exact_percentile(spark, sf_dir):
+    """The bucketed estimator must land inside the bucket that holds
+    the exact nearest-rank percentile, and be monotone in phi."""
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        HIST_WIDTH,
+        ts_histogram_quantile,
+    )
+    from mqtt_influx_storage_service_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.event_type, r.phi): r.quantile_value
+        for r in ts_histogram_quantile(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    for etype in {k[0] for k in got}:
+        vals = sorted(
+            r.value for r in ev.filter(F.col("event_type") == etype).collect()
+        )
+        for phi in (0.5, 0.9, 0.99):
+            exact = vals[min(len(vals) - 1, int(phi * len(vals)))]
+            est = got[(etype, phi)]
+            # estimator error is bounded by one bucket width (clamped
+            # top bucket can exceed that only past the clamp bound)
+            assert abs(est - exact) <= HIST_WIDTH or exact > est
+        assert got[(etype, 0.5)] <= got[(etype, 0.9)] <= got[(etype, 0.99)]
