@@ -1210,6 +1210,85 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+# SLO error-budget burn rate (multi-window, Google SRE workbook shape)
+SLO_TARGET = 0.95          # 95% non-error events
+BURN_ALERT = 2.0           # alert when BOTH windows burn > 2x budget
+BURN_LONG_HOURS = 6        # trailing long window (hours)
+
+
+def ts_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting over the event stream
+    (Google SRE workbook: page only when BOTH a short and a long
+    window burn the error budget fast — short for responsiveness, long
+    to suppress flapping). ``error``-type events are the failures;
+    budget = 1 − SLO_TARGET.
+
+    One hourly rollup (map-side-combinable counts — the corpus
+    collapses to ≤ hours rows), then the long window is a trailing
+    frame over that TINY hourly relation; the raw stream is touched
+    once. Integer counts end-to-end; rates and burns are single
+    rounded divisions of exact longs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("n_err"),
+    )
+    wl = (
+        Window.orderBy("hour")
+        .rowsBetween(-(BURN_LONG_HOURS - 1), Window.currentRow)
+    )
+    budget = 1.0 - SLO_TARGET
+    rate_short = F.round(F.col("n_err") / F.col("n_total"), 6)
+    rate_long = F.round(
+        F.sum("n_err").over(wl) / F.sum("n_total").over(wl), 6
+    )
+    burn_short = F.round(rate_short / F.lit(budget), 4)
+    burn_long = F.round(rate_long / F.lit(budget), 4)
+    return hourly.select(
+        "hour",
+        "n_total",
+        "n_err",
+        rate_short.alias("rate_1h"),
+        rate_long.alias("rate_long"),
+        burn_short.alias("burn_1h"),
+        burn_long.alias("burn_long"),
+        ((burn_short > BURN_ALERT) & (burn_long > BURN_ALERT)).alias("alert"),
+    )
+
+
+TS_BURN_RATE_SQL = f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_err
+    FROM events GROUP BY 1
+), rated AS (
+    SELECT hour, n_total, n_err,
+           round(n_err / CAST(n_total AS DOUBLE), 6) AS rate_1h,
+           round(CAST(sum(n_err) OVER w AS BIGINT)
+                 / CAST(CAST(sum(n_total) OVER w AS BIGINT) AS DOUBLE),
+                 6) AS rate_long
+    FROM hourly
+    WINDOW w AS (ORDER BY hour
+                 ROWS BETWEEN {BURN_LONG_HOURS - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT hour, n_total, n_err, rate_1h, rate_long,
+       round(rate_1h / {1.0 - SLO_TARGET}, 4) AS burn_1h,
+       round(rate_long / {1.0 - SLO_TARGET}, 4) AS burn_long,
+       (round(rate_1h / {1.0 - SLO_TARGET}, 4) > {BURN_ALERT}
+        AND round(rate_long / {1.0 - SLO_TARGET}, 4) > {BURN_ALERT})
+           AS alert
+FROM rated
+"""
+
+
 HQ_PHIS = [0.5, 0.9, 0.99]
 
 
@@ -2504,6 +2583,7 @@ QUERIES = {
     "ts_holt_winters": ts_holt_winters,
     "ts_holt_winters_seasonal": ts_holt_winters_seasonal,
     "ts_histogram_quantile": ts_histogram_quantile,
+    "ts_burn_rate": ts_burn_rate,
     "ts_retention": ts_retention,
     "ts_series_scan": ts_series_scan,
     "ts_moving_avg": ts_moving_avg,
@@ -2544,6 +2624,7 @@ ORACLES = {
     "ts_holt_winters": TS_HOLT_WINTERS_SQL,
     "ts_holt_winters_seasonal": TS_HOLT_WINTERS_SEASONAL_SQL,
     "ts_histogram_quantile": TS_HISTOGRAM_QUANTILE_SQL,
+    "ts_burn_rate": TS_BURN_RATE_SQL,
     "ts_seasonal_profile": TS_SEASONAL_PROFILE_SQL,
     "ts_mode": TS_MODE_SQL,
     "ts_retention": TS_RETENTION_SQL,

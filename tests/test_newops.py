@@ -790,3 +790,46 @@ def test_histogram_quantile_brackets_exact_percentile(spark, sf_dir):
             # top bucket can exceed that only past the clamp bound)
             assert abs(est - exact) <= HIST_WIDTH or exact > est
         assert got[(etype, 0.5)] <= got[(etype, 0.9)] <= got[(etype, 0.99)]
+
+
+def test_burn_rate_alert_needs_both_windows(spark, tmp_path):
+    """Synthetic incident: a one-hour error spike inside an otherwise
+    healthy day only fires the alert when the LONG window has also
+    burned — the multi-window AND that suppresses flapping pages."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_burn_rate,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h in range(24):
+        # hour 6: total outage (100% errors); hour 18: brief 50% blip
+        err_frac = 1.0 if h == 6 else (0.5 if h == 18 else 0.0)
+        for i in range(20):
+            etype = "error" if i < 20 * err_frac else "click"
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=i), 1, etype,
+                 1.0, "{}")
+            )
+            eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    out = {r.hour.hour: r for r in ts_burn_rate(spark, str(tmp_path)).collect()}
+    assert len(out) == 24
+    # the outage hour fires: short burn 20x budget, long window (6h
+    # trailing, 1/6 of it at 100%) burns ~3.3x
+    assert out[6].alert
+    assert out[6].burn_1h > 10
+    # the isolated blip does NOT page: short window burns but the
+    # trailing long window stays under the threshold
+    assert out[18].burn_1h > 2.0
+    assert not out[18].alert
+    # healthy hours are quiet
+    assert not out[3].alert and out[3].n_err == 0
