@@ -1233,11 +1233,21 @@ def ts_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
-        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
         F.sum(
             F.when(F.col("event_type") == "error", 1).otherwise(0)
         ).cast("long").alias("n_err"),
     )
+    return burn_rate_from_hourly(hourly)
+
+
+def burn_rate_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Rates/burns/alert from an (hour, n_total, n_err) relation —
+    shared by the batch query above and the streaming continuous
+    rollup's view (``streaming.anomaly.burn_rate_view``), so the two
+    tiers cannot drift. Because the inputs are exact integer partials,
+    the stream's MERGE-accumulated counts reproduce this bit-for-bit
+    regardless of micro-batch slicing."""
     wl = (
         Window.orderBy("hour")
         .rowsBetween(-(BURN_LONG_HOURS - 1), Window.currentRow)

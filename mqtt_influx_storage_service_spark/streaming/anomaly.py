@@ -319,3 +319,77 @@ def start_continuous_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------------------
+# Continuous SLO burn-rate monitor (streaming twin of ts_burn_rate)
+# --------------------------------------------------------------------------
+
+BURN_SCHEMA = "hour timestamp, n_total long, n_err long"
+
+
+def burn_partials(batch: DataFrame) -> DataFrame:
+    """Per-hour exact (total, error) count partials of one micro-batch
+    — additive, so any batch slicing MERGE-converges to the batch
+    answer (same discipline as rollup_partials)."""
+    return batch.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("n_err"),
+    )
+
+
+def _burn_combine(current: DataFrame, batch: DataFrame) -> DataFrame:
+    return (
+        current.unionByName(batch)
+        .groupBy("hour")
+        .agg(
+            F.sum("n_total").cast("long").alias("n_total"),
+            F.sum("n_err").cast("long").alias("n_err"),
+        )
+    )
+
+
+def burn_rate_view(table: SnapshotTable) -> DataFrame:
+    """The user-facing monitor: rates/burns/alert computed by the SAME
+    shared expression as the batch query
+    (``operators.timeseries.burn_rate_from_hourly``), over the
+    MERGE-accumulated exact integer partials — stream ≡ batch
+    bit-for-bit under any micro-batch slicing (test-pinned)."""
+    from ..operators.timeseries import burn_rate_from_hourly
+
+    return burn_rate_from_hourly(table.read())
+
+
+def start_burn_rate_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the hourly (n_total, n_err) partials incrementally:
+    each micro-batch MERGEs additively into the SnapshotTable
+    (batch-id idempotent). The burn-rate view over a 100 TB event
+    history reads these ≤ hours rows, never the raw stream."""
+    table = SnapshotTable(
+        spark, table_path, key_cols=["hour"], schema=BURN_SCHEMA
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        table.merge(
+            burn_partials(batch), batch_id=batch_id, combine=_burn_combine
+        )
+
+    stream = spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "burn"))
+        .queryName("burn_rate_monitor")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

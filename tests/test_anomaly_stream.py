@@ -207,3 +207,50 @@ def test_counter_rate_stream_matches_batch(spark, tmp_path):
         .collect()
     )
     assert all(abs(r.s - r.t) < 1e-6 for r in sums)
+
+
+def test_burn_rate_monitor_matches_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Streaming twin of ts_burn_rate: the MERGE-accumulated hourly
+    partials feed the SAME shared burn expression, so the monitor view
+    equals the oracle-checked batch query bit-for-bit under any
+    micro-batch slicing; replaying an applied batch id is a no-op."""
+    from mqtt_influx_storage_service_spark.streaming.anomaly import (
+        BURN_SCHEMA,
+        burn_partials,
+    )
+
+    src = _event_batches(spark, tmp_path)
+    table_path = str(tmp_path / "burn")
+    q = st.start_burn_rate_monitor(
+        spark, src, table_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    table = SnapshotTable(
+        spark, table_path, key_cols=["hour"], schema=BURN_SCHEMA
+    )
+    got = {
+        (str(r.hour), r.n_total, r.n_err, r.rate_1h, r.rate_long,
+         r.burn_1h, r.burn_long, r.alert)
+        for r in st.burn_rate_view(table).collect()
+    }
+    want = {
+        (str(r.hour), r.n_total, r.n_err, r.rate_1h, r.rate_long,
+         r.burn_1h, r.burn_long, r.alert)
+        for r in all_queries()["ts_burn_rate"](spark, SF).collect()
+    }
+    assert got == want and want
+    # replaying an applied batch id leaves the monitor unchanged
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    applied = sorted(table.applied_batch_ids())
+    assert applied
+    assert table.merge(burn_partials(ev.limit(50)), batch_id=applied[0]) is False
+    after = {
+        (str(r.hour), r.n_total, r.n_err, r.rate_1h, r.rate_long,
+         r.burn_1h, r.burn_long, r.alert)
+        for r in st.burn_rate_view(table).collect()
+    }
+    assert after == want
