@@ -1169,6 +1169,77 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Asymmetric containment (quote / subset detection)
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-CONTAINMENT pairs: C(A→B) = |shingles(A) ∩
+    shingles(B)| / |shingles(A)| ≥ 0.8 — document A is mostly quoted
+    by / embedded in B even when symmetric Jaccard is low (a long page
+    wrapping a short one dilutes the union, which is exactly why
+    quote/subset detection needs the asymmetric measure; Broder's
+    containment, the RETSim/quote-dedup primitive). Emits BOTH
+    directions when both clear the bar (mutual containment ≈ near-dup).
+
+    Same candidate machinery as the Jaccard pipeline — one shared-
+    shingle equi-join on the 64-bit md5-prefix key, count per ordered
+    pair, divide by the CONTAINED side's shingle count — so the scale
+    shape is identical (word-count-shaped shuffles, Σ c(s)² bounded by
+    the blocking key, never corpus²) and the shingle table is the same
+    persisted campaign artifact.
+    """
+    ds = _doc_shingles(spark, sf_dir)
+    exploded = ds.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", _shingle_hash64(F.col("s")).alias("shingle"))
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = ds.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .withColumn(
+            "containment", F.round(F.col("n_inter") / F.col("n_a"), 6)
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "containment")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH ds AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+), exploded AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS shingle
+    FROM (SELECT doc_id, unnest(shingles) AS s FROM ds)
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM exploded a JOIN exploded b USING (shingle)
+    WHERE a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+), counts AS (
+    SELECT doc_id, len(shingles) AS n_shingles FROM ds
+)
+SELECT i.doc_a, i.doc_b, i.n_inter, c.n_shingles AS n_a,
+       round(i.n_inter / CAST(c.n_shingles AS DOUBLE), 6) AS containment
+FROM inter i JOIN counts c ON c.doc_id = i.doc_a
+WHERE round(i.n_inter / CAST(c.n_shingles AS DOUBLE), 6)
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
 # Threshold-sweep planning view (how aggressive should the campaign be?)
 # --------------------------------------------------------------------------
 
@@ -1266,6 +1337,7 @@ LEFT JOIN counts c ON s.threshold = c.threshold
 
 QUERIES = {
     "dedup_threshold_sweep": dedup_threshold_sweep,
+    "dedup_containment": dedup_containment,
     "dedup_passage": dedup_passage,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1376,6 +1448,7 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 3
 
 ORACLES = {
     "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_passage": DEDUP_PASSAGE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,

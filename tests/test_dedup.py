@@ -215,3 +215,39 @@ def test_edge_trim_audit_empty_on_fixtures(spark, sf_dir):
     from mqtt_influx_storage_service_spark.operators.dedup import component_edge_trim
 
     assert component_edge_trim(spark, sf_dir).count() == 0
+
+
+def test_containment_detects_quotes_jaccard_misses(spark, tmp_path):
+    """A short doc fully quoted inside a much longer one: containment
+    (short→long) is 1.0 while symmetric Jaccard is diluted far below
+    the dedup threshold — the case the asymmetric measure exists for.
+    The reverse direction (long→short) must NOT fire."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+        release_shingles,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(20))
+    filler = " ".join(f"f{i}" for i in range(200))
+    rows = [
+        (1, quote),                       # the short original
+        (2, filler + " " + quote),        # long page embedding the quote
+        (3, " ".join(f"z{i}" for i in range(50))),  # unrelated
+    ]
+    sf = str(tmp_path / "quotes")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    try:
+        cont = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in dedup_containment(spark, sf).collect()
+        }
+        assert (1, 2) in cont and cont[(1, 2)] >= 0.9
+        assert (2, 1) not in cont  # asymmetric: the long page is not contained
+        assert all(3 not in k for k in cont)
+        jac = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf).collect()}
+        assert (1, 2) not in jac  # symmetric Jaccard is diluted below 0.5
+    finally:
+        release_shingles(spark)
