@@ -673,6 +673,20 @@ def _is_agg(e) -> bool:
     return False
 
 
+def _is_raw_transform(e, st: "Select") -> bool:
+    """DERIVATIVE(field)/DIFFERENCE(field) over a RAW field reference
+    with no GROUP BY time() — InfluxQL's point-to-point form, compiled
+    as a per-series lag in the raw path (like ELAPSED) instead of the
+    bucket-transform path."""
+    return (
+        st.group_time_ns is None
+        and isinstance(e, Call)
+        and e.func in ("DERIVATIVE", "DIFFERENCE")
+        and bool(e.args)
+        and isinstance(e.args[0], Var)
+    )
+
+
 def _eval_time(v, now) -> "datetime.datetime":
     """Evaluate a time-bound expression to a concrete instant on the
     driver: timestamp strings, bare epoch-ns integers, ``now()`` (from
@@ -908,7 +922,10 @@ class _Compiler:
             and st.fields[0].expr.func == "HOLT_WINTERS"
         ):
             out = self._compile_holt_winters(df, keys)
-        elif any(_is_agg(f.expr) for f in st.fields):
+        elif any(
+            _is_agg(f.expr) and not _is_raw_transform(f.expr, st)
+            for f in st.fields
+        ):
             out = self._compile_agg(df, keys, multi)
         else:
             out = self._compile_raw(df, multi)
@@ -1112,44 +1129,63 @@ class _Compiler:
 
     # raw (projection) select — no aggregates anywhere
     def _compile_raw(self, df: DataFrame, multi: bool) -> DataFrame:
-        # ELAPSED(field[, unit]) — per-series delta between consecutive
-        # points in integer units (truncating division, InfluxQL
-        # semantics; default unit 1ns). Pure integer math over epoch
-        # microseconds; one lag window per series key. InfluxQL emits
-        # nothing for a series' first point, so rows where EVERY
-        # elapsed column is NULL are dropped.
-        elapsed_names: list[str] = []
+        # Per-series lag transforms over RAW points: ELAPSED (integer
+        # gap in truncating units, default 1ns), DERIVATIVE (Δvalue /
+        # Δtime-in-units, default 1s), DIFFERENCE (Δvalue). One lag
+        # window per series key each; InfluxQL emits nothing for a
+        # series' first point, so rows where EVERY transform column is
+        # NULL are dropped.
+        lag_names: list[str] = []
         names = self._field_names()
+        raw_lag_funcs = ("ELAPSED", "DERIVATIVE", "DIFFERENCE")
         for i, f in enumerate(self.stmt.fields):
             e = f.expr
-            if isinstance(e, Call) and e.func == "ELAPSED":
-                if not e.args or not isinstance(e.args[0], Var):
-                    raise InfluxQLError("ELAPSED expects a field reference")
+            if not (isinstance(e, Call) and e.func in raw_lag_funcs):
+                continue
+            if not e.args or not isinstance(e.args[0], Var):
+                raise InfluxQLError(f"{e.func} expects a field reference")
+            series = ([F.col("measurement")] if multi else []) + [
+                F.col(t) for t in self.src_tags
+            ]
+            tb = [t for t in self.tiebreak if t in df.columns]
+            w = (
+                Window.partitionBy(*series) if series else Window.partitionBy()
+            ).orderBy("time", *tb)
+            us = F.unix_micros(F.col("time"))
+            if e.func == "ELAPSED":
                 unit_ns = (
                     e.args[1].ns
                     if len(e.args) > 1 and isinstance(e.args[1], Dur)
                     else 1
                 )
-                series = ([F.col("measurement")] if multi else []) + [
-                    F.col(t) for t in self.src_tags
-                ]
-                tb = [t for t in self.tiebreak if t in df.columns]
-                w = (
-                    Window.partitionBy(*series) if series else Window.partitionBy()
-                ).orderBy("time", *tb)
-                us = F.unix_micros(F.col("time"))
                 elapsed_ns = (us - F.lag(us).over(w)) * F.lit(1000)
                 # exact truncating division: subtract the remainder so
                 # the double division is over an exact multiple (a bare
                 # a/b cast could round up across an integer boundary)
-                df = df.withColumn(
-                    f"_elapsed_{names[i]}",
-                    (
-                        (elapsed_ns - elapsed_ns % F.lit(unit_ns))
-                        / F.lit(unit_ns)
-                    ).cast("long"),
-                )
-                elapsed_names.append(names[i])
+                col = (
+                    (elapsed_ns - elapsed_ns % F.lit(unit_ns))
+                    / F.lit(unit_ns)
+                ).cast("long")
+            else:
+                v = F.col(e.args[0].name)
+                dv = v - F.lag(v).over(w)
+                if e.func == "DIFFERENCE":
+                    # single IEEE subtraction of identical doubles —
+                    # deterministic without rounding (bucket-path
+                    # precedent)
+                    col = dv
+                else:  # DERIVATIVE — per unit, default 1s
+                    unit_ns = (
+                        e.args[1].ns
+                        if len(e.args) > 1 and isinstance(e.args[1], Dur)
+                        else 1_000_000_000
+                    )
+                    dt_units = (us - F.lag(us).over(w)) / F.lit(
+                        unit_ns / 1000.0
+                    )
+                    col = F.round(dv / dt_units, 6)
+            df = df.withColumn(f"_lag_{names[i]}", col)
+            lag_names.append(names[i])
         cols: list[Column] = [F.col("time")]
         if multi:
             cols.append(F.col("measurement"))
@@ -1160,14 +1196,14 @@ class _Compiler:
                 for fld in self.src_fields:
                     cols.append(F.col(fld))
                 continue
-            if isinstance(f.expr, Call) and f.expr.func == "ELAPSED":
-                cols.append(F.col(f"_elapsed_{names[i]}").alias(names[i]))
+            if isinstance(f.expr, Call) and f.expr.func in raw_lag_funcs:
+                cols.append(F.col(f"_lag_{names[i]}").alias(names[i]))
                 continue
             cols.append(self._scalar(f.expr).alias(names[i]))
         out = df.select(*cols)
-        if elapsed_names:
+        if lag_names:
             keep = None
-            for n in elapsed_names:
+            for n in lag_names:
                 c = F.col(n).isNotNull()
                 keep = c if keep is None else (keep | c)
             out = out.filter(keep)

@@ -330,6 +330,34 @@ GROUP BY 1
 """
 
 
+# raw (non-bucketed) DERIVATIVE/DIFFERENCE: point-to-point per series
+IQ_RAW_DERIVATIVE = (
+    "SELECT DERIVATIVE(value, 1m) AS rate_per_min, "
+    "DIFFERENCE(value) AS dv FROM signup "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-20 00:00:00'"
+)
+
+IQ_RAW_DERIVATIVE_SQL = """
+WITH pts AS (
+    SELECT user_id, ts, event_id, value, epoch_us(ts) AS us
+    FROM events
+    WHERE event_type = 'signup'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+), lagged AS (
+    SELECT ts AS time,
+           round((value - lag(value) OVER w)
+                 / ((us - lag(us) OVER w) / 60000000.0), 6) AS rate_per_min,
+           value - lag(value) OVER w AS dv
+    FROM pts
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT time, rate_per_min, dv
+FROM lagged
+WHERE rate_per_min IS NOT NULL OR dv IS NOT NULL
+"""
+
+
 # SLIMIT: first N series in tag order (series pagination)
 IQ_SLIMIT = (
     "SELECT MEAN(value) AS mean_value FROM signup "
@@ -787,6 +815,7 @@ QUERIES = {
     "iq_bucket_offset": _q(IQ_BUCKET_OFFSET),
     "iq_agg_arithmetic": _q(IQ_AGG_ARITHMETIC),
     "iq_tag_regex": _q(IQ_TAG_REGEX),
+    "iq_raw_derivative": _q(IQ_RAW_DERIVATIVE),
     "iq_slimit": _q(IQ_SLIMIT),
     "iq_limit_offset": _q(IQ_LIMIT_OFFSET),
     "iq_raw_select": _q(IQ_RAW_SELECT),
@@ -815,6 +844,7 @@ ORACLES = {
     "iq_bucket_offset": IQ_BUCKET_OFFSET_SQL,
     "iq_agg_arithmetic": IQ_AGG_ARITHMETIC_SQL,
     "iq_tag_regex": IQ_TAG_REGEX_SQL,
+    "iq_raw_derivative": IQ_RAW_DERIVATIVE_SQL,
     "iq_slimit": IQ_SLIMIT_SQL,
     "iq_limit_offset": IQ_LIMIT_OFFSET_SQL,
     "iq_raw_select": IQ_RAW_SELECT_SQL,
