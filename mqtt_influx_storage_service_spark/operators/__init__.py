@@ -107,6 +107,13 @@ _PRIORITY = [
     # entries (dedup_minhash_ml, sim_ann_brp/ivf/ivf_pq, rel_sketches)
     # stay out of the prefix: a slot spent on them can never go
     # hash-green.
+    #
+    # r6 ROTATION QUEUE (front-load these next round — oracle-backed
+    # entries added late in r5 with no driver row yet): iq_bucket_offset,
+    # iq_agg_arithmetic, iq_tag_regex, iq_slimit, iq_limit_offset,
+    # iq_raw_derivative, pipeline_temperature_mix, dedup_threshold_sweep,
+    # dedup_containment, ts_histogram_quantile, ts_burn_rate — then the
+    # r3-green cohort whose rows will be 3 rounds old.
     "sim_mmr",
     "dedup_minhash_ml",
     "sim_ann_brp",
