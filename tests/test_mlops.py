@@ -190,3 +190,28 @@ def test_footer_row_count_matches_spark(spark, sf_dir):
     n_meta = table_row_count(sf_dir, "embeddings")
     n_spark = load_table(spark, sf_dir, "embeddings").count()
     assert n_meta == n_spark > 0
+
+
+def test_ivf_training_cache_is_transparent(spark, sf_dir):
+    """The memoized coarse fit must be bit-identical to a fresh fit
+    (deterministic training) and releasable: cold → warm → released →
+    re-fit all agree."""
+    import numpy as np
+
+    from mqtt_influx_storage_service_spark.operators.mlops import (
+        _ivf_train,
+        _unit_vectors,
+        release_ivf_training,
+    )
+    from mqtt_influx_storage_service_spark.sources.tables import table_row_count
+
+    unit = _unit_vectors(spark, sf_dir)
+    n = table_row_count(sf_dir, "embeddings")
+    release_ivf_training(spark)
+    c1, s1 = _ivf_train(unit, n, cache_key=sf_dir)
+    c2, s2 = _ivf_train(unit, n, cache_key=sf_dir)   # memoized
+    assert c1 is c2 and s1 is s2
+    assert release_ivf_training(spark) == 1
+    c3, _ = _ivf_train(unit, n, cache_key=sf_dir)    # fresh fit
+    assert c3 is not c1
+    assert np.array_equal(c1, c3)
