@@ -674,14 +674,14 @@ def _is_agg(e) -> bool:
 
 
 def _is_raw_transform(e, st: "Select") -> bool:
-    """DERIVATIVE(field)/DIFFERENCE(field) over a RAW field reference
-    with no GROUP BY time() — InfluxQL's point-to-point form, compiled
-    as a per-series lag in the raw path (like ELAPSED) instead of the
-    bucket-transform path."""
+    """A _TRANSFORMS call over a RAW field reference with no GROUP BY
+    time() — InfluxQL's point-to-point forms (DERIVATIVE, DIFFERENCE,
+    CUMULATIVE_SUM, MOVING_AVERAGE), compiled as per-series windows in
+    the raw path (like ELAPSED) instead of the bucket-transform path."""
     return (
         st.group_time_ns is None
         and isinstance(e, Call)
-        and e.func in ("DERIVATIVE", "DIFFERENCE")
+        and e.func in _TRANSFORMS
         and bool(e.args)
         and isinstance(e.args[0], Var)
     )
@@ -1129,18 +1129,25 @@ class _Compiler:
 
     # raw (projection) select — no aggregates anywhere
     def _compile_raw(self, df: DataFrame, multi: bool) -> DataFrame:
-        # Per-series lag transforms over RAW points: ELAPSED (integer
-        # gap in truncating units, default 1ns), DERIVATIVE (Δvalue /
-        # Δtime-in-units, default 1s), DIFFERENCE (Δvalue). One lag
-        # window per series key each; InfluxQL emits nothing for a
-        # series' first point, so rows where EVERY transform column is
-        # NULL are dropped.
+        # Per-series window transforms over RAW points: ELAPSED
+        # (integer gap in truncating units, default 1ns), DERIVATIVE
+        # (Δvalue / Δtime-in-units, default 1s), DIFFERENCE (Δvalue),
+        # CUMULATIVE_SUM (running cents-exact sum), MOVING_AVERAGE
+        # (N-row cents-exact mean). One window per series key each.
+        # InfluxQL emits nothing for a series' first point under the
+        # LAG transforms, so rows where EVERY lag column is NULL are
+        # dropped; the running forms emit from the first point and
+        # never force a drop.
         lag_names: list[str] = []
         names = self._field_names()
         raw_lag_funcs = ("ELAPSED", "DERIVATIVE", "DIFFERENCE")
+        raw_run_funcs = ("CUMULATIVE_SUM", "MOVING_AVERAGE")
         for i, f in enumerate(self.stmt.fields):
             e = f.expr
-            if not (isinstance(e, Call) and e.func in raw_lag_funcs):
+            if not (
+                isinstance(e, Call)
+                and e.func in raw_lag_funcs + raw_run_funcs
+            ):
                 continue
             if not e.args or not isinstance(e.args[0], Var):
                 raise InfluxQLError(f"{e.func} expects a field reference")
@@ -1166,6 +1173,30 @@ class _Compiler:
                     (elapsed_ns - elapsed_ns % F.lit(unit_ns))
                     / F.lit(unit_ns)
                 ).cast("long")
+            elif e.func in raw_run_funcs:
+                # cents-exact running forms (the repo's order-free
+                # integer discipline — see operators/timeseries.
+                # ts_cumulative_sum): frame-bounded sums of exact
+                # round(v·100) longs, one final division
+                cents = F.round(F.col(e.args[0].name) * 100).cast("long")
+                if e.func == "CUMULATIVE_SUM":
+                    wc = w.rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                    col = F.sum(cents).over(wc) / F.lit(100.0)
+                else:  # MOVING_AVERAGE(field, N)
+                    if len(e.args) < 2 or not isinstance(e.args[1], Num):
+                        raise InfluxQLError(
+                            "MOVING_AVERAGE(field, N) needs an integer N"
+                        )
+                    n = int(e.args[1].value)
+                    wm = w.rowsBetween(-(n - 1), Window.currentRow)
+                    col = F.round(
+                        F.sum(cents).over(wm)
+                        / F.lit(100.0)
+                        / F.count(cents).over(wm),
+                        6,
+                    )
             else:
                 v = F.col(e.args[0].name)
                 dv = v - F.lag(v).over(w)
@@ -1185,7 +1216,8 @@ class _Compiler:
                     )
                     col = F.round(dv / dt_units, 6)
             df = df.withColumn(f"_lag_{names[i]}", col)
-            lag_names.append(names[i])
+            if e.func in raw_lag_funcs:
+                lag_names.append(names[i])
         cols: list[Column] = [F.col("time")]
         if multi:
             cols.append(F.col("measurement"))
@@ -1196,7 +1228,10 @@ class _Compiler:
                 for fld in self.src_fields:
                     cols.append(F.col(fld))
                 continue
-            if isinstance(f.expr, Call) and f.expr.func in raw_lag_funcs:
+            if (
+                isinstance(f.expr, Call)
+                and f.expr.func in raw_lag_funcs + raw_run_funcs
+            ):
                 cols.append(F.col(f"_lag_{names[i]}").alias(names[i]))
                 continue
             cols.append(self._scalar(f.expr).alias(names[i]))

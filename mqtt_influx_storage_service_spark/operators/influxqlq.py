@@ -358,6 +358,34 @@ WHERE rate_per_min IS NOT NULL OR dv IS NOT NULL
 """
 
 
+# raw CUMULATIVE_SUM + MOVING_AVERAGE: running per-series forms
+IQ_RAW_RUNNING = (
+    "SELECT CUMULATIVE_SUM(value) AS cum, "
+    "MOVING_AVERAGE(value, 5) AS ma5 FROM view "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-10 00:00:00'"
+)
+
+IQ_RAW_RUNNING_SQL = """
+WITH pts AS (
+    SELECT user_id, ts, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'view'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+)
+SELECT ts AS time,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           / 100.0 AS cum,
+       round(CAST(sum(cents) OVER w5 AS BIGINT) / 100.0
+             / count(cents) OVER w5, 6) AS ma5
+FROM pts
+WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 # SLIMIT: first N series in tag order (series pagination)
 IQ_SLIMIT = (
     "SELECT MEAN(value) AS mean_value FROM signup "
@@ -816,6 +844,7 @@ QUERIES = {
     "iq_agg_arithmetic": _q(IQ_AGG_ARITHMETIC),
     "iq_tag_regex": _q(IQ_TAG_REGEX),
     "iq_raw_derivative": _q(IQ_RAW_DERIVATIVE),
+    "iq_raw_running": _q(IQ_RAW_RUNNING),
     "iq_slimit": _q(IQ_SLIMIT),
     "iq_limit_offset": _q(IQ_LIMIT_OFFSET),
     "iq_raw_select": _q(IQ_RAW_SELECT),
@@ -845,6 +874,7 @@ ORACLES = {
     "iq_agg_arithmetic": IQ_AGG_ARITHMETIC_SQL,
     "iq_tag_regex": IQ_TAG_REGEX_SQL,
     "iq_raw_derivative": IQ_RAW_DERIVATIVE_SQL,
+    "iq_raw_running": IQ_RAW_RUNNING_SQL,
     "iq_slimit": IQ_SLIMIT_SQL,
     "iq_limit_offset": IQ_LIMIT_OFFSET_SQL,
     "iq_raw_select": IQ_RAW_SELECT_SQL,
