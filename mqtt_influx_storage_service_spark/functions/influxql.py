@@ -655,7 +655,14 @@ class EventsCatalog:
 
 _SIMPLE_AGGS = {"COUNT", "SUM", "MIN", "MAX", "SPREAD", "STDDEV", "MEAN", "MODE"}
 _RANK_AGGS = {"MEDIAN", "PERCENTILE", "FIRST", "LAST"}
-_TRANSFORMS = {"DERIVATIVE", "DIFFERENCE", "CUMULATIVE_SUM", "MOVING_AVERAGE"}
+_TRANSFORMS = {
+    "DERIVATIVE",
+    "DIFFERENCE",
+    "NON_NEGATIVE_DERIVATIVE",
+    "NON_NEGATIVE_DIFFERENCE",
+    "CUMULATIVE_SUM",
+    "MOVING_AVERAGE",
+}
 # INTEGRAL is an aggregate whose per-row term needs a lag window over
 # the group's points BEFORE the groupBy (trapezoid vs the previous
 # point) — precomputed in _compile_agg like the FIRST/LAST rank columns.
@@ -860,10 +867,21 @@ class _Compiler:
                 "%": l % r,
             }[e.op]
         if isinstance(e, Call):
-            if e.func in ("ABS", "ROUND") and not e.args:
+            if e.func in ("ABS", "ROUND", "CEIL", "FLOOR", "SQRT") and not e.args:
                 raise InfluxQLError(f"{e.func} needs an argument")
             if e.func == "ABS":
                 return F.abs(self._scalar(e.args[0]))
+            # CEIL/FLOOR/SQRT are IEEE-exact (sqrt is correctly
+            # rounded), so they keep the cross-engine hash discipline;
+            # libm transcendentals (LN/EXP/trig) are deliberately NOT
+            # offered — last-ulp engine differences would poison hashed
+            # results.
+            if e.func == "CEIL":
+                return F.ceil(self._scalar(e.args[0])).cast("double")
+            if e.func == "FLOOR":
+                return F.floor(self._scalar(e.args[0])).cast("double")
+            if e.func == "SQRT":
+                return F.sqrt(self._scalar(e.args[0]))
             if e.func == "ROUND":
                 nd = 0
                 if len(e.args) > 1:
@@ -1200,7 +1218,8 @@ class _Compiler:
             else:
                 v = F.col(e.args[0].name)
                 dv = v - F.lag(v).over(w)
-                if e.func == "DIFFERENCE":
+                base = e.func.replace("NON_NEGATIVE_", "")
+                if base == "DIFFERENCE":
                     # single IEEE subtraction of identical doubles —
                     # deterministic without rounding (bucket-path
                     # precedent)
@@ -1215,6 +1234,11 @@ class _Compiler:
                         unit_ns / 1000.0
                     )
                     col = F.round(dv / dt_units, 6)
+                if e.func.startswith("NON_NEGATIVE_"):
+                    # InfluxQL omits negative results; NULL here, and
+                    # the all-null row drop below removes the point
+                    # (single-transform selects match InfluxQL exactly)
+                    col = F.when(col >= 0, col)
             df = df.withColumn(f"_lag_{names[i]}", col)
             if e.func in raw_lag_funcs:
                 lag_names.append(names[i])
@@ -1355,9 +1379,10 @@ class _Compiler:
             src = F.col(f"_in_{name}")
             prev = F.lag(src).over(w)
             prev_t = F.lag(F.col("time")).over(w)
-            if e.func == "DIFFERENCE":
+            base = e.func.replace("NON_NEGATIVE_", "")
+            if base == "DIFFERENCE":
                 col = src - prev
-            elif e.func == "DERIVATIVE":
+            elif base == "DERIVATIVE":
                 unit_ns = e.args[1].ns if len(e.args) > 1 and isinstance(e.args[1], Dur) else 1_000_000_000
                 dt_units = (F.unix_micros(F.col("time")) - F.unix_micros(prev_t)) / F.lit(unit_ns / 1000.0)
                 col = F.round((src - prev) / dt_units, 6)
@@ -1372,6 +1397,8 @@ class _Compiler:
                 n = int(e.args[1].value)
                 wm = w.rowsBetween(-(n - 1), Window.currentRow)
                 col = F.round(F.sum(src).over(wm) / F.count(src).over(wm), 6)
+            if e.func.startswith("NON_NEGATIVE_"):
+                col = F.when(col >= 0, col)  # negative results omitted
             out = out.withColumn(name, col)
         for name, _ in transforms:
             out = out.drop(f"_in_{name}")

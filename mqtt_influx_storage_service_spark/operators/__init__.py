@@ -111,9 +111,11 @@ _PRIORITY = [
     # r6 ROTATION QUEUE (front-load these next round — oracle-backed
     # entries added late in r5 with no driver row yet): iq_bucket_offset,
     # iq_agg_arithmetic, iq_tag_regex, iq_slimit, iq_limit_offset,
-    # iq_raw_derivative, pipeline_temperature_mix, dedup_threshold_sweep,
-    # dedup_containment, ts_histogram_quantile, ts_burn_rate — then the
-    # r3-green cohort whose rows will be 3 rounds old.
+    # iq_raw_derivative, iq_raw_running, iq_nonneg_derivative,
+    # iq_scalar_math, pipeline_temperature_mix,
+    # dedup_threshold_sweep, dedup_containment, ts_histogram_quantile,
+    # ts_burn_rate — then the r3-green cohort whose rows will be 3
+    # rounds old.
     "sim_mmr",
     "dedup_minhash_ml",
     "sim_ann_brp",

@@ -386,6 +386,53 @@ WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+# NON_NEGATIVE_DERIVATIVE over daily means + scalar math projection
+IQ_NONNEG_DERIVATIVE = (
+    "SELECT NON_NEGATIVE_DERIVATIVE(MEAN(value), 1h) AS up_rate FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY time(1d)"
+)
+
+IQ_NONNEG_DERIVATIVE_SQL = f"""
+WITH agg AS (
+    SELECT {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS mv
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY 1
+), d AS (
+    SELECT time,
+           round((mv - lag(mv) OVER w)
+                 / ((epoch_us(time) - epoch_us(lag(time) OVER w))
+                    / 3600000000.0), 6) AS deriv
+    FROM agg
+    WINDOW w AS (ORDER BY time)
+)
+SELECT time, CASE WHEN deriv >= 0 THEN deriv END AS up_rate
+FROM d
+"""
+
+
+IQ_SCALAR_MATH = (
+    "SELECT SQRT(value) AS root, FLOOR(value) AS lo, CEIL(value) AS hi, "
+    "ABS(value - 100) AS dist FROM purchase "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-08 00:00:00'"
+)
+
+IQ_SCALAR_MATH_SQL = """
+SELECT ts AS time, sqrt(value) AS root,
+       CAST(floor(value) AS DOUBLE) AS lo,
+       CAST(ceil(value) AS DOUBLE) AS hi,
+       abs(value - 100) AS dist
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+"""
+
+
 # SLIMIT: first N series in tag order (series pagination)
 IQ_SLIMIT = (
     "SELECT MEAN(value) AS mean_value FROM signup "
@@ -845,6 +892,8 @@ QUERIES = {
     "iq_tag_regex": _q(IQ_TAG_REGEX),
     "iq_raw_derivative": _q(IQ_RAW_DERIVATIVE),
     "iq_raw_running": _q(IQ_RAW_RUNNING),
+    "iq_nonneg_derivative": _q(IQ_NONNEG_DERIVATIVE),
+    "iq_scalar_math": _q(IQ_SCALAR_MATH),
     "iq_slimit": _q(IQ_SLIMIT),
     "iq_limit_offset": _q(IQ_LIMIT_OFFSET),
     "iq_raw_select": _q(IQ_RAW_SELECT),
@@ -875,6 +924,8 @@ ORACLES = {
     "iq_tag_regex": IQ_TAG_REGEX_SQL,
     "iq_raw_derivative": IQ_RAW_DERIVATIVE_SQL,
     "iq_raw_running": IQ_RAW_RUNNING_SQL,
+    "iq_nonneg_derivative": IQ_NONNEG_DERIVATIVE_SQL,
+    "iq_scalar_math": IQ_SCALAR_MATH_SQL,
     "iq_slimit": IQ_SLIMIT_SQL,
     "iq_limit_offset": IQ_LIMIT_OFFSET_SQL,
     "iq_raw_select": IQ_RAW_SELECT_SQL,
