@@ -322,7 +322,69 @@ FROM toks
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# Content-addressed payload dedup (binary-column near-dup groundwork)
+# --------------------------------------------------------------------------
+
+def mm_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup over the BINARY payload column: md5 the
+    raw bytes (never decoded — the digest is the content address, the
+    same trick object stores and training-data lakes use to kill exact
+    re-crawls of the same asset), emit the content-address
+    inventory (one row per distinct byte string: copy count, modality
+    spread, min-id keeper, and the bytes a dedup pass would reclaim —
+    0 for singletons; the shipped fixtures contain no byte-identical
+    payloads, so the >1-copy path is pinned by a synthetic test
+    instead of the oracle row). The perceptual near-dup upgrade slots in
+    at the digest expression (pHash over decoded pixels via the
+    mapInPandas decode seam) with the SAME grouping plan.
+
+    Scale shape: one scan, md5 computed JVM-side per row, one
+    map-side-combinable aggregation on (modality, digest) — the
+    classic content-address shuffle, never payload x payload.
+    """
+    media = build_media_table(spark, sf_dir)
+    return (
+        media.groupBy(F.md5(F.col("payload")).alias("payload_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            # the same bytes may be re-ingested under DIFFERENT claimed
+            # modalities — content addressing ignores metadata, so the
+            # group keys on the digest alone and reports the spread
+            F.countDistinct("modality").alias("n_modalities"),
+            F.min("doc_id").alias("keep_doc"),
+            (
+                (F.count(F.lit(1)) - 1) * F.max(F.octet_length("payload"))
+            ).cast("long").alias("reclaimable_bytes"),
+        )
+    )
+
+
+MM_DEDUP_PAYLOAD_SQL = """
+WITH media AS (
+    SELECT doc_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+           -- DuckDB's md5 takes VARCHAR; hashing the text is byte-
+           -- identical to Spark's md5 over the utf-8 payload bytes
+           text,
+           encode(text) AS payload
+    FROM documents
+)
+SELECT md5(text) AS payload_md5,
+       count(*) AS n_copies,
+       count(DISTINCT modality) AS n_modalities,
+       min(doc_id) AS keep_doc,
+       CAST((count(*) - 1) * max(octet_length(payload)) AS BIGINT)
+           AS reclaimable_bytes
+FROM media
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "mm_dedup_payload": mm_dedup_payload,
     "mm_token_budget": mm_token_budget,
     "mm_manifest": mm_manifest,
     "mm_extract_features": mm_extract_features,
@@ -330,6 +392,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_dedup_payload": MM_DEDUP_PAYLOAD_SQL,
     "mm_token_budget": MM_TOKEN_BUDGET_SQL,
     "mm_manifest": MM_MANIFEST_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,

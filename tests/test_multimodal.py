@@ -45,3 +45,36 @@ def test_manifest_prunes_payload_column(spark, sf_dir):
     agg_lines = [ln for ln in plan.split("\n") if "Aggregate" in ln]
     assert agg_lines, plan
     assert "payload" not in agg_lines[0] or "octet_length" in agg_lines[0]
+
+
+def test_payload_dedup_finds_cross_modality_copies(spark, tmp_path):
+    """Byte-identical payloads re-ingested under different doc_ids (and
+    hence different derived modalities) collapse to ONE content-address
+    group with the right copy count, keeper, and reclaimable bytes."""
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.multimodal import (
+        mm_dedup_payload,
+    )
+
+    text_a = "same bytes every time"
+    rows = [
+        (0, text_a, "en", "s", len(text_a)),   # modality image (0%3)
+        (1, text_a, "en", "s", len(text_a)),   # audio — same bytes
+        (2, "unique one", "en", "s", 10),
+        (5, text_a, "en", "s", len(text_a)),   # video (5%3=2) — same bytes
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = {r.payload_md5: r for r in mm_dedup_payload(spark, str(tmp_path)).collect()}
+    dups = [r for r in out.values() if r.n_copies > 1]
+    assert len(dups) == 1
+    g = dups[0]
+    assert g.n_copies == 3
+    assert g.n_modalities == 3      # same bytes under 3 claimed modalities
+    assert g.keep_doc == 0
+    assert g.reclaimable_bytes == 2 * len(text_a.encode())
+    singles = [r for r in out.values() if r.n_copies == 1]
+    assert len(singles) == 1 and singles[0].reclaimable_bytes == 0
