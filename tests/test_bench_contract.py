@@ -1,0 +1,71 @@
+"""bench.py artifact contract (VERDICT r4 #4): the driver records only
+a ~2000-char stdout TAIL, so the final JSON line must stay inside
+_TAIL_BUDGET no matter how large the registry grows, while the full
+payload persists to BENCH_DETAIL.json. These tests pin that contract
+so a future registry growth can't silently regress BENCH_r{N} parsing
+again."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+
+
+def _fake_queries(n):
+    return {f"q{i:03d}_{'x' * (i % 17)}_operator": round(0.01 * i, 3) for i in range(n)}
+
+
+def test_emit_stays_inside_tail_budget_and_parses(tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    for n in (10, 150, 400):
+        payload = {
+            "metric": "headline_query_suite_sec",
+            "value": 1.0,
+            "unit": "sec",
+            "queries": _fake_queries(n),
+            "failed": [],
+            "sf": 0.1,
+            "n_queries": n,
+        }
+        bench._emit(payload)
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        assert len(line) <= bench._TAIL_BUDGET
+        parsed = json.loads(line)
+        assert parsed["value"] == 1.0 and parsed["n_queries"] == n
+        # full payload always lands in the detail file
+        detail = json.load(open(tmp_path / "BENCH_DETAIL.json"))
+        assert len(detail["queries"]) == n
+        if len(parsed["queries"]) < n:
+            assert parsed["queries_file"] == "BENCH_DETAIL.json"
+            assert parsed["queries_omitted"] == n - len(parsed["queries"])
+            # elision keeps the SLOWEST queries — the grading signal
+            kept = set(parsed["queries"])
+            dropped_max = max(
+                v for k, v in detail["queries"].items() if k not in kept
+            )
+            kept_min = min(parsed["queries"].values())
+            assert kept_min >= dropped_max
+
+
+def test_prior_round_ratio_uses_newest_parsed_round(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": {"queries": {"a": 2.0, "b": 2.0}}})
+    )
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"parsed": {"queries": {"a": 1.0, "b": 1.0, "c": None}}})
+    )
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps({"parsed": None}))
+    r = bench._prior_round_ratio({"a": 0.5, "b": 0.5, "c": 9.9, "d": 1.0})
+    assert r["common_vs_round"] == "r03"  # newest MACHINE-READABLE round
+    assert r["common_n"] == 2             # c was null there, d unknown
+    assert r["common_ratio"] == 0.5
+
+
+def test_prior_round_ratio_handles_no_history(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    assert bench._prior_round_ratio({"a": 1.0}) == {}
