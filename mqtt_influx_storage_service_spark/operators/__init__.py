@@ -114,8 +114,8 @@ _PRIORITY = [
     # iq_raw_derivative, iq_raw_running, iq_nonneg_derivative,
     # iq_scalar_math, pipeline_temperature_mix,
     # dedup_threshold_sweep, dedup_containment, ts_histogram_quantile,
-    # ts_burn_rate, mm_dedup_payload — then the r3-green cohort whose
-    # rows will be 3 rounds old.
+    # ts_burn_rate, ts_availability, mm_dedup_payload — then the
+    # r3-green cohort whose rows will be 3 rounds old.
     "sim_mmr",
     "dedup_minhash_ml",
     "sim_ann_brp",

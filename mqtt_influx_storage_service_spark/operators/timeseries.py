@@ -1210,6 +1210,63 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def ts_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device availability: the fraction of hours between a
+    series' first and last event that contain at least one reading —
+    the fleet-health primitive an operator of the reference's IoT
+    deployment (devices publishing via MQTT, influx_service.py:389)
+    asks first: 'which devices have gaps?'. Hours are the reference's
+    natural reporting grain (its own status metric is a 10-minute
+    window, :310-322).
+
+    Determinism: pure integer math — epoch-hour indices, distinct
+    counts, one final rounded division. Scale: one
+    map-side-combinable aggregation per series key; the corpus
+    collapses to |devices| rows, no window over raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = F.expr("epoch_sec div 3600")
+    per = ev.withColumn(
+        "epoch_sec", F.expr("ts_ns div 1000000000")
+    ).groupBy("user_id").agg(
+        F.countDistinct(hour_idx).alias("hours_with_data"),
+        F.min(hour_idx).alias("first_hour"),
+        F.max(hour_idx).alias("last_hour"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    span = F.col("last_hour") - F.col("first_hour") + F.lit(1)
+    return per.select(
+        "user_id",
+        "n_events",
+        "hours_with_data",
+        span.cast("long").alias("span_hours"),
+        F.round(F.col("hours_with_data") / span, 6).alias("availability"),
+        (span - F.col("hours_with_data")).cast("long").alias("gap_hours"),
+    )
+
+
+TS_AVAILABILITY_SQL = """
+WITH per AS (
+    SELECT user_id,
+           count(DISTINCT epoch_ns(ts) // 1000000000 // 3600)
+               AS hours_with_data,
+           min(epoch_ns(ts) // 1000000000 // 3600) AS first_hour,
+           max(epoch_ns(ts) // 1000000000 // 3600) AS last_hour,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+)
+SELECT user_id, n_events,
+       CAST(hours_with_data AS BIGINT) AS hours_with_data,
+       CAST(last_hour - first_hour + 1 AS BIGINT) AS span_hours,
+       round(hours_with_data
+             / CAST(last_hour - first_hour + 1 AS DOUBLE), 6)
+           AS availability,
+       CAST(last_hour - first_hour + 1 - hours_with_data AS BIGINT)
+           AS gap_hours
+FROM per
+"""
+
+
 # SLO error-budget burn rate (multi-window, Google SRE workbook shape)
 SLO_TARGET = 0.95          # 95% non-error events
 BURN_ALERT = 2.0           # alert when BOTH windows burn > 2x budget
@@ -2594,6 +2651,7 @@ QUERIES = {
     "ts_holt_winters_seasonal": ts_holt_winters_seasonal,
     "ts_histogram_quantile": ts_histogram_quantile,
     "ts_burn_rate": ts_burn_rate,
+    "ts_availability": ts_availability,
     "ts_retention": ts_retention,
     "ts_series_scan": ts_series_scan,
     "ts_moving_avg": ts_moving_avg,
@@ -2635,6 +2693,7 @@ ORACLES = {
     "ts_holt_winters_seasonal": TS_HOLT_WINTERS_SEASONAL_SQL,
     "ts_histogram_quantile": TS_HISTOGRAM_QUANTILE_SQL,
     "ts_burn_rate": TS_BURN_RATE_SQL,
+    "ts_availability": TS_AVAILABILITY_SQL,
     "ts_seasonal_profile": TS_SEASONAL_PROFILE_SQL,
     "ts_mode": TS_MODE_SQL,
     "ts_retention": TS_RETENTION_SQL,

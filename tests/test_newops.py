@@ -833,3 +833,37 @@ def test_burn_rate_alert_needs_both_windows(spark, tmp_path):
     assert not out[18].alert
     # healthy hours are quiet
     assert not out[3].alert and out[3].n_err == 0
+
+
+def test_availability_counts_gaps_exactly(spark, tmp_path):
+    """Synthetic device with a known hole: events in hours 0,1,2 and
+    5,6 → span 7, observed 5, availability 5/7, gap 2. A never-gapping
+    device reports 1.0."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_availability,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in (0, 1, 2, 5, 6):
+        rows.append((eid, base + dt.timedelta(hours=h, minutes=7), 1,
+                     "click", 1.0, "{}"))
+        eid += 1
+    for h in range(4):
+        rows.append((eid, base + dt.timedelta(hours=h), 2,
+                     "click", 1.0, "{}"))
+        eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    out = {r.user_id: r for r in ts_availability(spark, str(tmp_path)).collect()}
+    assert out[1].span_hours == 7 and out[1].hours_with_data == 5
+    assert out[1].gap_hours == 2
+    assert out[1].availability == round(5 / 7, 6)
+    assert out[2].availability == 1.0 and out[2].gap_hours == 0
