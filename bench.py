@@ -182,13 +182,17 @@ def _emit(payload: dict) -> None:
     slim = dict(payload)
     slim["queries_file"] = "BENCH_DETAIL.json"
     keep = len(ranked)
-    while keep > 0:
+    while True:
         slim["queries"] = dict(ranked[:keep])
         slim["queries_omitted"] = len(ranked) - keep
         line = json.dumps(slim, separators=(",", ":"))
-        if len(line) <= _TAIL_BUDGET:
+        if len(line) <= _TAIL_BUDGET or keep == 0:
+            # keep == 0 (queries fully elided, pointer only) is the
+            # floor: re-serialized above, so the printed line always
+            # reflects the final keep — never a stale oversized
+            # candidate (ADVICE r5).
             break
-        keep -= max(1, (len(line) - _TAIL_BUDGET) // 30)
+        keep = max(0, keep - max(1, (len(line) - _TAIL_BUDGET) // 30))
     print(line)
 
 

@@ -1158,7 +1158,13 @@ class _Compiler:
         # never force a drop.
         lag_names: list[str] = []
         names = self._field_names()
-        raw_lag_funcs = ("ELAPSED", "DERIVATIVE", "DIFFERENCE")
+        raw_lag_funcs = (
+            "ELAPSED",
+            "DERIVATIVE",
+            "DIFFERENCE",
+            "NON_NEGATIVE_DERIVATIVE",
+            "NON_NEGATIVE_DIFFERENCE",
+        )
         raw_run_funcs = ("CUMULATIVE_SUM", "MOVING_AVERAGE")
         for i, f in enumerate(self.stmt.fields):
             e = f.expr
@@ -1468,7 +1474,16 @@ class _Compiler:
                 if len(c.args) > 1 and isinstance(c.args[1], Dur)
                 else 1_000_000_000
             )
-            return F.sum(F.col(f"_int_{arg.name}_{unit_ns}")) / 1000.0
+            # InfluxDB reports 0 (not NULL) for a single-point group —
+            # a lone point bounds zero area. NOTE a documented
+            # deviation stays: a trapezoid segment spanning a bucket
+            # boundary is dropped here, where InfluxDB splits its area
+            # across the adjacent buckets (intra-bucket-only choice,
+            # pinned in tests/test_influxql_negative.py).
+            return F.coalesce(
+                F.sum(F.col(f"_int_{arg.name}_{unit_ns}")) / 1000.0,
+                F.lit(0.0),
+            )
         if fn == "FIRST":
             return F.max(F.when(F.col("_rn_first") == 1, col))
         if fn == "LAST":

@@ -386,6 +386,45 @@ WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+# raw (no GROUP BY time) NON_NEGATIVE_ forms: per-series point-to-point
+# lag transforms where a negative result becomes NULL; a row whose
+# every transform column is NULL is dropped (the raw-path rule, so a
+# point that only ever moved down disappears — matching InfluxQL's
+# omission of negative results). Exercises influxql.py's raw_lag_funcs
+# NON_NEGATIVE_ membership (ADVICE r5: the raw form was routed to
+# _compile_raw but skipped by the loop and crashed in _scalar).
+IQ_RAW_NONNEG = (
+    "SELECT NON_NEGATIVE_DERIVATIVE(value, 1m) AS up_rate, "
+    "NON_NEGATIVE_DIFFERENCE(value) AS up_dv FROM signup "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-20 00:00:00'"
+)
+
+IQ_RAW_NONNEG_SQL = """
+WITH pts AS (
+    SELECT user_id, ts, event_id, value, epoch_us(ts) AS us
+    FROM events
+    WHERE event_type = 'signup'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+), lagged AS (
+    SELECT ts AS time,
+           round((value - lag(value) OVER w)
+                 / ((us - lag(us) OVER w) / 60000000.0), 6) AS deriv,
+           value - lag(value) OVER w AS dv
+    FROM pts
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), nn AS (
+    SELECT time,
+           CASE WHEN deriv >= 0 THEN deriv END AS up_rate,
+           CASE WHEN dv    >= 0 THEN dv    END AS up_dv
+    FROM lagged
+)
+SELECT time, up_rate, up_dv
+FROM nn
+WHERE up_rate IS NOT NULL OR up_dv IS NOT NULL
+"""
+
+
 # NON_NEGATIVE_DERIVATIVE over daily means + scalar math projection
 IQ_NONNEG_DERIVATIVE = (
     "SELECT NON_NEGATIVE_DERIVATIVE(MEAN(value), 1h) AS up_rate FROM click "
@@ -707,9 +746,11 @@ WITH pts AS (
     WINDOW w AS (PARTITION BY user_id, time ORDER BY ts, event_id)
 )
 SELECT user_id, time,
-       CAST(sum(CAST(round((value + prev_v) / 2.0
-                           * ((us - prev_us) / 1000000.0)
-                           * 1000.0) AS BIGINT)) AS BIGINT) / 1000.0 AS area
+       coalesce(
+           CAST(sum(CAST(round((value + prev_v) / 2.0
+                               * ((us - prev_us) / 1000000.0)
+                               * 1000.0) AS BIGINT)) AS BIGINT) / 1000.0,
+           0.0) AS area
 FROM with_prev
 GROUP BY 1, 2
 """
@@ -892,6 +933,7 @@ QUERIES = {
     "iq_tag_regex": _q(IQ_TAG_REGEX),
     "iq_raw_derivative": _q(IQ_RAW_DERIVATIVE),
     "iq_raw_running": _q(IQ_RAW_RUNNING),
+    "iq_raw_nonneg": _q(IQ_RAW_NONNEG),
     "iq_nonneg_derivative": _q(IQ_NONNEG_DERIVATIVE),
     "iq_scalar_math": _q(IQ_SCALAR_MATH),
     "iq_slimit": _q(IQ_SLIMIT),
@@ -924,6 +966,7 @@ ORACLES = {
     "iq_tag_regex": IQ_TAG_REGEX_SQL,
     "iq_raw_derivative": IQ_RAW_DERIVATIVE_SQL,
     "iq_raw_running": IQ_RAW_RUNNING_SQL,
+    "iq_raw_nonneg": IQ_RAW_NONNEG_SQL,
     "iq_nonneg_derivative": IQ_NONNEG_DERIVATIVE_SQL,
     "iq_scalar_math": IQ_SCALAR_MATH_SQL,
     "iq_slimit": IQ_SLIMIT_SQL,

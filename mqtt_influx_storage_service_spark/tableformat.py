@@ -528,7 +528,13 @@ def compact_point_partitions(
             fh.write(fp + "\n")
         old = None
         if os.path.exists(dst_part):
-            old = dst_part + f".old-{uuid.uuid4().hex}"
+            # Dot-prefixed so Spark's hidden-path filter skips it while
+            # it exists: a non-hidden "<partition>.old-*" sibling would
+            # be discovered as a distinct partition VALUE during the
+            # swap window and double-read (ADVICE r5).
+            old = os.path.join(
+                dst_dir, f".{entry}.old-{uuid.uuid4().hex}"
+            )
             os.rename(dst_part, old)
         os.rename(tmp, dst_part)
         if old is not None:

@@ -526,3 +526,103 @@ def test_elapsed_drops_first_point_per_series(spark, sf_dir):
     n_series = ev.select("user_id").distinct().count()
     assert len(out) == n_points - n_series
     assert all(r.gap >= 0 for r in out)
+
+
+class _TinyCatalog:
+    """Hand-built one-measurement catalog for edge-shape pins: bucket A
+    (00:00–01:00) holds a single point, bucket B (01:00–02:00) two, and
+    a trapezoid spans the A/B boundary."""
+
+    def __init__(self, rows):
+        from mqtt_influx_storage_service_spark.functions.influxql import (
+            MeasurementSchema,
+        )
+
+        self.rows = rows
+        self.schema = MeasurementSchema(
+            tags=["host"], fields=["value"], tiebreak="pid"
+        )
+
+    def measurement_names(self):
+        return ["m"]
+
+    def load(self, spark, name):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            self.rows, "time string, host string, value double, pid long"
+        )
+        return df.select(
+            F.lit(name).alias("measurement"),
+            F.col("time").cast("timestamp").alias("time"),
+            "host",
+            "value",
+            "pid",
+        )
+
+
+def test_integral_single_point_bucket_is_zero(spark, sf_dir):
+    """InfluxDB reports 0 (not NULL) for a group whose bucket holds one
+    point — a lone point bounds zero area (ADVICE r5).  Pins the
+    coalesce in the INTEGRAL aggregate."""
+    cat = _TinyCatalog(
+        [
+            ("2024-01-01 00:30:00", "a", 10.0, 1),   # alone in bucket A
+            ("2024-01-01 01:10:00", "a", 20.0, 2),   # bucket B ...
+            ("2024-01-01 01:40:00", "a", 40.0, 3),
+        ]
+    )
+    out = {
+        r.time.strftime("%H:%M"): r.area
+        for r in influxql(
+            spark, sf_dir,
+            "SELECT INTEGRAL(value, 1s) AS area FROM m "
+            "WHERE time >= '2024-01-01 00:00:00' "
+            "AND time < '2024-01-01 02:00:00' GROUP BY time(1h)",
+            catalog=cat,
+        ).collect()
+    }
+    assert out["00:00"] == 0.0
+    # bucket B: trapezoid (20+40)/2 * 1800s = 54000; the segment
+    # SPANNING the A/B boundary (10→20 over 00:30→01:10) is dropped —
+    # a DOCUMENTED deviation from InfluxDB, which splits that area
+    # across the adjacent buckets (intra-bucket-only choice,
+    # functions/influxql.py INTEGRAL note).  InfluxDB would report
+    # bucket B as 54000 + 15*600/... > 54000; we pin the intra-bucket
+    # value so the deviation is explicit, not accidental.
+    assert out["01:00"] == 54000.0
+
+
+def test_raw_non_negative_forms(spark, sf_dir):
+    """Raw (no GROUP BY time) NON_NEGATIVE_DERIVATIVE/DIFFERENCE: the
+    negative step becomes NULL; a row where EVERY transform column is
+    NULL is dropped (ADVICE r5 — the raw route previously crashed in
+    _scalar)."""
+    cat = _TinyCatalog(
+        [
+            ("2024-01-01 00:00:00", "a", 10.0, 1),
+            ("2024-01-01 00:01:00", "a", 30.0, 2),   # +20 over 1m
+            ("2024-01-01 00:02:00", "a", 5.0, 3),    # −25 → dropped
+            ("2024-01-01 00:03:00", "a", 5.0, 4),    # flat: 0 kept
+        ]
+    )
+    rows = influxql(
+        spark, sf_dir,
+        "SELECT NON_NEGATIVE_DERIVATIVE(value, 1m) AS up FROM m "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-02'",
+        catalog=cat,
+    ).orderBy("time").collect()
+    assert [(r.time.strftime("%H:%M"), r.up) for r in rows] == [
+        ("00:01", 20.0),
+        ("00:03", 0.0),
+    ]
+    rows = influxql(
+        spark, sf_dir,
+        "SELECT NON_NEGATIVE_DIFFERENCE(value) AS up FROM m "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-02'",
+        catalog=cat,
+    ).orderBy("time").collect()
+    assert [(r.time.strftime("%H:%M"), r.up) for r in rows] == [
+        ("00:01", 20.0),
+        ("00:03", 0.0),
+    ]
