@@ -599,6 +599,21 @@ class MeasurementSchema:
     tags: list[str]
     fields: list[str]
     tiebreak: str  # hidden monotone column used for deterministic selection
+    # Physical series identity of the narrow storage layout (the
+    # reference stores one series per decomposed topic,
+    # influx_service.py:183-189) when it is NOT exposed as a queryable
+    # tag. Raw per-point window transforms partition by it even without
+    # GROUP BY tags — per-series semantics over the narrow layout, and
+    # the difference between a partitioned WindowExec and a
+    # single-partition sort of the whole measurement at 100 TB.
+    series_col: str | None = None
+
+
+# A raw transform over a relation with NO series identity (no tags, no
+# series_col) needs one global sort-window over every matching point.
+# That is semantically legal (the measurement IS one series) but does
+# not scale; refuse beyond this bound rather than melt an executor.
+RAW_GLOBAL_WINDOW_MAX = 5_000_000
 
 
 class EventsCatalog:
@@ -1178,6 +1193,23 @@ class _Compiler:
             series = ([F.col("measurement")] if multi else []) + [
                 F.col(t) for t in self.src_tags
             ]
+            sc = self.schema.series_col
+            if sc and sc in df.columns and sc not in self.src_tags:
+                # untagged narrow layout: partition by the physical
+                # series identity instead of one global sort
+                series.append(F.col(sc))
+            if not series:
+                # truly unpartitionable — bounded probe, then refuse
+                # above RAW_GLOBAL_WINDOW_MAX (the limit is pushed to
+                # the scan, so the probe reads at most MAX+1 rows)
+                n = df.limit(RAW_GLOBAL_WINDOW_MAX + 1).count()
+                if n > RAW_GLOBAL_WINDOW_MAX:
+                    raise InfluxQLError(
+                        f"{e.func} over an untagged measurement needs a "
+                        "single global window and the relation exceeds "
+                        f"{RAW_GLOBAL_WINDOW_MAX} points; declare "
+                        "MeasurementSchema.series_col or add tags"
+                    )
             tb = [t for t in self.tiebreak if t in df.columns]
             w = (
                 Window.partitionBy(*series) if series else Window.partitionBy()

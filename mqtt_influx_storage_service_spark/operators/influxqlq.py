@@ -58,6 +58,41 @@ class LineitemCatalog:
             (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rowkey"),
         )
 
+class NarrowSeriesCatalog:
+    """The untagged narrow-layout binding: NO queryable tags, but the
+    relation carries the physical series identity (``user_id``, the
+    stand-in for the reference's decomposed-topic series,
+    influx_service.py:183-189) as ``MeasurementSchema.series_col``.
+    Raw per-point transforms must still compute per series — this
+    catalog proves the compiler partitions the raw WindowExec by the
+    physical series column instead of sorting the whole measurement in
+    one partition (VERDICT r5 #2)."""
+
+    MEASUREMENTS = ["click", "error", "purchase", "signup", "view"]
+
+    def __init__(self, sf_dir: str):
+        self.sf_dir = sf_dir
+        self.schema = MeasurementSchema(
+            tags=[],
+            fields=["value"],
+            tiebreak="event_id",
+            series_col="user_id",
+        )
+
+    def measurement_names(self) -> list[str]:
+        return list(self.MEASUREMENTS)
+
+    def load(self, spark: SparkSession, name: str) -> DataFrame:
+        ev = load_table(spark, self.sf_dir, "events")
+        return ev.filter(F.col("event_type") == name).select(
+            F.lit(name).alias("measurement"),
+            F.col("ts").alias("time"),
+            "user_id",
+            "value",
+            "event_id",
+        )
+
+
 _US_1D = 86_400_000_000
 _US_1W = 7 * _US_1D
 
@@ -422,6 +457,34 @@ WITH pts AS (
 SELECT time, up_rate, up_dv
 FROM nn
 WHERE up_rate IS NOT NULL OR up_dv IS NOT NULL
+"""
+
+
+# raw DERIVATIVE over the UNTAGGED narrow layout: no queryable tags,
+# per-series window partitioned by the physical series column
+# (schema.series_col) — the output carries no series identity, but the
+# lag runs per series, never across them (VERDICT r5 #2; plan-pinned in
+# tests/test_influxql.py::test_untagged_raw_window_is_partitioned).
+IQ_RAW_SERIES = (
+    "SELECT DERIVATIVE(value, 1m) AS rate FROM signup "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-20 00:00:00'"
+)
+
+IQ_RAW_SERIES_SQL = """
+WITH pts AS (
+    SELECT user_id, ts, event_id, value, epoch_us(ts) AS us
+    FROM events
+    WHERE event_type = 'signup'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+), lagged AS (
+    SELECT ts AS time,
+           round((value - lag(value) OVER w)
+                 / ((us - lag(us) OVER w) / 60000000.0), 6) AS rate
+    FROM pts
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT time, rate FROM lagged WHERE rate IS NOT NULL
 """
 
 
@@ -934,6 +997,7 @@ QUERIES = {
     "iq_raw_derivative": _q(IQ_RAW_DERIVATIVE),
     "iq_raw_running": _q(IQ_RAW_RUNNING),
     "iq_raw_nonneg": _q(IQ_RAW_NONNEG),
+    "iq_raw_series": _q(IQ_RAW_SERIES, catalog_cls=NarrowSeriesCatalog),
     "iq_nonneg_derivative": _q(IQ_NONNEG_DERIVATIVE),
     "iq_scalar_math": _q(IQ_SCALAR_MATH),
     "iq_slimit": _q(IQ_SLIMIT),
@@ -967,6 +1031,7 @@ ORACLES = {
     "iq_raw_derivative": IQ_RAW_DERIVATIVE_SQL,
     "iq_raw_running": IQ_RAW_RUNNING_SQL,
     "iq_raw_nonneg": IQ_RAW_NONNEG_SQL,
+    "iq_raw_series": IQ_RAW_SERIES_SQL,
     "iq_nonneg_derivative": IQ_NONNEG_DERIVATIVE_SQL,
     "iq_scalar_math": IQ_SCALAR_MATH_SQL,
     "iq_slimit": IQ_SLIMIT_SQL,

@@ -626,3 +626,50 @@ def test_raw_non_negative_forms(spark, sf_dir):
         ("00:01", 20.0),
         ("00:03", 0.0),
     ]
+
+
+def test_untagged_raw_window_is_partitioned(spark, sf_dir):
+    """VERDICT r5 #2: with no queryable tags but a declared
+    schema.series_col, the raw transform's physical WindowExec
+    partitions by the series column — never a single global sort of the
+    measurement."""
+    from mqtt_influx_storage_service_spark.operators.influxqlq import (
+        IQ_RAW_SERIES,
+        NarrowSeriesCatalog,
+    )
+
+    df = influxql(
+        spark, sf_dir, IQ_RAW_SERIES, catalog=NarrowSeriesCatalog(sf_dir)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the window spec names the series column as its partition key
+    assert "windowspecdefinition(user_id" in plan
+    # and no output column leaks the hidden series identity
+    assert df.columns == ["time", "rate"]
+
+
+def test_untagged_raw_window_refuses_above_bound(spark, sf_dir, monkeypatch):
+    """A raw transform over a relation with NO series identity compiles
+    to one global window; above RAW_GLOBAL_WINDOW_MAX it is refused
+    with an actionable message instead of melting an executor."""
+    from mqtt_influx_storage_service_spark.functions import influxql as iqmod
+
+    cat = _TinyCatalog(
+        [
+            ("2024-01-01 00:00:00", "a", 1.0, 1),
+            ("2024-01-01 00:01:00", "a", 2.0, 2),
+            ("2024-01-01 00:02:00", "b", 3.0, 3),
+        ]
+    )
+    cat.schema.tags = []          # no tags, no series_col → global window
+    q = (
+        "SELECT DIFFERENCE(value) AS dv FROM m "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-02'"
+    )
+    # under the bound: compiles and merges every point into one series
+    rows = influxql(spark, sf_dir, q, catalog=cat).orderBy("time").collect()
+    assert [r.dv for r in rows] == [1.0, 1.0]
+    monkeypatch.setattr(iqmod, "RAW_GLOBAL_WINDOW_MAX", 2)
+    with pytest.raises(InfluxQLError, match="untagged measurement"):
+        influxql(spark, sf_dir, q, catalog=cat)
