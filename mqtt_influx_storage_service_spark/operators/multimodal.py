@@ -383,8 +383,199 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Perceptual near-dup — blockhash over the decoded-pixel seam
+# --------------------------------------------------------------------------
+
+PHASH_GRID = 64        # 8x8 grayscale render
+PHASH_BANDS = 4        # pigeonhole bands over the 64-bit digest
+PHASH_BAND_BITS = 16
+PHASH_HAM_MAX = 3      # <=3 bit flips → >=1 exact band (guaranteed recall)
+PHASH_BUCKET_CAP = 64  # hot-bucket cap, same discipline as dedup_minhash_lsh
+
+_PHASH_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def _render_stub(payload: bytes):
+    """STUB renderer: payload bytes → deterministic 8x8 grayscale
+    (64 pixels). A real deployment decodes the image and downsamples
+    (PIL ``Image.resize((8, 8))``); no codecs ship in this container,
+    so the stand-in renders a content histogram of the payload — md5 of
+    each space-separated byte run, binned mod 64 — which has the
+    locality property a real thumbnail has (small payload edits move
+    few pixels), the property pHash/blockhash exploits.
+    """
+    import hashlib
+
+    import numpy as np
+
+    px = np.zeros(PHASH_GRID, dtype=np.int64)
+    for w in payload.decode("utf-8", errors="ignore").split(" "):
+        if w:
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            px[h % PHASH_GRID] += 1
+    return px
+
+
+def _phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + 4x16-bit blockhash bands via the ``mapInPandas`` decode
+    seam (the same seat :func:`mm_extract_features` gives a real codec):
+    render 64 pixels, threshold each at the median pixel (the blockhash
+    algorithm), pack bits into 16-bit band values."""
+    import numpy as np
+
+    media = build_media_table(spark, sf_dir).select("doc_id", "payload")
+    pow2 = 1 << np.arange(PHASH_BAND_BITS, dtype=np.int64)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bands = np.zeros((len(pdf), PHASH_BANDS), dtype=np.int32)
+            for r, payload in enumerate(pdf["payload"]):
+                px = _render_stub(bytes(payload))
+                bits = px > np.median(px)
+                for b in range(PHASH_BANDS):
+                    seg = bits[b * PHASH_BAND_BITS:(b + 1) * PHASH_BAND_BITS]
+                    bands[r, b] = int(seg @ pow2)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{f"b{b}": bands[:, b] for b in range(PHASH_BANDS)},
+                }
+            )
+
+    return media.mapInPandas(render, schema=_PHASH_SCHEMA)
+
+
+def mm_dedup_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over the media payloads — the image
+    twin of MinHash-LSH (VERDICT r5 #3): blockhash digest from the
+    decoded-pixel seam, hamming-banded candidates, exact-hamming verify
+    at <= PHASH_HAM_MAX.
+
+    Banding is pigeonhole-exact: 4 bands x 16 bits means any pair
+    within hamming 3 shares at least one whole band, so recall vs
+    brute-force hamming is 1.0 outside capped hot buckets
+    (tests/test_multimodal.py pins it). Single-pass plan: the bucket
+    collect carries each member's FULL signature in its struct, so the
+    verify needs no join back to the signature relation — one
+    mapInPandas scan, one band-shaped shuffle, in-bucket pair
+    expansion bounded by PHASH_BUCKET_CAP, never payload x payload.
+    """
+    sig = _phash_signatures(spark, sf_dir)
+    member = F.struct(
+        "doc_id", *[f"b{b}" for b in range(PHASH_BANDS)]
+    ).alias("m")
+    banded = sig.select(
+        member,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"b{b}").alias("band_val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("m", "band.band_idx", "band.band_val")
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.collect_list("m").alias("members"))
+        .filter(
+            (F.size("members") >= 2) & (F.size("members") <= PHASH_BUCKET_CAP)
+        )
+        .select(F.array_sort("members").alias("members"))
+    )
+    pair_col = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    p = F.col("p")
+    hamming = sum(
+        F.bit_count(p["a"][f"b{b}"].bitwiseXOR(p["b"][f"b{b}"]))
+        for b in range(PHASH_BANDS)
+    )
+    return (
+        buckets.select(F.explode(pair_col).alias("p"))
+        .select(
+            p["a"]["doc_id"].alias("doc_a"),
+            p["b"]["doc_id"].alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .distinct()
+    )
+
+
+# DuckDB twin of the full pipeline: histogram render (md5-prefix bin,
+# byte==char on the ASCII fixtures), median threshold (DuckDB's
+# median interpolates even counts exactly like np.median), band
+# packing, capped-bucket candidates, exact hamming verify.
+MM_DEDUP_PERCEPTUAL_SQL = """
+WITH media AS (
+    SELECT doc_id, text FROM documents
+), tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM media
+), binned AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64 AS px
+    FROM tok WHERE w <> ''
+), counts AS (
+    SELECT doc_id, px, count(*) AS v FROM binned GROUP BY 1, 2
+), grid AS (
+    SELECT m.doc_id, r.i, coalesce(c.v, 0) AS v
+    FROM (SELECT doc_id FROM media) m
+    CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
+    LEFT JOIN counts c ON c.doc_id = m.doc_id AND c.px = r.i
+), med AS (
+    SELECT doc_id, median(v) AS md FROM grid GROUP BY 1
+), bits AS (
+    SELECT g.doc_id, g.i,
+           CASE WHEN g.v > d.md THEN 1 ELSE 0 END AS bit
+    FROM grid g JOIN med d USING (doc_id)
+), bands AS (
+    SELECT doc_id, CAST(i // 16 AS INT) AS band_idx,
+           CAST(sum(bit * (1 << CAST(i % 16 AS INT))) AS INT) AS band_val
+    FROM bits GROUP BY 1, 2
+), bsize AS (
+    SELECT band_idx, band_val, count(*) AS n FROM bands GROUP BY 1, 2
+), okband AS (
+    SELECT b.doc_id, b.band_idx, b.band_val
+    FROM bands b JOIN bsize s USING (band_idx, band_val)
+    WHERE s.n BETWEEN 2 AND 64
+), sig AS (
+    SELECT doc_id,
+           max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+           max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+           max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+           max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+    FROM bands GROUP BY 1
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM okband a JOIN okband b USING (band_idx, band_val)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+            AS INT) AS hamming
+FROM cand c
+JOIN sig x ON x.doc_id = c.doc_a
+JOIN sig y ON y.doc_id = c.doc_b
+WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+"""
+
+
 QUERIES = {
     "mm_dedup_payload": mm_dedup_payload,
+    "mm_dedup_perceptual": mm_dedup_perceptual,
     "mm_token_budget": mm_token_budget,
     "mm_manifest": mm_manifest,
     "mm_extract_features": mm_extract_features,
@@ -393,6 +584,7 @@ QUERIES = {
 
 ORACLES = {
     "mm_dedup_payload": MM_DEDUP_PAYLOAD_SQL,
+    "mm_dedup_perceptual": MM_DEDUP_PERCEPTUAL_SQL,
     "mm_token_budget": MM_TOKEN_BUDGET_SQL,
     "mm_manifest": MM_MANIFEST_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,

@@ -78,3 +78,46 @@ def test_payload_dedup_finds_cross_modality_copies(spark, tmp_path):
     assert g.reclaimable_bytes == 2 * len(text_a.encode())
     singles = [r for r in out.values() if r.n_copies == 1]
     assert len(singles) == 1 and singles[0].reclaimable_bytes == 0
+
+
+def test_perceptual_recall_vs_exact_hamming(spark, sf_dir):
+    """Pigeonhole guarantee: 4 bands x 16 bits means every pair within
+    hamming <= 3 shares a whole band, so outside capped hot buckets the
+    banded operator reproduces brute-force exact hamming verbatim —
+    precision 1.0 always, recall 1.0 on the uncapped set."""
+    from mqtt_influx_storage_service_spark.operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_BUCKET_CAP,
+        PHASH_HAM_MAX,
+        _phash_signatures,
+        mm_dedup_perceptual,
+    )
+
+    sig = {r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+           for r in _phash_signatures(spark, sf_dir).collect()}
+    # capped band buckets: pairs ALL of whose shared bands are hot are
+    # legitimately dropped by the cap
+    from collections import Counter
+
+    hot = {
+        (b, v)
+        for (b, v), n in Counter(
+            (b, bands[b]) for bands in sig.values() for b in range(PHASH_BANDS)
+        ).items()
+        if n > PHASH_BUCKET_CAP
+    }
+    ids = sorted(sig)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b_ in ids[i + 1:]:
+            x, y = sig[a], sig[b_]
+            h = sum(bin(x[k] ^ y[k]).count("1") for k in range(PHASH_BANDS))
+            if h <= PHASH_HAM_MAX:
+                shared = [k for k in range(PHASH_BANDS) if x[k] == y[k]]
+                assert shared, "pigeonhole violated"
+                if any((k, x[k]) not in hot for k in shared):
+                    brute.add((a, b_))
+    got = {(r.doc_a, r.doc_b)
+           for r in mm_dedup_perceptual(spark, sf_dir).collect()}
+    assert got == brute
+    assert len(brute) > 0  # the fixture near-dups are actually caught
