@@ -1335,8 +1335,188 @@ LEFT JOIN counts c ON s.threshold = c.threshold
 """
 
 
+# --------------------------------------------------------------------------
+# SemDeDup — coarse cluster assign → within-cluster prune → keep-list
+# --------------------------------------------------------------------------
+
+# Within-cluster cosine at/above this ⇒ semantic duplicate. The fixture
+# embeddings are near-orthogonal noise (within-cluster p99 ≈ 0.30,
+# max ≈ 0.48 at sf0.01), so the production-style 0.9 would never fire;
+# 0.35 exercises the prune at every fixture scale (14 pairs at
+# sf0.001, 26 at sf0.01) while staying above the p99 noise floor.
+SEMDEDUP_EPS = 0.35
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SemDeDup pass (Abbas et al. 2023, arXiv:2303.09540) as
+    ONE plan: coarse cluster assignment → within-cluster pairwise
+    cosine → prune at SEMDEDUP_EPS → per-vector keep verdict
+    (VERDICT r5 #4).
+
+    Clustering here is the exact-integer LABEL-centroid assignment
+    (the :func:`similarity.sim_centroid_assign` stage — deterministic
+    and oracle-expressible, unlike sampled Lloyd); at 10⁹ vectors the
+    SAME downstream plan runs over ``mlops`` IVF assignments instead,
+    where K grows with n so within-cluster work stays ∝ Σ list².
+    Prune rule is the paper's: order each cluster by similarity to its
+    centroid ASCENDING (keep the low-centroid-similarity examples),
+    and drop a vector iff some EARLIER member of its cluster is within
+    eps — one anti-join over the within-cluster pair relation, no
+    iteration.
+
+    Plan shape: one (label, pos) map-side aggregation builds K
+    centroids (broadcast); assignment is a broadcast nested-loop +
+    WindowGroupLimit argmax (corpus never shuffled); the prune is an
+    equi-join on the cluster id whose per-cluster expansion is the
+    Σ list² SemDeDup budget.
+    """
+    from .similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vd = emb.select("vec_id", F.col("label").alias("lbl"), arr.alias("arr"))
+    micro = F.transform(F.col("arr"), lambda x: F.round(x * 1e6).cast("long"))
+    comp = (
+        vd.select("lbl", F.posexplode(micro).alias("pos", "mv"))
+        .groupBy(F.col("lbl").alias("cl"), "pos")
+        .agg(F.sum("mv").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    cent = comp.groupBy("cl").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        (F.col("s") / (F.col("cnt") * 1000000.0)).alias("v"),
+                    )
+                )
+            ),
+            lambda st: st["v"],
+        ).alias("cvec")
+    )
+    scored = vd.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "arr",
+        "cl",
+        F.round(
+            _dot(F.col("arr"), F.col("cvec"))
+            / (
+                F.sqrt(_dot(F.col("arr"), F.col("arr")))
+                * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+            ),
+            6,
+        ).alias("cos_c"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cl"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cl",
+            "cos_c",
+            "arr",
+            F.sqrt(_dot(F.col("arr"), F.col("arr"))).alias("nrm"),
+        )
+    )
+    u = assigned.select(
+        F.col("cl").alias("p_cl"),
+        F.col("vec_id").alias("u_id"),
+        F.col("cos_c").alias("u_cos"),
+        F.col("arr").alias("u_arr"),
+        F.col("nrm").alias("u_nrm"),
+    )
+    v = assigned.select(
+        F.col("cl").alias("p_cl"),
+        F.col("vec_id").alias("v_id"),
+        F.col("cos_c").alias("v_cos"),
+        F.col("arr").alias("v_arr"),
+        F.col("nrm").alias("v_nrm"),
+    )
+    earlier = (F.col("u_cos") < F.col("v_cos")) | (
+        (F.col("u_cos") == F.col("v_cos"))
+        & (F.col("u_id") < F.col("v_id"))
+    )
+    dup = F.round(
+        _dot(F.col("u_arr"), F.col("v_arr"))
+        / (F.col("u_nrm") * F.col("v_nrm")),
+        6,
+    ) >= SEMDEDUP_EPS
+    dropped = (
+        u.join(v, "p_cl").filter(earlier & dup)
+        .select(F.col("v_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cl").alias("cluster"),
+            "cos_c",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH vd AS (
+    SELECT vec_id, label AS lbl,
+           list_transform(embedding, x -> x::DOUBLE) AS arr
+    FROM embeddings
+), comp AS (
+    SELECT lbl AS cl, t.i AS pos,
+           CAST(sum(CAST(round(arr[t.i] * 1e6, 0) AS BIGINT)) AS BIGINT) AS s,
+           count(*) AS cnt
+    FROM vd, unnest(range(1, 65)) AS t(i)
+    GROUP BY 1, 2
+), cent AS (
+    SELECT cl, list(s / (cnt * 1000000.0) ORDER BY pos) AS cvec
+    FROM comp GROUP BY 1
+), scored AS (
+    SELECT v.vec_id, v.arr, c.cl,
+           round(list_reduce(
+                     list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                         i -> v.arr[i] * c.cvec[i])),
+                     (x, y) -> x + y)
+                 / (sqrt(list_reduce(
+                        list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                            i -> v.arr[i] * v.arr[i])),
+                        (x, y) -> x + y))
+                    * sqrt(list_reduce(
+                        list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                            i -> c.cvec[i] * c.cvec[i])),
+                        (x, y) -> x + y))),
+                 6) AS cos_c
+    FROM vd v CROSS JOIN cent c
+), assigned AS (
+    SELECT vec_id, arr, cl, cos_c,
+           sqrt(list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                   i -> arr[i] * arr[i])),
+               (x, y) -> x + y)) AS nrm
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos_c DESC, cl) AS rn
+          FROM scored)
+    WHERE rn = 1
+), dropped AS (
+    SELECT DISTINCT v.vec_id
+    FROM assigned u JOIN assigned v ON u.cl = v.cl
+    WHERE (u.cos_c < v.cos_c
+           OR (u.cos_c = v.cos_c AND u.vec_id < v.vec_id))
+      AND round(list_reduce(
+                    list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                        i -> u.arr[i] * v.arr[i])),
+                    (x, y) -> x + y) / (u.nrm * v.nrm), 6) >= {SEMDEDUP_EPS}
+)
+SELECT a.vec_id, a.cl AS cluster, a.cos_c,
+       d.vec_id IS NULL AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
 QUERIES = {
     "dedup_threshold_sweep": dedup_threshold_sweep,
+    "dedup_semantic": dedup_semantic,
     "dedup_containment": dedup_containment,
     "dedup_passage": dedup_passage,
     "dedup_exact": dedup_exact,
@@ -1447,6 +1627,7 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 3
 
 
 ORACLES = {
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_passage": DEDUP_PASSAGE_SQL,

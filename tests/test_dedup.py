@@ -251,3 +251,58 @@ def test_containment_detects_quotes_jaccard_misses(spark, tmp_path):
         assert (1, 2) not in jac  # symmetric Jaccard is diluted below 0.5
     finally:
         release_shingles(spark)
+
+
+def test_semdedup_matches_brute_force(spark, sf_dir):
+    """dedup_semantic == the paper's rule computed naively: assign each
+    vector to its nearest label centroid (argmax cosine, smaller label
+    on ties), order each cluster by (cos-to-centroid ASC, vec_id), drop
+    a vector iff ANY earlier member of its cluster is within
+    SEMDEDUP_EPS."""
+    import numpy as np
+
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        SEMDEDUP_EPS,
+        dedup_semantic,
+    )
+    from mqtt_influx_storage_service_spark.sources import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(vecs[r.vec_id])
+
+    def cos6(a, b):
+        return round(float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), 6)
+
+    # exact-integer centroids, as both engines compute them
+    cents = {}
+    for lbl, vs in by_label.items():
+        micro = np.stack(
+            [np.floor(np.abs(v) * 1e6 + 0.5) * np.sign(v) for v in vs]
+        ).astype(np.int64)
+        cents[lbl] = micro.sum(axis=0) / (len(vs) * 1e6)
+    clusters = {}
+    for vid, v in vecs.items():
+        cc, cl = max(
+            ((cos6(v, c), -lbl) for lbl, c in cents.items())
+        )
+        clusters.setdefault(-cl, []).append((cc, vid))
+    expect = {}
+    for cl, members in clusters.items():
+        order = sorted(members)
+        for i, (cc, vid) in enumerate(order):
+            dropped = any(
+                cos6(vecs[uid], vecs[vid]) >= SEMDEDUP_EPS
+                for _, uid in order[:i]
+            )
+            expect[vid] = (cl, cc, not dropped)
+    got = {
+        r.vec_id: (r.cluster, r.cos_c, r.kept)
+        for r in dedup_semantic(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(1 for _, _, k in got.values() if not k) > 0
