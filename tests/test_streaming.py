@@ -810,3 +810,93 @@ def test_journal_duplicate_delivery_absorbed_by_stream_dedup(spark, tmp_path):
     assert pts.count() == len(a)
     vals = sorted(r.value_double for r in pts.select("value_double").collect())
     assert vals == sorted(float(i) for i in range(len(a)))
+
+
+def test_bridge_line_contract(spark):
+    """Pin the bridge-line seam contract shared by the socket and
+    Kafka sources (VERDICT r5 #5): JSON line → (ts, topic, payload);
+    missing/unparseable ts falls back to the transport arrival
+    timestamp; a line with no parseable topic is dropped. Pure column
+    algebra, so the batch run here certifies the streaming behavior."""
+    fallback = "2024-06-01 12:00:00"
+    df = spark.createDataFrame(
+        [
+            (json.dumps({"ts": "2024-01-01 00:00:01",
+                         "topic": "openchirp/device/d1/Temp",
+                         "payload": "1.5"}),),
+            (json.dumps({"topic": "openchirp/device/d2/Temp",
+                         "payload": "2.5"}),),          # no ts → fallback
+            ("this is not json",),                        # dropped
+            (json.dumps({"ts": "2024-01-01 00:00:03",
+                         "payload": "3.5"}),),           # no topic → dropped
+        ],
+        "value string",
+    )
+    out = sorted(
+        st.bridge_lines_to_mqtt(
+            df, F.lit(fallback).cast("timestamp")
+        ).collect(),
+        key=lambda r: r.topic,
+    )
+    assert [(r.topic, r.payload, str(r.ts)) for r in out] == [
+        ("openchirp/device/d1/Temp", "1.5", "2024-01-01 00:00:01"),
+        ("openchirp/device/d2/Temp", "2.5", fallback),
+    ]
+
+
+def test_bridge_source_conformance(spark, mqtt_source, tmp_path):
+    """Transport conformance for the switchable seam: the SAME
+    messages delivered (a) through the parquet file source and (b) as
+    JSON bridge lines (the Kafka record value shape) through
+    bridge_lines_to_mqtt land IDENTICAL rows in the checkpointed sink —
+    the exactly-once e2e reused across transports."""
+    msgs = _batch_msgs(spark, mqtt_source).collect()
+    lines_dir = tmp_path / "lines"
+    lines_dir.mkdir()
+    with open(lines_dir / "a.jsonl", "w") as fh:
+        for r in msgs:
+            fh.write(json.dumps({
+                "ts": r.ts.strftime("%Y-%m-%d %H:%M:%S"),
+                "topic": r.topic,
+                "payload": r.payload,
+            }) + "\n")
+    text = spark.readStream.format("text").load(str(lines_dir))
+    bridged = st.bridge_lines_to_mqtt(
+        text, F.lit("2099-01-01").cast("timestamp")
+    )
+    q = st.start_ingest(
+        spark, str(lines_dir), str(tmp_path / "out_b"),
+        str(tmp_path / "ckpt_b"), source=bridged,
+    )
+    q.awaitTermination(120)
+    q2 = st.start_ingest(
+        spark, mqtt_source, str(tmp_path / "out_f"), str(tmp_path / "ckpt_f")
+    )
+    q2.awaitTermination(120)
+    cols = ["series_id", "ts", "value_type", "value_double",
+            "value_bool", "value_str"]
+    got_b = sorted(spark.read.parquet(
+        str(tmp_path / "out_b" / "points")).select(cols).collect())
+    got_f = sorted(spark.read.parquet(
+        str(tmp_path / "out_f" / "points")).select(cols).collect())
+    assert got_b == got_f and len(got_b) > 0
+
+
+def test_make_source_dispatch(spark, tmp_path):
+    """make_source: one switchable config for the three transports;
+    every branch yields the seam relation or fails actionably."""
+    from mqtt_influx_storage_service_spark.config import ServiceConfig
+
+    d = tmp_path / "src"
+    d.mkdir()
+    cfg = ServiceConfig({"source_type": "file", "source_dir": str(d)})
+    src = st.make_source(spark, cfg)
+    assert src.isStreaming and [f.name for f in src.schema.fields] == [
+        "ts", "topic", "payload"
+    ]
+    with pytest.raises(ValueError, match="source_dir"):
+        st.make_source(spark, ServiceConfig({"source_type": "file"}))
+    with pytest.raises(ValueError, match="kafka_bootstrap"):
+        st.make_source(spark, ServiceConfig({"source_type": "kafka"}))
+    with pytest.raises(ValueError, match="unknown source_type"):
+        st.make_source(spark, ServiceConfig({"source_type": "carrier-pigeon"}))
