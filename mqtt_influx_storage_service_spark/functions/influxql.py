@@ -203,6 +203,7 @@ class Select:
     slimit: int | None
     into: str | None = None  # SELECT ... INTO <measurement>
     offset_ns: int = 0  # GROUP BY time(iv, offset) bucket shift
+    tz: str | None = None  # TZ('<IANA zone>') — local-time buckets
 
 
 @dataclass
@@ -422,6 +423,17 @@ class _Parser:
                 slimit = self._int()
             else:
                 break
+        tz = None
+        if self.kw("TZ"):
+            # TZ('America/New_York') — InfluxQL's trailing clause:
+            # GROUP BY time() buckets align to local wall time in the
+            # named IANA zone instead of UTC
+            self.expect_op("(")
+            t = self.next()
+            if t.kind != "str":
+                raise InfluxQLError("TZ expects a quoted zone name")
+            tz = t.text
+            self.expect_op(")")
         return Select(
             fields,
             measurements,
@@ -435,6 +447,7 @@ class _Parser:
             slimit,
             into,
             group_time_offset_ns,
+            tz,
         )
 
     def _int(self) -> int:
@@ -943,6 +956,9 @@ class _Compiler:
             group_tags = list(self.src_tags)
         keys = (["measurement"] if multi else []) + group_tags
 
+        if st.tz and st.group_time_ns is None:
+            raise InfluxQLError("TZ() requires GROUP BY time()")
+        bare_sel = self._selector_bare_shape()
         if (
             len(st.fields) == 1
             and isinstance(st.fields[0].expr, Call)
@@ -955,6 +971,8 @@ class _Compiler:
             and st.fields[0].expr.func == "HOLT_WINTERS"
         ):
             out = self._compile_holt_winters(df, keys)
+        elif bare_sel is not None:
+            out = self._compile_selector_bare(df, keys, multi, bare_sel)
         elif any(
             _is_agg(f.expr) and not _is_raw_transform(f.expr, st)
             for f in st.fields
@@ -991,6 +1009,91 @@ class _Compiler:
         if st.limit is not None:
             out = out.limit(st.limit)
         return out
+
+    # Selector + bare fields — SELECT MAX(value), <tag|field>... :
+    # InfluxQL returns the SELECTED POINT's row (its time, the selector
+    # value, and the other columns at that point), one per group.
+    _BARE_SELECTORS = {"MAX", "MIN", "FIRST", "LAST"}
+
+    def _selector_bare_shape(self) -> Call | None:
+        """The mixed field list this path serves: exactly ONE selector
+        call over a field reference, every other field a bare tag/field
+        name (not ``*``). Returns the selector call, else None."""
+        sels = [
+            f.expr
+            for f in self.stmt.fields
+            if isinstance(f.expr, Call) and f.expr.func in self._BARE_SELECTORS
+        ]
+        bares = [
+            f.expr
+            for f in self.stmt.fields
+            if isinstance(f.expr, Var) and f.expr.name != "*"
+        ]
+        if (
+            len(sels) == 1
+            and sels[0].args
+            and isinstance(sels[0].args[0], Var)
+            and bares
+            and len(sels) + len(bares) == len(self.stmt.fields)
+        ):
+            return sels[0]
+        return None
+
+    def _compile_selector_bare(
+        self, df: DataFrame, keys: list[str], multi: bool, call: Call
+    ) -> DataFrame:
+        st = self.stmt
+        fld = call.args[0].name
+        tb = [t for t in self.tiebreak if t in df.columns]
+        gcols = [F.col(k) for k in keys]  # keys already carries measurement
+        if st.group_time_ns is not None:
+            iv_us = st.group_time_ns // 1000
+            off_us = st.offset_ns // 1000
+            us = F.unix_micros(F.col("time")) - F.lit(off_us)
+            df = df.withColumn(
+                "_bucket",
+                F.timestamp_micros(us - us % F.lit(iv_us) + F.lit(off_us)),
+            )
+            gcols = gcols + [F.col("_bucket")]
+        if call.func == "MAX":
+            order = [F.col(fld).desc(), F.col("time").asc()]
+        elif call.func == "MIN":
+            order = [F.col(fld).asc(), F.col("time").asc()]
+        elif call.func == "FIRST":
+            order = [F.col("time").asc()]
+        else:  # LAST
+            order = [F.col("time").desc()]
+        order += (
+            [F.col(c).desc() for c in tb]
+            if call.func == "LAST"
+            else [F.col(c).asc() for c in tb]
+        )
+        if gcols:
+            w = Window.partitionBy(*gcols).orderBy(*order)
+            picked = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+            )
+        else:
+            # global selector: TakeOrdered (orderBy+limit), never a
+            # single-partition WindowExec over the raw scan
+            picked = df.orderBy(*order).limit(1)
+        names = self._field_names()
+        time_col = (
+            F.col("_bucket") if st.group_time_ns is not None else F.col("time")
+        )
+        cols: list[Column] = [time_col.alias("time")]
+        if multi:
+            cols.append(F.col("measurement"))
+        for i, f in enumerate(st.fields):
+            e = f.expr
+            if isinstance(e, Call):
+                cols.append(F.col(fld).alias(names[i]))
+            else:
+                if e.name not in picked.columns:
+                    raise InfluxQLError(f"unknown field or tag {e.name!r}")
+                cols.append(F.col(e.name).alias(names[i]))
+        return picked.select(*cols)
 
     # TOP/BOTTOM selectors — return the actual N extreme POINTS per
     # group (InfluxQL semantics: the point rows, point time preserved)
@@ -1313,9 +1416,21 @@ class _Compiler:
         if bucketed:
             iv_us = st.group_time_ns // 1000
             off_us = st.offset_ns // 1000
-            us = F.unix_micros(F.col("time")) - F.lit(off_us)
+            # TZ('zone'): buckets align to local wall time — floor the
+            # zone-shifted timestamp, then shift the bucket START back
+            # to its UTC instant. from_/to_utc_timestamp consult the
+            # IANA tzdb, so DST transitions move the boundary with the
+            # wall clock (pinned in tests/test_influxql.py).
+            tcol = (
+                F.from_utc_timestamp(F.col("time"), st.tz)
+                if st.tz
+                else F.col("time")
+            )
+            us = F.unix_micros(tcol) - F.lit(off_us)
             # exact integer floor-to-bucket (no double division anywhere)
             bucket = F.timestamp_micros(us - us % F.lit(iv_us) + F.lit(off_us))
+            if st.tz:
+                bucket = F.to_utc_timestamp(bucket, st.tz)
             df = df.withColumn("_bucket", bucket)
             gcols = keys + ["_bucket"]
         else:
@@ -1388,11 +1503,21 @@ class _Compiler:
             if isinstance(e, Call) and e.func in _TRANSFORMS:
                 if not bucketed:
                     raise InfluxQLError(f"{e.func} requires GROUP BY time()")
+                # unwrap a transform CHAIN down to the base aggregate —
+                # e.g. DIFFERENCE(CUMULATIVE_SUM(MEAN(v))) — applied
+                # innermost-first over the same per-series bucket window
+                chain = [e]
                 inner = e.args[0] if e.args else None
+                while isinstance(inner, Call) and inner.func in _TRANSFORMS:
+                    chain.append(inner)
+                    inner = inner.args[0] if inner.args else None
                 if not (isinstance(inner, Call) and inner.func in _AGG_FUNCS):
-                    raise InfluxQLError(f"{e.func} wraps one aggregate")
+                    raise InfluxQLError(
+                        f"{e.func} wraps one aggregate (possibly through "
+                        "nested transforms)"
+                    )
                 aggs.append(self._agg_col(inner, rank_cols).alias(f"_in_{name}"))
-                transforms.append((name, e))
+                transforms.append((name, chain))
             else:
                 if not _is_agg(e):
                     raise InfluxQLError(
@@ -1411,33 +1536,43 @@ class _Compiler:
             out = self._apply_fill(out, keys, transforms)
 
         # bucket transforms ride a per-series window over the agg result
-        for name, e in transforms:
+        for name, chain in transforms:
             wkeys = [k for k in (keys) if k in out.columns]
             w = Window.partitionBy(*wkeys).orderBy("time") if wkeys else Window.orderBy("time")
-            src = F.col(f"_in_{name}")
-            prev = F.lag(src).over(w)
-            prev_t = F.lag(F.col("time")).over(w)
-            base = e.func.replace("NON_NEGATIVE_", "")
-            if base == "DIFFERENCE":
-                col = src - prev
-            elif base == "DERIVATIVE":
-                unit_ns = e.args[1].ns if len(e.args) > 1 and isinstance(e.args[1], Dur) else 1_000_000_000
-                dt_units = (F.unix_micros(F.col("time")) - F.unix_micros(prev_t)) / F.lit(unit_ns / 1000.0)
-                col = F.round((src - prev) / dt_units, 6)
-            elif e.func == "CUMULATIVE_SUM":
-                wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                col = F.round(F.sum(src).over(wc), 6)
-            elif e.func == "MOVING_AVERAGE":
-                if len(e.args) < 2 or not isinstance(e.args[1], Num):
-                    raise InfluxQLError(
-                        "MOVING_AVERAGE(agg, N) needs an integer window N"
-                    )
-                n = int(e.args[1].value)
-                wm = w.rowsBetween(-(n - 1), Window.currentRow)
-                col = F.round(F.sum(src).over(wm) / F.count(src).over(wm), 6)
-            if e.func.startswith("NON_NEGATIVE_"):
-                col = F.when(col >= 0, col)  # negative results omitted
-            out = out.withColumn(name, col)
+            # innermost transform first; each level materializes its
+            # column so the next level's window reads a concrete input
+            # (nested window expressions are illegal in one projection;
+            # the levels share one partitioning, so the sort is reused)
+            src_name = f"_in_{name}"
+            for depth, e in enumerate(reversed(chain)):
+                src = F.col(src_name)
+                prev = F.lag(src).over(w)
+                prev_t = F.lag(F.col("time")).over(w)
+                base = e.func.replace("NON_NEGATIVE_", "")
+                if base == "DIFFERENCE":
+                    col = src - prev
+                elif base == "DERIVATIVE":
+                    unit_ns = e.args[1].ns if len(e.args) > 1 and isinstance(e.args[1], Dur) else 1_000_000_000
+                    dt_units = (F.unix_micros(F.col("time")) - F.unix_micros(prev_t)) / F.lit(unit_ns / 1000.0)
+                    col = F.round((src - prev) / dt_units, 6)
+                elif e.func == "CUMULATIVE_SUM":
+                    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    col = F.round(F.sum(src).over(wc), 6)
+                elif e.func == "MOVING_AVERAGE":
+                    if len(e.args) < 2 or not isinstance(e.args[1], Num):
+                        raise InfluxQLError(
+                            "MOVING_AVERAGE(agg, N) needs an integer window N"
+                        )
+                    n = int(e.args[1].value)
+                    wm = w.rowsBetween(-(n - 1), Window.currentRow)
+                    col = F.round(F.sum(src).over(wm) / F.count(src).over(wm), 6)
+                if e.func.startswith("NON_NEGATIVE_"):
+                    col = F.when(col >= 0, col)  # negative results omitted
+                last = depth == len(chain) - 1
+                src_name = name if last else f"_t{depth}_{name}"
+                out = out.withColumn(src_name, col)
+            for depth in range(len(chain) - 1):
+                out = out.drop(f"_t{depth}_{name}")
         for name, _ in transforms:
             out = out.drop(f"_in_{name}")
         return out
@@ -1547,6 +1682,11 @@ class _Compiler:
         st = self.stmt
         if self.time_lo is None or self.time_hi is None:
             raise InfluxQLError("fill() requires WHERE time >= .. AND time < ..")
+        if st.tz:
+            # the spine below steps UTC instants; local-time buckets
+            # would need a zone-aware spine (DST makes some local days
+            # 23/25 h). Refuse rather than emit a subtly wrong spine.
+            raise InfluxQLError("fill() with TZ() is not supported")
         iv_us = st.group_time_ns // 1000
         off_us = st.offset_ns // 1000
         lo = F.unix_micros(F.lit(self.time_lo).cast("timestamp")) - F.lit(off_us)

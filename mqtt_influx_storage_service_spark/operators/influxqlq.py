@@ -562,6 +562,147 @@ FROM agg a JOIN series s ON a.user_id = s.user_id
 """
 
 
+# -- long tail (VERDICT r5 #7) ---------------------------------------------
+
+# mixed selector + aggregate field list in one bucketed statement
+IQ_SELECTOR_MIXED = (
+    "SELECT MAX(value) AS mx, MEAN(value) AS mn, COUNT(value) AS n "
+    "FROM purchase "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-15 00:00:00' "
+    "GROUP BY time(1d)"
+)
+
+IQ_SELECTOR_MIXED_SQL = f"""
+SELECT {_BUCKET.format(iv=_US_1D)} AS time,
+       max(value) AS mx,
+       {_MEAN} AS mn,
+       count(value) AS n
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1
+"""
+
+
+# selector + BARE fields: the selected POINT's row — its max value and
+# the tag value AT that point, one per bucket (ties: earliest point,
+# event_id tiebreak)
+IQ_SELECTOR_BARE = (
+    "SELECT MAX(value) AS mx, user_id FROM purchase "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-15 00:00:00' "
+    "GROUP BY time(1d)"
+)
+
+IQ_SELECTOR_BARE_SQL = f"""
+WITH pts AS (
+    SELECT {_BUCKET.format(iv=_US_1D)} AS time,
+           value, user_id, ts, event_id
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+)
+SELECT time, value AS mx, user_id
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY time
+          ORDER BY value DESC, ts, event_id) AS rn
+      FROM pts)
+WHERE rn = 1
+"""
+
+
+# fill() x SLIMIT in ONE statement: the zero-filled bucket spine is
+# generated per series, THEN pagination keeps the first 3 series — the
+# spine of a kept series survives intact
+IQ_FILL_SLIMIT = (
+    "SELECT MEAN(value) AS m FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-08 00:00:00' "
+    "GROUP BY time(1d), user_id fill(0) SLIMIT 3"
+)
+
+IQ_FILL_SLIMIT_SQL = f"""
+WITH agg AS (
+    SELECT user_id,
+           {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS m
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY 1, 2
+), series AS (
+    SELECT user_id FROM (SELECT DISTINCT user_id FROM agg)
+    ORDER BY user_id LIMIT 3
+), spine AS (
+    SELECT s.user_id, make_timestamp(t.b) AS time
+    FROM series s
+    CROSS JOIN (SELECT unnest(range(
+        epoch_us(TIMESTAMP '2024-01-01 00:00:00'),
+        epoch_us(TIMESTAMP '2024-01-08 00:00:00'),
+        {_US_1D})) AS b) t
+)
+SELECT sp.user_id, sp.time, coalesce(a.m, 0.0) AS m
+FROM spine sp
+LEFT JOIN agg a ON a.user_id = sp.user_id AND a.time = sp.time
+"""
+
+
+# two-level transform-of-aggregate nesting: running total of daily
+# means, then its day-over-day change (equals the mean on dense days —
+# the nesting is the point, not the arithmetic)
+IQ_TRANSFORM_NESTED = (
+    "SELECT DIFFERENCE(CUMULATIVE_SUM(MEAN(value))) AS d FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-15 00:00:00' "
+    "GROUP BY time(1d)"
+)
+
+IQ_TRANSFORM_NESTED_SQL = f"""
+WITH agg AS (
+    SELECT {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS mv
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1
+), cum AS (
+    SELECT time,
+           round(sum(mv) OVER (ORDER BY time
+                               ROWS UNBOUNDED PRECEDING), 6) AS cs
+    FROM agg
+)
+SELECT time, cs - lag(cs) OVER (ORDER BY time) AS d
+FROM cum
+"""
+
+
+# TZ clause: daily buckets aligned to America/New_York wall midnight.
+# The oracle encodes the fixed EST offset (-05:00) — exact for this
+# query's Jan 2024 range (no DST transition between 2023-11-05 and
+# 2024-03-10); the ENGINE consults the IANA tzdb and the DST boundary
+# behavior is pinned by tests/test_influxql.py::test_tz_dst_boundary.
+IQ_TZ = (
+    "SELECT MEAN(value) AS m FROM purchase "
+    "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-20 00:00:00' "
+    "GROUP BY time(1d) TZ('America/New_York')"
+)
+
+_US_5H = 5 * 3_600_000_000
+
+IQ_TZ_SQL = f"""
+SELECT make_timestamp((epoch_us(ts) - {_US_5H})
+                      - (epoch_us(ts) - {_US_5H}) % {_US_1D}
+                      + {_US_5H}) AS time,
+       {_MEAN} AS m
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY 1
+"""
+
+
 # LIMIT + OFFSET: row pagination over the time-ordered raw result
 IQ_LIMIT_OFFSET = (
     "SELECT value FROM purchase "
@@ -998,6 +1139,11 @@ QUERIES = {
     "iq_raw_running": _q(IQ_RAW_RUNNING),
     "iq_raw_nonneg": _q(IQ_RAW_NONNEG),
     "iq_raw_series": _q(IQ_RAW_SERIES, catalog_cls=NarrowSeriesCatalog),
+    "iq_selector_mixed": _q(IQ_SELECTOR_MIXED),
+    "iq_selector_bare": _q(IQ_SELECTOR_BARE),
+    "iq_fill_slimit": _q(IQ_FILL_SLIMIT),
+    "iq_transform_nested": _q(IQ_TRANSFORM_NESTED),
+    "iq_tz": _q(IQ_TZ),
     "iq_nonneg_derivative": _q(IQ_NONNEG_DERIVATIVE),
     "iq_scalar_math": _q(IQ_SCALAR_MATH),
     "iq_slimit": _q(IQ_SLIMIT),
@@ -1032,6 +1178,11 @@ ORACLES = {
     "iq_raw_running": IQ_RAW_RUNNING_SQL,
     "iq_raw_nonneg": IQ_RAW_NONNEG_SQL,
     "iq_raw_series": IQ_RAW_SERIES_SQL,
+    "iq_selector_mixed": IQ_SELECTOR_MIXED_SQL,
+    "iq_selector_bare": IQ_SELECTOR_BARE_SQL,
+    "iq_fill_slimit": IQ_FILL_SLIMIT_SQL,
+    "iq_transform_nested": IQ_TRANSFORM_NESTED_SQL,
+    "iq_tz": IQ_TZ_SQL,
     "iq_nonneg_derivative": IQ_NONNEG_DERIVATIVE_SQL,
     "iq_scalar_math": IQ_SCALAR_MATH_SQL,
     "iq_slimit": IQ_SLIMIT_SQL,

@@ -673,3 +673,75 @@ def test_untagged_raw_window_refuses_above_bound(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(iqmod, "RAW_GLOBAL_WINDOW_MAX", 2)
     with pytest.raises(InfluxQLError, match="untagged measurement"):
         influxql(spark, sf_dir, q, catalog=cat)
+
+
+def test_tz_dst_boundary(spark, sf_dir):
+    """TZ buckets follow the IANA wall clock across the spring-forward
+    transition (America/New_York, 2024-03-10): daily buckets start at
+    05:00 UTC under EST and 04:00 UTC under EDT."""
+    cat = _TinyCatalog(
+        [
+            ("2024-03-09 12:00:00", "a", 1.0, 1),   # EST day
+            ("2024-03-09 23:00:00", "a", 3.0, 2),
+            ("2024-03-11 12:00:00", "a", 5.0, 3),   # EDT day
+            ("2024-03-11 23:00:00", "a", 7.0, 4),
+        ]
+    )
+    rows = influxql(
+        spark, sf_dir,
+        "SELECT MEAN(value) AS m FROM m "
+        "WHERE time >= '2024-03-09' AND time < '2024-03-13' "
+        "GROUP BY time(1d) TZ('America/New_York')",
+        catalog=cat,
+    ).orderBy("time").collect()
+    assert [(str(r.time), r.m) for r in rows] == [
+        ("2024-03-09 05:00:00", 2.0),   # midnight EST
+        ("2024-03-11 04:00:00", 6.0),   # midnight EDT
+    ]
+
+
+def test_tz_requires_group_by_time(spark, sf_dir):
+    with pytest.raises(InfluxQLError, match="TZ"):
+        influxql(
+            spark, sf_dir,
+            "SELECT value FROM click WHERE time >= '2024-01-01' "
+            "AND time < '2024-01-02' TZ('America/New_York')",
+        )
+    with pytest.raises(InfluxQLError, match="fill"):
+        influxql(
+            spark, sf_dir,
+            "SELECT MEAN(value) FROM click WHERE time >= '2024-01-01' "
+            "AND time < '2024-01-08' GROUP BY time(1d) fill(0) "
+            "TZ('America/New_York')",
+        )
+
+
+def test_selector_bare_point_semantics(spark, sf_dir):
+    """SELECT MAX(v), tag returns the selected POINT's row: its time,
+    the max, and the tag at that point; ties resolve to the earliest
+    point."""
+    cat = _TinyCatalog(
+        [
+            ("2024-01-01 00:00:00", "a", 5.0, 1),
+            ("2024-01-01 01:00:00", "b", 9.0, 2),   # the max point
+            ("2024-01-01 02:00:00", "a", 9.0, 3),   # tie, later → loses
+            ("2024-01-01 03:00:00", "b", 1.0, 4),
+        ]
+    )
+    rows = influxql(
+        spark, sf_dir,
+        "SELECT MAX(value) AS mx, host FROM m "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-02'",
+        catalog=cat,
+    ).collect()
+    assert [(str(r.time), r.mx, r.host) for r in rows] == [
+        ("2024-01-01 01:00:00", 9.0, "b")
+    ]
+    # two selectors in one list is NOT this shape → still an error
+    with pytest.raises(InfluxQLError, match="mix raw fields"):
+        influxql(
+            spark, sf_dir,
+            "SELECT MAX(value), MIN(value), host FROM m "
+            "WHERE time >= '2024-01-01' AND time < '2024-01-02'",
+            catalog=cat,
+        ).collect()
