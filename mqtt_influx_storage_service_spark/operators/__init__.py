@@ -44,78 +44,82 @@ from . import (
 # regardless — the prefix only bounds what the driver re-certifies
 # per round.
 _PRIORITY = [
-    # (a) oracle-backed, never driver-checked
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_knn_graph",
-    "sim_ann_lsh",
-    "mm_extract_features",
-    # (b) new in r5 — InfluxQL function-surface completions + the
-    # additive seasonal Holt-Winters pair
-    "iq_fill_linear",
+    # (a) oracle-backed, never driver-checked (the r5 verdict's queued
+    # 16 — added late in r5, local-green only until now)
+    "iq_bucket_offset",
+    "iq_agg_arithmetic",
+    "iq_tag_regex",
+    "iq_slimit",
+    "iq_limit_offset",
+    "iq_raw_derivative",
+    "iq_raw_running",
+    "iq_nonneg_derivative",
+    "iq_scalar_math",
+    "dedup_threshold_sweep",
+    "dedup_containment",
+    "mm_dedup_payload",
+    "pipeline_temperature_mix",
+    "ts_histogram_quantile",
+    "ts_burn_rate",
+    "ts_availability",
+    # (b) new in r6 — raw NON_NEGATIVE_ fix, untagged-series window,
+    # long-tail compiler features, perceptual dedup, SemDeDup
+    "iq_raw_nonneg",
+    "iq_raw_series",
+    "iq_selector_mixed",
+    "iq_selector_bare",
+    "iq_fill_slimit",
+    "iq_transform_nested",
+    "iq_tz",
+    "mm_dedup_perceptual",
+    "dedup_semantic",
+    # (c) changed in r6: INTEGRAL single-point → 0 on both sides
+    # (re-certify the new hash); bucket-transform loop restructured
+    # for chains (same values — prove it on the stale transform entry)
     "iq_integral",
-    "iq_elapsed",
-    "iq_sample",
-    "iq_holt_winters",
-    "iq_holt_winters_seasonal",
-    "iq_series_cardinality",
-    "ts_holt_winters_seasonal",
-    # (c) changed in r5
-    "dedup_passage",
-    "sim_threshold_pairs",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "dedup_ngram_jaccard",
-    "pipeline_epochs",
-    # (d) r1-only pair
-    "rel_set_ops",
-    "rel_merge_join",
-    # (e) the r2 cohort
-    "dedup_exact",
-    "sim_cosine_topk",
-    "sim_label_centroid",
-    "sim_label_trimmed_norm",
-    "text_token_stats",
-    "text_contamination",
-    "text_boilerplate",
-    "text_regex_tokens",
-    "text_word_freq",
-    "text_tfidf_top",
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    "mm_manifest",
-    "mm_frame_sample",
-    "pipeline_training_mix",
-    "pipeline_token_budget",
-    "pipeline_pack_sequences",
-    "pipeline_stratified_sample",
-    "win_topk_per_group",
-    "win_percentiles",
-    "win_value_frames",
-    "win_monthly_revenue",
-    "win_ntile_customers",
-    "win_rollup",
-    "win_cube",
-    # back-fill to 50: Tier A reference-semantics family (r3)
-    "ref_topic_parse",
-    "ref_registry_filter",
-    "ref_payload_coercion",
+    "iq_derivative_daily",
+    # (d) no r1-only stragglers remain: the r1 row named
+    # "rel_range_join", whose theta form was superseded by the
+    # registered rel_range_join_banded (r3-green, queued below)
+    # (e) back-fill: the r3-green cohort (rows now 3 rounds old) —
+    # Tier A/B reference semantics + the ts_* family first
+    "ref_narrow_points",
+    "ref_registry_cdc",
+    "ref_transducer_create",
+    "rel_pricing_summary",
+    "rel_shipping_priority",
+    "rel_topk_orders",
+    "rel_region_revenue",
+    "ts_series_scan",
+    "ts_device_wide",
+    "ts_bucket_agg",
+    "ts_last_value",
+    "ts_cross_series_join",
+    "ts_asof_join",
+    "ts_series_catalog",
+    "ts_throughput",
+    "ts_registry_enriched",
+    "ts_moving_avg",
+    "ts_sliding_agg",
+    "ts_gap_fill",
+    "ts_interpolate",
+    "ts_ewma",
+    "ts_anomaly_zscore",
+    "rel_range_join_banded",
     # ---- slot 50 boundary: everything below overflows the driver's
-    # checked prefix; newest green r3 (ts_*/rel_*/iq_* r4 cohorts) or
-    # r4 (the 50 operators added that round). Rows-only-by-nature
-    # entries (dedup_minhash_ml, sim_ann_brp/ivf/ivf_pq, rel_sketches)
-    # stay out of the prefix: a slot spent on them can never go
-    # hash-green.
+    # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
+    # sim_ann_brp/ivf/ivf_pq, rel_sketches) stay out of the prefix: a
+    # slot spent on them can never go hash-green.
     #
-    # r6 ROTATION QUEUE (front-load these next round — oracle-backed
-    # entries added late in r5 with no driver row yet): iq_bucket_offset,
-    # iq_agg_arithmetic, iq_tag_regex, iq_slimit, iq_limit_offset,
-    # iq_raw_derivative, iq_raw_running, iq_nonneg_derivative,
-    # iq_scalar_math, pipeline_temperature_mix,
-    # dedup_threshold_sweep, dedup_containment, ts_histogram_quantile,
-    # ts_burn_rate, ts_availability, mm_dedup_payload — then the
-    # r3-green cohort whose rows will be 3 rounds old.
+    # r7 ROTATION QUEUE (front-load next round): the rest of the
+    # r3-green cohort — pipeline_interleave, rel_anti_join,
+    # rel_distinct_agg, rel_exists_subquery, rel_grouping_sets,
+    # rel_interval_overlap, rel_json_extract, rel_map_funcs,
+    # rel_outer_join, rel_quantiles,
+    # rel_scalar_funcs, rel_scalar_subquery, rel_semi_join,
+    # rel_unpivot, text_repetition, ts_difference, ts_funnel,
+    # ts_histogram, ts_integral, ts_mad_outliers, ts_ohlc,
+    # ts_retention, ts_sessionize — then the oldest r4 rows.
     "sim_mmr",
     "dedup_minhash_ml",
     "sim_ann_brp",
