@@ -306,3 +306,49 @@ def test_semdedup_matches_brute_force(spark, sf_dir):
     }
     assert got == expect
     assert sum(1 for _, _, k in got.values() if not k) > 0
+
+
+def test_semdedup_ivf_exact_below_gate(spark, sf_dir):
+    """Below GEMM_EXACT_MAX the IVF-regime SemDeDup's candidate set is
+    the exact all-pairs kernel, so its keep-list equals the brute-force
+    GLOBAL rule: every eps-pair drops its later-priority endpoint
+    (priority = cosine to nearest coarse centroid ascending, vec_id
+    tiebreak)."""
+    import numpy as np
+
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        SEMDEDUP_EPS,
+        dedup_semantic_ivf,
+    )
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        _pair_centroids,
+    )
+    from mqtt_influx_storage_service_spark.sources import load_table
+    from mqtt_influx_storage_service_spark.sources.tables import table_row_count
+
+    # rebalance=True matches the operator's load: Lloyd's init reads
+    # the sample in collect order, so the centroid set is a function of
+    # the exact input plan
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    centers = _pair_centroids(emb, table_row_count(sf_dir, "embeddings"))
+    C = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    prio = {}
+    for vid, v in vecs.items():
+        u = v / np.linalg.norm(v)
+        s = u @ C.T
+        prio[vid] = (round(float(s.max()), 6), vid)
+
+    def cos6(a, b):
+        return round(float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), 6)
+
+    ids = sorted(vecs)
+    dropped = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cos6(vecs[a], vecs[b]) >= SEMDEDUP_EPS:
+                dropped.add(b if prio[a] < prio[b] else a)
+    got = {r.vec_id: r.kept for r in dedup_semantic_ivf(spark, sf_dir).collect()}
+    assert got == {vid: vid not in dropped for vid in ids}
+    assert len(dropped) > 0
