@@ -1368,7 +1368,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids (broadcast); assignment is a broadcast nested-loop +
     WindowGroupLimit argmax (corpus never shuffled); the prune is an
     equi-join on the cluster id whose per-cluster expansion is the
-    Σ list² SemDeDup budget.
+    Σ list² SemDeDup budget. The assigned relation appears on both
+    sides of the prune join plus the output, so the registered plan
+    re-derives it (6 column-pruned scans at sfN) — deliberately left
+    unpersisted so bench reps time the plan, not a cache; a 100-TB
+    campaign persists ``assigned`` once (the dedup-family cache
+    discipline) and the scans collapse to one pass.
     """
     from .similarity import _dot
 
