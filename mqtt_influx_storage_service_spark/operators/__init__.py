@@ -30,19 +30,15 @@ from . import (
 # Registration ORDER is load-bearing: the driver's correctness gate
 # walks the registry in insertion order and checks a bounded prefix
 # (50 entries every round so far), so entries WITHOUT a recent green
-# row must come first. The r5 rotation (VERDICT r4 "Next round" #1)
-# front-loads, in order: (a) the 5 oracle-backed entries that have
-# NEVER had a driver row (upgraded/rewritten in r4), (b) the 5 iq_*
-# entries new in r5, (c) every operator whose code changed in r5
-# (passage semantics, IVF gate, edge cap, epochs int-div), (d) the
-# r1-only TPC-H pair (4 rounds stale; their fixture hashes are also
-# test-pinned, tests/test_tables.py), then (e) the r2 cohort whose
-# newest green is 3 rounds old, back-filled to 50 with the Tier A
-# ref_* family (r3). Everything past slot 50 holds an r3/r4 green row
-# under the current fixtures, so union-of-rounds coverage stays
-# complete. Local tools/check_oracles.py runs the FULL registry
-# regardless — the prefix only bounds what the driver re-certifies
-# per round.
+# row must come first. The r6 rotation (VERDICT r5 "Next round" #1)
+# front-loads, in order: (a) the 16 oracle-backed entries added late
+# in r5 with no driver row yet (the r5 verdict's queue, verbatim),
+# (b) the entries new in r6, (c) the two whose code/hash changed in
+# r6, then (e) 23 of the r3-green cohort whose rows are 3 rounds old.
+# Everything past slot 50 holds an r3/r4/r5 green row under the
+# current fixtures, so union-of-rounds coverage stays complete. Local
+# tools/check_oracles.py runs the FULL registry regardless — the
+# prefix only bounds what the driver re-certifies per round.
 _PRIORITY = [
     # (a) oracle-backed, never driver-checked (the r5 verdict's queued
     # 16 — added late in r5, local-green only until now)
@@ -105,7 +101,8 @@ _PRIORITY = [
     "ts_interpolate",
     "ts_ewma",
     "ts_anomaly_zscore",
-    "rel_range_join_banded",
+    # new late in r6, must be inside the checked prefix
+    "pipeline_domain_quota",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
     # sim_ann_brp/ivf/ivf_pq, rel_sketches) stay out of the prefix: a
@@ -115,7 +112,7 @@ _PRIORITY = [
     # r3-green cohort — pipeline_interleave, rel_anti_join,
     # rel_distinct_agg, rel_exists_subquery, rel_grouping_sets,
     # rel_interval_overlap, rel_json_extract, rel_map_funcs,
-    # rel_outer_join, rel_quantiles,
+    # rel_outer_join, rel_quantiles, rel_range_join_banded,
     # rel_scalar_funcs, rel_scalar_subquery, rel_semi_join,
     # rel_unpivot, text_repetition, ts_difference, ts_funnel,
     # ts_histogram, ts_integral, ts_mad_outliers, ts_ohlc,

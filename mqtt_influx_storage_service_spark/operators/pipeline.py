@@ -515,6 +515,72 @@ WHERE sample_rank <= floor(({SAMPLE_BUDGET} + n_strata - 1) / n_strata)
 """
 
 
+# No single web domain may contribute more than this fraction of the
+# corpus — the C4/Gopher-style domain-quota guard against one crawl
+# host dominating the mix. Scale-invariant: the absolute cap derives
+# from the corpus size lazily (1-row count broadcast, no driver count).
+DOMAIN_FRAC = 0.03
+
+
+def pipeline_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap: each ``source`` keeps at most
+    ceil(DOMAIN_FRAC x corpus) documents, chosen longest-first
+    (n_chars DESC, doc_id tiebreak — the keep-the-substantive-pages
+    heuristic); the rest are dropped. The anti-domination guard every
+    web-scale curation campaign runs between dedup and mixing
+    (C4 keeps >=3-sentence pages per host, Gopher caps per-domain
+    share; same shape here with an explicit fraction).
+
+    Plan: one window per domain (shuffle by source) over the length
+    rank; the cap is a 1-row total-count aggregate broadcast onto every
+    row — fully lazy, integer ceil-division, no float thresholds.
+    Emits kept rows with their rank, the domain's size, and the cap —
+    the audit a curation report needs to show WHICH domains were
+    clipped.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    total = docs.select(F.count(F.lit(1)).alias("n_total"))  # 1 row
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = docs.select("doc_id", "source", "n_chars").withColumn(
+        "domain_rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "n_domain",
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("long"),
+    )
+    cap = F.ceil(F.lit(DOMAIN_FRAC) * F.col("n_total")).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(F.col("domain_rank") <= cap)
+        .select(
+            "doc_id",
+            "source",
+            "domain_rank",
+            "n_domain",
+            cap.alias("domain_cap"),
+        )
+    )
+
+
+PIPELINE_DOMAIN_QUOTA_SQL = f"""
+WITH t AS (
+    SELECT count(*) AS n_total FROM documents
+), r AS (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS domain_rank,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_domain
+    FROM documents
+)
+SELECT doc_id, source, domain_rank, n_domain,
+       CAST(ceil({DOMAIN_FRAC} * n_total) AS BIGINT) AS domain_cap
+FROM r, t
+WHERE domain_rank <= ceil({DOMAIN_FRAC} * n_total)
+"""
+
+
 def pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic round-robin interleave across sources — the
     training-order shuffle that keeps any one source from clumping in
@@ -918,6 +984,7 @@ FROM weighted
 
 
 QUERIES = {
+    "pipeline_domain_quota": pipeline_domain_quota,
     "pipeline_temperature_mix": pipeline_temperature_mix,
     "pipeline_epochs": pipeline_epochs,
     "pipeline_dedup_mix": pipeline_dedup_mix,
@@ -931,6 +998,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_domain_quota": PIPELINE_DOMAIN_QUOTA_SQL,
     "pipeline_temperature_mix": PIPELINE_TEMPERATURE_MIX_SQL,
     "pipeline_epochs": PIPELINE_EPOCHS_SQL,
     "pipeline_dedup_mix": PIPELINE_DEDUP_MIX_SQL,

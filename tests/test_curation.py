@@ -260,3 +260,38 @@ def test_temperature_mix_compresses_language_distribution(spark, sf_dir):
     by_nat = sorted(rows, key=lambda r: r.nat_share)
     by_temp = sorted(rows, key=lambda r: r.temp_share)
     assert [r.lang for r in by_nat] == [r.lang for r in by_temp]
+
+
+def test_domain_quota_cap_bites_and_keeps_longest(spark, sf_dir):
+    """pipeline_domain_quota: every source is clipped to
+    ceil(DOMAIN_FRAC x corpus) docs, survivors are the LONGEST of each
+    domain, and the emitted audit columns are consistent."""
+    from mqtt_influx_storage_service_spark.operators.pipeline import (
+        DOMAIN_FRAC,
+        pipeline_domain_quota,
+    )
+    from mqtt_influx_storage_service_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    import math
+
+    n_total = len(docs)
+    cap = math.ceil(DOMAIN_FRAC * n_total)
+    rows = pipeline_domain_quota(spark, sf_dir).collect()
+    assert all(r.domain_cap == cap for r in rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    full = {}
+    for d in docs:
+        full.setdefault(d.source, []).append(d)
+    for src, kept in by_src.items():
+        assert len(kept) == min(cap, len(full[src]))
+        assert all(r.n_domain == len(full[src]) for r in kept)
+        # survivors are exactly the longest-first prefix
+        expect = sorted(full[src], key=lambda d: (-d.n_chars, d.doc_id))[:cap]
+        assert sorted(r.doc_id for r in kept) == sorted(d.doc_id for d in expect)
+    # the cap actually bites somewhere on this fixture
+    assert any(len(full[s]) > cap for s in full)
