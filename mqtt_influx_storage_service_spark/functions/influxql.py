@@ -995,6 +995,24 @@ class _Compiler:
                 .drop("_srank")
             )
             out = out.join(F.broadcast(series), group_tags)
+        # InfluxQL's response is organized per SERIES, and in a
+        # tag-grouped statement LIMIT/OFFSET paginate each series'
+        # points independently (docs: "GROUP BY * LIMIT 3" → 3 rows
+        # per series); only an ungrouped statement paginates globally.
+        tcols = [t for t in group_tags if t in out.columns]
+        if (st.offset or st.limit is not None) and tcols:
+            if "time" not in out.columns:
+                raise InfluxQLError("OFFSET requires a time-ordered result")
+            w = Window.partitionBy(*tcols).orderBy(
+                F.col("time").desc() if st.order_desc else F.col("time")
+            )
+            lo = st.offset or 0
+            hi = F.lit(lo + st.limit) if st.limit is not None else None
+            out = out.withColumn("_rn", F.row_number().over(w)).filter(
+                (F.col("_rn") > lo)
+                & (F.col("_rn") <= hi if hi is not None else F.lit(True))
+            ).drop("_rn")
+            return out
         if st.offset:
             if "time" not in out.columns:
                 raise InfluxQLError("OFFSET requires a time-ordered result")

@@ -703,6 +703,34 @@ GROUP BY 1
 """
 
 
+# LIMIT in a tag-grouped statement paginates PER SERIES (InfluxQL's
+# response shape: "GROUP BY * LIMIT 3" = 3 points per series) — the
+# first 2 daily buckets of each user after skipping 1
+IQ_LIMIT_PER_SERIES = (
+    "SELECT MEAN(value) AS m FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-15 00:00:00' "
+    "GROUP BY time(1d), user_id LIMIT 2 OFFSET 1"
+)
+
+IQ_LIMIT_PER_SERIES_SQL = f"""
+WITH agg AS (
+    SELECT user_id,
+           {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS m
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2
+)
+SELECT user_id, time, m
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY time) AS rn
+      FROM agg)
+WHERE rn > 1 AND rn <= 3
+"""
+
+
 # LIMIT + OFFSET: row pagination over the time-ordered raw result
 IQ_LIMIT_OFFSET = (
     "SELECT value FROM purchase "
@@ -1144,6 +1172,7 @@ QUERIES = {
     "iq_fill_slimit": _q(IQ_FILL_SLIMIT),
     "iq_transform_nested": _q(IQ_TRANSFORM_NESTED),
     "iq_tz": _q(IQ_TZ),
+    "iq_limit_per_series": _q(IQ_LIMIT_PER_SERIES),
     "iq_nonneg_derivative": _q(IQ_NONNEG_DERIVATIVE),
     "iq_scalar_math": _q(IQ_SCALAR_MATH),
     "iq_slimit": _q(IQ_SLIMIT),
@@ -1183,6 +1212,7 @@ ORACLES = {
     "iq_fill_slimit": IQ_FILL_SLIMIT_SQL,
     "iq_transform_nested": IQ_TRANSFORM_NESTED_SQL,
     "iq_tz": IQ_TZ_SQL,
+    "iq_limit_per_series": IQ_LIMIT_PER_SERIES_SQL,
     "iq_nonneg_derivative": IQ_NONNEG_DERIVATIVE_SQL,
     "iq_scalar_math": IQ_SCALAR_MATH_SQL,
     "iq_slimit": IQ_SLIMIT_SQL,

@@ -745,3 +745,31 @@ def test_selector_bare_point_semantics(spark, sf_dir):
             "WHERE time >= '2024-01-01' AND time < '2024-01-02'",
             catalog=cat,
         ).collect()
+
+
+def test_limit_per_series_when_grouped(spark, sf_dir):
+    """InfluxQL semantics: in a tag-grouped statement LIMIT/OFFSET
+    paginate each series independently (GROUP BY * LIMIT 3 = 3 points
+    per series), while an ungrouped statement paginates globally."""
+    rows = influxql(
+        spark, sf_dir,
+        "SELECT COUNT(value) AS n FROM click "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-15' "
+        "GROUP BY time(1d), user_id LIMIT 2 OFFSET 1",
+    ).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.time)
+    assert len(per_user) > 1                      # not a global LIMIT 2
+    assert all(len(ts) <= 2 for ts in per_user.values())
+    full = influxql(
+        spark, sf_dir,
+        "SELECT COUNT(value) AS n FROM click "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-15' "
+        "GROUP BY time(1d), user_id",
+    ).collect()
+    by_user = {}
+    for r in full:
+        by_user.setdefault(r.user_id, []).append(r.time)
+    for uid, ts in per_user.items():
+        assert ts == sorted(by_user[uid])[1:3]    # skip 1, take 2
