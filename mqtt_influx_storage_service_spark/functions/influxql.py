@@ -979,7 +979,7 @@ class _Compiler:
         ):
             out = self._compile_agg(df, keys, multi)
         else:
-            out = self._compile_raw(df, multi)
+            out = self._compile_raw(df, multi, keys)
 
         if st.order_desc:
             out = out.orderBy(F.col("time").desc()) if "time" in out.columns else out
@@ -1282,7 +1282,9 @@ class _Compiler:
         )
 
     # raw (projection) select — no aggregates anywhere
-    def _compile_raw(self, df: DataFrame, multi: bool) -> DataFrame:
+    def _compile_raw(
+        self, df: DataFrame, multi: bool, keys: list[str] | None = None
+    ) -> DataFrame:
         # Per-series window transforms over RAW points: ELAPSED
         # (integer gap in truncating units, default 1ns), DERIVATIVE
         # (Δvalue / Δtime-in-units, default 1s), DIFFERENCE (Δvalue),
@@ -1404,6 +1406,17 @@ class _Compiler:
         cols: list[Column] = [F.col("time")]
         if multi:
             cols.append(F.col("measurement"))
+        # GROUP BY <tag> on a raw select is InfluxQL's series
+        # organization: the tag rides along as an output column (and
+        # the per-series LIMIT/OFFSET pagination in compile() keys on
+        # it). Tags already projected by a '*' field are not repeated.
+        star = any(
+            isinstance(f.expr, Var) and f.expr.name == "*"
+            for f in self.stmt.fields
+        )
+        for k in keys or []:
+            if k != "measurement" and k in df.columns and not star:
+                cols.append(F.col(k))
         for i, f in enumerate(self.stmt.fields):
             if isinstance(f.expr, Var) and f.expr.name == "*":
                 for t in self.src_tags:

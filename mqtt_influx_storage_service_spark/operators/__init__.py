@@ -99,10 +99,10 @@ _PRIORITY = [
     "ts_sliding_agg",
     "ts_gap_fill",
     "ts_interpolate",
-    "ts_ewma",
     # new late in r6, must be inside the checked prefix
     "pipeline_domain_quota",
     "iq_limit_per_series",
+    "iq_raw_grouped",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
     # sim_ann_brp/ivf/ivf_pq, rel_sketches) stay out of the prefix: a
@@ -114,7 +114,7 @@ _PRIORITY = [
     # rel_interval_overlap, rel_json_extract, rel_map_funcs,
     # rel_outer_join, rel_quantiles, rel_range_join_banded,
     # rel_scalar_funcs, rel_scalar_subquery, rel_semi_join,
-    # rel_unpivot, text_repetition, ts_anomaly_zscore, ts_difference, ts_funnel,
+    # rel_unpivot, text_repetition, ts_anomaly_zscore, ts_difference, ts_ewma, ts_funnel,
     # ts_histogram, ts_integral, ts_mad_outliers, ts_ohlc,
     # ts_retention, ts_sessionize — then the oldest r4 rows.
     "sim_mmr",

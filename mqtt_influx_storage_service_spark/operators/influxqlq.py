@@ -703,6 +703,27 @@ GROUP BY 1
 """
 
 
+# raw select organized per SERIES: GROUP BY <tag> with no aggregate
+# projects the tag and paginates each series independently
+IQ_RAW_GROUPED = (
+    "SELECT value FROM error "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-10 00:00:00' "
+    "GROUP BY user_id LIMIT 3"
+)
+
+IQ_RAW_GROUPED_SQL = """
+WITH pts AS (
+    SELECT ts AS time, user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+    FROM events
+    WHERE event_type = 'error'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+)
+SELECT time, user_id, value FROM pts WHERE rn <= 3
+"""
+
+
 # LIMIT in a tag-grouped statement paginates PER SERIES (InfluxQL's
 # response shape: "GROUP BY * LIMIT 3" = 3 points per series) — the
 # first 2 daily buckets of each user after skipping 1
@@ -1173,6 +1194,7 @@ QUERIES = {
     "iq_transform_nested": _q(IQ_TRANSFORM_NESTED),
     "iq_tz": _q(IQ_TZ),
     "iq_limit_per_series": _q(IQ_LIMIT_PER_SERIES),
+    "iq_raw_grouped": _q(IQ_RAW_GROUPED),
     "iq_nonneg_derivative": _q(IQ_NONNEG_DERIVATIVE),
     "iq_scalar_math": _q(IQ_SCALAR_MATH),
     "iq_slimit": _q(IQ_SLIMIT),
@@ -1213,6 +1235,7 @@ ORACLES = {
     "iq_transform_nested": IQ_TRANSFORM_NESTED_SQL,
     "iq_tz": IQ_TZ_SQL,
     "iq_limit_per_series": IQ_LIMIT_PER_SERIES_SQL,
+    "iq_raw_grouped": IQ_RAW_GROUPED_SQL,
     "iq_nonneg_derivative": IQ_NONNEG_DERIVATIVE_SQL,
     "iq_scalar_math": IQ_SCALAR_MATH_SQL,
     "iq_slimit": IQ_SLIMIT_SQL,
