@@ -204,6 +204,7 @@ class Select:
     into: str | None = None  # SELECT ... INTO <measurement>
     offset_ns: int = 0  # GROUP BY time(iv, offset) bucket shift
     tz: str | None = None  # TZ('<IANA zone>') — local-time buckets
+    soffset: int | None = None  # SOFFSET n — skip the first n series
 
 
 @dataclass
@@ -413,7 +414,7 @@ class _Parser:
             else:
                 self.kw("ASC")
 
-        limit = offset = slimit = None
+        limit = offset = slimit = soffset = None
         while True:
             if self.kw("LIMIT"):
                 limit = self._int()
@@ -421,6 +422,8 @@ class _Parser:
                 offset = self._int()
             elif self.kw("SLIMIT"):
                 slimit = self._int()
+            elif self.kw("SOFFSET"):
+                soffset = self._int()
             else:
                 break
         tz = None
@@ -448,6 +451,7 @@ class _Parser:
             into,
             group_time_offset_ns,
             tz,
+            soffset,
         )
 
     def _int(self) -> int:
@@ -968,6 +972,12 @@ class _Compiler:
         elif (
             len(st.fields) == 1
             and isinstance(st.fields[0].expr, Call)
+            and st.fields[0].expr.func == "DISTINCT"
+        ):
+            out = self._compile_distinct(df, keys)
+        elif (
+            len(st.fields) == 1
+            and isinstance(st.fields[0].expr, Call)
             and st.fields[0].expr.func == "HOLT_WINTERS"
         ):
             out = self._compile_holt_winters(df, keys)
@@ -985,14 +995,24 @@ class _Compiler:
             out = out.orderBy(F.col("time").desc()) if "time" in out.columns else out
         elif "time" in out.columns:
             out = out.orderBy("time")
-        if st.slimit is not None and group_tags:
+        if (st.slimit is not None or st.soffset) and group_tags:
+            # SLIMIT/SOFFSET paginate over SERIES (tag combinations),
+            # ranked in tag order; SOFFSET skips the first n series the
+            # way OFFSET skips points (InfluxQL 1.x data-exploration
+            # docs). The distinct tag set is dimension-sized, so the
+            # rank window and broadcast join never touch point volume.
             wr = Window.orderBy(*[F.col(t) for t in group_tags])
+            lo = st.soffset or 0
+            rank = F.dense_rank().over(wr)
+            keep = rank > lo if st.slimit is None else (
+                (rank > lo) & (rank <= lo + st.slimit)
+            )
             series = (
                 out.select(*group_tags)
                 .distinct()
-                .withColumn("_srank", F.dense_rank().over(wr))
-                .filter(F.col("_srank") <= st.slimit)
-                .drop("_srank")
+                .withColumn("_skeep", keep)
+                .filter(F.col("_skeep"))
+                .drop("_skeep")
             )
             out = out.join(F.broadcast(series), group_tags)
         # InfluxQL's response is organized per SERIES, and in a
@@ -1115,6 +1135,43 @@ class _Compiler:
 
     # TOP/BOTTOM selectors — return the actual N extreme POINTS per
     # group (InfluxQL semantics: the point rows, point time preserved)
+    def _compile_distinct(self, df: DataFrame, keys: list[str]) -> DataFrame:
+        """``SELECT DISTINCT(field)`` — one row per distinct field value
+        per group (InfluxQL's distinct-values selector, column named
+        ``distinct``). With ``GROUP BY time()`` the bucket start is the
+        row's time; ungrouped selects carry no time column (same
+        convention as the scalar aggregates). Values are emitted in
+        ascending order so the result is deterministic (InfluxDB's own
+        order is storage-dependent). One hash aggregation — map-side
+        combine collapses repeats before the shuffle, so the exchange
+        carries at most |groups|×|distinct values| rows at any scale."""
+        st = self.stmt
+        e = st.fields[0].expr
+        if len(e.args) != 1 or not isinstance(e.args[0], Var):
+            raise InfluxQLError("DISTINCT expects one field reference")
+        fld = e.args[0].name
+        name = st.fields[0].alias or "distinct"
+        gcols = list(keys)
+        if st.group_time_ns is not None:
+            iv_us = st.group_time_ns // 1000
+            off_us = st.offset_ns // 1000
+            us = F.unix_micros(F.col("time")) - F.lit(off_us)
+            df = df.withColumn(
+                "_bucket", F.timestamp_micros(us - us % F.lit(iv_us) + F.lit(off_us))
+            )
+            gcols = gcols + ["_bucket"]
+        out = (
+            df.filter(F.col(fld).isNotNull())
+            .select(*gcols, F.col(fld).alias(name))
+            .distinct()
+        )
+        if "_bucket" in out.columns:
+            out = out.withColumnRenamed("_bucket", "time")
+            out = out.orderBy(*[c for c in gcols if c != "_bucket"], "time", name)
+        else:
+            out = out.orderBy(*gcols, name)
+        return out
+
     def _compile_top_bottom(self, df: DataFrame, keys: list[str]) -> DataFrame:
         st = self.stmt
         call: Call = st.fields[0].expr

@@ -724,6 +724,54 @@ SELECT time, user_id, value FROM pts WHERE rn <= 3
 """
 
 
+# DISTINCT(field): the distinct-values selector — one row per distinct
+# field value per bucket (column named by the alias; InfluxDB default
+# name is 'distinct'). One hash aggregation; map-side combine bounds
+# the shuffle at |buckets|×|distinct values|.
+IQ_DISTINCT = (
+    "SELECT DISTINCT(value) AS dv FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-08 00:00:00' "
+    "GROUP BY time(1d)"
+)
+
+IQ_DISTINCT_SQL = f"""
+SELECT DISTINCT {_BUCKET.format(iv=_US_1D)} AS time, value AS dv
+FROM events
+WHERE event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+  AND value IS NOT NULL
+"""
+
+
+# SOFFSET: series pagination window — SLIMIT n SOFFSET m keeps series
+# ranked m+1..m+n in tag order (the page AFTER iq_slimit's)
+IQ_SOFFSET = (
+    "SELECT MEAN(value) AS mean_value FROM signup "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY time(1w), user_id SLIMIT 5 SOFFSET 5"
+)
+
+IQ_SOFFSET_SQL = f"""
+WITH agg AS (
+    SELECT user_id,
+           {{bucket}} AS time,
+           {_MEAN} AS mean_value
+    FROM events
+    WHERE event_type = 'signup'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY 1, 2
+), series AS (
+    SELECT user_id FROM (
+        SELECT DISTINCT user_id FROM agg
+    ) ORDER BY user_id LIMIT 5 OFFSET 5
+)
+SELECT a.user_id, a.time, a.mean_value
+FROM agg a JOIN series s ON a.user_id = s.user_id
+""".format(bucket=_BUCKET.format(iv=_US_1W))
+
+
 # LIMIT in a tag-grouped statement paginates PER SERIES (InfluxQL's
 # response shape: "GROUP BY * LIMIT 3" = 3 points per series) — the
 # first 2 daily buckets of each user after skipping 1
@@ -1195,6 +1243,8 @@ QUERIES = {
     "iq_tz": _q(IQ_TZ),
     "iq_limit_per_series": _q(IQ_LIMIT_PER_SERIES),
     "iq_raw_grouped": _q(IQ_RAW_GROUPED),
+    "iq_distinct": _q(IQ_DISTINCT),
+    "iq_soffset": _q(IQ_SOFFSET),
     "iq_nonneg_derivative": _q(IQ_NONNEG_DERIVATIVE),
     "iq_scalar_math": _q(IQ_SCALAR_MATH),
     "iq_slimit": _q(IQ_SLIMIT),
@@ -1236,6 +1286,8 @@ ORACLES = {
     "iq_tz": IQ_TZ_SQL,
     "iq_limit_per_series": IQ_LIMIT_PER_SERIES_SQL,
     "iq_raw_grouped": IQ_RAW_GROUPED_SQL,
+    "iq_distinct": IQ_DISTINCT_SQL,
+    "iq_soffset": IQ_SOFFSET_SQL,
     "iq_nonneg_derivative": IQ_NONNEG_DERIVATIVE_SQL,
     "iq_scalar_math": IQ_SCALAR_MATH_SQL,
     "iq_slimit": IQ_SLIMIT_SQL,

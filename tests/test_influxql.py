@@ -186,6 +186,62 @@ def test_slimit_and_offset(spark, sf_dir):
     assert [r["value"] for r in raw] == [r["value"] for r in base[2:]]
 
 
+def test_soffset_pages_series(spark, sf_dir):
+    full = influxql(
+        spark, sf_dir, "SELECT COUNT(value) AS n FROM click GROUP BY user_id"
+    ).collect()
+    ordered = sorted(r["user_id"] for r in full)
+    page2 = influxql(
+        spark,
+        sf_dir,
+        "SELECT COUNT(value) AS n FROM click GROUP BY user_id SLIMIT 3 SOFFSET 3",
+    ).collect()
+    assert {r["user_id"] for r in page2} == set(ordered[3:6])
+    # SOFFSET alone (no SLIMIT) drops the first n series, keeps the rest
+    tail = influxql(
+        spark,
+        sf_dir,
+        "SELECT COUNT(value) AS n FROM click GROUP BY user_id SOFFSET 2",
+    ).collect()
+    assert {r["user_id"] for r in tail} == set(ordered[2:])
+    # past the end -> empty, not an error
+    none = influxql(
+        spark,
+        sf_dir,
+        "SELECT COUNT(value) AS n FROM click GROUP BY user_id "
+        f"SOFFSET {len(ordered) + 5}",
+    ).collect()
+    assert none == []
+
+
+def test_distinct_selector(spark, sf_dir):
+    rows = influxql(
+        spark,
+        sf_dir,
+        "SELECT DISTINCT(value) FROM click WHERE time < '2024-01-08'",
+    ).collect()
+    vals = [r["distinct"] for r in rows]
+    assert len(vals) == len(set(vals)) > 0
+    assert vals == sorted(vals)  # deterministic ascending emission
+    base = influxql(
+        spark, sf_dir, "SELECT value FROM click WHERE time < '2024-01-08'"
+    ).collect()
+    assert set(vals) == {r["value"] for r in base if r["value"] is not None}
+    # bucketed: per-bucket distinct, bucket start as time
+    b = influxql(
+        spark,
+        sf_dir,
+        "SELECT DISTINCT(value) AS dv FROM click "
+        "WHERE time < '2024-01-03' GROUP BY time(1d)",
+    ).collect()
+    per_bucket = {}
+    for r in b:
+        per_bucket.setdefault(r["time"], []).append(r["dv"])
+    for t, vs in per_bucket.items():
+        assert len(vs) == len(set(vs))
+        assert t.hour == t.minute == t.second == 0
+
+
 def test_show_measurements_and_keys(spark, sf_dir):
     ms = influxql(spark, sf_dir, "SHOW MEASUREMENTS").collect()
     assert [r["name"] for r in ms] == ["click", "error", "purchase", "signup", "view"]
