@@ -1169,6 +1169,156 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Exact substring dedup (rolling windows — the suffix-array regime)
+# --------------------------------------------------------------------------
+
+SUBSTR_TOKENS = 16  # minimum duplicated-span length detected (tokens)
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SUBSTRING-level duplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, how much of it is an exact ≥``SUBSTR_TOKENS``-token
+    span that also appears verbatim in ANOTHER document, at ANY
+    alignment. The reference technique builds a corpus suffix array;
+    the Spark-first equivalent hashes every OVERLAPPING K-token window
+    (stride 1), so a shared span of L ≥ K tokens shares exactly
+    L−K+1 consecutive windows — runs of shared window positions
+    therefore recover the MAXIMAL duplicated span exactly
+    (``max_dup_span`` = longest run + K − 1), which aligned
+    non-overlapping blocks (`dedup_passage`) cannot do.
+
+    Per doc: ``n_windows``, ``n_dup_windows`` (window hash seen in >1
+    DISTINCT documents — cross-document semantics, a span repeated only
+    within one doc does not count), ``max_dup_span`` (tokens; 0 when
+    clean), ``dup_ratio``. Docs shorter than K tokens have 0 windows
+    and count as clean.
+
+    Scale shape: stride-1 explode is ~n_tokens rows per doc — linear in
+    corpus tokens, the same budget the suffix array pays; the hash
+    count is one map-side-combinable groupBy, the join back is an
+    equi-join on the hash, and the run detection is a per-doc window
+    (pos − row_number grouping), partitioned by doc_id. Nothing is
+    quadratic. At 100 TB the one refinement worth making is hashing
+    tokens to 8-byte ints FIRST and rolling over those (Rabin-Karp)
+    so the exploded rows carry 16×8 bytes instead of 16 raw tokens;
+    md5-of-joined-tokens is kept here because the DuckDB oracle can
+    compute it byte-identically.
+    """
+    k = SUBSTR_TOKENS
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.col("text"), " ")
+    starts = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    windows = docs.select(
+        "doc_id",
+        F.explode_outer(starts).alias("pos"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos").isNotNull(),
+            F.md5(F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " ")),
+        ).alias("whash"),
+    )
+    counts = (
+        windows.filter(F.col("whash").isNotNull())
+        .groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+    )
+    marked = windows.join(counts, "whash", "left").select(
+        "doc_id",
+        "pos",
+        (F.col("pos").isNotNull() & (F.coalesce(F.col("ndocs"), F.lit(0)) > 1)).alias(
+            "dup"
+        ),
+        F.col("pos").isNotNull().alias("real"),
+    )
+    # consecutive dup positions collapse to one run id: pos - rank(pos)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        marked.filter(F.col("dup"))
+        .withColumn("grp", F.col("pos") - F.row_number().over(wd))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg((F.max("run_len") + F.lit(k - 1)).alias("max_dup_span"))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("real").cast("long")).alias("n_windows"),
+            F.sum(F.col("dup").cast("long")).alias("n_dup_windows"),
+        )
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.coalesce(F.col("max_dup_span"), F.lit(0)).cast("long").alias(
+                "max_dup_span"
+            ),
+            F.when(F.col("n_windows") > 0,
+                   F.round(F.col("n_dup_windows") / F.col("n_windows"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+        )
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+), windows AS (
+    SELECT doc_id, start AS pos,
+           md5(array_to_string(
+               toks[start : start + {SUBSTR_TOKENS} - 1], ' ')) AS whash
+    FROM (SELECT doc_id, toks,
+                 unnest(range(1, n_tokens - {SUBSTR_TOKENS} + 2)) AS start
+          FROM base
+          WHERE n_tokens >= {SUBSTR_TOKENS})
+), counts AS (
+    SELECT whash, count(DISTINCT doc_id) AS ndocs FROM windows GROUP BY 1
+), marked AS (
+    SELECT w.doc_id, w.pos, (c.ndocs > 1) AS dup
+    FROM windows w JOIN counts c USING (whash)
+), runs AS (
+    SELECT doc_id,
+           CAST(max(run_len) + {SUBSTR_TOKENS} - 1 AS BIGINT) AS max_dup_span
+    FROM (
+        SELECT doc_id, grp, count(*) AS run_len
+        FROM (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM marked WHERE dup
+        ) GROUP BY doc_id, grp
+    ) GROUP BY doc_id
+), per_doc AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows
+    FROM marked GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(p.n_windows, 0) AS n_windows,
+       COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(r.max_dup_span, 0) AS max_dup_span,
+       CASE WHEN COALESCE(p.n_windows, 0) > 0
+            THEN round(p.n_dup_windows / p.n_windows, 6)
+            ELSE 0.0 END AS dup_ratio
+FROM base b
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN runs r USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Asymmetric containment (quote / subset detection)
 # --------------------------------------------------------------------------
 
@@ -1614,6 +1764,7 @@ QUERIES = {
     "dedup_semantic_ivf": dedup_semantic_ivf,
     "dedup_containment": dedup_containment,
     "dedup_passage": dedup_passage,
+    "dedup_substring": dedup_substring,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_components": dedup_components,
@@ -1726,6 +1877,7 @@ ORACLES = {
     "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_passage": DEDUP_PASSAGE_SQL,
+    "dedup_substring": DEDUP_SUBSTRING_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,

@@ -253,6 +253,45 @@ def test_containment_detects_quotes_jaccard_misses(spark, tmp_path):
         release_shingles(spark)
 
 
+def test_substring_dedup_span_semantics(spark, tmp_path):
+    """Rolling-window substring dedup recovers the MAXIMAL shared span
+    exactly: a 40-token span shared at different alignments inside two
+    otherwise-unrelated docs yields max_dup_span == 40 in both, a doc
+    shorter than K has zero windows and stays clean, and a span
+    repeated only WITHIN one doc does not count (cross-document
+    semantics)."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        SUBSTR_TOKENS,
+        dedup_substring,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(40))
+    a_filler = " ".join(f"a{i}" for i in range(30))
+    b_filler = " ".join(f"b{i}" for i in range(55))
+    rep = " ".join(f"r{i}" for i in range(SUBSTR_TOKENS))
+    rows = [
+        (1, a_filler + " " + shared),               # span at the end
+        (2, shared + " " + b_filler),               # span at the start
+        (3, "tiny doc"),                            # < K tokens
+        (4, rep + " x0 x1 x2 " + rep),              # self-repeat only
+        (5, " ".join(f"u{i}" for i in range(60))),  # unique
+    ]
+    sf = str(tmp_path / "substr")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = dedup_substring(spark, sf).toPandas().set_index("doc_id")
+    assert int(out.loc[1, "max_dup_span"]) == 40
+    assert int(out.loc[2, "max_dup_span"]) == 40
+    # shared windows = 40 - K + 1 at stride 1
+    assert int(out.loc[1, "n_dup_windows"]) == 40 - SUBSTR_TOKENS + 1
+    assert int(out.loc[3, "n_windows"]) == 0
+    assert float(out.loc[3, "dup_ratio"]) == 0.0
+    assert int(out.loc[4, "n_dup_windows"]) == 0  # within-doc repeat ignored
+    assert int(out.loc[5, "n_dup_windows"]) == 0
+    assert float(out.loc[1, "dup_ratio"]) > 0
+
+
 def test_semdedup_matches_brute_force(spark, sf_dir):
     """dedup_semantic == the paper's rule computed naively: assign each
     vector to its nearest label centroid (argmax cosine, smaller label
