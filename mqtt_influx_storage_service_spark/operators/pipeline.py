@@ -983,7 +983,83 @@ FROM weighted
 """
 
 
+# --------------------------------------------------------------------------
+# Output-shard planning (balanced training shards)
+# --------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+def pipeline_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output-shard assignment — the plan a pipeline
+    executes when it writes the curated corpus as N training shards
+    (webdataset/tfrecord style) that a data loader streams evenly.
+    Docs are ranked longest-first and dealt to ``N_SHARDS`` shards in
+    SNAKE (boustrophedon) order: rank r → position r mod 2N, shard =
+    pos if pos < N else 2N−1−pos. Longest-first snake dealing is the
+    stateless form of LPT scheduling: every 2N-long pass gives each
+    shard exactly one doc from the top of the remaining pool and one
+    from the bottom, so shard token totals track each other to within
+    one document's tokens — without the sequential argmin state a true
+    greedy packer needs (which cannot be expressed as a scan).
+
+    The global rank is NOT a global-order window (one task at 100 TB):
+    ``n_tokens`` has bounded cardinality, so rank = (count of docs with
+    MORE tokens — a histogram prefix sum over the distinct token
+    counts, dimension-sized and broadcast) + (row_number within this
+    doc's token-count class, ordered by doc_id — a window partitioned
+    by ``n_tokens``). Same idiom as `pipeline_pack_sequences`'s
+    bucketed prefix sum: every window is bounded, nothing crosses a
+    single task.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    d = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    # docs-with-more-tokens prefix: histogram over distinct n_tokens
+    hist = d.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    wh = Window.orderBy(F.col("n_tokens").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    above = hist.withColumn(
+        "n_above", F.coalesce(F.sum("cnt").over(wh), F.lit(0))
+    ).select("n_tokens", "n_above")
+    wc = Window.partitionBy("n_tokens").orderBy("doc_id")
+    ranked = (
+        d.withColumn("rn_in_class", F.row_number().over(wc))
+        .join(F.broadcast(above), "n_tokens")
+        .withColumn("rank", (F.col("n_above") + F.col("rn_in_class")).cast("long"))
+    )
+    pos = (F.col("rank") - 1) % (2 * N_SHARDS)
+    shard = F.when(pos < N_SHARDS, pos).otherwise(2 * N_SHARDS - 1 - pos)
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "rank",
+        shard.cast("int").alias("shard"),
+    )
+
+
+PIPELINE_SHARD_PLAN_SQL = f"""
+WITH d AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), r AS (
+    SELECT doc_id, n_tokens,
+           CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM d
+)
+SELECT doc_id, n_tokens, rank,
+       CAST(CASE WHEN (rank - 1) % {2 * N_SHARDS} < {N_SHARDS}
+                 THEN (rank - 1) % {2 * N_SHARDS}
+                 ELSE {2 * N_SHARDS} - 1 - (rank - 1) % {2 * N_SHARDS}
+            END AS INTEGER) AS shard
+FROM r
+"""
+
+
 QUERIES = {
+    "pipeline_shard_plan": pipeline_shard_plan,
     "pipeline_domain_quota": pipeline_domain_quota,
     "pipeline_temperature_mix": pipeline_temperature_mix,
     "pipeline_epochs": pipeline_epochs,
@@ -998,6 +1074,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_shard_plan": PIPELINE_SHARD_PLAN_SQL,
     "pipeline_domain_quota": PIPELINE_DOMAIN_QUOTA_SQL,
     "pipeline_temperature_mix": PIPELINE_TEMPERATURE_MIX_SQL,
     "pipeline_epochs": PIPELINE_EPOCHS_SQL,

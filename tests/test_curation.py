@@ -114,6 +114,39 @@ def test_pack_sequences_no_global_window_over_corpus(spark):
 
 
 # --------------------------------------------------------------------------
+# pipeline_shard_plan
+# --------------------------------------------------------------------------
+
+def test_shard_plan_balance_and_rank_shape(spark):
+    """Snake dealing over the longest-first rank keeps shard token
+    totals within one top-document of each other; every doc lands in
+    exactly one shard; ranks are the dense 1..n longest-first order;
+    and the corpus-sized window is partitioned by n_tokens (the
+    histogram-rank idiom), never a global ORDER BY over docs."""
+    from mqtt_influx_storage_service_spark.operators.pipeline import N_SHARDS
+
+    out = all_queries()["pipeline_shard_plan"](spark, SF)
+    rows = out.collect()
+    n = len(rows)
+    assert sorted(r.rank for r in rows) == list(range(1, n + 1))
+    assert {r.shard for r in rows} == set(range(N_SHARDS))
+    # rank 1 (longest doc) has the max token count
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert by_rank[0].n_tokens == max(r.n_tokens for r in rows)
+    totals = {}
+    for r in rows:
+        totals[r.shard] = totals.get(r.shard, 0) + r.n_tokens
+    top_doc = by_rank[0].n_tokens
+    assert max(totals.values()) - min(totals.values()) <= top_doc
+    # tighter in practice: within 2% of each other on the fixture
+    assert max(totals.values()) <= 1.02 * min(totals.values())
+    plan = plans.plan_str(out)
+    windows = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    corpus_windows = [w for w in windows if "doc_id" in w]
+    assert corpus_windows and all("n_tokens" in w for w in corpus_windows)
+
+
+# --------------------------------------------------------------------------
 # pipeline_stratified_sample
 # --------------------------------------------------------------------------
 
