@@ -94,7 +94,6 @@ _PRIORITY = [
     "ts_asof_join",
     "ts_series_catalog",
     "ts_throughput",
-    "ts_registry_enriched",
     # new late in r6, must be inside the checked prefix
     "pipeline_domain_quota",
     "iq_limit_per_series",
@@ -103,15 +102,17 @@ _PRIORITY = [
     "iq_soffset",
     "dedup_substring",
     "pipeline_shard_plan",
+    "rel_small_qty_revenue",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
     # sim_ann_brp/ivf/ivf_pq, rel_sketches) stay out of the prefix: a
     # slot spent on them can never go hash-green.
     #
     # r7 ROTATION QUEUE (front-load next round): ts_gap_fill,
-    # ts_interpolate, ts_sliding_agg, ts_moving_avg (bumped for the
-    # late-r6 iq_distinct/iq_soffset/dedup_substring/
-    # pipeline_shard_plan), then the rest of the
+    # ts_interpolate, ts_sliding_agg, ts_moving_avg,
+    # ts_registry_enriched (bumped for the late-r6 iq_distinct/
+    # iq_soffset/dedup_substring/pipeline_shard_plan/
+    # rel_small_qty_revenue), then the rest of the
     # r3-green cohort — pipeline_interleave, rel_anti_join,
     # rel_distinct_agg, rel_exists_subquery, rel_grouping_sets,
     # rel_interval_overlap, rel_json_extract, rel_map_funcs,

@@ -1091,8 +1091,71 @@ GROUP BY s_name
 """
 
 
+# --------------------------------------------------------------------------
+# Small-quantity order revenue (TPC-H Q17 shape)
+# --------------------------------------------------------------------------
+
+
+def rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape per brand: revenue carried by lineitems whose
+    quantity is below 20% of their PART's average quantity (the
+    lost-revenue-if-small-orders-stopped analysis; Q17 filters one
+    brand/container — the fixture part table has no container, so the
+    rollup keys on every brand, which also gives the oracle a
+    many-row result to hash).
+
+    The spec's correlated scalar subquery (``0.2 * avg(l_quantity)``
+    per part) de-correlates into ONE map-side-combinable per-part
+    aggregate over lineitem, re-joined on ``l_partkey`` — the two
+    lineitem passes shuffle on the same key, so AQE reuses the
+    partitioning. The 20%-of-avg comparison is exact integer
+    arithmetic (``5 · cnt · qty < sum_qty`` with BIGINT quantities —
+    fixture quantities are integral), never a double divide at the
+    boundary. Brand comes from the dimension-sized part table,
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_extendedprice",
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("qty").alias("cnt")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    small = (
+        li.join(per_part, "l_partkey")
+        .filter(F.lit(5) * F.col("cnt") * F.col("qty") < F.col("sum_qty"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    )
+    return small.groupBy("p_brand").agg(
+        F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 2).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+REL_SMALL_QTY_REVENUE_SQL = """
+WITH per_part AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(l_quantity) AS cnt
+    FROM lineitem GROUP BY 1
+)
+SELECT p_brand,
+       round(round(sum(l_extendedprice), 2) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem
+JOIN per_part USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+WHERE 5 * cnt * CAST(l_quantity AS BIGINT) < sum_qty
+GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "rel_waiting_supplier": rel_waiting_supplier,
+    "rel_small_qty_revenue": rel_small_qty_revenue,
     "rel_revenue_threshold": rel_revenue_threshold,
     "rel_sales_opportunity": rel_sales_opportunity,
     "rel_top_supplier": rel_top_supplier,
@@ -1128,6 +1191,7 @@ QUERIES = {
 
 ORACLES = {
     "rel_waiting_supplier": REL_WAITING_SUPPLIER_SQL,
+    "rel_small_qty_revenue": REL_SMALL_QTY_REVENUE_SQL,
     "rel_revenue_threshold": REL_REVENUE_THRESHOLD_SQL,
     "rel_sales_opportunity": REL_SALES_OPPORTUNITY_SQL,
     "rel_top_supplier": REL_TOP_SUPPLIER_SQL,

@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STRESS_DIR = "/tmp/spark_graft_sf1"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "STRESS_r05.json")
+                   "STRESS_r06.json")
 SRC = "/root/testdata/sf0.1"
 FANOUT = 10
 
@@ -156,6 +156,10 @@ def main() -> int:
                  # before the release point below); passage dedup is two
                  # word-count-shaped shuffles over 10x blocks
                  "pipeline_epochs", "dedup_passage",
+                 # stride-1 rolling-window substring dedup: ~n_tokens
+                 # exploded rows per doc; the rotated variants share
+                 # long spans, the adversarial case for run detection
+                 "dedup_substring",
                  # retrieval tier LAST, after the cache release: BM25's
                  # bounded 50-query set scored against a 10x corpus
                  # (the unbounded stride-grown set measured 40 s here
@@ -270,6 +274,13 @@ def main() -> int:
         ),
     }
 
+    # merge with any sibling stress results already recorded this round
+    # (e.g. tools/stress_semdedup.py's semdedup_100k audit)
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            prior = json.load(fh)
+        prior.update(results)
+        results = prior
     with open(OUT, "w") as fh:
         json.dump(results, fh, indent=2)
     print(json.dumps(results))
