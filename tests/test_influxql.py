@@ -359,7 +359,8 @@ def test_parser_total_on_arbitrary_input():
     base = (
         "SELECT MEAN(value) AS m FROM cpu WHERE time >= now() - 1d "
         "AND host =~ /web.*/ GROUP BY time(10m), host fill(previous) "
-        "ORDER BY time DESC LIMIT 5"
+        "ORDER BY time DESC LIMIT 5 OFFSET 2 SLIMIT 4 SOFFSET 1 "
+        "TZ('America/New_York')"
     )
     for i in range(len(base)):
         for frag in (base[:i], base[i:], base[:i] + "(" + base[i:]):
