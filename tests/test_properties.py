@@ -264,3 +264,71 @@ def test_counter_rate_matches_reset_model(spark, values):
     assert got_inc == round(inc / 100.0, 2)
     assert got_resets == resets
     assert sum(r.n_samples for r in rows) == len(values) - 1
+
+
+# --- dedup_substring vs a brute-force O(n²) python model -------------------
+
+# small alphabet so cross-document window collisions actually occur
+corpus_docs = st_.lists(
+    st_.lists(st_.sampled_from("abcd"), min_size=1, max_size=40).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(corpus_docs)
+def test_substring_dedup_matches_bruteforce(spark, texts):
+    """dedup_substring (K=4 here via synthetic docs of single-char
+    tokens... the operator's K is fixed, so the model recomputes with
+    SUBSTR_TOKENS) equals the quadratic reference: for every doc,
+    enumerate its K-token windows, mark those appearing verbatim in
+    ANY other doc, and take the longest consecutive marked run."""
+    import tempfile
+
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        SUBSTR_TOKENS as K,
+        dedup_substring,
+    )
+
+    d = tempfile.mkdtemp(prefix="substr_prop_")
+    import pandas as pd
+
+    # stretch tokens so docs reach K: repeat each token list cyclically
+    docs = []
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        ws = (ws * ((K + 10) // len(ws) + 1))[: len(ws) + K + 3]
+        docs.append((i, " ".join(ws)))
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        d + "/documents.parquet"
+    )
+
+    def windows(ws):
+        return [tuple(ws[i : i + K]) for i in range(len(ws) - K + 1)]
+
+    toks = {i: t.split(" ") for i, t in docs}
+    wins = {i: windows(ws) for i, ws in toks.items()}
+    owners = {}
+    for i, wl in wins.items():
+        for w in set(wl):
+            owners.setdefault(w, set()).add(i)
+    want = {}
+    for i, wl in wins.items():
+        dup = [len(owners[w]) > 1 for w in wl]
+        run = best = 0
+        for m in dup:
+            run = run + 1 if m else 0
+            best = max(best, run)
+        want[i] = (
+            len(wl),
+            sum(dup),
+            best + K - 1 if best else 0,
+        )
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.max_dup_span)
+        for r in dedup_substring(spark, d).collect()
+    }
+    assert got == want
