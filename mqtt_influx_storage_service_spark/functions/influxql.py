@@ -92,7 +92,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*')
   | (?P<quoted>"(?:[^"\\]|\\.)*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
-  | (?P<op><>|!=|<=|>=|=~|!~|[=<>(),*+\-/%])
+  | (?P<op><>|!=|<=|>=|=~|!~|[=<>(),*+\-/%;])
   | (?P<junk>.)
     """,
     re.VERBOSE | re.DOTALL,
@@ -279,6 +279,32 @@ class _Parser:
 
     # -- grammar -----------------------------------------------------------
     def parse(self):
+        stmt = self._statement()
+        t = self.peek()
+        if t.kind != "eof":
+            raise InfluxQLError(f"trailing input at {t.pos}: {t.text!r}")
+        return stmt
+
+    def parse_statements(self) -> list:
+        """A ``;``-separated statement batch (the /query endpoint's
+        ``q=`` accepts several statements per request). Empty
+        statements and a trailing semicolon are tolerated, as InfluxDB
+        does."""
+        stmts = []
+        while True:
+            while self.peek().kind == "op" and self.peek().text == ";":
+                self.next()
+            if self.peek().kind == "eof":
+                break
+            stmts.append(self._statement())
+            t = self.peek()
+            if t.kind == "op" and t.text == ";":
+                continue
+            if t.kind != "eof":
+                raise InfluxQLError(f"trailing input at {t.pos}: {t.text!r}")
+        return stmts
+
+    def _statement(self):
         if self.kw("SHOW"):
             stmt = self._show()
         elif self.kw("DELETE"):
@@ -296,9 +322,6 @@ class _Parser:
         else:
             self.expect_kw("SELECT")
             stmt = self._select()
-        t = self.peek()
-        if t.kind != "eof":
-            raise InfluxQLError(f"trailing input at {t.pos}: {t.text!r}")
         return stmt
 
     def _show(self) -> Show:
@@ -572,6 +595,11 @@ class _Parser:
 def parse(src: str):
     """Parse an InfluxQL statement into the module's AST (Select/Show)."""
     return _Parser(src).parse()
+
+
+def parse_all(src: str) -> list:
+    """Parse a ``;``-separated statement batch into a list of ASTs."""
+    return _Parser(src).parse_statements()
 
 
 @dataclass
@@ -1875,6 +1903,34 @@ def influxql(
     if isinstance(stmt, Show):
         return _compile_show(spark, cat, stmt)
     return _Compiler(spark, cat, stmt, now=now).compile()
+
+
+def influxql_batch(
+    spark: SparkSession, sf_dir: str, query: str, catalog=None, now=None
+) -> list[DataFrame]:
+    """Compile a ``;``-separated statement batch — the shape InfluxDB's
+    ``/query`` endpoint accepts in one ``q=`` parameter — returning one
+    lazy DataFrame per statement, in order. Read statements only
+    (SELECT/SHOW); a DELETE/DROP in a batch is refused with a pointer
+    at :func:`influxql_delete`, which needs a mutable table, not a
+    fixture dir."""
+    import datetime
+
+    if isinstance(now, str):
+        now = datetime.datetime.fromisoformat(now)
+    cat = catalog or EventsCatalog(sf_dir)
+    out: list[DataFrame] = []
+    for stmt in parse_all(query):
+        if isinstance(stmt, Delete):
+            raise InfluxQLError(
+                "DELETE/DROP in a batch is not a read statement — apply it "
+                "with influxql_delete against a SnapshotTable"
+            )
+        if isinstance(stmt, Show):
+            out.append(_compile_show(spark, cat, stmt))
+        else:
+            out.append(_Compiler(spark, cat, stmt, now=now).compile())
+    return out
 
 
 def _bare_compiler(now=None) -> "_Compiler":

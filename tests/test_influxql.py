@@ -242,6 +242,30 @@ def test_distinct_selector(spark, sf_dir):
         assert t.hour == t.minute == t.second == 0
 
 
+def test_statement_batch(spark, sf_dir):
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        influxql_batch,
+        parse_all,
+    )
+
+    dfs = influxql_batch(
+        spark,
+        sf_dir,
+        "SELECT COUNT(value) AS n FROM click; SHOW MEASUREMENTS ;; "
+        "SELECT MEAN(value) AS m FROM view GROUP BY user_id;",
+    )
+    assert len(dfs) == 3
+    assert dfs[0].columns == ["n"] and dfs[0].count() == 1
+    assert dfs[1].count() > 0
+    assert set(dfs[2].columns) == {"user_id", "m"}
+    # single-statement parse still rejects trailing statements
+    with pytest.raises(InfluxQLError, match="trailing"):
+        parse("SELECT value FROM click; SELECT value FROM view")
+    assert parse_all(";;") == []
+    with pytest.raises(InfluxQLError, match="DELETE/DROP"):
+        influxql_batch(spark, sf_dir, "SELECT value FROM click; DROP MEASUREMENT click")
+
+
 def test_show_measurements_and_keys(spark, sf_dir):
     ms = influxql(spark, sf_dir, "SHOW MEASUREMENTS").collect()
     assert [r["name"] for r in ms] == ["click", "error", "purchase", "signup", "view"]
