@@ -1175,6 +1175,45 @@ GROUP BY doc_id
 SUBSTR_TOKENS = 16  # minimum duplicated-span length detected (tokens)
 
 
+def _substring_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared front half of the substring-dedup family: one row per
+    stride-1 K-token window — (doc_id, pos, dup, real) where ``dup``
+    marks a window whose md5 occurs in >1 distinct documents and
+    ``real`` distinguishes actual windows from the explode_outer
+    placeholder that keeps sub-K docs visible downstream."""
+    k = SUBSTR_TOKENS
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.col("text"), " ")
+    starts = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    windows = docs.select(
+        "doc_id",
+        F.explode_outer(starts).alias("pos"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos").isNotNull(),
+            F.md5(F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " ")),
+        ).alias("whash"),
+    )
+    counts = (
+        windows.filter(F.col("whash").isNotNull())
+        .groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+    )
+    return windows.join(counts, "whash", "left").select(
+        "doc_id",
+        "pos",
+        (F.col("pos").isNotNull() & (F.coalesce(F.col("ndocs"), F.lit(0)) > 1)).alias(
+            "dup"
+        ),
+        F.col("pos").isNotNull().alias("real"),
+    )
+
+
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact SUBSTRING-level duplication (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"): for
@@ -1205,37 +1244,8 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-of-joined-tokens is kept here because the DuckDB oracle can
     compute it byte-identically.
     """
+    marked = _substring_marked(spark, sf_dir)
     k = SUBSTR_TOKENS
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    toks = F.split(F.col("text"), " ")
-    starts = F.when(
-        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    windows = docs.select(
-        "doc_id",
-        F.explode_outer(starts).alias("pos"),
-        toks.alias("toks"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.when(
-            F.col("pos").isNotNull(),
-            F.md5(F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " ")),
-        ).alias("whash"),
-    )
-    counts = (
-        windows.filter(F.col("whash").isNotNull())
-        .groupBy("whash")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-    )
-    marked = windows.join(counts, "whash", "left").select(
-        "doc_id",
-        "pos",
-        (F.col("pos").isNotNull() & (F.coalesce(F.col("ndocs"), F.lit(0)) > 1)).alias(
-            "dup"
-        ),
-        F.col("pos").isNotNull().alias("real"),
-    )
     # consecutive dup positions collapse to one run id: pos - rank(pos)
     wd = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
@@ -1315,6 +1325,61 @@ SELECT b.doc_id,
 FROM base b
 LEFT JOIN per_doc p USING (doc_id)
 LEFT JOIN runs r USING (doc_id)
+"""
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE form of `dedup_substring`: every maximal
+    cross-document duplicated span as (doc_id, span_start, span_len) —
+    1-based token offsets — which is what a Lee-et-al-style pipeline
+    actually feeds the span-REMOVAL pass (they cut the duplicated
+    bytes, not the documents). A maximal run of R consecutive shared
+    window positions starting at pos p is the span [p, p+R+K−2]:
+    span_len = R + K − 1. Same plan as the stats form up to the run
+    grouping; the output is bounded by the number of duplicated spans,
+    far below corpus-token count."""
+    k = SUBSTR_TOKENS
+    marked = _substring_marked(spark, sf_dir)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        marked.filter(F.col("dup"))
+        .withColumn("grp", F.col("pos") - F.row_number().over(wd))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
+DEDUP_SUBSTRING_SPANS_SQL = f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+), windows AS (
+    SELECT doc_id, start AS pos,
+           md5(array_to_string(
+               toks[start : start + {SUBSTR_TOKENS} - 1], ' ')) AS whash
+    FROM (SELECT doc_id, toks,
+                 unnest(range(1, n_tokens - {SUBSTR_TOKENS} + 2)) AS start
+          FROM base
+          WHERE n_tokens >= {SUBSTR_TOKENS})
+), counts AS (
+    SELECT whash, count(DISTINCT doc_id) AS ndocs FROM windows GROUP BY 1
+), marked AS (
+    SELECT w.doc_id, w.pos
+    FROM windows w JOIN counts c USING (whash)
+    WHERE c.ndocs > 1
+)
+SELECT doc_id, min(pos) AS span_start,
+       CAST(count(*) + {SUBSTR_TOKENS} - 1 AS BIGINT) AS span_len
+FROM (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM marked
+) GROUP BY doc_id, grp
 """
 
 
@@ -1765,6 +1830,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_passage": dedup_passage,
     "dedup_substring": dedup_substring,
+    "dedup_substring_spans": dedup_substring_spans,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_components": dedup_components,
@@ -1878,6 +1944,7 @@ ORACLES = {
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_passage": DEDUP_PASSAGE_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
+    "dedup_substring_spans": DEDUP_SUBSTRING_SPANS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,

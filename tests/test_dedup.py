@@ -290,6 +290,16 @@ def test_substring_dedup_span_semantics(spark, tmp_path):
     assert int(out.loc[4, "n_dup_windows"]) == 0  # within-doc repeat ignored
     assert int(out.loc[5, "n_dup_windows"]) == 0
     assert float(out.loc[1, "dup_ratio"]) > 0
+    # the spans form emits the exact maximal spans, 1-based offsets
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        dedup_substring_spans,
+    )
+
+    spans = {
+        r.doc_id: (r.span_start, r.span_len)
+        for r in dedup_substring_spans(spark, sf).collect()
+    }
+    assert spans == {1: (31, 40), 2: (1, 40)}
 
 
 def test_semdedup_matches_brute_force(spark, sf_dir):
