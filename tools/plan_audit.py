@@ -20,6 +20,9 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--explain", action="store_true",
                     help="also dump the formatted plan")
+    ap.add_argument("--json", metavar="OUT",
+                    help="write the registry-wide census artifact "
+                         "(PLAN_AUDIT_r{N}.json shape) instead of printing")
     args = ap.parse_args()
 
     from mqtt_influx_storage_service_spark import plans
@@ -29,6 +32,40 @@ def main() -> int:
     spark = get_spark("plan-audit")
     qs = all_queries()
     names = args.names or sorted(qs)
+    if args.json:
+        census: dict = {}
+        errors: list = []
+        for name in names:
+            try:
+                census[name] = plans.summarize(qs[name](spark, args.sf))
+            except Exception as exc:  # noqa: BLE001 - census keeps going
+                errors.append({name: str(exc)[:300]})
+            print(name, flush=True)
+        out = {
+            "n_queries": len(census),
+            "cartesian_count": sum(
+                1 for s in census.values() if s.get("cartesian")
+            ),
+            "errors": errors,
+            "max_exchanges": max(
+                (s.get("exchanges", 0) for s in census.values()), default=0
+            ),
+            "note": (
+                "exchanges counts Exchange NODES in the physical-plan text. "
+                "For the dedup/pipeline family the CC_ROUNDS min-label "
+                "propagation unrolls the persisted edge/label subtrees into "
+                "the plan text once per round — those subtrees execute once "
+                "(cached), so the node count overstates runtime shuffles; "
+                "pinned by test_dup_edge_plan_single_trim_window_no_"
+                "subtree_duplication."
+            ),
+            "queries": census,
+        }
+        with open(args.json, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"wrote {args.json}: {len(census)} queries, "
+              f"{out['cartesian_count']} cartesians, {len(errors)} errors")
+        return 0
     for name in names:
         df = qs[name](spark, args.sf)
         s = plans.summarize(df)
