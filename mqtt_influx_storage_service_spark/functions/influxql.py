@@ -1203,6 +1203,18 @@ class _Compiler:
     def _compile_top_bottom(self, df: DataFrame, keys: list[str]) -> DataFrame:
         st = self.stmt
         call: Call = st.fields[0].expr
+        # TOP(field, tag, N) / BOTTOM(field, tag, N): the extreme value
+        # for each of N distinct tag values (InfluxDB's per-tag form) —
+        # rank within (group, tag) to find each tag's extreme point,
+        # then rank those representatives within the group and keep N.
+        if (
+            len(call.args) == 3
+            and call.func in ("TOP", "BOTTOM")
+            and isinstance(call.args[0], Var)
+            and isinstance(call.args[1], Var)
+            and isinstance(call.args[2], Num)
+        ):
+            return self._compile_top_bottom_tags(df, keys)
         if (
             len(call.args) != 2
             or not isinstance(call.args[0], Var)
@@ -1251,6 +1263,57 @@ class _Compiler:
                 *[c for c in gcols if c != "_bucket"],
                 *(["_bucket"] if "_bucket" in gcols else []),
                 "time",
+                F.col(fld).alias(name),
+            )
+        )
+        if "_bucket" in out.columns:
+            out = out.withColumnRenamed("_bucket", "bucket")
+        return out
+
+    def _compile_top_bottom_tags(
+        self, df: DataFrame, keys: list[str]
+    ) -> DataFrame:
+        st = self.stmt
+        call: Call = st.fields[0].expr
+        fld = call.args[0].name
+        tag = call.args[1].name
+        n = int(call.args[2].value)
+        if tag not in df.columns:
+            raise InfluxQLError(f"{call.func}: unknown tag {tag!r}")
+        name = st.fields[0].alias or call.func.lower()
+        gcols = list(keys)
+        if st.group_time_ns is not None:
+            iv_us = st.group_time_ns // 1000
+            off_us = st.offset_ns // 1000
+            us = F.unix_micros(F.col("time")) - F.lit(off_us)
+            df = df.withColumn(
+                "_bucket",
+                F.timestamp_micros(us - us % F.lit(iv_us) + F.lit(off_us)),
+            )
+            gcols = gcols + ["_bucket"]
+        tb = [t for t in self.tiebreak if t in df.columns]
+        order = [
+            F.col(fld).desc() if call.func == "TOP" else F.col(fld).asc(),
+            F.col("time"),
+            *[F.col(c) for c in tb],
+        ]
+        w_tag = Window.partitionBy(*gcols, tag).orderBy(*order)
+        reps = df.withColumn("_rt", F.row_number().over(w_tag)).filter(
+            F.col("_rt") == 1
+        )
+        w_grp = (
+            Window.partitionBy(*gcols).orderBy(*order)
+            if gcols
+            else Window.orderBy(*order)
+        )
+        out = (
+            reps.withColumn("_rn", F.row_number().over(w_grp))
+            .filter(F.col("_rn") <= n)
+            .select(
+                *[c for c in gcols if c != "_bucket"],
+                *(["_bucket"] if "_bucket" in gcols else []),
+                "time",
+                tag,
                 F.col(fld).alias(name),
             )
         )

@@ -939,6 +939,39 @@ FROM r WHERE rn <= 3
 """
 
 
+# TOP(field, tag, N): the extreme value for each of N distinct tag
+# values per bucket (InfluxDB's per-tag selector form)
+IQ_TOP_TAGS = (
+    "SELECT TOP(value, user_id, 3) AS top_value FROM view "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-29 00:00:00' "
+    "GROUP BY time(1w)"
+)
+
+IQ_TOP_TAGS_SQL = f"""
+WITH b AS (
+    SELECT user_id,
+           {_BUCKET.format(iv=_US_1W)} AS bucket,
+           ts AS time, value, event_id
+    FROM events
+    WHERE event_type = 'view'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+), reps AS (
+    SELECT bucket, time, user_id, value, event_id,
+           row_number() OVER (PARTITION BY bucket, user_id
+                              ORDER BY value DESC, time, event_id) AS rt
+    FROM b
+), ranked AS (
+    SELECT bucket, time, user_id, value,
+           row_number() OVER (PARTITION BY bucket
+                              ORDER BY value DESC, time, event_id) AS rn
+    FROM reps WHERE rt = 1
+)
+SELECT bucket, time, user_id, value AS top_value
+FROM ranked WHERE rn <= 3
+"""
+
+
 # -- 10. SHOW SERIES (series-key catalog) ----------------------------------
 
 IQ_SERIES_CARDINALITY = "SHOW SERIES CARDINALITY"
@@ -1245,6 +1278,7 @@ QUERIES = {
     "iq_raw_grouped": _q(IQ_RAW_GROUPED),
     "iq_distinct": _q(IQ_DISTINCT),
     "iq_soffset": _q(IQ_SOFFSET),
+    "iq_top_tags": _q(IQ_TOP_TAGS),
     "iq_nonneg_derivative": _q(IQ_NONNEG_DERIVATIVE),
     "iq_scalar_math": _q(IQ_SCALAR_MATH),
     "iq_slimit": _q(IQ_SLIMIT),
@@ -1288,6 +1322,7 @@ ORACLES = {
     "iq_raw_grouped": IQ_RAW_GROUPED_SQL,
     "iq_distinct": IQ_DISTINCT_SQL,
     "iq_soffset": IQ_SOFFSET_SQL,
+    "iq_top_tags": IQ_TOP_TAGS_SQL,
     "iq_nonneg_derivative": IQ_NONNEG_DERIVATIVE_SQL,
     "iq_scalar_math": IQ_SCALAR_MATH_SQL,
     "iq_slimit": IQ_SLIMIT_SQL,

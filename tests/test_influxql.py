@@ -242,6 +242,39 @@ def test_distinct_selector(spark, sf_dir):
         assert t.hour == t.minute == t.second == 0
 
 
+def test_top_bottom_per_tag(spark, sf_dir):
+    """TOP(field, tag, N): each returned row is a DISTINCT tag's
+    extreme point, and the N rows are the greatest per-tag extremes."""
+    rows = influxql(
+        spark,
+        sf_dir,
+        "SELECT TOP(value, user_id, 3) AS tv FROM click "
+        "WHERE time < '2024-02-01'",
+    ).collect()
+    assert len(rows) == 3
+    assert len({r["user_id"] for r in rows}) == 3  # one row per tag
+    base = influxql(
+        spark, sf_dir, "SELECT MAX(value) AS mx FROM click "
+        "WHERE time < '2024-02-01' GROUP BY user_id"
+    ).collect()
+    per_tag_max = sorted((r["mx"] for r in base), reverse=True)
+    assert sorted((r["tv"] for r in rows), reverse=True) == per_tag_max[:3]
+    bot = influxql(
+        spark,
+        sf_dir,
+        "SELECT BOTTOM(value, user_id, 2) AS bv FROM click "
+        "WHERE time < '2024-02-01'",
+    ).collect()
+    per_tag_min = sorted(
+        r["mn"]
+        for r in influxql(
+            spark, sf_dir, "SELECT MIN(value) AS mn FROM click "
+            "WHERE time < '2024-02-01' GROUP BY user_id"
+        ).collect()
+    )
+    assert sorted(r["bv"] for r in bot) == per_tag_min[:2]
+
+
 def test_statement_batch(spark, sf_dir):
     from mqtt_influx_storage_service_spark.functions.influxql import (
         influxql_batch,
