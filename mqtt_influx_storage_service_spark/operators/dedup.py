@@ -1173,20 +1173,49 @@ GROUP BY doc_id
 # --------------------------------------------------------------------------
 
 SUBSTR_TOKENS = 16  # minimum duplicated-span length detected (tokens)
+# Above this doc count the window hash switches from
+# md5(array_join(window)) — byte-reproducible in DuckDB, so the fixture
+# path stays oracle-hashable — to xxhash64 over the token-array slice
+# itself: no per-window string concatenation, and the shuffle/groupBy
+# key is an 8-byte long instead of a 32-char digest string (≈5× less
+# key payload through the two corpus-token-sized exchanges). Identical
+# semantics modulo hash collisions (64-bit: negligible at any corpus
+# this engine will see); same gate discipline as GEMM_EXACT_MAX.
+# Measured honestly: at the 50k-doc stress scale wall-time is PARITY
+# (2.2-3.4 s warm, both kernels — the scan dominates); the win is
+# exchange byte volume, which matters when the shuffle spills at real
+# scale, not at a scale that fits in page cache.
+SUBSTR_EXACT_MAX = 10_000
 
 
-def _substring_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _substring_marked(
+    spark: SparkSession, sf_dir: str, force_kernel: str | None = None
+) -> DataFrame:
     """Shared front half of the substring-dedup family: one row per
     stride-1 K-token window — (doc_id, pos, dup, real) where ``dup``
-    marks a window whose md5 occurs in >1 distinct documents and
+    marks a window whose hash occurs in >1 distinct documents and
     ``real`` distinguishes actual windows from the explode_outer
-    placeholder that keeps sub-K docs visible downstream."""
+    placeholder that keeps sub-K docs visible downstream.
+    ``force_kernel`` ('md5' | 'xxhash') overrides the doc-count gate —
+    the gate-equivalence test uses it."""
+    from ..sources import table_row_count
+
     k = SUBSTR_TOKENS
+    if force_kernel is None:
+        try:
+            n_docs = table_row_count(sf_dir, "documents")
+        except (ValueError, KeyError, OSError):
+            n_docs = 0
+        kernel = "xxhash" if n_docs > SUBSTR_EXACT_MAX else "md5"
+    else:
+        kernel = force_kernel
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = F.split(F.col("text"), " ")
     starts = F.when(
         F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
     ).otherwise(F.array().cast("array<int>"))
+    sl = F.slice(F.col("toks"), F.col("pos"), k)
+    wh = F.xxhash64(sl) if kernel == "xxhash" else F.md5(F.array_join(sl, " "))
     windows = docs.select(
         "doc_id",
         F.explode_outer(starts).alias("pos"),
@@ -1194,10 +1223,7 @@ def _substring_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "pos",
-        F.when(
-            F.col("pos").isNotNull(),
-            F.md5(F.array_join(F.slice(F.col("toks"), F.col("pos"), k), " ")),
-        ).alias("whash"),
+        F.when(F.col("pos").isNotNull(), wh).alias("whash"),
     )
     counts = (
         windows.filter(F.col("whash").isNotNull())

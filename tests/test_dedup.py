@@ -302,6 +302,30 @@ def test_substring_dedup_span_semantics(spark, tmp_path):
     assert spans == {1: (31, 40), 2: (1, 40)}
 
 
+def test_substring_kernels_agree(spark, sf_dir):
+    """The scale kernel (xxhash64 over the token-array slice, engaged
+    above SUBSTR_EXACT_MAX docs) returns the same marked windows as the
+    oracle-hashable md5 kernel on the fixture — the hash function is an
+    implementation detail of window identity, not of the semantics."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        SUBSTR_EXACT_MAX,
+        _substring_marked,
+    )
+
+    a = {
+        (r.doc_id, r.pos): (r.dup, r.real)
+        for r in _substring_marked(spark, sf_dir, force_kernel="md5").collect()
+    }
+    b = {
+        (r.doc_id, r.pos): (r.dup, r.real)
+        for r in _substring_marked(
+            spark, sf_dir, force_kernel="xxhash"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    assert SUBSTR_EXACT_MAX >= 10_000  # fixtures stay on the md5 path
+
+
 def test_semdedup_matches_brute_force(spark, sf_dir):
     """dedup_semantic == the paper's rule computed naively: assign each
     vector to its nearest label centroid (argmax cosine, smaller label
