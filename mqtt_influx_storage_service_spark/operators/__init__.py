@@ -91,7 +91,6 @@ _PRIORITY = [
     "ts_bucket_agg",
     "ts_last_value",
     "ts_cross_series_join",
-    "ts_asof_join",
     # new late in r6, must be inside the checked prefix
     "pipeline_domain_quota",
     "iq_limit_per_series",
@@ -103,6 +102,7 @@ _PRIORITY = [
     "rel_small_qty_revenue",
     "dedup_substring_spans",
     "iq_top_tags",
+    "text_entropy",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
     # sim_ann_brp/ivf/ivf_pq, rel_sketches) stay out of the prefix: a
@@ -110,10 +110,10 @@ _PRIORITY = [
     #
     # r7 ROTATION QUEUE (front-load next round): ts_gap_fill,
     # ts_interpolate, ts_sliding_agg, ts_moving_avg,
-    # ts_registry_enriched, ts_throughput, ts_series_catalog (bumped
-    # for the late-r6 iq_distinct/iq_soffset/iq_top_tags/
-    # dedup_substring[_spans]/pipeline_shard_plan/
-    # rel_small_qty_revenue), then the rest of the
+    # ts_registry_enriched, ts_throughput, ts_series_catalog,
+    # ts_asof_join (bumped for the late-r6 iq_distinct/iq_soffset/
+    # iq_top_tags/dedup_substring[_spans]/pipeline_shard_plan/
+    # rel_small_qty_revenue/text_entropy), then the rest of the
     # r3-green cohort — pipeline_interleave, rel_anti_join,
     # rel_distinct_agg, rel_exists_subquery, rel_grouping_sets,
     # rel_interval_overlap, rel_json_extract, rel_map_funcs,

@@ -103,6 +103,58 @@ GROUP BY word
 
 
 # --------------------------------------------------------------------------
+# Word-distribution entropy (diversity / degeneracy signal)
+# --------------------------------------------------------------------------
+
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution (bits):
+    H = log2(n) − (Σ c·log2 c)/n over per-word counts c — the
+    diversity signal that separates degenerate/repetitive text (H→0)
+    from natural prose; a standard curation feature next to the
+    distinct-ratio in `text_quality` (which measures support size,
+    where entropy also weighs the SHAPE of the distribution).
+
+    Plan: one word-count-shaped aggregation (explode → per-(doc,word)
+    count, map-side combinable) and one per-doc rollup — nothing
+    corpus-quadratic; entropy is computed from integer counts with the
+    same ln-then-round(6) float discipline `text_tfidf_top` and
+    `text_bigram_lm` already hash green under.
+    """
+    import math
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    plogp = F.sum(F.col("c") * F.ln(F.col("c")))
+    return tf.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.round(
+            (F.ln(n) - plogp / n) / F.lit(math.log(2.0)), 6
+        ).alias("word_entropy"),
+    )
+
+
+TEXT_ENTROPY_SQL = """
+WITH tf AS (
+    SELECT doc_id, word, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2.0), 6)
+           AS word_entropy
+FROM tf GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # TF-IDF + top term per document
 # --------------------------------------------------------------------------
 
@@ -1441,6 +1493,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
     "text_chunking": text_chunking,
+    "text_entropy": text_entropy,
 }
 
 ORACLES = {
@@ -1460,4 +1513,5 @@ ORACLES = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_chunking": TEXT_CHUNKING_SQL,
+    "text_entropy": TEXT_ENTROPY_SQL,
 }

@@ -114,6 +114,35 @@ def test_pack_sequences_no_global_window_over_corpus(spark):
 
 
 # --------------------------------------------------------------------------
+# text_entropy
+# --------------------------------------------------------------------------
+
+def test_word_entropy_bounds_and_extremes(spark, tmp_path):
+    """H = 0 for a one-word doc, exactly log2(k) for a uniform k-word
+    doc, and always within [0, log2(n_unique)]."""
+    import math
+
+    rows = [
+        (1, "a a a a a a a a"),                      # degenerate
+        (2, "a b c d a b c d"),                      # uniform over 4
+        (3, "a a a a a a a b"),                      # skewed
+    ]
+    sf = str(tmp_path / "ent")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    from mqtt_influx_storage_service_spark.operators.textops import text_entropy
+
+    out = {r.doc_id: r for r in text_entropy(spark, sf).collect()}
+    assert out[1].word_entropy == 0.0
+    assert out[2].word_entropy == 2.0  # log2(4), exact after round(6)
+    assert 0.0 < out[3].word_entropy < round(math.log2(2), 6) + 1e-9
+    for r in out.values():
+        assert r.word_entropy <= round(math.log2(r.n_unique), 6) + 1e-9 \
+            if r.n_unique > 1 else r.word_entropy == 0.0
+
+
+# --------------------------------------------------------------------------
 # pipeline_shard_plan
 # --------------------------------------------------------------------------
 
