@@ -807,6 +807,9 @@ class _Compiler:
         self.time_hi = None
         self.lo_incl = True
         self.hi_incl = False
+        # per-statement cache for the unpartitionable-raw-window probe
+        # (one bounded scan per statement, not per transform field)
+        self._raw_probe_exceeds: bool | None = None
 
     # -- source ------------------------------------------------------------
     def _source(self) -> tuple[DataFrame, bool]:
@@ -1050,7 +1053,14 @@ class _Compiler:
         tcols = [t for t in group_tags if t in out.columns]
         if (st.offset or st.limit is not None) and tcols:
             if "time" not in out.columns:
-                raise InfluxQLError("OFFSET requires a time-ordered result")
+                if st.offset:
+                    raise InfluxQLError(
+                        "OFFSET requires a time-ordered result"
+                    )
+                # Time-less grouped aggregate: exactly one row per
+                # series, so per-series LIMIT is a no-op — keep the
+                # pre-pagination global-limit behavior.
+                return out.limit(st.limit)
             w = Window.partitionBy(*tcols).orderBy(
                 F.col("time").desc() if st.order_desc else F.col("time")
             )
@@ -1151,6 +1161,19 @@ class _Compiler:
         cols: list[Column] = [time_col.alias("time")]
         if multi:
             cols.append(F.col("measurement"))
+        # GROUP BY tags ride along (series organization) unless the
+        # field list already names them bare — SLIMIT/per-series
+        # pagination in compile() selects these columns downstream.
+        bare_named = {
+            f.expr.name for f in st.fields if isinstance(f.expr, Var)
+        }
+        for k in keys:
+            if (
+                k != "measurement"
+                and k in picked.columns
+                and k not in bare_named
+            ):
+                cols.append(F.col(k))
         for i, f in enumerate(st.fields):
             e = f.expr
             if isinstance(e, Call):
@@ -1472,9 +1495,17 @@ class _Compiler:
             if not series:
                 # truly unpartitionable — bounded probe, then refuse
                 # above RAW_GLOBAL_WINDOW_MAX (the limit is pushed to
-                # the scan, so the probe reads at most MAX+1 rows)
-                n = df.limit(RAW_GLOBAL_WINDOW_MAX + 1).count()
-                if n > RAW_GLOBAL_WINDOW_MAX:
+                # the scan, so the probe reads at most MAX+1 rows).
+                # One probe per STATEMENT: the series key does not vary
+                # across fields, so the result is cached on the
+                # compiler instance and a multi-transform select scans
+                # the probe rows once, not once per field.
+                if self._raw_probe_exceeds is None:
+                    self._raw_probe_exceeds = (
+                        df.limit(RAW_GLOBAL_WINDOW_MAX + 1).count()
+                        > RAW_GLOBAL_WINDOW_MAX
+                    )
+                if self._raw_probe_exceeds:
                     raise InfluxQLError(
                         f"{e.func} over an untagged measurement needs a "
                         "single global window and the relation exceeds "
@@ -1557,13 +1588,25 @@ class _Compiler:
         # GROUP BY <tag> on a raw select is InfluxQL's series
         # organization: the tag rides along as an output column (and
         # the per-series LIMIT/OFFSET pagination in compile() keys on
-        # it). Tags already projected by a '*' field are not repeated.
+        # it). Tags already projected by a '*' field or named as a
+        # bare field are not repeated (a duplicate column would make
+        # the pagination window ambiguous).
         star = any(
             isinstance(f.expr, Var) and f.expr.name == "*"
             for f in self.stmt.fields
         )
+        bare_named = {
+            f.expr.name
+            for f in self.stmt.fields
+            if isinstance(f.expr, Var) and f.expr.name != "*"
+        }
         for k in keys or []:
-            if k != "measurement" and k in df.columns and not star:
+            if (
+                k != "measurement"
+                and k in df.columns
+                and not star
+                and k not in bare_named
+            ):
                 cols.append(F.col(k))
         for i, f in enumerate(self.stmt.fields):
             if isinstance(f.expr, Var) and f.expr.name == "*":

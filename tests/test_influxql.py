@@ -887,3 +887,99 @@ def test_limit_per_series_when_grouped(spark, sf_dir):
         by_user.setdefault(r.user_id, []).append(r.time)
     for uid, ts in per_user.items():
         assert ts == sorted(by_user[uid])[1:3]    # skip 1, take 2
+
+
+def test_timeless_grouped_limit_is_global(spark, sf_dir):
+    """ADVICE r6: a time-less grouped aggregate with LIMIT must compile
+    (per-series LIMIT is a no-op at one row per series — the global
+    limit applies); OFFSET alone still requires a time-ordered
+    result."""
+    rows = influxql(
+        spark, sf_dir,
+        "SELECT MEAN(value) AS m FROM click GROUP BY user_id LIMIT 2",
+    ).collect()
+    assert len(rows) == 2
+    with pytest.raises(InfluxQLError, match="time-ordered"):
+        influxql(
+            spark, sf_dir,
+            "SELECT MEAN(value) AS m FROM click "
+            "GROUP BY user_id LIMIT 2 OFFSET 1",
+        )
+
+
+def test_raw_grouped_tag_also_projected(spark, sf_dir):
+    """ADVICE r6: a raw select that explicitly projects the GROUP BY
+    tag must not emit the column twice (per-series pagination would hit
+    AMBIGUOUS_REFERENCE)."""
+    df = influxql(
+        spark, sf_dir,
+        "SELECT value, user_id FROM click "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-15' "
+        "GROUP BY user_id LIMIT 2",
+    )
+    assert df.columns.count("user_id") == 1
+    rows = df.collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.time)
+    assert len(per_user) > 1
+    assert all(len(ts) <= 2 for ts in per_user.values())
+
+
+def test_selector_bare_grouped_slimit(spark, sf_dir):
+    """ADVICE r6: selector+bare with GROUP BY <tag> SLIMIT where the
+    tag is NOT a bare field — the tag must ride along in the projection
+    so series pagination can key on it."""
+    cat = _TinyCatalog(
+        [
+            ("2024-01-01 00:00:00", "a", 5.0, 1),
+            ("2024-01-01 01:00:00", "b", 9.0, 2),
+            ("2024-01-01 02:00:00", "a", 7.0, 3),
+            ("2024-01-01 03:00:00", "b", 1.0, 4),
+        ]
+    )
+    df = influxql(
+        spark, sf_dir,
+        "SELECT MAX(value) AS mx, value FROM m "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-02' "
+        "GROUP BY host SLIMIT 1",
+        catalog=cat,
+    )
+    assert "host" in df.columns
+    rows = df.collect()
+    assert {r.host for r in rows} == {"a"}      # first series in tag order
+    assert [r.mx for r in rows] == [7.0]
+
+
+def test_untagged_raw_probe_runs_once_per_statement(
+    spark, sf_dir, monkeypatch
+):
+    """ADVICE r6: the RAW_GLOBAL_WINDOW_MAX probe is a compile-time
+    Spark action — a statement with several untagged transforms must
+    run it once, not once per field."""
+    cat = _TinyCatalog(
+        [
+            ("2024-01-01 00:00:00", "a", 1.0, 1),
+            ("2024-01-01 00:01:00", "a", 2.0, 2),
+            ("2024-01-01 00:02:00", "b", 3.0, 3),
+        ]
+    )
+    cat.schema.tags = []          # no tags, no series_col → global window
+    # patch the CONCRETE class (Spark 4's classic DataFrame overrides
+    # count; patching the pyspark.sql.DataFrame base is a no-op)
+    cls = type(cat.load(spark, "m"))
+    calls = {"n": 0}
+    orig = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    influxql(
+        spark, sf_dir,
+        "SELECT DIFFERENCE(value) AS dv, CUMULATIVE_SUM(value) AS cs "
+        "FROM m WHERE time >= '2024-01-01' AND time < '2024-01-02'",
+        catalog=cat,
+    )
+    assert calls["n"] == 1
