@@ -30,99 +30,89 @@ from . import (
 # Registration ORDER is load-bearing: the driver's correctness gate
 # walks the registry in insertion order and checks a bounded prefix
 # (50 entries every round so far), so entries WITHOUT a recent green
-# row must come first. The r6 rotation (VERDICT r5 "Next round" #1)
-# front-loads, in order: (a) the 16 oracle-backed entries added late
-# in r5 with no driver row yet (the r5 verdict's queue, verbatim),
-# (b) the entries new in r6, (c) the two whose code/hash changed in
-# r6, then (e) 23 of the r3-green cohort whose rows are 3 rounds old.
-# Everything past slot 50 holds an r3/r4/r5 green row under the
+# row must come first. The r7 rotation (VERDICT r6 "Next round" #1)
+# front-loads the r7 queue verbatim: (a) the 8 ts_* entries bumped
+# from the r6 prefix by late-r6 additions, (b) the remaining 26
+# entries of the r3-green cohort — after this round NO registry
+# entry's newest driver row is older than r4 — then (c) entries new
+# or hash-changed in r7, and (d) oldest-r4 filler up to slot 50.
+# Everything past slot 50 holds an r4/r5/r6 green row under the
 # current fixtures, so union-of-rounds coverage stays complete. Local
 # tools/check_oracles.py runs the FULL registry regardless — the
 # prefix only bounds what the driver re-certifies per round.
 _PRIORITY = [
-    # (a) oracle-backed, never driver-checked (the r5 verdict's queued
-    # 16 — added late in r5, local-green only until now)
-    "iq_bucket_offset",
-    "iq_agg_arithmetic",
-    "iq_tag_regex",
-    "iq_slimit",
-    "iq_limit_offset",
-    "iq_raw_derivative",
-    "iq_raw_running",
-    "iq_nonneg_derivative",
-    "iq_scalar_math",
-    "dedup_threshold_sweep",
-    "dedup_containment",
-    "mm_dedup_payload",
-    "pipeline_temperature_mix",
-    "ts_histogram_quantile",
-    "ts_burn_rate",
-    "ts_availability",
-    # (b) new in r6 — raw NON_NEGATIVE_ fix, untagged-series window,
-    # long-tail compiler features, perceptual dedup, SemDeDup
-    "iq_raw_nonneg",
-    "iq_raw_series",
-    "iq_selector_mixed",
-    "iq_selector_bare",
-    "iq_fill_slimit",
-    "iq_transform_nested",
-    "iq_tz",
-    "mm_dedup_perceptual",
-    "dedup_semantic",
-    # (c) changed in r6: INTEGRAL single-point → 0 on both sides
-    # (re-certify the new hash); bucket-transform loop restructured
-    # for chains (same values — prove it on the stale transform entry)
-    "iq_integral",
-    "iq_derivative_daily",
-    # (d) no r1-only stragglers remain: the r1 row named
-    # "rel_range_join", whose theta form was superseded by the
-    # registered rel_range_join_banded (r3-green, queued below)
-    # (e) back-fill: the r3-green cohort (rows now 3 rounds old) —
-    # Tier A/B reference semantics + the ts_* family first
-    "ref_narrow_points",
-    "ref_registry_cdc",
-    "ref_transducer_create",
-    "rel_pricing_summary",
-    "rel_shipping_priority",
-    "rel_topk_orders",
-    "rel_region_revenue",
-    "ts_series_scan",
-    "ts_device_wide",
-    "ts_bucket_agg",
-    "ts_last_value",
-    "ts_cross_series_join",
-    # new late in r6, must be inside the checked prefix
-    "pipeline_domain_quota",
-    "iq_limit_per_series",
-    "iq_raw_grouped",
-    "iq_distinct",
-    "iq_soffset",
-    "dedup_substring",
-    "pipeline_shard_plan",
-    "rel_small_qty_revenue",
-    "dedup_substring_spans",
-    "iq_top_tags",
-    "text_entropy",
+    # (a) bumped from the r6 prefix (r3-green, 3 rounds stale)
+    "ts_gap_fill",
+    "ts_interpolate",
+    "ts_sliding_agg",
+    "ts_moving_avg",
+    "ts_registry_enriched",
+    "ts_throughput",
+    "ts_series_catalog",
+    "ts_asof_join",
+    # (b) the rest of the r3-green cohort (26)
+    "pipeline_interleave",
+    "rel_anti_join",
+    "rel_distinct_agg",
+    "rel_exists_subquery",
+    "rel_grouping_sets",
+    "rel_interval_overlap",
+    "rel_json_extract",
+    "rel_map_funcs",
+    "rel_outer_join",
+    "rel_quantiles",
+    "rel_range_join_banded",
+    "rel_scalar_funcs",
+    "rel_scalar_subquery",
+    "rel_semi_join",
+    "rel_unpivot",
+    "text_repetition",
+    "ts_anomaly_zscore",
+    "ts_difference",
+    "ts_ewma",
+    "ts_funnel",
+    "ts_histogram",
+    "ts_integral",
+    "ts_mad_outliers",
+    "ts_ohlc",
+    "ts_retention",
+    "ts_sessionize",
+    # (c) new/changed in r7 — inserted here as they land; each
+    # insertion pops one filler entry below to hold the 50 boundary
+    # (d) filler: the oldest r4 rows, in r4-certification order
+    "sim_mmr",
+    "iq_subquery_rollup",
+    "iq_now_relative",
+    "iq_lineitem_profile",
+    "iq_top_points",
+    "iq_show_series",
+    "iq_raw_select",
+    "iq_mean_by_day",
+    "iq_selectors",
+    "iq_percentile_weekly",
+    "iq_fill_previous",
+    "iq_regex_union",
+    "iq_show_tag_values",
+    "sim_hybrid_rrf",
+    "sim_range_search",
+    "sim_knn_exact",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
-    # sim_ann_brp/ivf/ivf_pq, rel_sketches) stay out of the prefix: a
-    # slot spent on them can never go hash-green.
+    # sim_ann_brp/ivf/ivf_pq, rel_sketches, dedup_semantic_ivf) stay
+    # out of the prefix: a slot spent on them can never go hash-green.
     #
-    # r7 ROTATION QUEUE (front-load next round): ts_gap_fill,
-    # ts_interpolate, ts_sliding_agg, ts_moving_avg,
-    # ts_registry_enriched, ts_throughput, ts_series_catalog,
-    # ts_asof_join (bumped for the late-r6 iq_distinct/iq_soffset/
-    # iq_top_tags/dedup_substring[_spans]/pipeline_shard_plan/
-    # rel_small_qty_revenue/text_entropy), then the rest of the
-    # r3-green cohort — pipeline_interleave, rel_anti_join,
-    # rel_distinct_agg, rel_exists_subquery, rel_grouping_sets,
-    # rel_interval_overlap, rel_json_extract, rel_map_funcs,
-    # rel_outer_join, rel_quantiles, rel_range_join_banded,
-    # rel_scalar_funcs, rel_scalar_subquery, rel_semi_join,
-    # rel_unpivot, text_repetition, ts_anomaly_zscore, ts_difference, ts_ewma, ts_funnel,
-    # ts_histogram, ts_integral, ts_mad_outliers, ts_ohlc,
-    # ts_retention, ts_sessionize — then the oldest r4 rows.
-    "sim_mmr",
+    # r8 ROTATION QUEUE (front-load next round): the remaining r4-green
+    # rows not re-certified here — text_pii_scrub, text_gopher_rules,
+    # text_bigram_lm, text_langid_ngram, text_chunking, text_bm25,
+    # mm_token_budget, pipeline_dedup_mix, pipeline_curriculum,
+    # pipeline_quality_gate, ref_line_protocol, ts_mode,
+    # ts_seasonal_profile, ts_holt_winters, ts_pattern_match,
+    # ts_downsample, ts_cross_correlation, ts_cumulative_sum,
+    # ts_counter_rate, ts_percentile, ts_spread, ts_elapsed,
+    # ts_top_per_bucket, ts_sample, ts_changepoint,
+    # rel_waiting_supplier, rel_revenue_threshold,
+    # rel_sales_opportunity, rel_top_supplier, sim_centroid_assign,
+    # emb_quantize_int8 — then the oldest r5 rows.
     "dedup_minhash_ml",
     "sim_ann_brp",
     "sim_ann_ivf",
