@@ -210,14 +210,49 @@ class Select:
 @dataclass
 class Show:
     what: str  # 'measurements' | 'tag keys' | 'field keys' | 'tag values'
+    #           | 'series' | 'series cardinality' | 'retention policies'
+    #           | 'databases'
     with_key: str | None = None
-    from_measurement: str | None = None
+    # FROM in SHOW accepts a measurement name, a /regex/, or a comma
+    # list of either (aligned with the SELECT path) — str | Rgx | list.
+    from_measurement: object | None = None
+    on_database: str | None = None  # SHOW RETENTION POLICIES ON <db>
 
 
 @dataclass
 class Delete:
     measurement: str | None  # None = every measurement (DROP-less form)
     where: object | None
+
+
+@dataclass
+class DropSeries:
+    """``DROP SERIES FROM <m> [WHERE <tag predicate>]`` — removes whole
+    series (every point). InfluxQL forbids time bounds here; the WHERE
+    may reference tags only (influx docs, data-exploration)."""
+
+    measurement: object | None  # str | Rgx | list | None
+    where: object | None
+
+
+@dataclass
+class RetentionPolicyStmt:
+    """CREATE/ALTER/DROP RETENTION POLICY — InfluxDB 1.x management
+    DDL, lowered onto :mod:`..retention`'s MetaStore + enforcement."""
+
+    action: str  # 'create' | 'alter' | 'drop'
+    name: str
+    database: str
+    duration_ns: int | None = None  # parsed DURATION; None = not given
+    infinite: bool = False  # DURATION INF
+    replication: int | None = None
+    shard_ns: int | None = None  # SHARD DURATION
+    default: bool = False
+
+
+@dataclass
+class CreateDatabase:
+    name: str
 
 
 class _Parser:
@@ -313,29 +348,112 @@ class _Parser:
             if m is None and where is None:
                 raise InfluxQLError("DELETE needs FROM or WHERE")
             stmt = Delete(m, where)
+        elif self.kw("CREATE"):
+            if self.kw("DATABASE"):
+                stmt = CreateDatabase(self._ident("database name"))
+            else:
+                self.expect_kw("RETENTION")
+                self.expect_kw("POLICY")
+                stmt = self._retention_policy("create")
+        elif self.kw("ALTER"):
+            self.expect_kw("RETENTION")
+            self.expect_kw("POLICY")
+            stmt = self._retention_policy("alter")
         elif self.kw("DROP"):
-            self.expect_kw("MEASUREMENT")
-            t = self.next()
-            if t.kind != "ident":
-                raise InfluxQLError(f"expected measurement at {t.pos}")
-            stmt = Delete(t.text, None)
+            if self.kw("SERIES"):
+                m = self._opt_from_multi()
+                where = self._expr() if self.kw("WHERE") else None
+                if m is None and where is None:
+                    raise InfluxQLError("DROP SERIES needs FROM or WHERE")
+                stmt = DropSeries(m, where)
+            elif self.kw("RETENTION"):
+                self.expect_kw("POLICY")
+                name = self._ident("policy name")
+                self.expect_kw("ON")
+                db = self._ident("database name")
+                stmt = RetentionPolicyStmt("drop", name, db)
+            else:
+                self.expect_kw("MEASUREMENT")
+                stmt = Delete(self._ident("measurement"), None)
         else:
             self.expect_kw("SELECT")
             stmt = self._select()
         return stmt
 
+    def _ident(self, what: str) -> str:
+        t = self.next()
+        if t.kind != "ident":
+            raise InfluxQLError(f"expected {what} at {t.pos}, got {t.text!r}")
+        return t.text
+
+    def _retention_policy(self, action: str) -> RetentionPolicyStmt:
+        """The clause tail shared by CREATE and ALTER RETENTION POLICY:
+        ``<name> ON <db> [DURATION <dur>|INF] [REPLICATION <n>]
+        [SHARD DURATION <dur>] [DEFAULT]`` — CREATE requires DURATION
+        and REPLICATION (InfluxDB 1.x grammar); ALTER takes any
+        subset."""
+        name = self._ident("policy name")
+        self.expect_kw("ON")
+        db = self._ident("database name")
+        dur_ns: int | None = None
+        infinite = False
+        repl: int | None = None
+        shard_ns: int | None = None
+        default = False
+        while True:
+            if self.kw("DURATION"):
+                d = self.next()
+                if d.kind == "dur":
+                    dur_ns = _dur_ns(d.text)
+                elif d.kind == "ident" and d.text.upper() == "INF":
+                    infinite = True
+                else:
+                    raise InfluxQLError(
+                        f"expected duration or INF at {d.pos}"
+                    )
+            elif self.kw("REPLICATION"):
+                repl = self._int()
+            elif self.kw("SHARD"):
+                self.expect_kw("DURATION")
+                d = self.next()
+                if d.kind != "dur":
+                    raise InfluxQLError(f"expected duration at {d.pos}")
+                shard_ns = _dur_ns(d.text)
+            elif self.kw("DEFAULT"):
+                default = True
+            else:
+                break
+        if action == "create":
+            if dur_ns is None and not infinite:
+                raise InfluxQLError("CREATE RETENTION POLICY needs DURATION")
+            if repl is None:
+                raise InfluxQLError(
+                    "CREATE RETENTION POLICY needs REPLICATION"
+                )
+        return RetentionPolicyStmt(
+            action, name, db, dur_ns, infinite, repl, shard_ns, default
+        )
+
     def _show(self) -> Show:
         if self.kw("MEASUREMENTS"):
             return Show("measurements")
+        if self.kw("DATABASES"):
+            return Show("databases")
+        if self.kw("RETENTION"):
+            self.expect_kw("POLICIES")
+            db = self._ident("database name") if self.kw("ON") else None
+            return Show("retention policies", on_database=db)
         if self.kw("SERIES"):
             if self.kw("CARDINALITY"):
-                return Show("series cardinality", from_measurement=self._opt_from())
-            return Show("series", from_measurement=self._opt_from())
+                return Show(
+                    "series cardinality", from_measurement=self._opt_from_multi()
+                )
+            return Show("series", from_measurement=self._opt_from_multi())
         if self.kw("TAG"):
             if self.kw("KEYS"):
-                return Show("tag keys", from_measurement=self._opt_from())
+                return Show("tag keys", from_measurement=self._opt_from_multi())
             self.expect_kw("VALUES")
-            frm = self._opt_from()
+            frm = self._opt_from_multi()
             self.expect_kw("WITH")
             self.expect_kw("KEY")
             self.expect_op("=")
@@ -345,7 +463,7 @@ class _Parser:
             return Show("tag values", with_key=key.text, from_measurement=frm)
         if self.kw("FIELD"):
             self.expect_kw("KEYS")
-            return Show("field keys", from_measurement=self._opt_from())
+            return Show("field keys", from_measurement=self._opt_from_multi())
         t = self.peek()
         raise InfluxQLError(f"unsupported SHOW at {t.pos}: {t.text!r}")
 
@@ -356,6 +474,26 @@ class _Parser:
                 raise InfluxQLError(f"expected measurement at {t.pos}")
             return t.text
         return None
+
+    def _opt_from_multi(self):
+        """SHOW/DROP SERIES ``FROM``: a bare name, a ``/regex/``, or a
+        comma list of either (the SELECT path's source grammar) —
+        returns ``None`` or a list of ``str | Rgx``."""
+        if not self.kw("FROM"):
+            return None
+        items = [self._from_item()]
+        while self.at_op(","):
+            items.append(self._from_item())
+        return items
+
+    def _from_item(self):
+        t = self.peek()
+        if t.kind == "op" and t.text == "/":
+            return self._regex_literal()
+        t = self.next()
+        if t.kind != "ident":
+            raise InfluxQLError(f"expected measurement at {t.pos}")
+        return t.text
 
     def _select(self) -> Select:
         fields = [self._field()]
@@ -1990,7 +2128,8 @@ class _Compiler:
 
 
 def influxql(
-    spark: SparkSession, sf_dir: str, query: str, catalog=None, now=None
+    spark: SparkSession, sf_dir: str, query: str, catalog=None, now=None,
+    meta=None,
 ) -> DataFrame:
     """Compile one InfluxQL statement against the fixture catalog (or a
     user-supplied one) and return the lazy DataFrame plan.
@@ -2007,7 +2146,12 @@ def influxql(
     cat = catalog or EventsCatalog(sf_dir)
     stmt = parse(query)
     if isinstance(stmt, Show):
-        return _compile_show(spark, cat, stmt)
+        return _compile_show(spark, cat, stmt, meta=meta)
+    if isinstance(stmt, (RetentionPolicyStmt, CreateDatabase, DropSeries)):
+        raise InfluxQLError(
+            "management DDL is not a read statement — apply it with "
+            "influxql_admin (policies/databases) or influxql_drop_series"
+        )
     return _Compiler(spark, cat, stmt, now=now).compile()
 
 
@@ -2123,11 +2267,49 @@ def influxql_into(
     return table
 
 
-def _compile_show(spark: SparkSession, cat, stmt: Show) -> DataFrame:
+def _show_measurements(cat, frm) -> list[str]:
+    """Resolve a SHOW/DROP SERIES FROM clause (None, name, /regex/, or
+    a comma list) to concrete measurement names, in catalog order for
+    regexes — the same resolution the SELECT path applies."""
+    known = cat.measurement_names()
+    if frm is None:
+        return list(known)
+    items = frm if isinstance(frm, list) else [frm]
+    out: list[str] = []
+    for item in items:
+        if isinstance(item, Rgx):
+            rx = re.compile(item.pattern)
+            out.extend(n for n in known if rx.search(n))
+        else:
+            out.append(item)
+    seen: set[str] = set()
+    uniq = [n for n in out if not (n in seen or seen.add(n))]
+    if not uniq:
+        raise InfluxQLError("no measurement matched FROM clause")
+    return uniq
+
+
+def _union_measurements(spark, cat, names: list[str]) -> DataFrame:
+    if len(names) > 1 and hasattr(cat, "load_many"):
+        return cat.load_many(spark, names)
+    df = cat.load(spark, names[0])
+    for n in names[1:]:
+        df = df.unionByName(cat.load(spark, n))
+    return df
+
+
+def _compile_show(spark: SparkSession, cat, stmt: Show, meta=None) -> DataFrame:
     sch: MeasurementSchema = cat.schema
     if stmt.what == "measurements":
         names = sorted(cat.measurement_names())
         return spark.createDataFrame([(n,) for n in names], "name string")
+    if stmt.what in ("databases", "retention policies"):
+        if meta is None:
+            raise InfluxQLError(
+                f"SHOW {stmt.what.upper()} needs a MetaStore — pass meta= "
+                "(see ..retention.MetaStore) or use influxql_admin"
+            )
+        return _compile_show_meta(spark, meta, stmt)
     if stmt.what == "tag keys":
         return spark.createDataFrame([(t,) for t in sorted(sch.tags)], "tagKey string")
     if stmt.what == "field keys":
@@ -2136,17 +2318,8 @@ def _compile_show(spark: SparkSession, cat, stmt: Show) -> DataFrame:
             "fieldKey string, fieldType string",
         )
     if stmt.what in ("series", "series cardinality"):
-        names = (
-            [stmt.from_measurement]
-            if stmt.from_measurement
-            else cat.measurement_names()
-        )
-        if len(names) > 1 and hasattr(cat, "load_many"):
-            df = cat.load_many(spark, names)
-        else:
-            df = cat.load(spark, names[0])
-            for n in names[1:]:
-                df = df.unionByName(cat.load(spark, n))
+        names = _show_measurements(cat, stmt.from_measurement)
+        df = _union_measurements(spark, cat, names)
         key = F.concat_ws(
             ",",
             F.col("measurement"),
@@ -2162,14 +2335,8 @@ def _compile_show(spark: SparkSession, cat, stmt: Show) -> DataFrame:
     if stmt.what == "tag values":
         if stmt.with_key not in sch.tags:
             raise InfluxQLError(f"unknown tag key {stmt.with_key!r}")
-        names = (
-            [stmt.from_measurement]
-            if stmt.from_measurement
-            else cat.measurement_names()
-        )
-        df = cat.load(spark, names[0])
-        for n in names[1:]:
-            df = df.unionByName(cat.load(spark, n))
+        names = _show_measurements(cat, stmt.from_measurement)
+        df = _union_measurements(spark, cat, names)
         return (
             df.select(
                 F.lit(stmt.with_key).alias("key"),
@@ -2179,3 +2346,112 @@ def _compile_show(spark: SparkSession, cat, stmt: Show) -> DataFrame:
             .orderBy("value")
         )
     raise InfluxQLError(f"unsupported SHOW {stmt.what}")
+
+
+def _compile_show_meta(spark: SparkSession, meta, stmt: Show) -> DataFrame:
+    """SHOW DATABASES / SHOW RETENTION POLICIES against a MetaStore —
+    dimension-sized literal relations (InfluxDB 1.x column layout)."""
+    if stmt.what == "databases":
+        return spark.createDataFrame(
+            [(n,) for n in sorted(meta.databases())], "name string"
+        )
+    db = stmt.on_database
+    if db is None:
+        names = meta.databases()
+        if len(names) != 1:
+            raise InfluxQLError(
+                "SHOW RETENTION POLICIES needs ON <db> when more than "
+                "one database exists"
+            )
+        db = names[0]
+    rows = [
+        (
+            p.name,
+            p.duration_display(),
+            p.shard_display(),
+            p.replication,
+            p.name == meta.default_policy_name(db),
+        )
+        for p in meta.policies(db)
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "name string, duration string, shardGroupDuration string, "
+        "replicaN int, default boolean",
+    )
+
+
+def _refs_time(e) -> bool:
+    if isinstance(e, Var):
+        return e.name.lower() == "time"
+    if isinstance(e, Bin):
+        return _refs_time(e.left) or _refs_time(e.right)
+    if isinstance(e, Call):
+        return e.func == "NOW" or any(_refs_time(a) for a in e.args)
+    return False
+
+
+def drop_series_condition(stmt: DropSeries, catalog=None) -> Column:
+    """The row predicate a DROP SERIES statement selects for removal.
+    InfluxQL forbids time bounds in DROP SERIES (whole-series removal
+    only) — a WHERE referencing ``time`` is rejected."""
+    if stmt.where is not None and _refs_time(stmt.where):
+        raise InfluxQLError(
+            "DROP SERIES cannot filter on time — it removes whole "
+            "series; use DELETE for time-ranged removal"
+        )
+    cond = F.lit(True)
+    if stmt.measurement is not None:
+        names = (
+            _show_measurements(catalog, stmt.measurement)
+            if catalog is not None
+            else [m for m in (
+                stmt.measurement
+                if isinstance(stmt.measurement, list)
+                else [stmt.measurement]
+            ) if not isinstance(m, Rgx)]
+        )
+        if not names:
+            raise InfluxQLError(
+                "DROP SERIES FROM /regex/ needs a catalog to resolve "
+                "measurement names"
+            )
+        cond = cond & F.col("measurement").isin(names)
+    if stmt.where is not None:
+        cond = cond & _bare_compiler(None)._cond(stmt.where)
+    return cond
+
+
+def influxql_drop_series(table, query: str, catalog=None) -> None:
+    """Apply ``DROP SERIES FROM <m> WHERE <tag>=...`` to a points
+    SnapshotTable — one atomic snapshot version removing every point of
+    the matching series (the series also disappears from SHOW SERIES,
+    which derives from the data). Mirrors the reference's management
+    surface (``influx_service.py:183-200`` keeps the database/series
+    model InfluxDB tooling manages with these statements)."""
+    stmt = parse(query)
+    if not isinstance(stmt, DropSeries):
+        raise InfluxQLError("influxql_drop_series needs a DROP SERIES statement")
+    table.delete(drop_series_condition(stmt, catalog))
+
+
+def influxql_admin(spark: SparkSession, meta, query: str):
+    """Execute a management statement against a MetaStore: CREATE
+    DATABASE, CREATE/ALTER/DROP RETENTION POLICY (returns None), SHOW
+    DATABASES / SHOW RETENTION POLICIES (returns a DataFrame). The
+    policy catalog then drives ``..retention.retention_filter``
+    (query-time expiry) and ``enforce_retention`` (the storage
+    sweep)."""
+    stmt = parse(query)
+    if isinstance(stmt, CreateDatabase):
+        meta.create_database(stmt.name)
+        return None
+    if isinstance(stmt, RetentionPolicyStmt):
+        meta.apply_policy_stmt(stmt)
+        return None
+    if isinstance(stmt, Show) and stmt.what in ("databases", "retention policies"):
+        return _compile_show_meta(spark, meta, stmt)
+    raise InfluxQLError(
+        "influxql_admin handles CREATE DATABASE, CREATE/ALTER/DROP "
+        "RETENTION POLICY, SHOW DATABASES, SHOW RETENTION POLICIES"
+    )

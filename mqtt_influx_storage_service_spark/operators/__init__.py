@@ -77,9 +77,15 @@ _PRIORITY = [
     "ts_ohlc",
     "ts_retention",
     "ts_sessionize",
-    # (c) new/changed in r7 — inserted here as they land; each
-    # insertion pops one filler entry below to hold the 50 boundary
+    # (c) new/changed in r7 — each insertion popped one filler entry
+    # below to hold the 50 boundary
+    "iq_retention_policies",
+    "iq_drop_series",
+    "iq_retention_filter",
+    "iq_show_tag_values_regex",
     # (d) filler: the oldest r4 rows, in r4-certification order
+    # (iq_show_series / iq_show_tag_values kept: their SHOW FROM
+    # resolution changed to the multi/regex path in r7)
     "sim_mmr",
     "iq_subquery_rollup",
     "iq_now_relative",
@@ -91,11 +97,7 @@ _PRIORITY = [
     "iq_selectors",
     "iq_percentile_weekly",
     "iq_fill_previous",
-    "iq_regex_union",
     "iq_show_tag_values",
-    "sim_hybrid_rrf",
-    "sim_range_search",
-    "sim_knn_exact",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
     # sim_ann_brp/ivf/ivf_pq, rel_sketches, dedup_semantic_ivf) stay

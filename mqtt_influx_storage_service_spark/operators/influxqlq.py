@@ -1249,6 +1249,143 @@ CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) h
 """
 
 
+# -- 20. management surface (r7): retention DDL, DROP SERIES, SHOW regex --
+
+# SHOW FROM accepts /regex/ like the SELECT path (aligning the series
+# catalog surface with what dashboard tooling issues).
+IQ_SHOW_TAG_VALUES_REGEX = (
+    "SHOW TAG VALUES FROM /^(click|view)$/ WITH KEY = user_id"
+)
+
+IQ_SHOW_TAG_VALUES_REGEX_SQL = """
+SELECT DISTINCT 'user_id' AS key, CAST(user_id AS VARCHAR) AS value
+FROM events
+WHERE event_type IN ('click', 'view')
+"""
+
+# CREATE/ALTER RETENTION POLICY → SHOW RETENTION POLICIES: the stored
+# management model (databases → policies) InfluxDB 1.x tooling
+# administers; the reference ensures its database + default policy
+# exist at startup (influx_service.py:183-200). Deterministic literal
+# relation — the oracle re-states InfluxDB's documented display rules
+# (Go-duration format, derived shard-group durations, DEFAULT flip).
+_IQ_RETENTION_DDL = [
+    "CREATE DATABASE telemetry",
+    "CREATE RETENTION POLICY short ON telemetry "
+    "DURATION 36h REPLICATION 2",
+    "CREATE RETENTION POLICY keep180 ON telemetry "
+    "DURATION 4320h REPLICATION 1 SHARD DURATION 168h DEFAULT",
+    "ALTER RETENTION POLICY short ON telemetry DURATION 48h",
+]
+
+
+def _iq_retention_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL management DDL batch ending in SHOW RETENTION POLICIES
+    (autogen infinite default + created/altered policies; shard-group
+    durations derive from InfluxDB's <2d→1h / ≤6mo→1d / else 7d
+    rule)."""
+    from ..functions.influxql import influxql_admin
+    from ..retention import MetaStore
+
+    meta = MetaStore()
+    for ddl in _IQ_RETENTION_DDL:
+        influxql_admin(spark, meta, ddl)
+    return influxql_admin(spark, meta, "SHOW RETENTION POLICIES ON telemetry")
+
+
+IQ_RETENTION_POLICIES_SQL = """
+SELECT * FROM (VALUES
+    ('autogen', '0s',        '168h0m0s', 1, false),
+    ('keep180', '4320h0m0s', '168h0m0s', 1, true),
+    ('short',   '48h0m0s',   '24h0m0s',  2, false)
+) AS t(name, duration, shardGroupDuration, replicaN, "default")
+"""
+
+
+def _iq_drop_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP SERIES FROM click, error WHERE user_id = 7 — the QUERY-TIME
+    complement: per-measurement count/sum of the points that survive
+    the series removal (the storage mutation itself is one atomic
+    SnapshotTable.delete, pinned in tests/test_influxql.py). The
+    predicate is measurement IN (...) AND tag equality — pushed to the
+    scan, no shuffle beyond the dimension-sized final aggregate."""
+    from ..functions.influxql import (
+        EventsCatalog,
+        drop_series_condition,
+        parse,
+    )
+
+    cat = EventsCatalog(sf_dir)
+    stmt = parse("DROP SERIES FROM click, error WHERE user_id = 7")
+    cond = drop_series_condition(stmt, cat)
+    pts = cat.load_many(spark, cat.measurement_names())
+    return (
+        pts.filter(~cond)
+        .groupBy("measurement")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("measurement")
+    )
+
+
+IQ_DROP_SERIES_SQL = """
+SELECT event_type AS measurement,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE NOT (event_type IN ('click', 'error') AND user_id = 7)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _iq_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time retention expiry: points past the default policy's
+    cutoff are invisible immediately (InfluxDB RP semantics), before
+    any storage sweep runs. The filter is a literal ts bound →
+    parquet rowgroup pushdown + date-partition pruning; zero cost at
+    100 TB. Policy comes from the MetaStore the DDL built."""
+    import datetime
+
+    from ..functions.influxql import influxql_admin
+    from ..retention import MetaStore, retention_filter
+
+    meta = MetaStore()
+    influxql_admin(spark, meta, "CREATE DATABASE telemetry")
+    influxql_admin(
+        spark,
+        meta,
+        "CREATE RETENTION POLICY keep10d ON telemetry "
+        "DURATION 240h REPLICATION 1 DEFAULT",
+    )
+    pol = meta.default_policy("telemetry")
+    ev = load_table(spark, sf_dir, "events")
+    kept = retention_filter(
+        ev, pol, datetime.datetime(2024, 1, 20), time_col="ts"
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+IQ_RETENTION_FILTER_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "iq_holt_winters_seasonal": _q(IQ_HOLT_WINTERS_SEASONAL),
     "iq_fill_linear": _q(IQ_FILL_LINEAR),
@@ -1291,6 +1428,10 @@ QUERIES = {
     "iq_derivative_daily": _q(IQ_DERIVATIVE_DAILY),
     "iq_regex_union": _q(IQ_REGEX_UNION),
     "iq_show_tag_values": _q(IQ_SHOW_TAG_VALUES),
+    "iq_show_tag_values_regex": _q(IQ_SHOW_TAG_VALUES_REGEX),
+    "iq_retention_policies": _iq_retention_policies,
+    "iq_drop_series": _iq_drop_series,
+    "iq_retention_filter": _iq_retention_filter,
 }
 
 ORACLES = {
@@ -1335,4 +1476,8 @@ ORACLES = {
     "iq_derivative_daily": IQ_DERIVATIVE_DAILY_SQL,
     "iq_regex_union": IQ_REGEX_UNION_SQL,
     "iq_show_tag_values": IQ_SHOW_TAG_VALUES_SQL,
+    "iq_show_tag_values_regex": IQ_SHOW_TAG_VALUES_REGEX_SQL,
+    "iq_retention_policies": IQ_RETENTION_POLICIES_SQL,
+    "iq_drop_series": IQ_DROP_SERIES_SQL,
+    "iq_retention_filter": IQ_RETENTION_FILTER_SQL,
 }

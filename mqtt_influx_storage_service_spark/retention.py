@@ -36,15 +36,64 @@ from pyspark.sql import functions as F
 
 from .functions.influxql import _dur_ns
 
-__all__ = ["RetentionPolicy", "retention_filter", "enforce_retention"]
+__all__ = [
+    "RetentionPolicy",
+    "MetaStore",
+    "retention_filter",
+    "enforce_retention",
+    "go_duration",
+    "default_shard_ns",
+]
+
+_HOUR_NS = 3_600 * 10**9
+
+
+def go_duration(ns: int | None) -> str:
+    """Format nanoseconds the way InfluxDB prints policy durations (Go
+    duration notation: ``720h0m0s``); infinite retention prints ``0s``,
+    exactly InfluxDB's SHOW RETENTION POLICIES output."""
+    if not ns:
+        return "0s"
+    s = ns // 1_000_000_000
+    h, rem = divmod(s, 3600)
+    m, sec = divmod(rem, 60)
+    if h:
+        return f"{h}h{m}m{sec}s"
+    if m:
+        return f"{m}m{sec}s"
+    return f"{sec}s"
+
+
+def default_shard_ns(duration_ns: int | None) -> int:
+    """InfluxDB's shard-group duration defaults: policies under 2 days
+    get 1 h groups, 2 days–6 months get 1 day, longer (or infinite)
+    get 7 days. The shard group is the O(1) retention-drop unit — here
+    it maps to the warehouse's ``ingest_date=`` partitions."""
+    if duration_ns is None:
+        return 7 * 24 * _HOUR_NS
+    if duration_ns < 2 * 24 * _HOUR_NS:
+        return _HOUR_NS
+    if duration_ns <= 180 * 24 * _HOUR_NS:
+        return 24 * _HOUR_NS
+    return 7 * 24 * _HOUR_NS
 
 
 class RetentionPolicy:
     """A named retention policy: ``duration`` is an InfluxQL duration
     literal (``'30d'``, ``'26w'``) or an integer of nanoseconds;
-    ``duration=None`` (or ``'inf'``) means keep forever."""
+    ``duration=None`` (or ``'inf'``) means keep forever. ``replication``
+    and ``shard_ns`` carry InfluxDB's remaining policy attributes —
+    replication is metadata here (Spark's storage layer owns physical
+    redundancy), the shard duration feeds SHOW output and documents the
+    retention-drop granularity."""
 
-    def __init__(self, duration: str | int | None, name: str = "autogen"):
+    def __init__(
+        self,
+        duration: str | int | None,
+        name: str = "autogen",
+        replication: int = 1,
+        shard_ns: int | None = None,
+    ):
         self.name = name
         if duration is None or duration == "inf":
             self.duration_ns: int | None = None
@@ -52,11 +101,129 @@ class RetentionPolicy:
             self.duration_ns = duration
         else:
             self.duration_ns = _dur_ns(duration)
+        self.replication = replication
+        self._shard_ns = shard_ns
+
+    @property
+    def shard_ns(self) -> int:
+        return (
+            self._shard_ns
+            if self._shard_ns is not None
+            else default_shard_ns(self.duration_ns)
+        )
+
+    def duration_display(self) -> str:
+        return go_duration(self.duration_ns)
+
+    def shard_display(self) -> str:
+        return go_duration(self.shard_ns)
 
     def cutoff(self, now: _dt.datetime) -> _dt.datetime | None:
         if self.duration_ns is None:
             return None
         return now - _dt.timedelta(microseconds=self.duration_ns // 1000)
+
+
+class MetaStore:
+    """Database → retention-policy catalog: the stored management model
+    InfluxDB tooling administers with CREATE/ALTER/DROP RETENTION
+    POLICY and SHOW DATABASES/RETENTION POLICIES (the reference service
+    writes into exactly this model — ``influx_service.py:183-200``
+    ensures its database and default policy exist at startup). Pure
+    driver-side metadata: dimension-sized, never touches point data —
+    enforcement happens through :func:`retention_filter` (query-time)
+    and :func:`enforce_retention` (storage sweep) using the policies
+    looked up here."""
+
+    def __init__(self):
+        self._dbs: dict[str, dict[str, RetentionPolicy]] = {}
+        self._default: dict[str, str] = {}
+
+    # -- databases ---------------------------------------------------------
+    def create_database(self, name: str) -> None:
+        """Idempotent, like InfluxDB's CREATE DATABASE: a new database
+        gets the ``autogen`` infinite-retention default policy."""
+        if name in self._dbs:
+            return
+        self._dbs[name] = {"autogen": RetentionPolicy(None, "autogen")}
+        self._default[name] = "autogen"
+
+    def databases(self) -> list[str]:
+        return list(self._dbs)
+
+    def _db(self, name: str) -> dict[str, RetentionPolicy]:
+        if name not in self._dbs:
+            raise KeyError(f"database {name!r} does not exist")
+        return self._dbs[name]
+
+    # -- policies ----------------------------------------------------------
+    def policies(self, db: str) -> list[RetentionPolicy]:
+        return list(self._db(db).values())
+
+    def policy(self, db: str, name: str) -> RetentionPolicy:
+        pols = self._db(db)
+        if name not in pols:
+            raise KeyError(f"retention policy {name!r} not found on {db!r}")
+        return pols[name]
+
+    def default_policy_name(self, db: str) -> str:
+        self._db(db)
+        return self._default[db]
+
+    def default_policy(self, db: str) -> RetentionPolicy:
+        return self.policy(db, self.default_policy_name(db))
+
+    def apply_policy_stmt(self, stmt) -> None:
+        """Lower a parsed CREATE/ALTER/DROP RETENTION POLICY statement
+        (``functions.influxql.RetentionPolicyStmt``) onto the catalog,
+        with InfluxDB's error semantics: CREATE of an existing name
+        fails, ALTER of a missing name fails, the default policy cannot
+        be dropped."""
+        pols = self._db(stmt.database)
+        if stmt.action == "create":
+            if stmt.name in pols:
+                raise ValueError(
+                    f"retention policy {stmt.name!r} already exists"
+                )
+            dur = None if stmt.infinite else stmt.duration_ns
+            pols[stmt.name] = RetentionPolicy(
+                dur,
+                stmt.name,
+                replication=stmt.replication or 1,
+                shard_ns=stmt.shard_ns,
+            )
+            if stmt.default:
+                self._default[stmt.database] = stmt.name
+        elif stmt.action == "alter":
+            if stmt.name not in pols:
+                raise KeyError(
+                    f"retention policy {stmt.name!r} not found on "
+                    f"{stmt.database!r}"
+                )
+            p = pols[stmt.name]
+            if stmt.infinite:
+                p.duration_ns = None
+            elif stmt.duration_ns is not None:
+                p.duration_ns = stmt.duration_ns
+            if stmt.replication is not None:
+                p.replication = stmt.replication
+            if stmt.shard_ns is not None:
+                p._shard_ns = stmt.shard_ns
+            if stmt.default:
+                self._default[stmt.database] = stmt.name
+        elif stmt.action == "drop":
+            if stmt.name not in pols:
+                raise KeyError(
+                    f"retention policy {stmt.name!r} not found on "
+                    f"{stmt.database!r}"
+                )
+            if self._default[stmt.database] == stmt.name:
+                raise ValueError(
+                    f"cannot drop the default policy {stmt.name!r}"
+                )
+            del pols[stmt.name]
+        else:
+            raise ValueError(f"unknown policy action {stmt.action!r}")
 
 
 def retention_filter(

@@ -87,3 +87,137 @@ def test_query_filter_prunes_partitions(spark, tmp_path):
     plan = vis._jdf.queryExecution().executedPlan().toString()
     # the partition predicate must reach the scan (PartitionFilters)
     assert "ingest_date" in plan and "2024-01-13" in plan
+
+
+# -- r7: management DDL → MetaStore ----------------------------------------
+
+
+def test_go_duration_format():
+    from mqtt_influx_storage_service_spark.retention import go_duration
+
+    H = 3_600 * 10**9
+    assert go_duration(None) == "0s"
+    assert go_duration(0) == "0s"
+    assert go_duration(720 * H) == "720h0m0s"
+    assert go_duration(90 * 60 * 10**9) == "1h30m0s"
+    assert go_duration(45 * 10**9) == "45s"
+    assert go_duration(30 * 60 * 10**9) == "30m0s"
+
+
+def test_default_shard_duration_rules():
+    from mqtt_influx_storage_service_spark.retention import default_shard_ns
+
+    H = 3_600 * 10**9
+    assert default_shard_ns(None) == 7 * 24 * H           # inf → 7d
+    assert default_shard_ns(36 * H) == H                  # <2d → 1h
+    assert default_shard_ns(48 * H) == 24 * H             # 2d..6mo → 1d
+    assert default_shard_ns(180 * 24 * H) == 24 * H       # boundary
+    assert default_shard_ns(181 * 24 * H) == 7 * 24 * H   # >6mo → 7d
+
+
+def test_metastore_ddl_semantics(spark):
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        InfluxQLError,
+        influxql_admin,
+    )
+    from mqtt_influx_storage_service_spark.retention import MetaStore
+
+    meta = MetaStore()
+    influxql_admin(spark, meta, "CREATE DATABASE db1")
+    influxql_admin(spark, meta, "CREATE DATABASE db1")  # idempotent
+    assert meta.databases() == ["db1"]
+    assert meta.default_policy_name("db1") == "autogen"
+    assert meta.default_policy("db1").duration_ns is None
+
+    influxql_admin(
+        spark, meta,
+        "CREATE RETENTION POLICY wk ON db1 DURATION 168h REPLICATION 1 "
+        "DEFAULT",
+    )
+    assert meta.default_policy_name("db1") == "wk"
+    # CREATE of an existing policy fails (InfluxDB error semantics)
+    with pytest.raises(ValueError, match="already exists"):
+        influxql_admin(
+            spark, meta,
+            "CREATE RETENTION POLICY wk ON db1 DURATION 1h REPLICATION 1",
+        )
+    # ALTER of a missing policy fails
+    with pytest.raises(KeyError, match="not found"):
+        influxql_admin(
+            spark, meta, "ALTER RETENTION POLICY nope ON db1 DURATION 1h"
+        )
+    # ALTER back to infinite
+    influxql_admin(spark, meta, "ALTER RETENTION POLICY wk ON db1 DURATION INF")
+    assert meta.default_policy("db1").duration_ns is None
+    # the default policy cannot be dropped
+    with pytest.raises(ValueError, match="default"):
+        influxql_admin(spark, meta, "DROP RETENTION POLICY wk ON db1")
+    influxql_admin(spark, meta, "DROP RETENTION POLICY autogen ON db1")
+    assert [p.name for p in meta.policies("db1")] == ["wk"]
+    # unknown database
+    with pytest.raises(KeyError, match="does not exist"):
+        influxql_admin(
+            spark, meta, "ALTER RETENTION POLICY wk ON ghost DURATION 1h"
+        )
+    # CREATE grammar: DURATION and REPLICATION are mandatory
+    with pytest.raises(InfluxQLError, match="DURATION"):
+        influxql_admin(
+            spark, meta, "CREATE RETENTION POLICY x ON db1 REPLICATION 1"
+        )
+    with pytest.raises(InfluxQLError, match="REPLICATION"):
+        influxql_admin(
+            spark, meta, "CREATE RETENTION POLICY x ON db1 DURATION 1h"
+        )
+
+
+def test_show_retention_policies_requires_db_when_ambiguous(spark):
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        InfluxQLError,
+        influxql_admin,
+    )
+    from mqtt_influx_storage_service_spark.retention import MetaStore
+
+    meta = MetaStore()
+    influxql_admin(spark, meta, "CREATE DATABASE a")
+    # single database: ON is optional
+    rows = influxql_admin(spark, meta, "SHOW RETENTION POLICIES").collect()
+    assert [r.name for r in rows] == ["autogen"]
+    assert rows[0].duration == "0s" and rows[0].default
+    influxql_admin(spark, meta, "CREATE DATABASE b")
+    with pytest.raises(InfluxQLError, match="ON"):
+        influxql_admin(spark, meta, "SHOW RETENTION POLICIES")
+    dbs = influxql_admin(spark, meta, "SHOW DATABASES").collect()
+    assert [r.name for r in dbs] == ["a", "b"]
+
+
+def test_show_meta_needs_store(spark, sf_dir):
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        InfluxQLError,
+        influxql,
+    )
+
+    with pytest.raises(InfluxQLError, match="MetaStore"):
+        influxql(spark, sf_dir, "SHOW RETENTION POLICIES ON x")
+
+
+def test_metastore_policy_drives_enforcement(spark, tmp_path):
+    """The DDL-built policy plugs straight into the existing sweep:
+    CREATE RETENTION POLICY → enforce_retention drops expired
+    partitions, same as a hand-built RetentionPolicy."""
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        influxql_admin,
+    )
+    from mqtt_influx_storage_service_spark.retention import MetaStore
+
+    meta = MetaStore()
+    influxql_admin(spark, meta, "CREATE DATABASE t")
+    influxql_admin(
+        spark, meta,
+        "CREATE RETENTION POLICY keep2d ON t DURATION 48h REPLICATION 1 "
+        "DEFAULT",
+    )
+    wh = _warehouse(spark, tmp_path, [10, 12, 14])
+    removed = enforce_retention(
+        wh, meta.default_policy("t"), dt.datetime(2024, 1, 15, 12)
+    )
+    assert removed == ["ingest_date=2024-01-10", "ingest_date=2024-01-12"]
