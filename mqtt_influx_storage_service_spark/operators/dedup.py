@@ -1175,17 +1175,63 @@ GROUP BY doc_id
 SUBSTR_TOKENS = 16  # minimum duplicated-span length detected (tokens)
 # Above this doc count the window hash switches from
 # md5(array_join(window)) — byte-reproducible in DuckDB, so the fixture
-# path stays oracle-hashable — to xxhash64 over the token-array slice
-# itself: no per-window string concatenation, and the shuffle/groupBy
-# key is an 8-byte long instead of a 32-char digest string (≈5× less
-# key payload through the two corpus-token-sized exchanges). Identical
-# semantics modulo hash collisions (64-bit: negligible at any corpus
-# this engine will see); same gate discipline as GEMM_EXACT_MAX.
-# Measured honestly: at the 50k-doc stress scale wall-time is PARITY
-# (2.2-3.4 s warm, both kernels — the scan dominates); the win is
-# exchange byte volume, which matters when the shuffle spills at real
-# scale, not at a scale that fits in page cache.
+# path stays oracle-hashable — to xxhash64 over the token-array slice:
+# no per-window string concatenation, and the shuffle/groupBy key is an
+# 8-byte long instead of a 32-char digest. Same gate discipline as
+# GEMM_EXACT_MAX; identical semantics modulo 64-bit collisions.
+#
+# MEASURED at the 50k-doc stress scale (10×): exchange volume through
+# the two corpus-token-sized shuffles is 150.1 MB (md5) vs 69.1 MB
+# (xxhash64 AND rabin — both hash before the exchange, so the key is
+# 8 bytes either way); warm wall time min-of-3 is 2.31 s (xxhash64)
+# vs 3.60 s (rabin). The Rabin-Karp token-id kernel below — hash each
+# token to a 64-bit id once, Horner the window hash over ids — was the
+# planned 100-TB refinement, but its premise (exploded rows carrying K
+# raw tokens into an exchange) does not hold: Catalyst computes the
+# window hash inside the same codegen stage as the explode, so nothing
+# token-shaped is ever shuffled, and the token-id kernel instead PAYS
+# an Arrow export of the raw text to the Python workers. xxhash64
+# therefore stays the above-gate default; 'rabin' remains selectable
+# (it wins only when K is much larger — token bytes are hashed once,
+# O(n), vs O(n·K) in the slice kernel — or when a tokenizer already
+# emits int ids upstream). All three kernels are dup-marking-
+# equivalence test-pinned.
 SUBSTR_EXACT_MAX = 10_000
+
+# Rabin-Karp base: odd multiplier (Python's own string-hash base) —
+# arithmetic wraps mod 2^64 in uint64, the classic polynomial scheme.
+_RK_BASE = 1_000_003
+
+
+def _rk_window_hashes(k: int):
+    """Arrow-batched window hasher: text → int64[ n−k+1 ] of Rabin-Karp
+    window hashes (empty array when the doc has < k tokens). Token ids
+    come from pandas' 64-bit siphash with its fixed default key, so
+    every executor computes identical ids without shipping a
+    vocabulary; the Horner accumulation is k vectorized uint64
+    multiply-adds over the whole doc — O(n·k) C operations, no Python
+    per-token loop, versus O(n·k) string bytes hashed twice in the
+    md5 kernel."""
+
+    @pandas_udf("array<long>")
+    def _wh(text: pd.Series) -> pd.Series:
+        base = np.uint64(_RK_BASE)
+        out = []
+        for doc in text:
+            toks = doc.split(" ") if doc else []
+            n = len(toks)
+            if n < k:
+                out.append([])
+                continue
+            ids = pd.util.hash_array(np.asarray(toks, dtype=object))
+            m = n - k + 1
+            h = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                h = h * base + ids[j : j + m]
+            out.append(h.astype(np.int64))
+        return pd.Series(out)
+
+    return _wh
 
 
 def _substring_marked(
@@ -1196,8 +1242,8 @@ def _substring_marked(
     marks a window whose hash occurs in >1 distinct documents and
     ``real`` distinguishes actual windows from the explode_outer
     placeholder that keeps sub-K docs visible downstream.
-    ``force_kernel`` ('md5' | 'xxhash') overrides the doc-count gate —
-    the gate-equivalence test uses it."""
+    ``force_kernel`` ('md5' | 'xxhash' | 'rabin') overrides the
+    doc-count gate — the gate-equivalence test uses it."""
     from ..sources import table_row_count
 
     k = SUBSTR_TOKENS
@@ -1211,20 +1257,39 @@ def _substring_marked(
         kernel = force_kernel
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = F.split(F.col("text"), " ")
-    starts = F.when(
-        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    sl = F.slice(F.col("toks"), F.col("pos"), k)
-    wh = F.xxhash64(sl) if kernel == "xxhash" else F.md5(F.array_join(sl, " "))
-    windows = docs.select(
-        "doc_id",
-        F.explode_outer(starts).alias("pos"),
-        toks.alias("toks"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.when(F.col("pos").isNotNull(), wh).alias("whash"),
-    )
+    if kernel == "rabin":
+        # token-id Rabin-Karp: one Arrow pass computes every window
+        # hash for a doc; the explode emits (doc_id, pos, 8-byte long)
+        # — no token arrays survive past the generator
+        windows = docs.select(
+            "doc_id",
+            F.posexplode_outer(_rk_window_hashes(k)(F.col("text"))).alias(
+                "pos0", "whash"
+            ),
+        ).select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "whash",
+        )
+    else:
+        starts = F.when(
+            F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        sl = F.slice(F.col("toks"), F.col("pos"), k)
+        wh = (
+            F.xxhash64(sl)
+            if kernel == "xxhash"
+            else F.md5(F.array_join(sl, " "))
+        )
+        windows = docs.select(
+            "doc_id",
+            F.explode_outer(starts).alias("pos"),
+            toks.alias("toks"),
+        ).select(
+            "doc_id",
+            "pos",
+            F.when(F.col("pos").isNotNull(), wh).alias("whash"),
+        )
     counts = (
         windows.filter(F.col("whash").isNotNull())
         .groupBy("whash")

@@ -323,7 +323,54 @@ def test_substring_kernels_agree(spark, sf_dir):
         ).collect()
     }
     assert a == b and len(a) > 0
+    # the Rabin-Karp token-id kernel (selectable; see the measured
+    # kernel comparison at SUBSTR_EXACT_MAX) marks the same windows —
+    # token-id Horner hashing is window identity too
+    c = {
+        (r.doc_id, r.pos): (r.dup, r.real)
+        for r in _substring_marked(
+            spark, sf_dir, force_kernel="rabin"
+        ).collect()
+    }
+    assert a == c
     assert SUBSTR_EXACT_MAX >= 10_000  # fixtures stay on the md5 path
+
+
+def test_rabin_window_hashes_shape():
+    """The Rabin-Karp hasher's contract: n−k+1 hashes for an n-token
+    doc, empty for sub-k docs, equal windows ⇒ equal hashes, and a
+    one-token difference anywhere in the window changes the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        _RK_BASE,
+    )
+
+    # replicate the UDF body directly (pure numpy, no Spark needed)
+    def wh(doc, k=4):
+        toks = doc.split(" ") if doc else []
+        n = len(toks)
+        if n < k:
+            return []
+        ids = pd.util.hash_array(np.asarray(toks, dtype=object))
+        m = n - k + 1
+        h = np.zeros(m, dtype=np.uint64)
+        base = np.uint64(_RK_BASE)
+        for j in range(k):
+            h = h * base + ids[j : j + m]
+        return h.astype(np.int64).tolist()
+
+    a = wh("a b c d e f g h")
+    assert len(a) == 5
+    assert wh("a b c") == []
+    assert wh("") == []
+    # shared 4-token window at different alignments hashes identically
+    b = wh("x a b c d e")
+    assert a[0] == b[1] and a[1] == b[2]
+    # changing one token changes every window containing it
+    cdoc = wh("a b Z d e f g h")
+    assert all(x != y for x, y in zip(a[:3], cdoc[:3]))
 
 
 def test_semdedup_matches_brute_force(spark, sf_dir):
