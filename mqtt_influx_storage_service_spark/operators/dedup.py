@@ -133,12 +133,25 @@ def release_shingles(spark: SparkSession | None = None) -> int:
     campaign over an sf_dir is done; safe to call at any time — the
     next consumer just re-persists."""
     released = 0
-    for cache in (_SHINGLE_CACHE, _EDGE_CACHE, _LABEL_CACHE):
+    for cache in (_SHINGLE_CACHE, _EDGE_CACHE, _LABEL_CACHE, _SEM_CACHE):
         for key in list(cache):
             if spark is not None and key[0] != spark.sparkContext.applicationId:
                 continue
             cache.pop(key).unpersist()
             released += 1
+    return released
+
+
+def release_semantic(spark: SparkSession | None = None) -> int:
+    """Unpersist only the SemDeDup assignment cache — the bench calls
+    this between dedup_semantic reps so they time the plan, not the
+    campaign cache (the release_mmr discipline)."""
+    released = 0
+    for key in list(_SEM_CACHE):
+        if spark is not None and key[0] != spark.sparkContext.applicationId:
+            continue
+        _SEM_CACHE.pop(key).unpersist()
+        released += 1
     return released
 
 
@@ -1653,6 +1666,9 @@ LEFT JOIN counts c ON s.threshold = c.threshold
 SEMDEDUP_EPS = 0.35
 
 
+_SEM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full SemDeDup pass (Abbas et al. 2023, arXiv:2303.09540) as
     ONE plan: coarse cluster assignment → within-cluster pairwise
@@ -1661,28 +1677,48 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Clustering here is the exact-integer LABEL-centroid assignment
     (the :func:`similarity.sim_centroid_assign` stage — deterministic
-    and oracle-expressible, unlike sampled Lloyd); at 10⁹ vectors the
-    SAME downstream plan runs over ``mlops`` IVF assignments instead,
-    where K grows with n so within-cluster work stays ∝ Σ list².
-    Prune rule is the paper's: order each cluster by similarity to its
-    centroid ASCENDING (keep the low-centroid-similarity examples),
-    and drop a vector iff some EARLIER member of its cluster is within
-    eps — one anti-join over the within-cluster pair relation, no
-    iteration.
+    and oracle-expressible, unlike sampled Lloyd). GATED like the rest
+    of the embedding family (VERDICT r6 #4): above
+    ``similarity.GEMM_EXACT_MAX`` vectors the registered entry routes
+    through :func:`dedup_semantic_ivf` — coarse Lloyd lists, tile
+    kernels within lists, work ∝ Σ list² — the composition a 100-TB
+    campaign runs; below it the exact label-centroid plan is the
+    oracle-hashable fixture path (same keep rule, test-pinned
+    equivalence below the gate).
 
-    Plan shape: one (label, pos) map-side aggregation builds K
-    centroids (broadcast); assignment is a broadcast nested-loop +
-    WindowGroupLimit argmax (corpus never shuffled); the prune is an
-    equi-join on the cluster id whose per-cluster expansion is the
-    Σ list² SemDeDup budget. The assigned relation appears on both
-    sides of the prune join plus the output, so the registered plan
-    re-derives it (6 column-pruned scans at sfN) — deliberately left
-    unpersisted so bench reps time the plan, not a cache; a 100-TB
-    campaign persists ``assigned`` once (the dedup-family cache
-    discipline) and the scans collapse to one pass.
+    Plan shape (exact path): one (label, pos) map-side aggregation
+    builds K centroids (broadcast); assignment is a broadcast
+    nested-loop + WindowGroupLimit argmax (corpus never shuffled); the
+    prune is an equi-join on the cluster id whose per-cluster
+    expansion is the Σ list² SemDeDup budget. The ``assigned``
+    relation appears on both sides of the prune join plus the output,
+    so it is PERSISTED behind the dedup-family cache seam
+    (``release_shingles`` releases it) — previously re-derived as 6
+    column-pruned scans per run; now one corpus pass per campaign.
     """
+    from ..sources import table_row_count
+    from . import similarity as _S
+
+    try:
+        n_vecs = table_row_count(sf_dir, "embeddings")
+    except (ValueError, KeyError, OSError):
+        n_vecs = 0
+    if n_vecs > _S.GEMM_EXACT_MAX:
+        return dedup_semantic_ivf(spark, sf_dir)
+    assigned = _semantic_assigned(spark, sf_dir)
+    return _semantic_keep_verdicts(assigned)
+
+
+def _semantic_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cl, cos_c, arr, nrm): each vector's exact-integer
+    label-centroid assignment + priority key — persisted once per
+    (app, sf_dir) under the dedup-family cache discipline."""
     from .similarity import _dot
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SEM_CACHE.get(key)
+    if cached is not None:
+        return cached
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     vd = emb.select("vec_id", F.col("label").alias("lbl"), arr.alias("arr"))
@@ -1729,7 +1765,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "arr",
             F.sqrt(_dot(F.col("arr"), F.col("arr"))).alias("nrm"),
         )
+        .persist()
     )
+    _SEM_CACHE[key] = assigned
+    return assigned
+
+
+def _semantic_keep_verdicts(assigned: DataFrame) -> DataFrame:
+    """Within-cluster eps-prune over an assignment relation — the
+    SemDeDup keep rule as one equi-join on the cluster id."""
+    from .similarity import _dot
+
     u = assigned.select(
         F.col("cl").alias("p_cl"),
         F.col("vec_id").alias("u_id"),

@@ -472,3 +472,49 @@ def test_semdedup_ivf_exact_below_gate(spark, sf_dir):
     got = {r.vec_id: r.kept for r in dedup_semantic_ivf(spark, sf_dir).collect()}
     assert got == {vid: vid not in dropped for vid in ids}
     assert len(dropped) > 0
+
+
+def test_semantic_gate_switches_to_ivf(spark, sf_dir, monkeypatch):
+    """VERDICT r6 #4: above GEMM_EXACT_MAX vectors the registered
+    dedup_semantic entry routes through the IVF composition — forced
+    here by dropping the gate to 0; the result must equal a direct
+    dedup_semantic_ivf call row-for-row."""
+    from mqtt_influx_storage_service_spark import sources as SRC
+    from mqtt_influx_storage_service_spark.operators import dedup as D
+
+    direct = {
+        (r.vec_id): (r.cluster, r.cos_c, r.kept)
+        for r in D.dedup_semantic_ivf(spark, sf_dir).collect()
+    }
+    # Fake ONLY the router's corpus-size probe (the package-level
+    # re-export dedup_semantic reads): the IVF composition itself and
+    # the pair kernel keep their real (below-gate, exact) regime, so
+    # this isolates the routing decision.
+    real = SRC.table_row_count
+
+    def fake(sf, table):
+        n = real(sf, table)
+        return 10_001 if table == "embeddings" else n
+
+    monkeypatch.setattr(SRC, "table_row_count", fake)
+    routed = {
+        (r.vec_id): (r.cluster, r.cos_c, r.kept)
+        for r in D.dedup_semantic(spark, sf_dir).collect()
+    }
+    assert routed == direct and len(routed) > 0
+
+
+def test_semantic_assigned_is_cached_and_released(spark, sf_dir):
+    """The assignment relation persists once per (app, sf_dir) under
+    the dedup-family cache seam and release_shingles drops it."""
+    from mqtt_influx_storage_service_spark.operators import dedup as D
+
+    D.release_shingles(spark)
+    a = D._semantic_assigned(spark, sf_dir)
+    b = D._semantic_assigned(spark, sf_dir)
+    assert a is b
+    assert a.storageLevel.useMemory
+    assert D.release_shingles(spark) >= 1
+    c = D._semantic_assigned(spark, sf_dir)
+    assert c is not a
+    D.release_shingles(spark)

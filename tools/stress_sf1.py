@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STRESS_DIR = "/tmp/spark_graft_sf1"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "STRESS_r06.json")
+                   "STRESS_r07.json")
 SRC = "/root/testdata/sf0.1"
 FANOUT = 10
 
@@ -140,6 +140,11 @@ def main() -> int:
                  # threshold dedup, driver-trained IVF/IVF-PQ
                  "sim_knn_graph", "dedup_embedding_cosine",
                  "sim_ann_ivf", "sim_ann_ivf_pq",
+                 # r7: the gated SemDeDup entry — 20k vectors is above
+                 # GEMM_EXACT_MAX, so this times the IVF routing (one
+                 # corpus pass; the exact path's 6-scan re-derivation
+                 # is gone behind the gate + campaign cache)
+                 "dedup_semantic",
                  # series-count scaling (10x the series, same depth)
                  "ts_bucket_agg", "ts_holt_winters", "ts_seasonal_profile",
                  "ts_counter_rate", "ts_cumulative_sum",
