@@ -133,7 +133,13 @@ def release_shingles(spark: SparkSession | None = None) -> int:
     campaign over an sf_dir is done; safe to call at any time — the
     next consumer just re-persists."""
     released = 0
-    for cache in (_SHINGLE_CACHE, _EDGE_CACHE, _LABEL_CACHE, _SEM_CACHE):
+    for cache in (
+        _SHINGLE_CACHE,
+        _EDGE_CACHE,
+        _LABEL_CACHE,
+        _SEM_CACHE,
+        _WINDOW_INDEX_CACHE,
+    ):
         for key in list(cache):
             if spark is not None and key[0] != spark.sparkContext.applicationId:
                 continue
@@ -1247,6 +1253,61 @@ def _rk_window_hashes(k: int):
     return _wh
 
 
+def _doc_windows(
+    docs: DataFrame, kernel: str, k: int = SUBSTR_TOKENS
+) -> DataFrame:
+    """(doc_id, pos, whash) — one row per stride-1 K-token window of
+    any (doc_id, text) frame, 1-based positions; docs with < K tokens
+    emit one placeholder row with NULL pos/whash (explode_outer) so
+    they stay visible downstream. Shared by the batch substring-dedup
+    family and the streaming at-ingest screen (both sides MUST hash
+    with the same kernel for the index probe to mean anything)."""
+    toks = F.split(F.col("text"), " ")
+    if kernel == "rabin":
+        # token-id Rabin-Karp: one Arrow pass computes every window
+        # hash for a doc; the explode emits (doc_id, pos, 8-byte long)
+        # — no token arrays survive past the generator
+        return docs.select(
+            "doc_id",
+            F.posexplode_outer(_rk_window_hashes(k)(F.col("text"))).alias(
+                "pos0", "whash"
+            ),
+        ).select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "whash",
+        )
+    starts = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    sl = F.slice(F.col("toks"), F.col("pos"), k)
+    wh = (
+        F.xxhash64(sl)
+        if kernel == "xxhash"
+        else F.md5(F.array_join(sl, " "))
+    )
+    return docs.select(
+        "doc_id",
+        F.explode_outer(starts).alias("pos"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos").isNotNull(), wh).alias("whash"),
+    )
+
+
+def _substring_kernel(sf_dir: str) -> str:
+    """The doc-count gate shared by every substring consumer."""
+    from ..sources import table_row_count
+
+    try:
+        n_docs = table_row_count(sf_dir, "documents")
+    except (ValueError, KeyError, OSError):
+        n_docs = 0
+    return "xxhash" if n_docs > SUBSTR_EXACT_MAX else "md5"
+
+
 def _substring_marked(
     spark: SparkSession, sf_dir: str, force_kernel: str | None = None
 ) -> DataFrame:
@@ -1257,52 +1318,9 @@ def _substring_marked(
     placeholder that keeps sub-K docs visible downstream.
     ``force_kernel`` ('md5' | 'xxhash' | 'rabin') overrides the
     doc-count gate — the gate-equivalence test uses it."""
-    from ..sources import table_row_count
-
-    k = SUBSTR_TOKENS
-    if force_kernel is None:
-        try:
-            n_docs = table_row_count(sf_dir, "documents")
-        except (ValueError, KeyError, OSError):
-            n_docs = 0
-        kernel = "xxhash" if n_docs > SUBSTR_EXACT_MAX else "md5"
-    else:
-        kernel = force_kernel
+    kernel = force_kernel or _substring_kernel(sf_dir)
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    toks = F.split(F.col("text"), " ")
-    if kernel == "rabin":
-        # token-id Rabin-Karp: one Arrow pass computes every window
-        # hash for a doc; the explode emits (doc_id, pos, 8-byte long)
-        # — no token arrays survive past the generator
-        windows = docs.select(
-            "doc_id",
-            F.posexplode_outer(_rk_window_hashes(k)(F.col("text"))).alias(
-                "pos0", "whash"
-            ),
-        ).select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            "whash",
-        )
-    else:
-        starts = F.when(
-            F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
-        ).otherwise(F.array().cast("array<int>"))
-        sl = F.slice(F.col("toks"), F.col("pos"), k)
-        wh = (
-            F.xxhash64(sl)
-            if kernel == "xxhash"
-            else F.md5(F.array_join(sl, " "))
-        )
-        windows = docs.select(
-            "doc_id",
-            F.explode_outer(starts).alias("pos"),
-            toks.alias("toks"),
-        ).select(
-            "doc_id",
-            "pos",
-            F.when(F.col("pos").isNotNull(), wh).alias("whash"),
-        )
+    windows = _doc_windows(docs, kernel)
     counts = (
         windows.filter(F.col("whash").isNotNull())
         .groupBy("whash")
@@ -1454,6 +1472,75 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_len"),
         )
         .select("doc_id", "span_start", "span_len")
+    )
+
+
+_WINDOW_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _corpus_window_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus side of the at-ingest substring screen: the DISTINCT
+    window hashes of every corpus document — one column (whash),
+    persisted once per campaign under the dedup-family cache seam
+    (``release_shingles`` drops it). At 100 TB this is the window-hash
+    twin of the MinHash band index: built once, bucketed on whash on
+    disk, probed by each micro-batch's (small, broadcast) window set.
+    Kernel follows the corpus-size gate so the index and any batch
+    screened against it hash identically."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WINDOW_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    kernel = _substring_kernel(sf_dir)
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    out = (
+        _doc_windows(docs, kernel)
+        .filter(F.col("whash").isNotNull())
+        .select("whash")
+        .distinct()
+        .persist()
+    )
+    _WINDOW_INDEX_CACHE[key] = out
+    return out
+
+
+def substring_screen(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    kernel: str,
+    k: int = SUBSTR_TOKENS,
+) -> DataFrame:
+    """Screen a batch of incoming documents against a corpus
+    window-hash index (:func:`_corpus_window_index`): every MAXIMAL
+    span of ≥ K tokens that appears verbatim anywhere in the corpus,
+    as (new_doc_id, span_start, span_len) — 1-based token offsets,
+    the exact-span twin of :func:`near_dup_screen` and the RefinedWeb
+    ingest gate's span-removal input (VERDICT r6 #6).
+
+    Plan shape: the batch's windows are generated fresh (linear in
+    batch tokens) and BROADCAST against the corpus index — an
+    equi-join that probes the index without reshuffling it; runs of
+    consecutive hit positions collapse to maximal spans in a per-doc
+    window, partitioned by the (small) batch doc ids.
+    """
+    hits = (
+        F.broadcast(
+            _doc_windows(new_docs, kernel, k)
+            .filter(F.col("whash").isNotNull())
+            .select(F.col("doc_id").alias("new_doc_id"), "pos", "whash")
+        )
+        .join(corpus_index, "whash")
+        .select("new_doc_id", "pos")
+    )
+    wd = Window.partitionBy("new_doc_id").orderBy("pos")
+    return (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+        .groupBy("new_doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_len"),
+        )
+        .select("new_doc_id", "span_start", "span_len")
     )
 
 

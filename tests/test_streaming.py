@@ -420,6 +420,69 @@ def test_near_dup_screen_stream_matches_batch(spark, tmp_path):
     release_shingles(spark)
 
 
+def test_substring_screen_stream_matches_batch(spark, tmp_path):
+    """At-ingest EXACT-SPAN gate (VERDICT r6 #6): stream two
+    micro-batches against the sf0.001 corpus window index — a doc
+    embedding a verbatim ≥16-token corpus span hits with the right
+    span offsets, novel text doesn't, and the streamed hit log equals
+    the batch screen of the same input."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        SUBSTR_TOKENS,
+        _corpus_window_index,
+        _substring_kernel,
+        release_shingles,
+        substring_screen,
+    )
+    from mqtt_influx_storage_service_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    corpus = load_table(spark, sf, "documents")
+    long_docs = [
+        r
+        for r in corpus.orderBy("doc_id").limit(50).collect()
+        if len(r.text.split(" ")) >= SUBSTR_TOKENS + 8
+    ][:2]
+    assert len(long_docs) == 2
+    # new doc = 5 novel tokens + a 20-token verbatim corpus span +
+    # 5 novel tokens → expect exactly one maximal span at pos 6, len 20
+    span = " ".join(long_docs[0].text.split(" ")[:20])
+    embedded = "n1 n2 n3 n4 n5 " + span + " n6 n7 n8 n9 n10"
+    batch1 = spark.createDataFrame(
+        [(300001, embedded)], "doc_id long, text string"
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (300002, long_docs[1].text),  # full verbatim copy
+            (300003, " ".join(f"zq{i}" for i in range(40))),  # novel
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    batch1.coalesce(1).write.parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    q = st.start_substring_screen(
+        spark, src, sf, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    hits = spark.read.parquet(str(tmp_path / "out" / "substring_hits"))
+    got = {(r.new_doc_id, r.span_start, r.span_len) for r in hits.collect()}
+
+    n1 = len(long_docs[1].text.split(" "))
+    assert (300001, 6, 20) in got
+    assert (300002, 1, n1) in got
+    assert not any(d == 300003 for d, _, _ in got)
+
+    batch_docs = spark.read.schema(st.screen.DOC_STREAM_SCHEMA).parquet(src)
+    batch = substring_screen(
+        batch_docs, _corpus_window_index(spark, sf), _substring_kernel(sf)
+    )
+    assert {
+        (r.new_doc_id, r.span_start, r.span_len) for r in batch.collect()
+    } == got
+    release_shingles(spark)
+
+
 def test_socket_source_drives_ingest(spark, tmp_path):
     """The Source seam is swappable (SURVEY.md §7, VERDICT r2 missing
     #2): drive the FULL ingest pipeline (dispatch → split_malformed →
