@@ -217,6 +217,9 @@ class Show:
     # list of either (aligned with the SELECT path) — str | Rgx | list.
     from_measurement: object | None = None
     on_database: str | None = None  # SHOW RETENTION POLICIES ON <db>
+    # SHOW SERIES / TAG VALUES accept WHERE (tag predicates + time
+    # bounds) — the shape dashboard template variables issue.
+    where: object | None = None
 
 
 @dataclass
@@ -446,9 +449,15 @@ class _Parser:
         if self.kw("SERIES"):
             if self.kw("CARDINALITY"):
                 return Show(
-                    "series cardinality", from_measurement=self._opt_from_multi()
+                    "series cardinality",
+                    from_measurement=self._opt_from_multi(),
+                    where=self._expr() if self.kw("WHERE") else None,
                 )
-            return Show("series", from_measurement=self._opt_from_multi())
+            return Show(
+                "series",
+                from_measurement=self._opt_from_multi(),
+                where=self._expr() if self.kw("WHERE") else None,
+            )
         if self.kw("TAG"):
             if self.kw("KEYS"):
                 return Show("tag keys", from_measurement=self._opt_from_multi())
@@ -460,7 +469,12 @@ class _Parser:
             key = self.next()
             if key.kind != "ident":
                 raise InfluxQLError(f"expected tag key at {key.pos}")
-            return Show("tag values", with_key=key.text, from_measurement=frm)
+            return Show(
+                "tag values",
+                with_key=key.text,
+                from_measurement=frm,
+                where=self._expr() if self.kw("WHERE") else None,
+            )
         if self.kw("FIELD"):
             self.expect_kw("KEYS")
             return Show("field keys", from_measurement=self._opt_from_multi())
@@ -2146,7 +2160,7 @@ def influxql(
     cat = catalog or EventsCatalog(sf_dir)
     stmt = parse(query)
     if isinstance(stmt, Show):
-        return _compile_show(spark, cat, stmt, meta=meta)
+        return _compile_show(spark, cat, stmt, meta=meta, now=now)
     if isinstance(stmt, (RetentionPolicyStmt, CreateDatabase, DropSeries)):
         raise InfluxQLError(
             "management DDL is not a read statement — apply it with "
@@ -2177,7 +2191,7 @@ def influxql_batch(
                 "with influxql_delete against a SnapshotTable"
             )
         if isinstance(stmt, Show):
-            out.append(_compile_show(spark, cat, stmt))
+            out.append(_compile_show(spark, cat, stmt, now=now))
         else:
             out.append(_Compiler(spark, cat, stmt, now=now).compile())
     return out
@@ -2298,7 +2312,9 @@ def _union_measurements(spark, cat, names: list[str]) -> DataFrame:
     return df
 
 
-def _compile_show(spark: SparkSession, cat, stmt: Show, meta=None) -> DataFrame:
+def _compile_show(
+    spark: SparkSession, cat, stmt: Show, meta=None, now=None
+) -> DataFrame:
     sch: MeasurementSchema = cat.schema
     if stmt.what == "measurements":
         names = sorted(cat.measurement_names())
@@ -2320,6 +2336,10 @@ def _compile_show(spark: SparkSession, cat, stmt: Show, meta=None) -> DataFrame:
     if stmt.what in ("series", "series cardinality"):
         names = _show_measurements(cat, stmt.from_measurement)
         df = _union_measurements(spark, cat, names)
+        if stmt.where is not None:
+            # tag predicates + time bounds (the dashboard template-
+            # variable shape); the predicate pushes into the scan
+            df = df.filter(_bare_compiler(now)._cond(stmt.where))
         key = F.concat_ws(
             ",",
             F.col("measurement"),
@@ -2337,6 +2357,8 @@ def _compile_show(spark: SparkSession, cat, stmt: Show, meta=None) -> DataFrame:
             raise InfluxQLError(f"unknown tag key {stmt.with_key!r}")
         names = _show_measurements(cat, stmt.from_measurement)
         df = _union_measurements(spark, cat, names)
+        if stmt.where is not None:
+            df = df.filter(_bare_compiler(now)._cond(stmt.where))
         return (
             df.select(
                 F.lit(stmt.with_key).alias("key"),

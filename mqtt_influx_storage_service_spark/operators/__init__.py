@@ -83,6 +83,7 @@ _PRIORITY = [
     "iq_drop_series",
     "iq_retention_filter",
     "iq_show_tag_values_regex",
+    "iq_show_tag_values_where",
     # (d) filler: the oldest r4 rows, in r4-certification order
     # (iq_show_series / iq_show_tag_values kept: their SHOW FROM
     # resolution changed to the multi/regex path in r7)
@@ -96,7 +97,6 @@ _PRIORITY = [
     "iq_mean_by_day",
     "iq_selectors",
     "iq_percentile_weekly",
-    "iq_fill_previous",
     "iq_show_tag_values",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,

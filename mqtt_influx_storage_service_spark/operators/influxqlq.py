@@ -1263,6 +1263,22 @@ FROM events
 WHERE event_type IN ('click', 'view')
 """
 
+# SHOW TAG VALUES ... WHERE <time bounds> — the exact statement a
+# dashboard template variable issues ("which hosts reported in the
+# selected window"); the time bound pushes into the scan.
+IQ_SHOW_TAG_VALUES_WHERE = (
+    "SHOW TAG VALUES FROM click WITH KEY = user_id "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-03 00:00:00'"
+)
+
+IQ_SHOW_TAG_VALUES_WHERE_SQL = """
+SELECT DISTINCT 'user_id' AS key, CAST(user_id AS VARCHAR) AS value
+FROM events
+WHERE event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+"""
+
 # CREATE/ALTER RETENTION POLICY → SHOW RETENTION POLICIES: the stored
 # management model (databases → policies) InfluxDB 1.x tooling
 # administers; the reference ensures its database + default policy
@@ -1429,6 +1445,7 @@ QUERIES = {
     "iq_regex_union": _q(IQ_REGEX_UNION),
     "iq_show_tag_values": _q(IQ_SHOW_TAG_VALUES),
     "iq_show_tag_values_regex": _q(IQ_SHOW_TAG_VALUES_REGEX),
+    "iq_show_tag_values_where": _q(IQ_SHOW_TAG_VALUES_WHERE),
     "iq_retention_policies": _iq_retention_policies,
     "iq_drop_series": _iq_drop_series,
     "iq_retention_filter": _iq_retention_filter,
@@ -1477,6 +1494,7 @@ ORACLES = {
     "iq_regex_union": IQ_REGEX_UNION_SQL,
     "iq_show_tag_values": IQ_SHOW_TAG_VALUES_SQL,
     "iq_show_tag_values_regex": IQ_SHOW_TAG_VALUES_REGEX_SQL,
+    "iq_show_tag_values_where": IQ_SHOW_TAG_VALUES_WHERE_SQL,
     "iq_retention_policies": IQ_RETENTION_POLICIES_SQL,
     "iq_drop_series": IQ_DROP_SERIES_SQL,
     "iq_retention_filter": IQ_RETENTION_FILTER_SQL,

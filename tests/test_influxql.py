@@ -1046,3 +1046,42 @@ def test_show_from_regex_and_multi(spark, sf_dir):
     assert card[0].cardinality == len(rx)
     with pytest.raises(InfluxQLError, match="no measurement matched"):
         influxql(spark, sf_dir, "SHOW SERIES FROM /zzz/").collect()
+
+
+def test_show_where_filters_series_and_tag_values(spark, sf_dir):
+    """SHOW SERIES / TAG VALUES accept WHERE (tag predicates + time
+    bounds) — the dashboard template-variable shape. A tag predicate
+    narrows the series set; a time bound restricted to before the
+    fixture epoch yields nothing."""
+    allv = influxql(
+        spark, sf_dir, "SHOW TAG VALUES FROM click WITH KEY = user_id"
+    ).collect()
+    one = influxql(
+        spark, sf_dir,
+        "SHOW SERIES FROM click WHERE user_id = 7",
+    ).collect()
+    assert [r.key for r in one] == ["click,user_id=7"]
+    none = influxql(
+        spark, sf_dir,
+        "SHOW TAG VALUES FROM click WITH KEY = user_id "
+        "WHERE time < '2000-01-01 00:00:00'",
+    ).collect()
+    assert none == [] and len(allv) > 0
+    card = influxql(
+        spark, sf_dir,
+        "SHOW SERIES CARDINALITY FROM click WHERE user_id = 7",
+    ).collect()
+    assert card[0].cardinality == 1
+    # now() works in SHOW WHERE when a clock is injected
+    rel = influxql(
+        spark, sf_dir,
+        "SHOW TAG VALUES FROM click WITH KEY = user_id "
+        "WHERE time >= now() - 2d",
+        now="2024-01-03 00:00:00",
+    ).collect()
+    abs_ = influxql(
+        spark, sf_dir,
+        "SHOW TAG VALUES FROM click WITH KEY = user_id "
+        "WHERE time >= '2024-01-01 00:00:00'",
+    ).collect()
+    assert rel == abs_
