@@ -867,6 +867,56 @@ class EventsCatalog:
 
 _SIMPLE_AGGS = {"COUNT", "SUM", "MIN", "MAX", "SPREAD", "STDDEV", "MEAN", "MODE"}
 _RANK_AGGS = {"MEDIAN", "PERCENTILE", "FIRST", "LAST"}
+# InfluxQL 1.x "technical analysis" family, in deterministic
+# order-free forms (each documented where it deviates from InfluxDB's
+# recursive definition):
+#   EXPONENTIAL_MOVING_AVERAGE(x, N) — truncated-renormalized EWMA
+#     with alpha = 2/(N+1) over the last EMA_TRUNC_K inputs (pandas
+#     ewm adjust=True over a bounded tail; the ts_ewma discipline —
+#     an infinite recurrence can't ride a window frame, and the
+#     bounded-state form is what a streaming engine computes anyway).
+#     Emits from the first point (renormalized warm-up).
+#   CHANDE_MOMENTUM_OSCILLATOR(x, N) — 100·(ΣU−ΣD)/(ΣU+ΣD) over the
+#     last N changes; emitted only once the window holds N changes.
+#   RELATIVE_STRENGTH_INDEX(x, N) — Cutler's RSI (simple averages,
+#     order-free): 100·ΣU/(ΣU+ΣD) over the last N changes. Wilder's
+#     recursive smoothing is deliberately not offered (same reason as
+#     the EWMA truncation).
+#   KAUFMANS_EFFICIENCY_RATIO(x, N) — |x_t − x_{t−N}| / Σ|Δx|.
+# CMO/RSI/KER ride the repo's exact-integer discipline: inputs are
+# 6-decimal values (field fixtures are 2-decimal; MEAN output is
+# round(·,6)), scaled by 1e6 to exact longs, every sum integer, ONE
+# double division at the end, round(·,6) — bit-identical to the
+# DuckDB oracle with no summation-order hazard. A flat window
+# (ΣU+ΣD = 0) emits NULL.
+_TA_FUNCS = (
+    "EXPONENTIAL_MOVING_AVERAGE",
+    "CHANDE_MOMENTUM_OSCILLATOR",
+    "RELATIVE_STRENGTH_INDEX",
+    "KAUFMANS_EFFICIENCY_RATIO",
+)
+EMA_TRUNC_K = 64  # (1-alpha)^64 < 1e-8 for every N <= 51
+_TA_SCALE = 1_000_000
+
+# The InfluxQL 1.x scalar math family (ABS..ROUND handled explicitly
+# in _scalar; the rest map 1:1 onto JVM-side column functions).
+_TRANSCENDENTALS = {
+    "SIN": F.sin,
+    "COS": F.cos,
+    "TAN": F.tan,
+    "ASIN": F.asin,
+    "ACOS": F.acos,
+    "ATAN": F.atan,
+    "EXP": F.exp,
+    "LN": F.log,  # single-arg F.log is the natural log
+    "LOG2": F.log2,
+    "LOG10": F.log10,
+}
+_SCALAR_FUNCS = (
+    "ABS", "ROUND", "CEIL", "FLOOR", "SQRT",
+    "ATAN2", "POW", "LOG", *_TRANSCENDENTALS,
+)
+
 _TRANSFORMS = {
     "DERIVATIVE",
     "DIFFERENCE",
@@ -874,7 +924,65 @@ _TRANSFORMS = {
     "NON_NEGATIVE_DIFFERENCE",
     "CUMULATIVE_SUM",
     "MOVING_AVERAGE",
+    *_TA_FUNCS,
 }
+
+
+def _ta_n(e: "Call") -> int:
+    """Validate and return the period argument of a TA call."""
+    if len(e.args) < 2 or not isinstance(e.args[1], Num) or not e.args[1].is_int:
+        raise InfluxQLError(f"{e.func}(x, N) needs an integer N")
+    n = int(e.args[1].value)
+    if n < 1:
+        raise InfluxQLError(f"{e.func}: N must be >= 1")
+    return n
+
+
+def _ta_list(e: "Call", n: int, src: Column, w) -> Column:
+    """The ordered per-series value window a TA transform folds over:
+    raw doubles for EMA, exact 1e6-scaled longs for CMO/RSI/KER
+    (the scaled values are integers exactly, so round() never sits on
+    a .5 boundary). NOTE collect_list skips NULLs (Spark) while
+    DuckDB's list() keeps them — oracles filter NULL inputs
+    identically (the ts_ewma precedent; fixtures carry none)."""
+    if e.func == "EXPONENTIAL_MOVING_AVERAGE":
+        return F.collect_list(src).over(w.rowsBetween(-(EMA_TRUNC_K - 1), 0))
+    scaled = F.round(src * _TA_SCALE).cast("long")
+    return F.collect_list(scaled).over(w.rowsBetween(-n, 0))
+
+
+def _ta_fold(e: "Call", n: int, lname: str) -> Column:
+    """Fold the materialized list column into the TA value. Every
+    arithmetic step happens in the SAME order as the DuckDB oracle
+    (ascending window index), so doubles agree bit-for-bit where the
+    inputs are exact."""
+    l = lname
+    if e.func == "EXPONENTIAL_MOVING_AVERAGE":
+        a = 2.0 / (n + 1)
+        b = repr(1.0 - a)  # shortest round-trip literal: the oracle
+        # parses the identical literal to the identical double
+        return F.expr(
+            f"round(aggregate(transform({l}, (x, i) ->"
+            f" x * pow({b}D, size({l}) - 1 - i)),"
+            f" 0D, (acc, x) -> acc + x)"
+            f" / ((1D - pow({b}D, size({l}))) / {a!r}D), 6) + 0D"
+        )
+    diffs = (
+        f"transform(sequence(1, size({l}) - 1),"
+        f" i -> element_at({l}, i + 1) - element_at({l}, i))"
+    )
+    up = f"aggregate({diffs}, 0L, (acc, x) -> acc + greatest(x, 0L))"
+    tot = f"aggregate({diffs}, 0L, (acc, x) -> acc + abs(x))"
+    full = f"size({l}) = {n + 1}"
+    if e.func == "CHANDE_MOMENTUM_OSCILLATOR":
+        # ΣU − ΣD = 2·ΣU − Σ|Δ| and ΣU + ΣD = Σ|Δ|: one fold fewer
+        val = f"round(100D * (2 * {up} - {tot}) / {tot}, 6) + 0D"
+    elif e.func == "RELATIVE_STRENGTH_INDEX":
+        val = f"round(100D * {up} / {tot}, 6) + 0D"
+    else:  # KAUFMANS_EFFICIENCY_RATIO
+        net = f"abs(element_at({l}, size({l})) - element_at({l}, 1))"
+        val = f"round({net} / (1D * {tot}), 6) + 0D"
+    return F.expr(f"CASE WHEN {full} AND {tot} > 0 THEN {val} END")
 # INTEGRAL is an aggregate whose per-row term needs a lag window over
 # the group's points BEFORE the groupBy (trapezoid vs the previous
 # point) — precomputed in _compile_agg like the FIRST/LAST rank columns.
@@ -1082,15 +1190,13 @@ class _Compiler:
                 "%": l % r,
             }[e.op]
         if isinstance(e, Call):
-            if e.func in ("ABS", "ROUND", "CEIL", "FLOOR", "SQRT") and not e.args:
+            if e.func in _SCALAR_FUNCS and not e.args:
                 raise InfluxQLError(f"{e.func} needs an argument")
             if e.func == "ABS":
                 return F.abs(self._scalar(e.args[0]))
             # CEIL/FLOOR/SQRT are IEEE-exact (sqrt is correctly
-            # rounded), so they keep the cross-engine hash discipline;
-            # libm transcendentals (LN/EXP/trig) are deliberately NOT
-            # offered — last-ulp engine differences would poison hashed
-            # results.
+            # rounded), so they keep the cross-engine hash discipline
+            # unconditionally.
             if e.func == "CEIL":
                 return F.ceil(self._scalar(e.args[0])).cast("double")
             if e.func == "FLOOR":
@@ -1104,6 +1210,32 @@ class _Compiler:
                         raise InfluxQLError("ROUND(x, N) needs an integer N")
                     nd = int(e.args[1].value)
                 return F.round(self._scalar(e.args[0]), nd)
+            # libm transcendentals (the rest of the InfluxQL 1.x math
+            # family). These are NOT guaranteed correctly-rounded, so
+            # engine pairs can differ in the last ulp — but the hash
+            # discipline rounds floats to 6 decimals, and at the
+            # moderate magnitudes these produce (|y| ≲ 1e6) an ulp is
+            # ~1e-10: a mismatch needs the true value within 1e-10 of
+            # a 0.5e-6 rounding boundary. Registered entries keep
+            # argument magnitudes moderate; EXP of a large field is
+            # the caller's foot-gun (documented, not forbidden).
+            if e.func in _TRANSCENDENTALS:
+                return _TRANSCENDENTALS[e.func](self._scalar(e.args[0]))
+            if e.func == "ATAN2":
+                if len(e.args) < 2:
+                    raise InfluxQLError("ATAN2(y, x) needs two arguments")
+                return F.atan2(self._scalar(e.args[0]), self._scalar(e.args[1]))
+            if e.func == "POW":
+                if len(e.args) < 2:
+                    raise InfluxQLError("POW(x, y) needs two arguments")
+                return F.pow(self._scalar(e.args[0]), self._scalar(e.args[1]))
+            if e.func == "LOG":
+                # InfluxQL LOG(x, b): logarithm of x in base b
+                if len(e.args) < 2:
+                    raise InfluxQLError("LOG(x, b) needs two arguments")
+                return F.log(self._scalar(e.args[0])) / F.log(
+                    self._scalar(e.args[1])
+                )
             raise InfluxQLError(f"unsupported scalar function {e.func}")
         raise InfluxQLError(f"unsupported expression {e!r}")
 
@@ -1631,7 +1763,7 @@ class _Compiler:
             e = f.expr
             if not (
                 isinstance(e, Call)
-                and e.func in raw_lag_funcs + raw_run_funcs
+                and e.func in raw_lag_funcs + raw_run_funcs + _TA_FUNCS
             ):
                 continue
             if not e.args or not isinstance(e.args[0], Var):
@@ -1683,6 +1815,18 @@ class _Compiler:
                     (elapsed_ns - elapsed_ns % F.lit(unit_ns))
                     / F.lit(unit_ns)
                 ).cast("long")
+            elif e.func in _TA_FUNCS:
+                # technical-analysis transforms over raw points: the
+                # same ordered-fold kernels as the bucket path, over a
+                # per-series frame of exact scaled longs (doubles for
+                # EMA). The list column rides the input frame; it is
+                # simply not projected by the final select.
+                n = _ta_n(e)
+                df = df.withColumn(
+                    f"_tal_{names[i]}",
+                    _ta_list(e, n, F.col(e.args[0].name), w),
+                )
+                col = _ta_fold(e, n, f"_tal_{names[i]}")
             elif e.func in raw_run_funcs:
                 # cents-exact running forms (the repo's order-free
                 # integer discipline — see operators/timeseries.
@@ -1732,7 +1876,15 @@ class _Compiler:
                     # (single-transform selects match InfluxQL exactly)
                     col = F.when(col >= 0, col)
             df = df.withColumn(f"_lag_{names[i]}", col)
-            if e.func in raw_lag_funcs:
+            if e.func in raw_lag_funcs or (
+                e.func in _TA_FUNCS
+                and e.func != "EXPONENTIAL_MOVING_AVERAGE"
+            ):
+                # warm-up rows (and InfluxQL's first-point rule) emit
+                # NULL: the all-null drop below removes them, matching
+                # InfluxDB's emit-after-warm-up. EMA emits from the
+                # first point (renormalized warm-up), so it never
+                # forces a drop.
                 lag_names.append(names[i])
         cols: list[Column] = [F.col("time")]
         if multi:
@@ -1769,7 +1921,7 @@ class _Compiler:
                 continue
             if (
                 isinstance(f.expr, Call)
-                and f.expr.func in raw_lag_funcs + raw_run_funcs
+                and f.expr.func in raw_lag_funcs + raw_run_funcs + _TA_FUNCS
             ):
                 cols.append(F.col(f"_lag_{names[i]}").alias(names[i]))
                 continue
@@ -1940,11 +2092,23 @@ class _Compiler:
                     n = int(e.args[1].value)
                     wm = w.rowsBetween(-(n - 1), Window.currentRow)
                     col = F.round(F.sum(src).over(wm) / F.count(src).over(wm), 6)
+                elif e.func in _TA_FUNCS:
+                    # technical-analysis transform of an aggregate:
+                    # materialize the per-series value frame, fold it
+                    # in window order (kernels shared with the raw
+                    # path; dropped right after the level lands)
+                    n = _ta_n(e)
+                    out = out.withColumn(
+                        "_ta_l", _ta_list(e, n, src, w)
+                    )
+                    col = _ta_fold(e, n, "_ta_l")
                 if e.func.startswith("NON_NEGATIVE_"):
                     col = F.when(col >= 0, col)  # negative results omitted
                 last = depth == len(chain) - 1
                 src_name = name if last else f"_t{depth}_{name}"
                 out = out.withColumn(src_name, col)
+                if "_ta_l" in out.columns:
+                    out = out.drop("_ta_l")
             for depth in range(len(chain) - 1):
                 out = out.drop(f"_t{depth}_{name}")
         for name, _ in transforms:

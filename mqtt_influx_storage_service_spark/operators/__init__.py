@@ -84,19 +84,25 @@ _PRIORITY = [
     "iq_retention_filter",
     "iq_show_tag_values_regex",
     "iq_show_tag_values_where",
+    # (c continued) new in the r7 continuation session: the InfluxQL
+    # technical-analysis family + the libm scalar math family (each
+    # displaced one plain-filler slot below)
+    "iq_math",
+    "iq_ema",
+    "iq_cmo",
+    "iq_rsi",
+    "iq_ker",
     # (d) filler: the oldest r4 rows, in r4-certification order
     # (iq_show_series / iq_show_tag_values kept: their SHOW FROM
-    # resolution changed to the multi/regex path in r7)
+    # resolution changed to the multi/regex path in r7; displaced
+    # filler — iq_top_points, iq_raw_select, iq_mean_by_day,
+    # iq_selectors, iq_percentile_weekly — holds r4-green rows and
+    # joins the r8 queue)
     "sim_mmr",
     "iq_subquery_rollup",
     "iq_now_relative",
     "iq_lineitem_profile",
-    "iq_top_points",
     "iq_show_series",
-    "iq_raw_select",
-    "iq_mean_by_day",
-    "iq_selectors",
-    "iq_percentile_weekly",
     "iq_show_tag_values",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
@@ -114,7 +120,9 @@ _PRIORITY = [
     # ts_top_per_bucket, ts_sample, ts_changepoint,
     # rel_waiting_supplier, rel_revenue_threshold,
     # rel_sales_opportunity, rel_top_supplier, sim_centroid_assign,
-    # emb_quantize_int8 — then the oldest r5 rows.
+    # emb_quantize_int8, plus the filler displaced late in r7
+    # (iq_top_points, iq_raw_select, iq_mean_by_day, iq_selectors,
+    # iq_percentile_weekly) — then the oldest r5 rows.
     "dedup_minhash_ml",
     "sim_ann_brp",
     "sim_ann_ivf",

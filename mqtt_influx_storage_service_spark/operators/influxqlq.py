@@ -1402,6 +1402,170 @@ ORDER BY event_type
 """
 
 
+# -- scalar math family: the rest of InfluxQL 1.x's math transforms ------
+# (libm transcendentals; the hash discipline holds because outputs are
+# pre-rounded to 4 decimals at moderate magnitude — an ulp is ~1e-13
+# here, nowhere near the 0.5e-4 rounding boundary)
+
+IQ_MATH = (
+    "SELECT ROUND(LN(value), 4) AS lnv, ROUND(SIN(value), 4) AS sn, "
+    "ROUND(POW(value, 2), 4) AS sq, ROUND(LOG(value, 10), 4) AS lg, "
+    "ROUND(EXP(value / 200), 4) AS ex "
+    "FROM purchase "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-08 00:00:00'"
+)
+
+IQ_MATH_SQL = """
+SELECT ts AS time,
+       round(ln(value), 4) AS lnv,
+       round(sin(value), 4) AS sn,
+       round(pow(value, 2), 4) AS sq,
+       round(ln(value) / ln(10), 4) AS lg,
+       round(exp(value / 200), 4) AS ex
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+"""
+
+
+# -- technical-analysis transforms of aggregates --------------------------
+# EMA with N=3: alpha = 0.5 exactly, so every weight is a power of two
+# and the ordered fold is bit-identical across engines (the ts_ewma
+# discipline). CMO/RSI/KER: exact-integer kernels over 1e6-scaled
+# longs — integer sums, one double division, round 6.
+
+IQ_EMA = (
+    "SELECT EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 3) AS ema FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY time(1d)"
+)
+
+IQ_EMA_SQL = f"""
+WITH agg AS (
+    SELECT {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS mv
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY 1
+), fr AS (
+    SELECT time,
+           list(mv) OVER (ORDER BY time
+                          ROWS BETWEEN 63 PRECEDING
+                                   AND CURRENT ROW) AS l
+    FROM agg
+)
+SELECT time,
+       round(
+         list_sum(list_transform(range(1, len(l) + 1),
+                                 i -> l[i] * pow(0.5, len(l) - i)))
+         / ((1 - pow(0.5, len(l))) / 0.5), 6) + 0.0 AS ema
+FROM fr
+"""
+
+
+_TA_CENTS = "CAST(round(mv * 1000000) AS BIGINT)"
+_TA_DIFFS = "list_transform(range(2, len(l) + 1), i -> l[i] - l[i-1])"
+_TA_UP = f"list_sum(list_transform({_TA_DIFFS}, x -> greatest(x, 0)))"
+_TA_TOT = f"list_sum(list_transform({_TA_DIFFS}, x -> abs(x)))"
+
+
+IQ_CMO = (
+    "SELECT CHANDE_MOMENTUM_OSCILLATOR(MEAN(value), 5) AS cmo FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY time(1d)"
+)
+
+IQ_CMO_SQL = f"""
+WITH agg AS (
+    SELECT {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS mv
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY 1
+), fr AS (
+    SELECT time,
+           list({_TA_CENTS}) OVER (ORDER BY time
+                                   ROWS BETWEEN 5 PRECEDING
+                                            AND CURRENT ROW) AS l
+    FROM agg
+)
+SELECT time,
+       CASE WHEN len(l) = 6 AND {_TA_TOT} > 0
+            THEN round(100.0 * (2 * {_TA_UP} - {_TA_TOT}) / {_TA_TOT}, 6)
+                 + 0.0
+       END AS cmo
+FROM fr
+"""
+
+
+# RSI per series tag — the window partitions by the tag, proving the
+# TA frame is per-series, not global
+IQ_RSI = (
+    "SELECT RELATIVE_STRENGTH_INDEX(MEAN(value), 6) AS rsi FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "AND user_id < 40 GROUP BY time(1d), user_id"
+)
+
+IQ_RSI_SQL = f"""
+WITH agg AS (
+    SELECT user_id,
+           {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS mv
+    FROM events
+    WHERE event_type = 'click' AND user_id < 40
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY 1, 2
+), fr AS (
+    SELECT user_id, time,
+           list({_TA_CENTS}) OVER (PARTITION BY user_id ORDER BY time
+                                   ROWS BETWEEN 6 PRECEDING
+                                            AND CURRENT ROW) AS l
+    FROM agg
+)
+SELECT user_id, time,
+       CASE WHEN len(l) = 7 AND {_TA_TOT} > 0
+            THEN round(100.0 * {_TA_UP} / {_TA_TOT}, 6) + 0.0
+       END AS rsi
+FROM fr
+"""
+
+
+IQ_KER = (
+    "SELECT KAUFMANS_EFFICIENCY_RATIO(MEAN(value), 7) AS ker FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY time(1d)"
+)
+
+IQ_KER_SQL = f"""
+WITH agg AS (
+    SELECT {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS mv
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY 1
+), fr AS (
+    SELECT time,
+           list({_TA_CENTS}) OVER (ORDER BY time
+                                   ROWS BETWEEN 7 PRECEDING
+                                            AND CURRENT ROW) AS l
+    FROM agg
+)
+SELECT time,
+       CASE WHEN len(l) = 8 AND {_TA_TOT} > 0
+            THEN round(abs(l[len(l)] - l[1]) / (1.0 * {_TA_TOT}), 6) + 0.0
+       END AS ker
+FROM fr
+"""
+
+
 QUERIES = {
     "iq_holt_winters_seasonal": _q(IQ_HOLT_WINTERS_SEASONAL),
     "iq_fill_linear": _q(IQ_FILL_LINEAR),
@@ -1449,6 +1613,11 @@ QUERIES = {
     "iq_retention_policies": _iq_retention_policies,
     "iq_drop_series": _iq_drop_series,
     "iq_retention_filter": _iq_retention_filter,
+    "iq_math": _q(IQ_MATH),
+    "iq_ema": _q(IQ_EMA),
+    "iq_cmo": _q(IQ_CMO),
+    "iq_rsi": _q(IQ_RSI),
+    "iq_ker": _q(IQ_KER),
 }
 
 ORACLES = {
@@ -1498,4 +1667,9 @@ ORACLES = {
     "iq_retention_policies": IQ_RETENTION_POLICIES_SQL,
     "iq_drop_series": IQ_DROP_SERIES_SQL,
     "iq_retention_filter": IQ_RETENTION_FILTER_SQL,
+    "iq_math": IQ_MATH_SQL,
+    "iq_ema": IQ_EMA_SQL,
+    "iq_cmo": IQ_CMO_SQL,
+    "iq_rsi": IQ_RSI_SQL,
+    "iq_ker": IQ_KER_SQL,
 }

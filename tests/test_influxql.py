@@ -1085,3 +1085,156 @@ def test_show_where_filters_series_and_tag_values(spark, sf_dir):
         "WHERE time >= '2024-01-01 00:00:00'",
     ).collect()
     assert rel == abs_
+
+
+# -- technical-analysis transforms (EMA / CMO / RSI / KER) -----------------
+
+
+def _ta_points(values):
+    """One-host minute-spaced points for _TinyCatalog."""
+    return [
+        (f"2024-01-01 00:{i:02d}:00", "a", float(v), i + 1)
+        for i, v in enumerate(values)
+    ]
+
+
+def test_ema_matches_pandas_adjust_general_n(spark, sf_dir):
+    """Raw-path EMA with a non-power-of-two alpha (N=9 → α=0.2) equals
+    pandas ewm(adjust=True) while the series is shorter than the
+    EMA_TRUNC_K tail — the public semantics anchor for the
+    truncated-renormalized form."""
+    import pandas as pd
+
+    vals = [3.0, 7.5, 1.25, 9.0, 4.0, 6.5, 2.0, 8.0, 5.5, 0.5]
+    cat = _TinyCatalog(_ta_points(vals))
+    rows = (
+        influxql(
+            spark, sf_dir,
+            "SELECT EXPONENTIAL_MOVING_AVERAGE(value, 9) AS ema FROM m "
+            "WHERE time >= '2024-01-01' AND time < '2024-01-02'",
+            catalog=cat,
+        )
+        .orderBy("time")
+        .collect()
+    )
+    want = pd.Series(vals).ewm(alpha=0.2, adjust=True).mean()
+    assert len(rows) == len(vals)
+    for r, w in zip(rows, want):
+        assert abs(r.ema - round(w, 6)) < 1e-6
+
+
+def test_cmo_rsi_ker_tiny_reference(spark, sf_dir):
+    """CMO/RSI/KER against hand arithmetic on a 5-point series, N=2:
+    the windows hold the last 2 changes; warm-up rows are dropped in
+    the raw path (InfluxDB's emit-after-warm-up)."""
+    vals = [1.0, 2.0, 4.0, 3.0, 5.0]
+    cat = _TinyCatalog(_ta_points(vals))
+
+    def run(expr):
+        return (
+            influxql(
+                spark, sf_dir,
+                f"SELECT {expr} AS v FROM m "
+                "WHERE time >= '2024-01-01' AND time < '2024-01-02'",
+                catalog=cat,
+            )
+            .orderBy("time")
+            .collect()
+        )
+
+    # diffs: +1, +2, -1, +2
+    cmo = [r.v for r in run("CHANDE_MOMENTUM_OSCILLATOR(value, 2)")]
+    # windows: (+1,+2)→100·3/3=100; (+2,−1)→100·1/3; (−1,+2)→100·1/3
+    assert cmo == [100.0, round(100.0 / 3, 6), round(100.0 / 3, 6)]
+    rsi = [r.v for r in run("RELATIVE_STRENGTH_INDEX(value, 2)")]
+    # 100·ΣU/Σ|Δ|: 3/3, 2/3, 2/3
+    assert rsi == [100.0, round(200.0 / 3, 6), round(200.0 / 3, 6)]
+    ker = [r.v for r in run("KAUFMANS_EFFICIENCY_RATIO(value, 2)")]
+    # |net|/Σ|Δ|: |4−1|/3, |3−2|/3, |5−4|/3
+    assert ker == [1.0, round(1.0 / 3, 6), round(1.0 / 3, 6)]
+
+
+def test_ta_flat_window_emits_nothing_raw(spark, sf_dir):
+    """A flat window has ΣU+ΣD = 0: the TA value is NULL and the raw
+    path's all-null drop removes the point entirely."""
+    cat = _TinyCatalog(_ta_points([5.0] * 6))
+    rows = influxql(
+        spark, sf_dir,
+        "SELECT CHANDE_MOMENTUM_OSCILLATOR(value, 3) AS v FROM m "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-02'",
+        catalog=cat,
+    ).collect()
+    assert rows == []
+
+
+def test_ta_requires_integer_n(spark, sf_dir):
+    for q in (
+        "SELECT EXPONENTIAL_MOVING_AVERAGE(value) AS v FROM m",
+        "SELECT RELATIVE_STRENGTH_INDEX(value, 0) AS v FROM m",
+    ):
+        with pytest.raises(InfluxQLError, match="N"):
+            influxql(
+                spark, sf_dir,
+                q + " WHERE time >= '2024-01-01' AND time < '2024-01-02'",
+                catalog=_TinyCatalog(_ta_points([1.0, 2.0])),
+            )
+
+
+def test_ta_over_aggregate_partitions_per_tag(spark, sf_dir):
+    """Bucket-path TA partitions its frame by the GROUP BY tag: two
+    hosts with opposite trends keep opposite RSI signs."""
+    rows = [
+        (f"2024-01-01 {h:02d}:00:00", host, float(v), h * 10 + i)
+        for h in range(4)
+        for i, (host, v) in enumerate(
+            [("up", 10.0 + h), ("down", 10.0 - h)]
+        )
+    ]
+    cat = _TinyCatalog(rows)
+    out = influxql(
+        spark, sf_dir,
+        "SELECT RELATIVE_STRENGTH_INDEX(MEAN(value), 2) AS rsi FROM m "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-02' "
+        "GROUP BY time(1h), host",
+        catalog=cat,
+    ).collect()
+    got = {(r.host, r.time.hour): r.rsi for r in out}
+    # warm-up buckets (hours 0-1) are NULL; thereafter monotone up
+    # series → RSI 100, monotone down → 0
+    assert got[("up", 0)] is None and got[("down", 1)] is None
+    assert got[("up", 2)] == 100.0 and got[("up", 3)] == 100.0
+    assert got[("down", 2)] == 0.0 and got[("down", 3)] == 0.0
+
+
+def test_scalar_math_family(spark, sf_dir):
+    """The libm scalar family agrees with CPython's libm to well under
+    the 6-decimal hash quantum on moderate magnitudes."""
+    import math
+
+    vals = [0.5, 1.0, 2.25, 10.0, 100.0]
+    cat = _TinyCatalog(_ta_points(vals))
+    rows = (
+        influxql(
+            spark, sf_dir,
+            "SELECT LN(value) AS lnv, LOG2(value) AS l2, LOG10(value) AS l10, "
+            "LOG(value, 3) AS l3, EXP(value / 100) AS ex, POW(value, 3) AS p3, "
+            "SIN(value) AS sn, COS(value) AS cs, TAN(value) AS tn, "
+            "ATAN(value) AS at, ATAN2(value, 2) AS at2 "
+            "FROM m WHERE time >= '2024-01-01' AND time < '2024-01-02'",
+            catalog=cat,
+        )
+        .orderBy("time")
+        .collect()
+    )
+    for r, v in zip(rows, vals):
+        assert abs(r.lnv - math.log(v)) < 1e-9
+        assert abs(r.l2 - math.log2(v)) < 1e-9
+        assert abs(r.l10 - math.log10(v)) < 1e-9
+        assert abs(r.l3 - math.log(v, 3)) < 1e-9
+        assert abs(r.ex - math.exp(v / 100)) < 1e-9
+        assert abs(r.p3 - v**3) < 1e-6
+        assert abs(r.sn - math.sin(v)) < 1e-9
+        assert abs(r.cs - math.cos(v)) < 1e-9
+        assert abs(r.tn - math.tan(v)) < 1e-6
+        assert abs(r.at - math.atan(v)) < 1e-9
+        assert abs(r.at2 - math.atan2(v, 2)) < 1e-9
