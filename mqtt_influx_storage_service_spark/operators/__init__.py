@@ -92,17 +92,19 @@ _PRIORITY = [
     "iq_cmo",
     "iq_rsi",
     "iq_ker",
-    # (d) filler: the oldest r4 rows, in r4-certification order
-    # (iq_show_series / iq_show_tag_values kept: their SHOW FROM
-    # resolution changed to the multi/regex path in r7; displaced
-    # filler — iq_top_points, iq_raw_select, iq_mean_by_day,
-    # iq_selectors, iq_percentile_weekly — holds r4-green rows and
-    # joins the r8 queue)
-    "sim_mmr",
-    "iq_subquery_rollup",
-    "iq_now_relative",
-    "iq_lineitem_profile",
-    "iq_show_series",
+    "text_dsir_importance",
+    "rel_late_lines_priority",
+    "rel_customer_orders_dist",
+    "rel_promo_revenue",
+    "rel_disjunctive_revenue",
+    # (d) filler: iq_show_tag_values kept — its SHOW FROM resolution
+    # changed to the multi/regex path in r7 (iq_show_series shares
+    # that path and its changed surface is re-proven by the two new
+    # iq_show_tag_values_* entries above). Displaced filler — all
+    # r4-green: sim_mmr, iq_subquery_rollup, iq_now_relative,
+    # iq_lineitem_profile, iq_show_series, iq_top_points,
+    # iq_raw_select, iq_mean_by_day, iq_selectors,
+    # iq_percentile_weekly — joins the r8 queue.
     "iq_show_tag_values",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
@@ -121,7 +123,9 @@ _PRIORITY = [
     # rel_waiting_supplier, rel_revenue_threshold,
     # rel_sales_opportunity, rel_top_supplier, sim_centroid_assign,
     # emb_quantize_int8, plus the filler displaced late in r7
-    # (iq_top_points, iq_raw_select, iq_mean_by_day, iq_selectors,
+    # (sim_mmr, iq_subquery_rollup, iq_now_relative,
+    # iq_lineitem_profile, iq_show_series, iq_top_points,
+    # iq_raw_select, iq_mean_by_day, iq_selectors,
     # iq_percentile_weekly) — then the oldest r5 rows.
     "dedup_minhash_ml",
     "sim_ann_brp",

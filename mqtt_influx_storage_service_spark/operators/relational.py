@@ -1153,6 +1153,219 @@ GROUP BY p_brand
 """
 
 
+# --------------------------------------------------------------------------
+# Four more TPC-H shapes (Q12 / Q13 / Q14 / Q19), adapted to the
+# fixture's column subset. Money arithmetic rides the exact-integer
+# microcent discipline: revenue = cents(extprice) · (100 − disc100) is
+# an exact BIGINT per row (both factors are 2-decimal fixtures), so
+# the sums are order-free and the one double division happens last.
+# --------------------------------------------------------------------------
+
+def _rev_micro() -> F.Column:
+    """Lazy: F.col needs an active SparkContext (classic API)."""
+    return F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+_REV_MICRO_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def rel_late_lines_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode/priority split): among lineitems
+    shipped more than 90 days after their order date, count
+    high-priority (1-URGENT / 2-HIGH) vs lower-priority orders per
+    linestatus. The fixture has no l_shipmode / commit-receipt dates,
+    so linestatus plays the mode column and lateness is
+    shipdate − orderdate > 90d — the shape (fact-fact equi-join +
+    conditional CASE sums) is Q12's.
+
+    One shuffle: lineitem⋈orders on the order key; the priority CASE
+    folds map-side. The date predicate is a pure row filter after the
+    join (it references both sides)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+REL_LATE_LINES_PRIORITY_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def rel_customer_orders_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of customers by
+    how many qualifying orders they placed, INCLUDING the zero-order
+    customers a plain join would drop (the left outer join is the
+    point of Q13). The fixture lacks o_comment, so the exclusion
+    filter is o_orderpriority <> '4-NOT SPECIFIED'.
+
+    Two shuffles that cannot fuse: orders→per-customer counts (the
+    filter pushes below the join; left join keeps count-0 customers),
+    then the tiny count-histogram aggregation. All-integer output —
+    nothing to round."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+REL_CUSTOMER_ORDERS_DIST_SQL = """
+WITH per_cust AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+                    AND o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), monthly over 1996: the percent of
+    discounted revenue carried by PROMO-type parts. The fixture's
+    p_type is a bare class label, so the predicate is equality, not
+    LIKE 'PROMO%' — same shape.
+
+    Part is a broadcast dimension; the revenue terms are exact
+    integer microcents, so the two conditional sums are order-free
+    and the single percent division is the last step."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.month("l_shipdate").alias("mon"),
+        _rev_micro().alias("rev"),
+        F.col("p_type"),
+    )
+    return (
+        j.groupBy("mon")
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(F.lit(0)))
+                / F.sum("rev"),
+                6,
+            ).alias("promo_pct"),
+            F.round(F.sum("rev") / 10000.0, 2).alias("revenue"),
+        )
+        .orderBy("mon")
+    )
+
+
+REL_PROMO_REVENUE_SQL = f"""
+WITH j AS (
+    SELECT month(l_shipdate) AS mon,
+           {_REV_MICRO_SQL} AS rev,
+           p_type
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT mon,
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                   ELSE 0 END) AS BIGINT)
+             / CAST(sum(rev) AS BIGINT), 6) AS promo_pct,
+       round(CAST(sum(rev) AS BIGINT) / 10000.0, 2) AS revenue
+FROM j
+GROUP BY mon
+ORDER BY mon
+"""
+
+
+def rel_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue under disjunctive brand/size/
+    quantity bands): three OR'd clauses, each correlating a part
+    attribute band with a lineitem quantity band — the classic test
+    that an engine keeps the JOIN an equi-join and evaluates the
+    disjunction as a post-join filter instead of falling back to a
+    cartesian.
+
+    Grouped by brand so the result is a multi-row hash target. The
+    part side stays broadcast; `.explain` shows BroadcastHashJoin on
+    p_partkey with the OR residual as a Filter above it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    clause = (
+        ((br == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((br == "Brand#13") & sz.between(1, 25) & q.between(10, 20))
+        | ((br == "Brand#20") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(_rev_micro()) / 10000.0, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+REL_DISJUNCTIVE_REVENUE_SQL = f"""
+SELECT p_brand,
+       round(CAST(sum({_REV_MICRO_SQL}) AS BIGINT) / 10000.0, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "rel_waiting_supplier": rel_waiting_supplier,
     "rel_small_qty_revenue": rel_small_qty_revenue,
@@ -1187,6 +1400,10 @@ QUERIES = {
     "rel_merge_join": rel_merge_join,
     "rel_interval_overlap": rel_interval_overlap,
     "rel_grouping_sets": rel_grouping_sets,
+    "rel_late_lines_priority": rel_late_lines_priority,
+    "rel_customer_orders_dist": rel_customer_orders_dist,
+    "rel_promo_revenue": rel_promo_revenue,
+    "rel_disjunctive_revenue": rel_disjunctive_revenue,
 }
 
 ORACLES = {
@@ -1215,4 +1432,8 @@ ORACLES = {
     "rel_merge_join": REL_MERGE_JOIN_SQL,
     "rel_interval_overlap": REL_INTERVAL_OVERLAP_SQL,
     "rel_grouping_sets": REL_GROUPING_SETS_SQL,
+    "rel_late_lines_priority": REL_LATE_LINES_PRIORITY_SQL,
+    "rel_customer_orders_dist": REL_CUSTOMER_ORDERS_DIST_SQL,
+    "rel_promo_revenue": REL_PROMO_REVENUE_SQL,
+    "rel_disjunctive_revenue": REL_DISJUNCTIVE_REVENUE_SQL,
 }

@@ -1476,6 +1476,140 @@ TEXT_BM25_SQL = _BM25_RANKED_SQL_TMPL.format(
 )
 
 
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096  # hashed n-gram feature space (paper: 10^4)
+
+
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: hashed unigram+bigram
+    features, two bag-of-buckets n-gram models (target = the 'en'
+    slice standing in for the paper's high-quality domain; raw = the
+    whole corpus), and per-doc log importance
+    log w(d) = Σ_b c_d(b)·[ln p_target(b) − ln p_raw(b)]
+    with Laplace-smoothed bucket probabilities. Resampling then keeps
+    docs ∝ exp(log w) — the selection gate production LLM pipelines
+    run ahead of training.
+
+    Hash discipline: the per-bucket log-likelihood-ratio is fixed to
+    exact micro-units (round(llr·1e6) as a long) before the per-doc
+    sum, so the corpus-wide aggregation is an INTEGER sum — order-
+    insensitive, one double division at the end. The ln inputs are
+    bit-identical integer ratios in both engines, so the only libm
+    exposure is one ulp on a value pre-rounded to 6 decimals.
+
+    Scale shape: explode → ONE word-count-shaped shuffle for the
+    bucket stats (map-side combinable, ≤4096 groups), totals as a
+    1-row broadcast, the 4096-row LLR model broadcast onto the
+    per-doc bucket counts (second word-count shuffle on (doc, b)),
+    final per-doc sum. No driver-side vocabulary, model size bounded
+    by DSIR_BUCKETS at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    tok = docs.select("doc_id", "lang", _tokens().alias("t"))
+    feats = tok.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                F.col("t"),
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+                ),
+            )
+        ).alias("f"),
+    )
+    hb = feats.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("f")), 1, 15), 16, 10).cast("long")
+            % F.lit(DSIR_BUCKETS)
+        ).alias("b"),
+    )
+    bstats = hb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+    )
+    totals = bstats.agg(
+        F.sum("n_r").alias("nr"), F.sum("n_t").alias("nt")
+    )
+    llr = bstats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("n_t") + 1) / (F.col("nt") + DSIR_BUCKETS))
+                - F.log((F.col("n_r") + 1) / (F.col("nr") + DSIR_BUCKETS))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("m"),
+    )
+    docb = hb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    score = (
+        docb.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("m")) / 1_000_000.0, 6).alias(
+                "logw"
+            ),
+        )
+    )
+    return score.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_feats", "logw"
+    )
+
+
+TEXT_DSIR_IMPORTANCE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), feats AS (
+    SELECT doc_id, lang,
+           unnest(list_concat(t,
+               list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1]))) AS f
+    FROM tok
+), hb AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT)
+               % {DSIR_BUCKETS} AS b
+    FROM feats
+), bstats AS (
+    SELECT b,
+           CAST(count(*) AS BIGINT) AS n_r,
+           CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_t
+    FROM hb GROUP BY b
+), tot AS (
+    SELECT CAST(sum(n_r) AS BIGINT) AS nr,
+           CAST(sum(n_t) AS BIGINT) AS nt
+    FROM bstats
+), llr AS (
+    SELECT b,
+           CAST(round((ln((n_t + 1) / (nt + {DSIR_BUCKETS}))
+                       - ln((n_r + 1) / (nr + {DSIR_BUCKETS})))
+                      * 1000000) AS BIGINT) AS m
+    FROM bstats, tot
+), docb AS (
+    SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+    FROM hb GROUP BY doc_id, b
+), sc AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_feats,
+           round(CAST(sum(c * m) AS BIGINT) / 1000000.0, 6) AS logw
+    FROM docb JOIN llr USING (b)
+    GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, s.n_feats, s.logw
+FROM sc s JOIN documents d ON d.doc_id = s.doc_id
+"""
+
+
 QUERIES = {
     "text_bm25": text_bm25,
     "text_pii_scrub": text_pii_scrub,
@@ -1494,6 +1628,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_chunking": text_chunking,
     "text_entropy": text_entropy,
+    "text_dsir_importance": text_dsir_importance,
 }
 
 ORACLES = {
@@ -1514,4 +1649,5 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_chunking": TEXT_CHUNKING_SQL,
     "text_entropy": TEXT_ENTROPY_SQL,
+    "text_dsir_importance": TEXT_DSIR_IMPORTANCE_SQL,
 }

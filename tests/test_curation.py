@@ -357,3 +357,35 @@ def test_domain_quota_cap_bites_and_keeps_longest(spark, sf_dir):
         assert sorted(r.doc_id for r in kept) == sorted(d.doc_id for d in expect)
     # the cap actually bites somewhere on this fixture
     assert any(len(full[s]) > cap for s in full)
+
+
+# --------------------------------------------------------------------------
+# text_dsir_importance
+# --------------------------------------------------------------------------
+
+
+def test_dsir_weights_favor_target_language(spark):
+    """DSIR's whole point: documents drawn from the target
+    distribution (lang='en') must score a strictly higher MEAN log
+    importance weight than the rest of the corpus, and every doc's
+    feature count must equal 2·tokens − 1 (unigrams + bigrams)."""
+    out = all_queries()["text_dsir_importance"](spark, SF).collect()
+    en = [r.logw for r in out if r.lang == "en"]
+    rest = [r.logw for r in out if r.lang != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    feats = {r.doc_id: r.n_tok * 2 - 1 for r in docs.collect()}
+    for r in out:
+        assert r.n_feats == feats[r.doc_id]
+
+
+def test_dsir_model_is_broadcast_and_bounded(spark):
+    """The 4096-bucket LLR model rides a broadcast join — the corpus
+    side is never broadcast and never re-shuffled for the model."""
+    df = all_queries()["text_dsir_importance"](spark, SF)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian(df)

@@ -294,3 +294,16 @@ def test_bucketed_join_eliminates_the_shuffle(spark, tmp_path, sf_dir):
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_new_tpch_shapes_join_strategy(spark):
+    """Q19's OR-residual must stay a broadcast hash join on the part
+    key (never a BNLJ/cartesian); Q14 broadcasts part and pushes the
+    shipdate band to the lineitem scan."""
+    qs = all_queries()
+    df = qs["rel_disjunctive_revenue"](spark, SF)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian(df)
+    df = qs["rel_promo_revenue"](spark, SF)
+    assert plans.has_broadcast_join(df)
+    assert "l_shipdate" in " ".join(plans.pushed_filters(df))
