@@ -223,6 +223,18 @@ class Show:
 
 
 @dataclass
+class Explain:
+    """``EXPLAIN [ANALYZE] SELECT ...`` — InfluxDB 1.x's plan
+    introspection statement. Lowered onto Spark's own explain: plain
+    EXPLAIN returns the formatted LAZY plan (no job runs); ANALYZE
+    executes the query once and returns the executed plan with its
+    runtime metrics (AQE final plan, row counts)."""
+
+    inner: "Select"
+    analyze: bool = False
+
+
+@dataclass
 class Delete:
     measurement: str | None  # None = every measurement (DROP-less form)
     where: object | None
@@ -378,6 +390,10 @@ class _Parser:
             else:
                 self.expect_kw("MEASUREMENT")
                 stmt = Delete(self._ident("measurement"), None)
+        elif self.kw("EXPLAIN"):
+            analyze = bool(self.kw("ANALYZE"))
+            self.expect_kw("SELECT")
+            stmt = Explain(self._select(), analyze)
         else:
             self.expect_kw("SELECT")
             stmt = self._select()
@@ -889,11 +905,23 @@ _RANK_AGGS = {"MEDIAN", "PERCENTILE", "FIRST", "LAST"}
 # double division at the end, round(·,6) — bit-identical to the
 # DuckDB oracle with no summation-order hazard. A flat window
 # (ΣU+ΣD = 0) emits NULL.
+#   DOUBLE_/TRIPLE_EXPONENTIAL_MOVING_AVERAGE and
+#   TRIPLE_EXPONENTIAL_DERIVATIVE (TRIX, in percent) compose the EMA
+#   kernel: DEMA = 2·e1 − e2, TEMA = 3·e1 − 3·e2 + e3, TRIX =
+#   100·Δe3/lag(e3). Each EMA stage rounds to 6 decimals before the
+#   next consumes it, so the composition arithmetic runs on exact
+#   6-decimal doubles — deterministic across engines.
+_TA_EMA_STAGES = {
+    "DOUBLE_EXPONENTIAL_MOVING_AVERAGE": 2,
+    "TRIPLE_EXPONENTIAL_MOVING_AVERAGE": 3,
+    "TRIPLE_EXPONENTIAL_DERIVATIVE": 3,
+}
 _TA_FUNCS = (
     "EXPONENTIAL_MOVING_AVERAGE",
     "CHANDE_MOMENTUM_OSCILLATOR",
     "RELATIVE_STRENGTH_INDEX",
     "KAUFMANS_EFFICIENCY_RATIO",
+    *_TA_EMA_STAGES,
 )
 EMA_TRUNC_K = 64  # (1-alpha)^64 < 1e-8 for every N <= 51
 _TA_SCALE = 1_000_000
@@ -938,26 +966,26 @@ def _ta_n(e: "Call") -> int:
     return n
 
 
-def _ta_list(e: "Call", n: int, src: Column, w) -> Column:
+def _ta_list(func: str, n: int, src: Column, w) -> Column:
     """The ordered per-series value window a TA transform folds over:
     raw doubles for EMA, exact 1e6-scaled longs for CMO/RSI/KER
     (the scaled values are integers exactly, so round() never sits on
     a .5 boundary). NOTE collect_list skips NULLs (Spark) while
     DuckDB's list() keeps them — oracles filter NULL inputs
     identically (the ts_ewma precedent; fixtures carry none)."""
-    if e.func == "EXPONENTIAL_MOVING_AVERAGE":
+    if func == "EXPONENTIAL_MOVING_AVERAGE":
         return F.collect_list(src).over(w.rowsBetween(-(EMA_TRUNC_K - 1), 0))
     scaled = F.round(src * _TA_SCALE).cast("long")
     return F.collect_list(scaled).over(w.rowsBetween(-n, 0))
 
 
-def _ta_fold(e: "Call", n: int, lname: str) -> Column:
+def _ta_fold(func: str, n: int, lname: str) -> Column:
     """Fold the materialized list column into the TA value. Every
     arithmetic step happens in the SAME order as the DuckDB oracle
     (ascending window index), so doubles agree bit-for-bit where the
     inputs are exact."""
     l = lname
-    if e.func == "EXPONENTIAL_MOVING_AVERAGE":
+    if func == "EXPONENTIAL_MOVING_AVERAGE":
         a = 2.0 / (n + 1)
         b = repr(1.0 - a)  # shortest round-trip literal: the oracle
         # parses the identical literal to the identical double
@@ -974,15 +1002,38 @@ def _ta_fold(e: "Call", n: int, lname: str) -> Column:
     up = f"aggregate({diffs}, 0L, (acc, x) -> acc + greatest(x, 0L))"
     tot = f"aggregate({diffs}, 0L, (acc, x) -> acc + abs(x))"
     full = f"size({l}) = {n + 1}"
-    if e.func == "CHANDE_MOMENTUM_OSCILLATOR":
+    if func == "CHANDE_MOMENTUM_OSCILLATOR":
         # ΣU − ΣD = 2·ΣU − Σ|Δ| and ΣU + ΣD = Σ|Δ|: one fold fewer
         val = f"round(100D * (2 * {up} - {tot}) / {tot}, 6) + 0D"
-    elif e.func == "RELATIVE_STRENGTH_INDEX":
+    elif func == "RELATIVE_STRENGTH_INDEX":
         val = f"round(100D * {up} / {tot}, 6) + 0D"
     else:  # KAUFMANS_EFFICIENCY_RATIO
         net = f"abs(element_at({l}, size({l})) - element_at({l}, 1))"
         val = f"round({net} / (1D * {tot}), 6) + 0D"
     return F.expr(f"CASE WHEN {full} AND {tot} > 0 THEN {val} END")
+
+
+def _ta_compose(func: str, es: list[Column], w) -> Column:
+    """Combine materialized EMA stage columns into DEMA/TEMA/TRIX.
+    Every input is already rounded to 6 decimals, so the combination
+    is a handful of IEEE ops on identical doubles in both engines."""
+    if func == "DOUBLE_EXPONENTIAL_MOVING_AVERAGE":
+        return F.round(2 * es[0] - es[1], 6) + F.lit(0.0)
+    if func == "TRIPLE_EXPONENTIAL_MOVING_AVERAGE":
+        return F.round(3 * es[0] - 3 * es[1] + es[2], 6) + F.lit(0.0)
+    # TRIX: one-period percent change of the triple-smoothed series
+    prev = F.lag(es[-1]).over(w)
+    return F.round(F.lit(100.0) * (es[-1] - prev) / prev, 6) + F.lit(0.0)
+
+
+# TA funcs that emit from the very first point (renormalized warm-up)
+# — everything else warms up to NULL and InfluxQL drops the point in
+# the raw path.
+_TA_EMIT_FIRST = (
+    "EXPONENTIAL_MOVING_AVERAGE",
+    "DOUBLE_EXPONENTIAL_MOVING_AVERAGE",
+    "TRIPLE_EXPONENTIAL_MOVING_AVERAGE",
+)
 # INTEGRAL is an aggregate whose per-row term needs a lag window over
 # the group's points BEFORE the groupBy (trapezoid vs the previous
 # point) — precomputed in _compile_agg like the FIRST/LAST rank columns.
@@ -1819,14 +1870,34 @@ class _Compiler:
                 # technical-analysis transforms over raw points: the
                 # same ordered-fold kernels as the bucket path, over a
                 # per-series frame of exact scaled longs (doubles for
-                # EMA). The list column rides the input frame; it is
-                # simply not projected by the final select.
+                # EMA). The list/stage columns ride the input frame;
+                # they are simply not projected by the final select.
                 n = _ta_n(e)
-                df = df.withColumn(
-                    f"_tal_{names[i]}",
-                    _ta_list(e, n, F.col(e.args[0].name), w),
-                )
-                col = _ta_fold(e, n, f"_tal_{names[i]}")
+                if e.func in _TA_EMA_STAGES:
+                    cur = F.col(e.args[0].name)
+                    es = []
+                    for s in range(_TA_EMA_STAGES[e.func]):
+                        ln = f"_tal{s}_{names[i]}"
+                        en = f"_tae{s}_{names[i]}"
+                        df = df.withColumn(
+                            ln,
+                            _ta_list(
+                                "EXPONENTIAL_MOVING_AVERAGE", n, cur, w
+                            ),
+                        )
+                        df = df.withColumn(
+                            en,
+                            _ta_fold("EXPONENTIAL_MOVING_AVERAGE", n, ln),
+                        )
+                        cur = F.col(en)
+                        es.append(cur)
+                    col = _ta_compose(e.func, es, w)
+                else:
+                    df = df.withColumn(
+                        f"_tal_{names[i]}",
+                        _ta_list(e.func, n, F.col(e.args[0].name), w),
+                    )
+                    col = _ta_fold(e.func, n, f"_tal_{names[i]}")
             elif e.func in raw_run_funcs:
                 # cents-exact running forms (the repo's order-free
                 # integer discipline — see operators/timeseries.
@@ -1877,8 +1948,7 @@ class _Compiler:
                     col = F.when(col >= 0, col)
             df = df.withColumn(f"_lag_{names[i]}", col)
             if e.func in raw_lag_funcs or (
-                e.func in _TA_FUNCS
-                and e.func != "EXPONENTIAL_MOVING_AVERAGE"
+                e.func in _TA_FUNCS and e.func not in _TA_EMIT_FIRST
             ):
                 # warm-up rows (and InfluxQL's first-point rule) emit
                 # NULL: the all-null drop below removes them, matching
@@ -2096,19 +2166,43 @@ class _Compiler:
                     # technical-analysis transform of an aggregate:
                     # materialize the per-series value frame, fold it
                     # in window order (kernels shared with the raw
-                    # path; dropped right after the level lands)
+                    # path; temporaries dropped right after the level
+                    # lands). DEMA/TEMA/TRIX chain the EMA kernel
+                    # through materialized stage columns.
                     n = _ta_n(e)
-                    out = out.withColumn(
-                        "_ta_l", _ta_list(e, n, src, w)
-                    )
-                    col = _ta_fold(e, n, "_ta_l")
+                    if e.func in _TA_EMA_STAGES:
+                        cur, es = src, []
+                        for s in range(_TA_EMA_STAGES[e.func]):
+                            out = out.withColumn(
+                                f"_ta_l{s}",
+                                _ta_list(
+                                    "EXPONENTIAL_MOVING_AVERAGE",
+                                    n, cur, w,
+                                ),
+                            )
+                            out = out.withColumn(
+                                f"_ta_e{s}",
+                                _ta_fold(
+                                    "EXPONENTIAL_MOVING_AVERAGE",
+                                    n, f"_ta_l{s}",
+                                ),
+                            )
+                            cur = F.col(f"_ta_e{s}")
+                            es.append(cur)
+                        col = _ta_compose(e.func, es, w)
+                    else:
+                        out = out.withColumn(
+                            "_ta_l", _ta_list(e.func, n, src, w)
+                        )
+                        col = _ta_fold(e.func, n, "_ta_l")
                 if e.func.startswith("NON_NEGATIVE_"):
                     col = F.when(col >= 0, col)  # negative results omitted
                 last = depth == len(chain) - 1
                 src_name = name if last else f"_t{depth}_{name}"
                 out = out.withColumn(src_name, col)
-                if "_ta_l" in out.columns:
-                    out = out.drop("_ta_l")
+                tmp = [c for c in out.columns if c.startswith("_ta_")]
+                if tmp:
+                    out = out.drop(*tmp)
             for depth in range(len(chain) - 1):
                 out = out.drop(f"_t{depth}_{name}")
         for name, _ in transforms:
@@ -2323,6 +2417,20 @@ def influxql(
         now = datetime.datetime.fromisoformat(now)
     cat = catalog or EventsCatalog(sf_dir)
     stmt = parse(query)
+    if isinstance(stmt, Explain):
+        df = _Compiler(spark, cat, stmt.inner, now=now).compile()
+        qe = df._jdf.queryExecution()
+        if stmt.analyze:
+            df.count()  # one execution materializes the runtime metrics
+            text = qe.executedPlan().toString()
+        else:
+            text = qe.explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        rows = [(i + 1, line) for i, line in enumerate(text.splitlines())]
+        return spark.createDataFrame(rows, "line int, plan string")
     if isinstance(stmt, Show):
         return _compile_show(spark, cat, stmt, meta=meta, now=now)
     if isinstance(stmt, (RetentionPolicyStmt, CreateDatabase, DropSeries)):

@@ -97,14 +97,19 @@ _PRIORITY = [
     "rel_customer_orders_dist",
     "rel_promo_revenue",
     "rel_disjunctive_revenue",
-    # (d) filler: iq_show_tag_values kept — its SHOW FROM resolution
-    # changed to the multi/regex path in r7 (iq_show_series shares
-    # that path and its changed surface is re-proven by the two new
-    # iq_show_tag_values_* entries above). Displaced filler — all
-    # r4-green: sim_mmr, iq_subquery_rollup, iq_now_relative,
+    "iq_trix",
+    # slot 51+: iq_dema is the one new r7 entry that did not fit the
+    # 50-slot prefix (17 new entries vs 16 free slots) — it is the
+    # least-machinery TA composition (2 EMA stages; the 3-stage chain
+    # + lag is proven by iq_trix above), locally oracle-green, and
+    # FRONT-LOADS the r8 queue. iq_show_tag_values' r7-changed SHOW
+    # FROM path is re-proven by the two iq_show_tag_values_* entries
+    # above; its own refresh joins the r8 queue with the displaced
+    # r4-green filler: sim_mmr, iq_subquery_rollup, iq_now_relative,
     # iq_lineitem_profile, iq_show_series, iq_top_points,
     # iq_raw_select, iq_mean_by_day, iq_selectors,
-    # iq_percentile_weekly — joins the r8 queue.
+    # iq_percentile_weekly.
+    "iq_dema",
     "iq_show_tag_values",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,

@@ -1566,6 +1566,74 @@ FROM fr
 """
 
 
+# DEMA / TRIX: EMA-kernel compositions (each stage pre-rounded to 6
+# decimals, so the combining arithmetic is deterministic IEEE ops on
+# identical doubles in both engines; alpha = 0.5 keeps the stage
+# weights powers of two)
+
+
+def _ema_stage_sql(src: str, col: str) -> str:
+    """One truncated-renormalized EMA stage (alpha 0.5, K=64) as a
+    DuckDB subquery over CTE ``src``, reading ``col``, emitting ``v``."""
+    return f"""
+    SELECT time,
+           round(list_sum(list_transform(range(1, len(l) + 1),
+                                         i -> l[i] * pow(0.5, len(l) - i)))
+                 / ((1 - pow(0.5, len(l))) / 0.5), 6) + 0.0 AS v
+    FROM (SELECT time,
+                 list({col}) OVER (ORDER BY time
+                                   ROWS BETWEEN 63 PRECEDING
+                                            AND CURRENT ROW) AS l
+          FROM {src})
+    """
+
+
+_TA_AGG_CTE = f"""
+    SELECT {_BUCKET.format(iv=_US_1D)} AS time,
+           {_MEAN} AS mv
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY 1
+"""
+
+
+IQ_DEMA = (
+    "SELECT DOUBLE_EXPONENTIAL_MOVING_AVERAGE(MEAN(value), 3) AS d "
+    "FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY time(1d)"
+)
+
+IQ_DEMA_SQL = f"""
+WITH agg AS ({_TA_AGG_CTE}),
+e1 AS ({_ema_stage_sql("agg", "mv")}),
+e2 AS ({_ema_stage_sql("e1", "v")})
+SELECT e1.time, round(2 * e1.v - e2.v, 6) + 0.0 AS d
+FROM e1 JOIN e2 ON e1.time = e2.time
+"""
+
+
+IQ_TRIX = (
+    "SELECT TRIPLE_EXPONENTIAL_DERIVATIVE(MEAN(value), 3) AS tx "
+    "FROM click "
+    "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-02-01 00:00:00' "
+    "GROUP BY time(1d)"
+)
+
+IQ_TRIX_SQL = f"""
+WITH agg AS ({_TA_AGG_CTE}),
+e1 AS ({_ema_stage_sql("agg", "mv")}),
+e2 AS ({_ema_stage_sql("e1", "v")}),
+e3 AS ({_ema_stage_sql("e2", "v")})
+SELECT time,
+       round(100.0 * (v - lag(v) OVER (ORDER BY time))
+             / lag(v) OVER (ORDER BY time), 6) + 0.0 AS tx
+FROM e3
+"""
+
+
 QUERIES = {
     "iq_holt_winters_seasonal": _q(IQ_HOLT_WINTERS_SEASONAL),
     "iq_fill_linear": _q(IQ_FILL_LINEAR),
@@ -1618,6 +1686,8 @@ QUERIES = {
     "iq_cmo": _q(IQ_CMO),
     "iq_rsi": _q(IQ_RSI),
     "iq_ker": _q(IQ_KER),
+    "iq_dema": _q(IQ_DEMA),
+    "iq_trix": _q(IQ_TRIX),
 }
 
 ORACLES = {
@@ -1672,4 +1742,6 @@ ORACLES = {
     "iq_cmo": IQ_CMO_SQL,
     "iq_rsi": IQ_RSI_SQL,
     "iq_ker": IQ_KER_SQL,
+    "iq_dema": IQ_DEMA_SQL,
+    "iq_trix": IQ_TRIX_SQL,
 }

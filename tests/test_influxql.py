@@ -1238,3 +1238,68 @@ def test_scalar_math_family(spark, sf_dir):
         assert abs(r.tn - math.tan(v)) < 1e-6
         assert abs(r.at - math.atan(v)) < 1e-9
         assert abs(r.at2 - math.atan2(v, 2)) < 1e-9
+
+
+def test_dema_tema_trix_compose_the_ema_kernel(spark, sf_dir):
+    """DEMA/TEMA/TRIX are pinned to their defining identities over the
+    engine's own EMA stages (each stage pre-rounded to 6 decimals):
+    DEMA = 2·e1 − e2, TEMA = 3·e1 − 3·e2 + e3, TRIX = %Δ of e3."""
+    vals = [3.0, 7.5, 1.25, 9.0, 4.0, 6.5, 2.0, 8.0]
+    cat = _TinyCatalog(_ta_points(vals))
+    rng = "WHERE time >= '2024-01-01' AND time < '2024-01-02'"
+
+    def col(expr):
+        return [
+            r.v
+            for r in influxql(
+                spark, sf_dir, f"SELECT {expr} AS v FROM m {rng}", catalog=cat
+            )
+            .orderBy("time")
+            .collect()
+        ]
+
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(xs):
+        # Spark's round(): HALF_UP over the shortest decimal repr
+        # (BigDecimal.valueOf) — NOT numpy/python banker's rounding
+        return [
+            float(
+                Decimal(repr(float(x))).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            )
+            for x in xs
+        ]
+
+    # stage references from pandas ewm(adjust=True), each stage rounded
+    # to 6 decimals before the next consumes it — the engine's contract
+    e1 = r6(pd.Series(vals).ewm(alpha=0.4, adjust=True).mean())
+    e2 = r6(pd.Series(e1).ewm(alpha=0.4, adjust=True).mean())
+    e3 = r6(pd.Series(e2).ewm(alpha=0.4, adjust=True).mean())
+    assert col("EXPONENTIAL_MOVING_AVERAGE(value, 4)") == e1
+    dema = col("DOUBLE_EXPONENTIAL_MOVING_AVERAGE(value, 4)")
+    tema = col("TRIPLE_EXPONENTIAL_MOVING_AVERAGE(value, 4)")
+    trix = col("TRIPLE_EXPONENTIAL_DERIVATIVE(value, 4)")
+    assert dema == r6([2 * a - b for a, b in zip(e1, e2)])
+    assert tema == r6([3 * a - 3 * b + c for a, b, c in zip(e1, e2, e3)])
+    # TRIX drops the warm-up point (lag NULL) in the raw path
+    assert trix == r6([100.0 * (c - p) / p for p, c in zip(e3, e3[1:])])
+
+
+def test_explain_returns_plan_rows(spark, sf_dir):
+    """EXPLAIN returns the formatted lazy plan as rows; EXPLAIN
+    ANALYZE executes once and returns the AQE final plan."""
+    q = (
+        "SELECT MEAN(value) AS m FROM click "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-08' "
+        "GROUP BY time(1d)"
+    )
+    plan = influxql(spark, sf_dir, f"EXPLAIN {q}").collect()
+    text = "\n".join(r.plan for r in plan)
+    assert "Physical Plan" in text and "Scan" in text
+    ana = influxql(spark, sf_dir, f"EXPLAIN ANALYZE {q}").collect()
+    assert any("AdaptiveSparkPlan" in r.plan for r in ana)
+    with pytest.raises(InfluxQLError, match="SELECT"):
+        influxql(spark, sf_dir, "EXPLAIN SHOW MEASUREMENTS")
