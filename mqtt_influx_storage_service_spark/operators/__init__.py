@@ -98,11 +98,14 @@ _PRIORITY = [
     "rel_promo_revenue",
     "rel_disjunctive_revenue",
     "iq_trix",
-    # slot 51+: iq_dema is the one new r7 entry that did not fit the
-    # 50-slot prefix (17 new entries vs 16 free slots) — it is the
-    # least-machinery TA composition (2 EMA stages; the 3-stage chain
-    # + lag is proven by iq_trix above), locally oracle-green, and
-    # FRONT-LOADS the r8 queue. iq_show_tag_values' r7-changed SHOW
+    # slot 51+: the new r7 entries that did not fit the 50-slot
+    # prefix (20 new entries vs 16 free slots) — iq_dema (the
+    # least-machinery TA composition; the 3-stage chain + lag is
+    # proven by iq_trix above), pipeline_dsir_resample (keying over
+    # the prefix-checked text_dsir_importance), rel_returned_customers
+    # and rel_forecast_revenue (exact-integer money ranking /
+    # scan-filter shapes). All locally oracle-green; they FRONT-LOAD
+    # the r8 queue. iq_show_tag_values' r7-changed SHOW
     # FROM path is re-proven by the two iq_show_tag_values_* entries
     # above; its own refresh joins the r8 queue with the displaced
     # r4-green filler: sim_mmr, iq_subquery_rollup, iq_now_relative,
@@ -110,6 +113,9 @@ _PRIORITY = [
     # iq_raw_select, iq_mean_by_day, iq_selectors,
     # iq_percentile_weekly.
     "iq_dema",
+    "pipeline_dsir_resample",
+    "rel_returned_customers",
+    "rel_forecast_revenue",
     "iq_show_tag_values",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,

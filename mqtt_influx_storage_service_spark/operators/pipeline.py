@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from .dedup import _component_labels, _edges_cte
 from .textops import (
+    TEXT_DSIR_IMPORTANCE_SQL,
+    text_dsir_importance,
     _GOPHER_FEATS_SQL,
     _GOPHER_KEEP_SQL,
     _LANGID_PRED_SQL,
@@ -1058,6 +1060,60 @@ FROM r
 """
 
 
+# --------------------------------------------------------------------------
+# DSIR resampling (the selection half of Xie et al. 2023 — the weight
+# half is textops.text_dsir_importance)
+# --------------------------------------------------------------------------
+
+DSIR_SAMPLE_N = 150
+
+
+def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k resampling over the DSIR importance weights:
+    sampling k docs without replacement with probability ∝ exp(logw)
+    is exactly 'take the k largest logw + Gumbel(0,1) keys'. The
+    Gumbel draw is derandomized the repo way — u(doc) from the
+    doc_id's md5 (identical in both engines), g = −ln(−ln u) — so the
+    selection is reproducible across runs, engines, and cluster
+    sizes; the key rounds to 6 decimals with doc_id as the total
+    tiebreak.
+
+    Scale shape: the keying is a per-row map over the weight table;
+    the top-k is TakeOrderedAndProject (per-partition heaps + one
+    k-row merge), never a global sort of the corpus."""
+    w = text_dsir_importance(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 1_000_000
+        + 0.5
+    ) / 1_000_000.0
+    key = F.round(F.col("logw") + -F.log(-F.log(u)), 6)
+    return (
+        w.withColumn("key", key)
+        .orderBy(F.col("key").desc(), F.col("doc_id"))
+        .limit(DSIR_SAMPLE_N)
+        .select("doc_id", "lang", "logw", "key")
+    )
+
+
+PIPELINE_DSIR_RESAMPLE_SQL = f"""
+WITH dsir AS ({TEXT_DSIR_IMPORTANCE_SQL}),
+keyed AS (
+    SELECT doc_id, lang, logw,
+           round(logw + -ln(-ln(
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 1000000 + 0.5) / 1000000.0)), 6) AS key
+    FROM dsir
+)
+SELECT doc_id, lang, logw, key
+FROM keyed
+ORDER BY key DESC, doc_id
+LIMIT {DSIR_SAMPLE_N}
+"""
+
+
 QUERIES = {
     "pipeline_shard_plan": pipeline_shard_plan,
     "pipeline_domain_quota": pipeline_domain_quota,
@@ -1071,6 +1127,7 @@ QUERIES = {
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_interleave": pipeline_interleave,
+    "pipeline_dsir_resample": pipeline_dsir_resample,
 }
 
 ORACLES = {
@@ -1086,4 +1143,5 @@ ORACLES = {
     "pipeline_pack_sequences": PIPELINE_PACK_SEQUENCES_SQL,
     "pipeline_stratified_sample": PIPELINE_STRATIFIED_SAMPLE_SQL,
     "pipeline_interleave": PIPELINE_INTERLEAVE_SQL,
+    "pipeline_dsir_resample": PIPELINE_DSIR_RESAMPLE_SQL,
 }

@@ -1289,7 +1289,7 @@ def rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("rev"),
                 6,
             ).alias("promo_pct"),
-            F.round(F.sum("rev") / 10000.0, 2).alias("revenue"),
+            (F.floor((F.sum("rev") + 50) / 100) / 100.0).alias("revenue"),
         )
         .orderBy("mon")
     )
@@ -1308,7 +1308,7 @@ SELECT mon,
        round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
                                    ELSE 0 END) AS BIGINT)
              / CAST(sum(rev) AS BIGINT), 6) AS promo_pct,
-       round(CAST(sum(rev) AS BIGINT) / 10000.0, 2) AS revenue
+       floor((CAST(sum(rev) AS BIGINT) + 50) / 100) / 100.0 AS revenue
 FROM j
 GROUP BY mon
 ORDER BY mon
@@ -1343,7 +1343,9 @@ def rel_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(clause)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(_rev_micro()) / 10000.0, 2).alias("revenue"),
+            (F.floor((F.sum(_rev_micro()) + 50) / 100) / 100.0).alias(
+                "revenue"
+            ),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("p_brand")
@@ -1352,7 +1354,8 @@ def rel_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REL_DISJUNCTIVE_REVENUE_SQL = f"""
 SELECT p_brand,
-       round(CAST(sum({_REV_MICRO_SQL}) AS BIGINT) / 10000.0, 2) AS revenue,
+       floor((CAST(sum({_REV_MICRO_SQL}) AS BIGINT) + 50) / 100) / 100.0
+           AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15
@@ -1363,6 +1366,108 @@ WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 GROUP BY p_brand
 ORDER BY p_brand
+"""
+
+
+def rel_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): the 20 customers who lost
+    the most revenue to returned lineitems in one quarter, with their
+    nation. Ranking rides the EXACT integer microcent sum (revenue
+    ties break on c_custkey), so the top-20 cut is deterministic in
+    both engines; the double division happens after the cut.
+
+    Shape: lineitem(returnflag pushed to the scan)⋈orders(quarter
+    pushed) is the one fact-fact shuffle; customer joins on the order
+    key's custkey, nation broadcast; top-20 is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_micro()).alias("_micro"))
+        .orderBy(F.col("_micro").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.floor((F.col("_micro") + 50) / 100) / 100.0).alias("revenue"),
+        )
+    )
+
+
+REL_RETURNED_CUSTOMERS_SQL = f"""
+WITH agg AS (
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum({_REV_MICRO_SQL}) AS BIGINT) AS micro
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+)
+SELECT c_custkey, c_name, n_name,
+       floor((micro + 50) / 100) / 100.0 AS revenue
+FROM agg
+ORDER BY micro DESC, c_custkey
+LIMIT 20
+"""
+
+
+def rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) by month of 1996: the
+    revenue increase if discounts in a band were eliminated —
+    sum(extendedprice · discount) over a quantity band. Everything is
+    a scan-side filter (all three predicates reach the parquet scan;
+    no join at all) feeding one map-side-combinable aggregate — the
+    pushdown-showcase query. Exact integer cents·discount-cents terms."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").between(0.02, 0.04))
+        & (F.col("l_quantity") < 24)
+    )
+    disc_micro = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.groupBy(F.month("l_shipdate").alias("mon"))
+        .agg(
+            (F.floor((F.sum(disc_micro) + 50) / 100) / 100.0).alias(
+                "forecast"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("mon")
+    )
+
+
+REL_FORECAST_REVENUE_SQL = """
+SELECT month(l_shipdate) AS mon,
+       floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT))
+                   AS BIGINT) + 50) / 100) / 100.0 AS forecast,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+GROUP BY 1
+ORDER BY 1
 """
 
 
@@ -1404,6 +1509,8 @@ QUERIES = {
     "rel_customer_orders_dist": rel_customer_orders_dist,
     "rel_promo_revenue": rel_promo_revenue,
     "rel_disjunctive_revenue": rel_disjunctive_revenue,
+    "rel_returned_customers": rel_returned_customers,
+    "rel_forecast_revenue": rel_forecast_revenue,
 }
 
 ORACLES = {
@@ -1436,4 +1543,6 @@ ORACLES = {
     "rel_customer_orders_dist": REL_CUSTOMER_ORDERS_DIST_SQL,
     "rel_promo_revenue": REL_PROMO_REVENUE_SQL,
     "rel_disjunctive_revenue": REL_DISJUNCTIVE_REVENUE_SQL,
+    "rel_returned_customers": REL_RETURNED_CUSTOMERS_SQL,
+    "rel_forecast_revenue": REL_FORECAST_REVENUE_SQL,
 }

@@ -307,3 +307,13 @@ def test_new_tpch_shapes_join_strategy(spark):
     df = qs["rel_promo_revenue"](spark, SF)
     assert plans.has_broadcast_join(df)
     assert "l_shipdate" in " ".join(plans.pushed_filters(df))
+
+
+def test_topk_entries_use_take_ordered_not_global_sort(spark):
+    """Q10's top-20 and DSIR's Gumbel-top-k must plan as
+    TakeOrderedAndProject (per-partition heaps + k-row merge) — a
+    global Sort before a limit would be the 100-TB scale-killer."""
+    for name in ("rel_returned_customers", "pipeline_dsir_resample"):
+        df = all_queries()[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
