@@ -573,6 +573,109 @@ WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
 """
 
 
+# --------------------------------------------------------------------------
+# Contrastive image-text pair construction (CLIP-style training prep)
+# --------------------------------------------------------------------------
+
+CONTRASTIVE_NEGATIVES = 3
+
+
+def mm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style contrastive training pairs: every image asset keeps
+    its own document text as the positive caption and draws
+    CONTRASTIVE_NEGATIVES derandomized negative captions from other
+    documents (hash of (anchor, k) → offset in [1, n−1], so a
+    negative can never alias the positive). The derandomization makes
+    the pair set reproducible across runs/engines/cluster sizes —
+    re-shuffling epochs re-key on an epoch salt, not on RNG state.
+
+    Scale shape: the anchor set is a modality filter on the manifest
+    (payload column pruned — the pairing needs ids, not bytes); the
+    caption fetch is ONE equi-join on caption_doc_id (the corpus
+    shuffles once, (1+K)·n_images probe rows); the corpus count rides
+    a 1-row broadcast."""
+    media = (
+        build_media_table(spark, sf_dir)
+        .filter(F.col("modality") == "image")
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    caps = docs.select(
+        F.col("doc_id").alias("caption_doc_id"),
+        F.size(F.split("text", " ")).alias("caption_tokens"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    pos = media.select(
+        "doc_id",
+        F.lit(0).cast("long").alias("k"),
+        F.col("doc_id").alias("caption_doc_id"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("k"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    neg = (
+        media.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.lit(CONTRASTIVE_NEGATIVES).cast("long"),
+                )
+            ).alias("k"),
+        )
+        .withColumn(
+            "caption_doc_id",
+            (F.col("doc_id") + 1 + F.pmod(h, F.col("n") - 1)) % F.col("n"),
+        )
+        .select("doc_id", "k", "caption_doc_id")
+    )
+    return (
+        pos.unionByName(neg)
+        .join(caps, "caption_doc_id")
+        .select(
+            "doc_id",
+            "k",
+            "caption_doc_id",
+            F.when(F.col("k") == 0, 1).otherwise(0).alias("is_positive"),
+            "caption_tokens",
+        )
+    )
+
+
+MM_CONTRASTIVE_PAIRS_SQL = f"""
+WITH caps AS (
+    SELECT doc_id AS caption_doc_id,
+           len(string_split(text, ' ')) AS caption_tokens
+    FROM documents
+), nn AS (SELECT count(*) AS n FROM documents),
+anchors AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+pos AS (
+    SELECT doc_id, CAST(0 AS BIGINT) AS k, doc_id AS caption_doc_id
+    FROM anchors
+), neg AS (
+    SELECT a.doc_id, ks.k,
+           (a.doc_id + 1
+            + (CAST(('0x' || substr(md5(a.doc_id || ':' || ks.k), 1, 15))
+                    AS BIGINT) % (nn.n - 1))) % nn.n AS caption_doc_id
+    FROM anchors a
+    CROSS JOIN nn
+    CROSS JOIN (SELECT unnest(range(1, {CONTRASTIVE_NEGATIVES + 1})) AS k) ks
+), pairs AS (
+    SELECT * FROM pos UNION ALL SELECT * FROM neg
+)
+SELECT p.doc_id, p.k, p.caption_doc_id,
+       CASE WHEN p.k = 0 THEN 1 ELSE 0 END AS is_positive,
+       c.caption_tokens
+FROM pairs p JOIN caps c USING (caption_doc_id)
+"""
+
+
 QUERIES = {
     "mm_dedup_payload": mm_dedup_payload,
     "mm_dedup_perceptual": mm_dedup_perceptual,
@@ -580,6 +683,7 @@ QUERIES = {
     "mm_manifest": mm_manifest,
     "mm_extract_features": mm_extract_features,
     "mm_frame_sample": mm_frame_sample,
+    "mm_contrastive_pairs": mm_contrastive_pairs,
 }
 
 ORACLES = {
@@ -592,4 +696,5 @@ ORACLES = {
     # but the stub's byte math is DuckDB-expressible on ASCII fixtures —
     # full hash check (see MM_EXTRACT_FEATURES_SQL).
     "mm_extract_features": MM_EXTRACT_FEATURES_SQL,
+    "mm_contrastive_pairs": MM_CONTRASTIVE_PAIRS_SQL,
 }

@@ -121,3 +121,28 @@ def test_perceptual_recall_vs_exact_hamming(spark, sf_dir):
            for r in mm_dedup_perceptual(spark, sf_dir).collect()}
     assert got == brute
     assert len(brute) > 0  # the fixture near-dups are actually caught
+
+
+def test_contrastive_pairs_structure(spark, sf_dir):
+    """Every image anchor carries exactly one positive (its own doc)
+    plus CONTRASTIVE_NEGATIVES negatives; a negative can never alias
+    the positive caption; the pair set is deterministic (same result
+    on a second run)."""
+    from mqtt_influx_storage_service_spark.operators.multimodal import (
+        CONTRASTIVE_NEGATIVES,
+        mm_contrastive_pairs,
+    )
+
+    rows = mm_contrastive_pairs(spark, sf_dir).collect()
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.doc_id, []).append(r)
+    for anchor, prs in by_anchor.items():
+        assert len(prs) == 1 + CONTRASTIVE_NEGATIVES
+        pos = [p for p in prs if p.is_positive == 1]
+        assert len(pos) == 1 and pos[0].caption_doc_id == anchor
+        for p in prs:
+            if p.is_positive == 0:
+                assert p.caption_doc_id != anchor
+    again = mm_contrastive_pairs(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -150,6 +150,10 @@ def main() -> int:
                  "ts_counter_rate", "ts_cumulative_sum",
                  # linear single-scan curation gates
                  "text_gopher_rules", "pipeline_quality_gate",
+                 # DSIR weights at 10x: the unigram+bigram explode is
+                 # ~2x corpus tokens; both downstream shuffles are
+                 # word-count shaped, the model stays 4096 rows
+                 "text_dsir_importance",
                  # InfluxQL compiler at 10x the series count, plus the
                  # line-protocol roundtrip (pure codegen projection)
                  "iq_mean_by_day", "iq_fill_previous",
