@@ -905,6 +905,12 @@ _RANK_AGGS = {"MEDIAN", "PERCENTILE", "FIRST", "LAST"}
 # double division at the end, round(·,6) — bit-identical to the
 # DuckDB oracle with no summation-order hazard. A flat window
 # (ΣU+ΣD = 0) emits NULL.
+# NOT offered, by design: KAUFMANS_ADAPTIVE_MOVING_AVERAGE and
+# Wilder-smoothed RSI — both are genuinely stateful recursions whose
+# smoothing factor depends on the running state, so no bounded window
+# fold reproduces them (the HOLT_WINTERS-style per-series kernel
+# could, but a deviating "KAMA" would silently mislead a migrating
+# dashboard; an unsupported-function error is the honest surface).
 #   DOUBLE_/TRIPLE_EXPONENTIAL_MOVING_AVERAGE and
 #   TRIPLE_EXPONENTIAL_DERIVATIVE (TRIX, in percent) compose the EMA
 #   kernel: DEMA = 2·e1 − e2, TEMA = 3·e1 − 3·e2 + e3, TRIX =
@@ -2399,6 +2405,25 @@ class _Compiler:
         return filled
 
 
+def _explain_df(spark: SparkSession, cat, stmt: Explain, now) -> DataFrame:
+    """Lower EXPLAIN [ANALYZE] onto Spark's explain surface: the
+    formatted lazy plan, or (ANALYZE) the AQE-executed plan with
+    runtime metrics after one eager execution."""
+    df = _Compiler(spark, cat, stmt.inner, now=now).compile()
+    qe = df._jdf.queryExecution()
+    if stmt.analyze:
+        df.count()  # one execution materializes the runtime metrics
+        text = qe.executedPlan().toString()
+    else:
+        text = qe.explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    rows = [(i + 1, line) for i, line in enumerate(text.splitlines())]
+    return spark.createDataFrame(rows, "line int, plan string")
+
+
 def influxql(
     spark: SparkSession, sf_dir: str, query: str, catalog=None, now=None,
     meta=None,
@@ -2418,19 +2443,7 @@ def influxql(
     cat = catalog or EventsCatalog(sf_dir)
     stmt = parse(query)
     if isinstance(stmt, Explain):
-        df = _Compiler(spark, cat, stmt.inner, now=now).compile()
-        qe = df._jdf.queryExecution()
-        if stmt.analyze:
-            df.count()  # one execution materializes the runtime metrics
-            text = qe.executedPlan().toString()
-        else:
-            text = qe.explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
-                )
-            )
-        rows = [(i + 1, line) for i, line in enumerate(text.splitlines())]
-        return spark.createDataFrame(rows, "line int, plan string")
+        return _explain_df(spark, cat, stmt, now)
     if isinstance(stmt, Show):
         return _compile_show(spark, cat, stmt, meta=meta, now=now)
     if isinstance(stmt, (RetentionPolicyStmt, CreateDatabase, DropSeries)):
@@ -2462,7 +2475,11 @@ def influxql_batch(
                 "DELETE/DROP in a batch is not a read statement — apply it "
                 "with influxql_delete against a SnapshotTable"
             )
-        if isinstance(stmt, Show):
+        if isinstance(stmt, Explain):
+            # ANALYZE executes eagerly — the one batch member that is
+            # not lazy
+            out.append(_explain_df(spark, cat, stmt, now))
+        elif isinstance(stmt, Show):
             out.append(_compile_show(spark, cat, stmt, now=now))
         else:
             out.append(_Compiler(spark, cat, stmt, now=now).compile())

@@ -1303,3 +1303,24 @@ def test_explain_returns_plan_rows(spark, sf_dir):
     assert any("AdaptiveSparkPlan" in r.plan for r in ana)
     with pytest.raises(InfluxQLError, match="SELECT"):
         influxql(spark, sf_dir, "EXPLAIN SHOW MEASUREMENTS")
+
+
+def test_explain_inside_statement_batch(spark, sf_dir):
+    """EXPLAIN routes through the plan-to-rows lowering inside a
+    ;-separated batch too (it previously would have hit the SELECT
+    compiler and failed)."""
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        influxql_batch,
+    )
+
+    dfs = influxql_batch(
+        spark, sf_dir,
+        "SELECT COUNT(value) AS n FROM click "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-03'; "
+        "EXPLAIN SELECT MEAN(value) AS m FROM click "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-03' "
+        "GROUP BY time(1d)",
+    )
+    assert len(dfs) == 2
+    assert dfs[0].collect()[0].n > 0
+    assert any("Scan" in r.plan for r in dfs[1].collect())
