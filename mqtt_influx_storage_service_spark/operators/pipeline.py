@@ -1114,6 +1114,64 @@ LIMIT {DSIR_SAMPLE_N}
 """
 
 
+# --------------------------------------------------------------------------
+# Epoch-deterministic global shuffle (training-order randomization)
+# --------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 8
+SHUFFLE_EPOCH = 1  # re-keying the hash on the epoch re-shuffles
+
+
+def pipeline_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global example shuffle every pretraining run performs before
+    sharding, derandomized: each doc draws a pseudo-random 64-bit key
+    from md5(epoch:doc_id), lands in shard = key mod S, and takes its
+    position from the within-shard key order. Same (epoch, corpus) →
+    same order on any engine or cluster size; the next epoch re-keys.
+
+    Scale shape: this is the whole point — a naive global ORDER BY
+    rand() is a corpus-wide sort; here the only wide op is ONE
+    hash-partitioned exchange into S shards, and each shard sorts
+    locally (row_number per shard, never a global window). At 100 TB,
+    S is sized so a shard fits an output file target, and the
+    within-shard sort is the parquet writer's existing sort buffer."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(SHUFFLE_EPOCH), F.col("doc_id"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select("doc_id", "lang", h.alias("k"))
+    w = Window.partitionBy(F.col("k") % SHUFFLE_SHARDS).orderBy(
+        "k", "doc_id"
+    )
+    return keyed.select(
+        "doc_id",
+        "lang",
+        (F.col("k") % SHUFFLE_SHARDS).cast("int").alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+PIPELINE_SHUFFLE_ORDER_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5({SHUFFLE_EPOCH} || ':' || doc_id), 1, 15))
+                AS BIGINT) AS k
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(k % {SHUFFLE_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY k % {SHUFFLE_SHARDS}
+                               ORDER BY k, doc_id) AS INT) AS pos
+FROM keyed
+"""
+
+
 QUERIES = {
     "pipeline_shard_plan": pipeline_shard_plan,
     "pipeline_domain_quota": pipeline_domain_quota,
@@ -1128,6 +1186,7 @@ QUERIES = {
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_interleave": pipeline_interleave,
     "pipeline_dsir_resample": pipeline_dsir_resample,
+    "pipeline_shuffle_order": pipeline_shuffle_order,
 }
 
 ORACLES = {
@@ -1144,4 +1203,5 @@ ORACLES = {
     "pipeline_stratified_sample": PIPELINE_STRATIFIED_SAMPLE_SQL,
     "pipeline_interleave": PIPELINE_INTERLEAVE_SQL,
     "pipeline_dsir_resample": PIPELINE_DSIR_RESAMPLE_SQL,
+    "pipeline_shuffle_order": PIPELINE_SHUFFLE_ORDER_SQL,
 }

@@ -389,3 +389,24 @@ def test_dsir_model_is_broadcast_and_bounded(spark):
     df = all_queries()["text_dsir_importance"](spark, SF)
     assert plans.has_broadcast_join(df)
     assert not plans.has_cartesian(df)
+
+
+def test_shuffle_order_is_sharded_and_deterministic(spark):
+    """The epoch shuffle assigns every doc to a shard with dense
+    1..n positions, spreads the corpus over multiple shards, and is
+    reproducible; its only window partitions by the shard key (no
+    corpus-wide window)."""
+    q = all_queries()["pipeline_shuffle_order"]
+    out = q(spark, SF).collect()
+    shards: dict = {}
+    for r in out:
+        shards.setdefault(r.shard, []).append(r.pos)
+    assert len(shards) > 1
+    for poss in shards.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    assert sorted(map(tuple, out)) == sorted(map(tuple, q(spark, SF).collect()))
+    plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    # the window spec carries a partition key (the projected shard
+    # expression `_w0 = k % 8`) — an unpartitioned corpus-wide window
+    # would open with the ORDER column instead of the projected key
+    assert "windowspecdefinition(_w0" in plan
