@@ -418,19 +418,26 @@ def test_parser_total_on_arbitrary_input():
 
     fuzz()
 
-    # structured fuzz: mutations of a real query (truncations, swaps)
-    base = (
+    # structured fuzz: mutations of real queries (truncations, swaps)
+    # — the second base walks the r7 TA/math/EXPLAIN surface
+    bases = (
         "SELECT MEAN(value) AS m FROM cpu WHERE time >= now() - 1d "
         "AND host =~ /web.*/ GROUP BY time(10m), host fill(previous) "
         "ORDER BY time DESC LIMIT 5 OFFSET 2 SLIMIT 4 SOFFSET 1 "
-        "TZ('America/New_York')"
+        "TZ('America/New_York')",
+        "EXPLAIN ANALYZE SELECT "
+        "TRIPLE_EXPONENTIAL_DERIVATIVE(MEAN(value), 4) AS tx, "
+        "CHANDE_MOMENTUM_OSCILLATOR(MEAN(value), 5), "
+        "ROUND(LN(value), 4) + ATAN2(value, 2) - POW(value, LOG(value, 10)) "
+        "FROM cpu GROUP BY time(1h), host",
     )
-    for i in range(len(base)):
-        for frag in (base[:i], base[i:], base[:i] + "(" + base[i:]):
-            try:
-                parse(frag)
-            except InfluxQLError:
-                pass
+    for base in bases:
+        for i in range(len(base)):
+            for frag in (base[:i], base[i:], base[:i] + "(" + base[i:]):
+                try:
+                    parse(frag)
+                except InfluxQLError:
+                    pass
 
 
 def test_duplicate_unaliased_fields_get_suffixes(spark, sf_dir):
