@@ -87,6 +87,13 @@ def main() -> int:
             # since r7 the SemDeDup assignment persists behind the
             # campaign cache seam — release it so reps time the plan
             release_semantic(spark)
+        if name in ("text_dsir_importance", "pipeline_dsir_resample"):
+            # same discipline for the DSIR count cache (late r7)
+            from mqtt_influx_storage_service_spark.operators.textops import (
+                release_dsir,
+            )
+
+            release_dsir(spark)
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

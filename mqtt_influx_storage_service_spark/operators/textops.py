@@ -1483,6 +1483,28 @@ TEXT_BM25_SQL = _BM25_RANKED_SQL_TMPL.format(
 
 DSIR_BUCKETS = 4096  # hashed n-gram feature space (paper: 10^4)
 
+# Campaign cache for the per-(doc, bucket) feature counts — the ONE
+# corpus-token-sized computation in the DSIR pass. Catalyst collapses
+# the agg-over-agg (bucket stats over doc counts) into independent
+# aggregations over the raw explode, so without a persist the corpus
+# is exploded once per consumer (3×). The persist is the production
+# shape: one explode, everything else derives from the cached counts.
+# Keyed like the dedup-family caches; bench releases between reps.
+_DSIR_DOCB_CACHE: dict = {}
+
+
+def release_dsir(spark=None) -> int:
+    """Unpersist the DSIR count cache (the release_semantic
+    discipline) — bench calls this between reps so they time the
+    plan, not the campaign cache."""
+    released = 0
+    for key in list(_DSIR_DOCB_CACHE):
+        if spark is not None and key[0] != spark.sparkContext.applicationId:
+            continue
+        _DSIR_DOCB_CACHE.pop(key).unpersist()
+        released += 1
+    return released
+
 
 def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weight per document: hashed unigram+bigram
@@ -1501,12 +1523,15 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical integer ratios in both engines, so the only libm
     exposure is one ulp on a value pre-rounded to 6 decimals.
 
-    Scale shape: explode → ONE word-count-shaped shuffle for the
-    bucket stats (map-side combinable, ≤4096 groups), totals as a
-    1-row broadcast, the 4096-row LLR model broadcast onto the
-    per-doc bucket counts (second word-count shuffle on (doc, b)),
-    final per-doc sum. No driver-side vocabulary, model size bounded
-    by DSIR_BUCKETS at any corpus size.
+    Scale shape: the corpus-token-sized explode feeds EXACTLY ONE
+    shuffle — the per-(doc, bucket) counts, persisted behind the
+    campaign cache seam (Catalyst collapses the agg-over-agg, so
+    without the persist every consumer re-runs the explode). The
+    bucket stats are a ≤4096-group re-agg of the cached counts,
+    totals a 1-row broadcast, and the 4096-row LLR model broadcasts
+    back onto the same cached counts (plan-pinned: all three
+    consumers read InMemoryTableScan). No driver-side vocabulary;
+    model size bounded by DSIR_BUCKETS at any corpus size.
     """
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     tok = docs.select("doc_id", "lang", _tokens().alias("t"))
@@ -1531,9 +1556,27 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             % F.lit(DSIR_BUCKETS)
         ).alias("b"),
     )
-    bstats = hb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("n_r"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+    # the ONE corpus-wide shuffle; lang rides along (functionally
+    # dependent on doc_id), so no later corpus scan is needed.
+    # Persisted behind the campaign seam: both the bucket stats and
+    # the scoring join read these counts, and Catalyst would
+    # otherwise re-run the explode per consumer.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    docb = _DSIR_DOCB_CACHE.get(key)
+    if docb is None:
+        from pyspark import StorageLevel
+
+        docb = (
+            hb.groupBy("doc_id", "lang", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _DSIR_DOCB_CACHE[key] = docb
+    bstats = docb.groupBy("b").agg(
+        F.sum("c").alias("n_r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias(
+            "n_t"
+        ),
     )
     totals = bstats.agg(
         F.sum("n_r").alias("nr"), F.sum("n_t").alias("nt")
@@ -1550,19 +1593,16 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m"),
     )
-    docb = hb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    score = (
+    return (
         docb.join(F.broadcast(llr), "b")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(
             F.sum("c").alias("n_feats"),
             F.round(F.sum(F.col("c") * F.col("m")) / 1_000_000.0, 6).alias(
                 "logw"
             ),
         )
-    )
-    return score.join(docs.select("doc_id", "lang"), "doc_id").select(
-        "doc_id", "lang", "n_feats", "logw"
+        .select("doc_id", "lang", "n_feats", "logw")
     )
 
 

@@ -410,3 +410,20 @@ def test_shuffle_order_is_sharded_and_deterministic(spark):
     # expression `_w0 = k % 8`) — an unpartitioned corpus-wide window
     # would open with the ORDER column instead of the projected key
     assert "windowspecdefinition(_w0" in plan
+
+
+def test_dsir_counts_materialize_once(spark):
+    """The DSIR corpus explode lands in ONE persisted count table:
+    every consumer (bucket stats, totals, scoring join) reads the
+    cache (InMemoryTableScan), never a fresh explode of the corpus."""
+    from mqtt_influx_storage_service_spark.operators.textops import (
+        release_dsir,
+    )
+
+    release_dsir(spark)
+    try:
+        df = all_queries()["text_dsir_importance"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 3
+    finally:
+        assert release_dsir(spark) == 1
