@@ -1533,11 +1533,31 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers read InMemoryTableScan). No driver-side vocabulary;
     model size bounded by DSIR_BUCKETS at any corpus size.
     """
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    tok = docs.select("doc_id", "lang", _tokens().alias("t"))
+    docb = _dsir_docb(spark, sf_dir)
+    llr = dsir_llr_model(spark, sf_dir)
+    return (
+        docb.join(F.broadcast(llr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("m")) / 1_000_000.0, 6).alias(
+                "logw"
+            ),
+        )
+        .select("doc_id", "lang", "n_feats", "logw")
+    )
+
+
+def _dsir_buckets(df: DataFrame, carry: list[str]) -> DataFrame:
+    """(doc_id, text, *carry) → exploded hashed feature buckets
+    (doc_id, *carry, b): lowercase-free space tokens (the corpus
+    fixture convention), unigrams + bigrams, md5-prefix hash mod
+    DSIR_BUCKETS. Shared verbatim by the corpus model build and the
+    streaming batch scorer, so the two sides can never drift."""
+    tok = df.select("doc_id", *carry, _tokens().alias("t"))
     feats = tok.select(
         "doc_id",
-        "lang",
+        *carry,
         F.explode(
             F.concat(
                 F.col("t"),
@@ -1548,30 +1568,45 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("f"),
     )
-    hb = feats.select(
+    return feats.select(
         "doc_id",
-        "lang",
+        *carry,
         (
             F.conv(F.substring(F.md5(F.col("f")), 1, 15), 16, 10).cast("long")
             % F.lit(DSIR_BUCKETS)
         ).alias("b"),
     )
-    # the ONE corpus-wide shuffle; lang rides along (functionally
-    # dependent on doc_id), so no later corpus scan is needed.
-    # Persisted behind the campaign seam: both the bucket stats and
-    # the scoring join read these counts, and Catalyst would
-    # otherwise re-run the explode per consumer.
+
+
+def _dsir_docb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE corpus-wide shuffle of the DSIR pass: per-(doc, bucket)
+    feature counts with lang riding along (functionally dependent on
+    doc_id, so no later corpus scan is needed). Persisted behind the
+    campaign seam: the bucket stats and the scoring join both read
+    these counts, and Catalyst would otherwise re-run the explode per
+    consumer."""
     key = (spark.sparkContext.applicationId, sf_dir)
     docb = _DSIR_DOCB_CACHE.get(key)
     if docb is None:
         from pyspark import StorageLevel
 
+        docs = load_table(spark, sf_dir, "documents", rebalance=True)
         docb = (
-            hb.groupBy("doc_id", "lang", "b")
+            _dsir_buckets(docs, ["lang"])
+            .groupBy("doc_id", "lang", "b")
             .agg(F.count(F.lit(1)).alias("c"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         _DSIR_DOCB_CACHE[key] = docb
+    return docb
+
+
+def dsir_llr_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen DSIR model: DSIR_BUCKETS rows of (b, m) where m is
+    the Laplace-smoothed log-likelihood-ratio in exact micro-units.
+    Campaign-static — the streaming screen broadcasts it against every
+    incoming micro-batch."""
+    docb = _dsir_docb(spark, sf_dir)
     bstats = docb.groupBy("b").agg(
         F.sum("c").alias("n_r"),
         F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias(
@@ -1581,7 +1616,7 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = bstats.agg(
         F.sum("n_r").alias("nr"), F.sum("n_t").alias("nt")
     )
-    llr = bstats.crossJoin(F.broadcast(totals)).select(
+    return bstats.crossJoin(F.broadcast(totals)).select(
         "b",
         F.round(
             (
@@ -1593,16 +1628,28 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m"),
     )
+
+
+def dsir_score(batch: DataFrame, llr: DataFrame) -> DataFrame:
+    """Score an arbitrary (doc_id, text) batch against a frozen LLR
+    model: same bucket kernel, same integer-micro-unit sum, same
+    round-last discipline as the corpus pass — a doc scored at ingest
+    equals the same doc scored in the batch campaign bit-for-bit."""
+    counts = (
+        _dsir_buckets(batch, [])
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     return (
-        docb.join(F.broadcast(llr), "b")
-        .groupBy("doc_id", "lang")
+        counts.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_feats"),
             F.round(F.sum(F.col("c") * F.col("m")) / 1_000_000.0, 6).alias(
                 "logw"
             ),
         )
-        .select("doc_id", "lang", "n_feats", "logw")
+        .select("doc_id", "n_feats", "logw")
     )
 
 

@@ -128,3 +128,55 @@ def start_substring_screen(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_dsir_screen(
+    spark: SparkSession,
+    source_dir: str,
+    index_sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The IMPORTANCE-WEIGHT member of the at-ingest screen family:
+    each incoming micro-batch is scored against the frozen DSIR LLR
+    model of the corpus at ``index_sf_dir`` (hashed unigram+bigram
+    buckets → integer micro-unit log-likelihood ratios), and every
+    doc's (doc_id, n_feats, logw, batch_id) lands in
+    ``out_dir/dsir_scores`` — the in-flight form of the
+    quality-domain selection gate that text_dsir_importance +
+    pipeline_dsir_resample run as a batch campaign.
+
+    Same foreachBatch rationale as the other screens: the model is
+    campaign-static (DSIR_BUCKETS rows, broadcast per batch; the
+    underlying counts persist behind ``textops.release_dsir``), each
+    micro-batch is an independent bounded score join, exactly-once
+    via checkpoint + batch-id idempotence. The batch and the model
+    share one bucket kernel (``textops._dsir_buckets``), so an
+    at-ingest score equals the batch-campaign score bit-for-bit
+    (pinned by tests/test_streaming.py).
+    """
+    from ..operators.textops import dsir_llr_model, dsir_score
+
+    llr = dsir_llr_model(spark, index_sf_dir)
+    scores_path = os.path.join(out_dir, "dsir_scores")
+
+    def screen(batch: DataFrame, batch_id: int) -> None:
+        out = dsir_score(batch, llr)
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(scores_path)
+        )
+
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(screen)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "dsir_screen")
+        )
+        .queryName("dsir_screen")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -963,3 +963,52 @@ def test_make_source_dispatch(spark, tmp_path):
         st.make_source(spark, ServiceConfig({"source_type": "kafka"}))
     with pytest.raises(ValueError, match="unknown source_type"):
         st.make_source(spark, ServiceConfig({"source_type": "carrier-pigeon"}))
+
+
+def test_dsir_screen_stream_equals_batch(spark, tmp_path):
+    """At-ingest DSIR scoring ≡ the batch campaign: the streamed
+    scores of two micro-batches equal dsir_score over the same docs
+    read as one batch, bit-for-bit (shared bucket kernel + frozen
+    model), and target-language corpus text outscores non-target
+    corpus text. (A doc of NOVEL tokens is deliberately not the
+    contrast: unseen buckets carry the positive smoothing ratio
+    ln((N_raw+B)/(N_target+B)) — the known Laplace artifact — so the
+    gate is meaningful on in-distribution text, and a production
+    screen pairs it with the novelty/langid gates.)"""
+    from mqtt_influx_storage_service_spark.operators.textops import (
+        dsir_llr_model,
+        dsir_score,
+        release_dsir,
+    )
+    from mqtt_influx_storage_service_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    corpus = load_table(spark, sf, "documents")
+    en_doc = corpus.filter(F.col("lang") == "en").orderBy("doc_id").first()
+    batch1 = spark.createDataFrame(
+        [(400001, en_doc.text)], "doc_id long, text string"
+    )
+    de_doc = corpus.filter(F.col("lang") == "de").orderBy("doc_id").first()
+    batch2 = spark.createDataFrame(
+        [(400002, de_doc.text)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src")
+    batch1.coalesce(1).write.parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    q = st.start_dsir_screen(
+        spark, src, sf, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    streamed = spark.read.parquet(str(tmp_path / "out" / "dsir_scores"))
+    got = {(r.doc_id, r.n_feats, r.logw) for r in streamed.collect()}
+
+    batch_docs = spark.read.schema(st.screen.DOC_STREAM_SCHEMA).parquet(src)
+    want = {
+        (r.doc_id, r.n_feats, r.logw)
+        for r in dsir_score(batch_docs, dsir_llr_model(spark, sf)).collect()
+    }
+    assert got == want and len(got) == 2
+    scores = {d: w for d, _, w in got}
+    assert scores[400001] > scores[400002]
+    release_dsir(spark)
