@@ -217,9 +217,13 @@ class Show:
     # list of either (aligned with the SELECT path) — str | Rgx | list.
     from_measurement: object | None = None
     on_database: str | None = None  # SHOW RETENTION POLICIES ON <db>
-    # SHOW SERIES / TAG VALUES accept WHERE (tag predicates + time
-    # bounds) — the shape dashboard template variables issue.
+    # SHOW SERIES / TAG VALUES / MEASUREMENTS / TAG KEYS accept WHERE
+    # (tag predicates + time bounds) — the shape dashboard template
+    # variables issue.
     where: object | None = None
+    # SHOW MEASUREMENTS WITH MEASUREMENT = name | =~ /regex/ (the
+    # Grafana measurement-variable query) — str | Rgx | None.
+    with_measurement: object | None = None
 
 
 @dataclass
@@ -455,7 +459,28 @@ class _Parser:
 
     def _show(self) -> Show:
         if self.kw("MEASUREMENTS"):
-            return Show("measurements")
+            wm = None
+            if self.kw("WITH"):
+                self.expect_kw("MEASUREMENT")
+                t = self.next()
+                if t.kind == "op" and t.text == "=~":
+                    wm = self._regex_literal()
+                elif t.kind == "op" and t.text == "=":
+                    n = self.next()
+                    if n.kind != "ident":
+                        raise InfluxQLError(
+                            f"expected measurement at {n.pos}"
+                        )
+                    wm = n.text
+                else:
+                    raise InfluxQLError(
+                        f"WITH MEASUREMENT expects = or =~ at {t.pos}"
+                    )
+            return Show(
+                "measurements",
+                with_measurement=wm,
+                where=self._expr() if self.kw("WHERE") else None,
+            )
         if self.kw("DATABASES"):
             return Show("databases")
         if self.kw("RETENTION"):
@@ -476,7 +501,11 @@ class _Parser:
             )
         if self.kw("TAG"):
             if self.kw("KEYS"):
-                return Show("tag keys", from_measurement=self._opt_from_multi())
+                return Show(
+                    "tag keys",
+                    from_measurement=self._opt_from_multi(),
+                    where=self._expr() if self.kw("WHERE") else None,
+                )
             self.expect_kw("VALUES")
             frm = self._opt_from_multi()
             self.expect_kw("WITH")
@@ -2607,6 +2636,26 @@ def _compile_show(
     sch: MeasurementSchema = cat.schema
     if stmt.what == "measurements":
         names = sorted(cat.measurement_names())
+        wm = stmt.with_measurement
+        if isinstance(wm, Rgx):
+            rx = re.compile(wm.pattern)
+            names = [n for n in names if rx.search(n)]
+        elif isinstance(wm, str):
+            names = [n for n in names if n == wm]
+        if not names:
+            return spark.createDataFrame([], "name string")
+        if stmt.where is not None:
+            # existence semantics (InfluxDB): list measurements with at
+            # least one point matching the predicate — a distinct over
+            # the filtered scan, never a collect
+            df = _union_measurements(spark, cat, names).filter(
+                _bare_compiler(now)._cond(stmt.where)
+            )
+            return (
+                df.select(F.col("measurement").alias("name"))
+                .distinct()
+                .orderBy("name")
+            )
         return spark.createDataFrame([(n,) for n in names], "name string")
     if stmt.what in ("databases", "retention policies"):
         if meta is None:
@@ -2616,7 +2665,22 @@ def _compile_show(
             )
         return _compile_show_meta(spark, meta, stmt)
     if stmt.what == "tag keys":
-        return spark.createDataFrame([(t,) for t in sorted(sch.tags)], "tagKey string")
+        keys = spark.createDataFrame(
+            [(t,) for t in sorted(sch.tags)], "tagKey string"
+        )
+        if stmt.where is not None:
+            # keys exist only where some point matches the predicate
+            # (uniform-schema catalog: all-or-nothing via a 1-row
+            # existence probe, never a collect)
+            names = _show_measurements(cat, stmt.from_measurement)
+            exists = (
+                _union_measurements(spark, cat, names)
+                .filter(_bare_compiler(now)._cond(stmt.where))
+                .limit(1)
+                .select(F.lit(1).alias("_e"))
+            )
+            keys = keys.crossJoin(exists).select("tagKey")
+        return keys
     if stmt.what == "field keys":
         return spark.createDataFrame(
             [(f, "float") for f in sorted(sch.fields)],

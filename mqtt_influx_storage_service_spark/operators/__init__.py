@@ -99,13 +99,14 @@ _PRIORITY = [
     "rel_disjunctive_revenue",
     "iq_trix",
     # slot 51+: the new r7 entries that did not fit the 50-slot
-    # prefix (20 new entries vs 16 free slots) — iq_dema (the
+    # prefix (23 new entries vs 16 free slots) — iq_dema (the
     # least-machinery TA composition; the 3-stage chain + lag is
     # proven by iq_trix above), pipeline_dsir_resample (keying over
     # the prefix-checked text_dsir_importance), rel_returned_customers
     # and rel_forecast_revenue (exact-integer money ranking /
-    # scan-filter shapes). All locally oracle-green; they FRONT-LOAD
-    # the r8 queue. iq_show_tag_values' r7-changed SHOW
+    # scan-filter shapes), pipeline_shuffle_order, mm_contrastive_pairs,
+    # and iq_show_measurements_where. All locally oracle-green; they
+    # FRONT-LOAD the r8 queue. iq_show_tag_values' r7-changed SHOW
     # FROM path is re-proven by the two iq_show_tag_values_* entries
     # above; its own refresh joins the r8 queue with the displaced
     # r4-green filler: sim_mmr, iq_subquery_rollup, iq_now_relative,
@@ -116,6 +117,9 @@ _PRIORITY = [
     "pipeline_dsir_resample",
     "rel_returned_customers",
     "rel_forecast_revenue",
+    "pipeline_shuffle_order",
+    "mm_contrastive_pairs",
+    "iq_show_measurements_where",
     "iq_show_tag_values",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,

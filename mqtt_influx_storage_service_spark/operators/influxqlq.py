@@ -1634,6 +1634,24 @@ FROM e3
 """
 
 
+# Grafana's measurement-variable query: regex WITH MEASUREMENT + a
+# data-existence WHERE (engine lists measurements with >= 1 matching
+# point; the oracle states the same thing as a distinct over the scan)
+IQ_SHOW_MEASUREMENTS_WHERE = (
+    "SHOW MEASUREMENTS WITH MEASUREMENT =~ /^(c|p|s)/ "
+    "WHERE user_id < 5 AND time >= '2024-01-01 00:00:00'"
+)
+
+IQ_SHOW_MEASUREMENTS_WHERE_SQL = """
+SELECT DISTINCT event_type AS name
+FROM events
+WHERE regexp_matches(event_type, '^(c|p|s)')
+  AND user_id < 5
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "iq_holt_winters_seasonal": _q(IQ_HOLT_WINTERS_SEASONAL),
     "iq_fill_linear": _q(IQ_FILL_LINEAR),
@@ -1688,6 +1706,7 @@ QUERIES = {
     "iq_ker": _q(IQ_KER),
     "iq_dema": _q(IQ_DEMA),
     "iq_trix": _q(IQ_TRIX),
+    "iq_show_measurements_where": _q(IQ_SHOW_MEASUREMENTS_WHERE),
 }
 
 ORACLES = {
@@ -1744,4 +1763,5 @@ ORACLES = {
     "iq_ker": IQ_KER_SQL,
     "iq_dema": IQ_DEMA_SQL,
     "iq_trix": IQ_TRIX_SQL,
+    "iq_show_measurements_where": IQ_SHOW_MEASUREMENTS_WHERE_SQL,
 }

@@ -1331,3 +1331,31 @@ def test_explain_inside_statement_batch(spark, sf_dir):
     assert len(dfs) == 2
     assert dfs[0].collect()[0].n > 0
     assert any("Scan" in r.plan for r in dfs[1].collect())
+
+
+def test_show_measurements_with_and_where(spark, sf_dir):
+    """SHOW MEASUREMENTS takes WITH MEASUREMENT = / =~ and an
+    existence WHERE; SHOW TAG KEYS takes WHERE (all-or-nothing on the
+    uniform-schema catalog); both go empty, not error, on no match."""
+    got = influxql(
+        spark, sf_dir, "SHOW MEASUREMENTS WITH MEASUREMENT = purchase"
+    ).collect()
+    assert [r.name for r in got] == ["purchase"]
+    assert (
+        influxql(
+            spark, sf_dir, "SHOW MEASUREMENTS WITH MEASUREMENT =~ /nope/"
+        ).collect()
+        == []
+    )
+    keys = influxql(
+        spark, sf_dir, "SHOW TAG KEYS WHERE time >= '2024-01-01'"
+    ).collect()
+    assert [r.tagKey for r in keys] == ["user_id"]
+    assert (
+        influxql(
+            spark, sf_dir, "SHOW TAG KEYS WHERE time >= '2030-01-01'"
+        ).collect()
+        == []
+    )
+    with pytest.raises(InfluxQLError, match="WITH MEASUREMENT"):
+        parse("SHOW MEASUREMENTS WITH MEASUREMENT > 3")
