@@ -858,6 +858,65 @@ class MeasurementSchema:
 RAW_GLOBAL_WINDOW_MAX = 5_000_000
 
 
+class PointsCatalog:
+    """InfluxQL binding for the engine's OWN ingested narrow points
+    table (``streaming/ingest.py::to_points`` output) — the reference
+    loop closed end-to-end: MQTT → ingest → lake → InfluxQL. The
+    narrow layout (influx_service.py:183-189) makes each ``series_id``
+    a measurement with the single field ``value`` (the float branch of
+    the union payload; non-float points carry NULL and drop out of
+    numeric aggregates, matching InfluxDB's per-type field isolation).
+
+    The measurement-name index is read once at construction (a
+    distinct over the pruned series_id column) — the warehouse-scale
+    deployment feeds this from the series-catalog table
+    (operators/timeseries.py::ts_series_catalog) instead of a scan.
+    ``series_col='series_id'`` keeps raw per-point transforms on a
+    partitioned window even though the layout has no queryable tags.
+    """
+
+    def __init__(self, spark: SparkSession, points_dir: str):
+        self.points_dir = points_dir
+        self.schema = MeasurementSchema(
+            tags=[],
+            fields=["value"],
+            tiebreak="pid",
+            series_col="series_id",
+        )
+        self._names = sorted(
+            r.series_id
+            for r in spark.read.parquet(points_dir)
+            .select("series_id")
+            .distinct()
+            .collect()
+        )
+
+    def measurement_names(self) -> list[str]:
+        return list(self._names)
+
+    def _load(self, spark: SparkSession, pred: Column) -> DataFrame:
+        df = spark.read.parquet(self.points_dir).filter(pred)
+        # deterministic per-row tiebreak: the row's full content hash
+        pid = F.xxhash64(
+            "series_id", "ts", "value_type",
+            F.coalesce(F.col("value_str"), F.lit("")),
+            F.coalesce(F.col("value_double"), F.lit(0.0)),
+        )
+        return df.select(
+            F.col("series_id").alias("measurement"),
+            F.col("ts").alias("time"),
+            F.col("value_double").alias("value"),
+            pid.alias("pid"),
+            "series_id",
+        )
+
+    def load(self, spark: SparkSession, name: str) -> DataFrame:
+        return self._load(spark, F.col("series_id") == name)
+
+    def load_many(self, spark: SparkSession, names: list[str]) -> DataFrame:
+        return self._load(spark, F.col("series_id").isin(names))
+
+
 class EventsCatalog:
     """Default binding of the fixture ``events`` table to the InfluxQL
     data model: measurement = ``event_type`` value, ``time`` = ``ts``,

@@ -1359,3 +1359,64 @@ def test_show_measurements_with_and_where(spark, sf_dir):
     )
     with pytest.raises(InfluxQLError, match="WITH MEASUREMENT"):
         parse("SHOW MEASUREMENTS WITH MEASUREMENT > 3")
+
+
+def test_influxql_over_own_ingested_points(spark, tmp_path):
+    """The reference loop closed: MQTT messages → the ingest
+    transformation → the narrow points lake → InfluxQL queries over
+    it via PointsCatalog. SHOW MEASUREMENTS lists the ingested
+    series; a bucketed MEAN equals the direct DataFrame computation;
+    a raw DERIVATIVE compiles against the series_col window (no
+    global-window refusal)."""
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        PointsCatalog,
+    )
+    from mqtt_influx_storage_service_spark.streaming.ingest import to_points
+
+    msgs = spark.createDataFrame(
+        [
+            (f"2024-01-01 00:{m:02d}:00",
+             f"openchirp/device/dev{m % 2}/Temp",
+             str(20.0 + m))
+            for m in range(20)
+        ]
+        + [("2024-01-01 00:30:00", "openchirp/device/dev0/Note", "hello")],
+        "ts string, topic string, payload string",
+    ).select(F.col("ts").cast("timestamp"), "topic", "payload")
+    pts = to_points(msgs)
+    out = str(tmp_path / "points")
+    pts.write.partitionBy("ingest_date").parquet(out)
+
+    cat = PointsCatalog(spark, out)
+    names = [
+        r.name
+        for r in influxql(spark, out, "SHOW MEASUREMENTS", catalog=cat).collect()
+    ]
+    assert names == ["dev0_note", "dev0_temp", "dev1_temp"]
+
+    got = influxql(
+        spark, out,
+        "SELECT MEAN(value) AS m FROM dev0_temp "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(10m)",
+        catalog=cat,
+    ).collect()
+    want = (
+        pts.filter(F.col("series_id") == "dev0_temp")
+        .groupBy(F.window("ts", "10 minutes").start.alias("time"))
+        .agg(F.round(F.round(F.sum("value_double"), 2) / F.count("value_double"), 6).alias("m"))
+        .collect()
+    )
+    assert sorted((r.time, r.m) for r in got) == sorted(
+        (r.time, r.m) for r in want
+    )
+
+    # raw transform: the series_col partitions the window; the string
+    # point (NULL value) contributes nothing
+    dv = influxql(
+        spark, out,
+        "SELECT DERIVATIVE(value, 2m) AS rate FROM dev1_temp "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-02'",
+        catalog=cat,
+    ).collect()
+    assert len(dv) == 9 and all(abs(r.rate - 2.0) < 1e-9 for r in dv)
