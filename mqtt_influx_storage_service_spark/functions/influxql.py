@@ -917,6 +917,59 @@ class PointsCatalog:
         return self._load(spark, F.col("series_id").isin(names))
 
 
+class WidePointsCatalog:
+    """The reference's SECOND stored layout (influx_service.py:
+    191-197, the 'organized' form): measurement = ``device_id``, one
+    FIELD per transducer. Bound as a derived pivot over the same
+    narrow points lake — never a second physical copy (the
+    ``ingest.wide_view`` stance). Field names are the transducer
+    universe read once at construction; ``series_col='device_id'``
+    keeps raw transforms partitioned (each device is one series).
+    """
+
+    def __init__(self, spark: SparkSession, points_dir: str):
+        self.points_dir = points_dir
+        pts = spark.read.parquet(points_dir)
+        self._devices = sorted(
+            r.device_id
+            for r in pts.select("device_id").distinct().collect()
+        )
+        self._fields = sorted(
+            r.transducer
+            for r in pts.select("transducer").distinct().collect()
+        )
+        self.schema = MeasurementSchema(
+            tags=[],
+            fields=list(self._fields),
+            tiebreak="pid",
+            series_col="device_id",
+        )
+
+    def measurement_names(self) -> list[str]:
+        return list(self._devices)
+
+    def _load(self, spark: SparkSession, pred: Column) -> DataFrame:
+        pts = spark.read.parquet(self.points_dir).filter(pred)
+        wide = (
+            pts.groupBy("device_id", "ts")
+            .pivot("transducer", self._fields)
+            .agg(F.first("value_double"))
+        )
+        return wide.select(
+            F.col("device_id").alias("measurement"),
+            F.col("ts").alias("time"),
+            *self._fields,
+            F.xxhash64("device_id", "ts").alias("pid"),
+            "device_id",
+        )
+
+    def load(self, spark: SparkSession, name: str) -> DataFrame:
+        return self._load(spark, F.col("device_id") == name)
+
+    def load_many(self, spark: SparkSession, names: list[str]) -> DataFrame:
+        return self._load(spark, F.col("device_id").isin(names))
+
+
 class EventsCatalog:
     """Default binding of the fixture ``events`` table to the InfluxQL
     data model: measurement = ``event_type`` value, ``time`` = ``ts``,

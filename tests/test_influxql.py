@@ -1420,3 +1420,53 @@ def test_influxql_over_own_ingested_points(spark, tmp_path):
         catalog=cat,
     ).collect()
     assert len(dv) == 9 and all(abs(r.rate - 2.0) < 1e-9 for r in dv)
+
+
+def test_influxql_over_wide_layout(spark, tmp_path):
+    """The reference's second ('organized') layout as an InfluxQL
+    catalog: measurement = device, one field per transducer, derived
+    by pivot over the SAME narrow lake. Cross-field selects and
+    per-field aggregates work; SHOW FIELD KEYS lists transducers."""
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        WidePointsCatalog,
+    )
+    from mqtt_influx_storage_service_spark.streaming.ingest import to_points
+
+    msgs = spark.createDataFrame(
+        [
+            (f"2024-01-01 00:{m:02d}:00", f"openchirp/device/d0/Temp",
+             str(20.0 + m))
+            for m in range(10)
+        ]
+        + [
+            (f"2024-01-01 00:{m:02d}:00", f"openchirp/device/d0/Hum",
+             str(50.0 + m))
+            for m in range(10)
+        ],
+        "ts string, topic string, payload string",
+    ).select(F.col("ts").cast("timestamp"), "topic", "payload")
+    out = str(tmp_path / "points")
+    to_points(msgs).write.partitionBy("ingest_date").parquet(out)
+
+    cat = WidePointsCatalog(spark, out)
+    keys = influxql(spark, out, "SHOW FIELD KEYS FROM d0", catalog=cat)
+    assert [r.fieldKey for r in keys.collect()] == ["hum", "temp"]
+
+    got = influxql(
+        spark, out,
+        "SELECT MEAN(temp) AS mt, MAX(hum) AS mh FROM d0 "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00'",
+        catalog=cat,
+    ).collect()
+    assert got[0].mt == 24.5 and got[0].mh == 59.0
+
+    # raw cross-field select: both transducer columns on one row per ts
+    rows = influxql(
+        spark, out,
+        "SELECT temp, hum FROM d0 WHERE time >= '2024-01-01' "
+        "AND time < '2024-01-02' ORDER BY time LIMIT 3",
+        catalog=cat,
+    ).collect()
+    assert [(r.temp, r.hum) for r in rows] == [
+        (20.0, 50.0), (21.0, 51.0), (22.0, 52.0)
+    ]
