@@ -1602,17 +1602,24 @@ def _dsir_docb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dsir_llr_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The frozen DSIR model: DSIR_BUCKETS rows of (b, m) where m is
-    the Laplace-smoothed log-likelihood-ratio in exact micro-units.
-    Campaign-static — the streaming screen broadcasts it against every
+    """The frozen DSIR model: exactly DSIR_BUCKETS rows of (b, m)
+    where m is the Laplace-smoothed log-likelihood-ratio in exact
+    micro-units. The bucket spine is COMPLETE — buckets unseen in the
+    corpus carry the zero-count smoothing ratio — so scoring a batch
+    is always an inner join that can never silently drop a feature
+    (an incomplete model made all-novel docs vanish from the screen;
+    pinned by tests/test_streaming.py's novel-doc rows). Campaign-
+    static — the streaming screen broadcasts it against every
     incoming micro-batch."""
     docb = _dsir_docb(spark, sf_dir)
-    bstats = docb.groupBy("b").agg(
+    observed = docb.groupBy("b").agg(
         F.sum("c").alias("n_r"),
         F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias(
             "n_t"
         ),
     )
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    bstats = spine.join(observed, "b", "left").fillna(0, ["n_r", "n_t"])
     totals = bstats.agg(
         F.sum("n_r").alias("nr"), F.sum("n_t").alias("nt")
     )

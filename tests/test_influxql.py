@@ -1470,3 +1470,67 @@ def test_influxql_over_wide_layout(spark, tmp_path):
     assert [(r.temp, r.hum) for r in rows] == [
         (20.0, 50.0), (21.0, 51.0), (22.0, 52.0)
     ]
+
+
+def test_ta_kernels_match_python_reference_on_random_series(spark, sf_dir):
+    """CMO/RSI/KER over three seeded pseudo-random 2-decimal series
+    equal a direct pure-Python computation of the declared semantics
+    (exact integer sums over the last-N changes) — the cross-check
+    that the window fold, scaling, and warm-up gating are right, not
+    just oracle-consistent."""
+    import random
+
+    for seed in (7, 41, 1337):
+        rng = random.Random(seed)
+        vals = [round(rng.uniform(1, 200), 2) for _ in range(40)]
+        n = rng.choice([2, 3, 5, 8])
+        cat = _TinyCatalog(_ta_points(vals))
+        rngq = "WHERE time >= '2024-01-01' AND time < '2024-01-02'"
+
+        def col(expr):
+            return [
+                r.v
+                for r in influxql(
+                    spark, sf_dir,
+                    f"SELECT {expr} AS v FROM m {rngq}", catalog=cat,
+                )
+                .orderBy("time")
+                .collect()
+            ]
+
+        cents = [round(v * 1_000_000) for v in vals]
+
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r6x(x):
+            # Spark round(): HALF_UP over the shortest repr, not
+            # python/banker's
+            return float(
+                Decimal(repr(float(x))).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            )
+
+        def ref(kind):
+            out = []
+            for t in range(len(cents)):
+                lo = max(0, t - n)
+                win = cents[lo : t + 1]
+                if len(win) != n + 1:
+                    continue
+                d = [b - a for a, b in zip(win, win[1:])]
+                up = sum(x for x in d if x > 0)
+                tot = sum(abs(x) for x in d)
+                if tot == 0:
+                    continue
+                if kind == "cmo":
+                    out.append(r6x(100.0 * (2 * up - tot) / tot) + 0.0)
+                elif kind == "rsi":
+                    out.append(r6x(100.0 * up / tot) + 0.0)
+                else:
+                    out.append(r6x(abs(win[-1] - win[0]) / (1.0 * tot)))
+            return out
+
+        assert col(f"CHANDE_MOMENTUM_OSCILLATOR(value, {n})") == ref("cmo")
+        assert col(f"RELATIVE_STRENGTH_INDEX(value, {n})") == ref("rsi")
+        assert col(f"KAUFMANS_EFFICIENCY_RATIO(value, {n})") == ref("ker")

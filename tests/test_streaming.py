@@ -1012,3 +1012,36 @@ def test_dsir_screen_stream_equals_batch(spark, tmp_path):
     scores = {d: w for d, _, w in got}
     assert scores[400001] > scores[400002]
     release_dsir(spark)
+
+
+def test_dsir_screen_restart_is_exactly_once(spark, tmp_path):
+    """Kill/restart chaos for the DSIR screen: after a second start on
+    the same checkpoint, already-screened batches are not re-scored
+    (no duplicate doc_ids in the score log), and the late batch is."""
+    from mqtt_influx_storage_service_spark.operators.textops import (
+        release_dsir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(500001, "alpha beta gamma delta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+
+    q = st.start_dsir_screen(
+        spark, src, sf, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(500002, "epsilon zeta eta theta")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = st.start_dsir_screen(
+        spark, src, sf, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(str(tmp_path / "out" / "dsir_scores")).collect()
+    ids = sorted(r.doc_id for r in rows)
+    assert ids == [500001, 500002]  # each exactly once across restarts
+    release_dsir(spark)
