@@ -1046,12 +1046,15 @@ _RANK_AGGS = {"MEDIAN", "PERCENTILE", "FIRST", "LAST"}
 # double division at the end, round(·,6) — bit-identical to the
 # DuckDB oracle with no summation-order hazard. A flat window
 # (ΣU+ΣD = 0) emits NULL.
-# NOT offered, by design: KAUFMANS_ADAPTIVE_MOVING_AVERAGE and
-# Wilder-smoothed RSI — both are genuinely stateful recursions whose
-# smoothing factor depends on the running state, so no bounded window
-# fold reproduces them (the HOLT_WINTERS-style per-series kernel
-# could, but a deviating "KAMA" would silently mislead a migrating
-# dashboard; an unsupported-function error is the honest surface).
+# NOT offered, by design: KAUFMANS_ADAPTIVE_MOVING_AVERAGE — its
+# smoothing factor depends on the running efficiency ratio, so no
+# bounded window fold reproduces it (a deviating "KAMA" would
+# silently mislead a migrating dashboard; an unsupported-function
+# error is the honest surface). Wilder-smoothed RSI IS a constant-α
+# recursion and could ride the truncated fold, but its float-power
+# weights would break the exact-integer discipline AND the truncated
+# form deviates from InfluxDB's SMA-seeded recursion anyway — so RSI
+# here is Cutler's exactly-computable variant, documented above.
 #   DOUBLE_/TRIPLE_EXPONENTIAL_MOVING_AVERAGE and
 #   TRIPLE_EXPONENTIAL_DERIVATIVE (TRIX, in percent) compose the EMA
 #   kernel: DEMA = 2·e1 − e2, TEMA = 3·e1 − 3·e2 + e3, TRIX =

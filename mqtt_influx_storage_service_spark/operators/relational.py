@@ -1471,6 +1471,150 @@ ORDER BY 1
 """
 
 
+def rel_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): discounted revenue flowing between
+    a nation PAIR in both directions, by ship year — the two-nation
+    OR'd join predicate that trips naive planners into a cartesian.
+
+    supplier/customer/nation all broadcast (dimension-sized); the one
+    fact-fact shuffle is lineitem⋈orders; the nation-pair disjunction
+    is a residual filter above broadcast hash joins (covered by the
+    registry-wide no-cartesian audit). Revenue rides the exact
+    microcent discipline."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3")
+        & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7")
+        & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.sn_key)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.cn_key)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            (F.floor((F.sum(_rev_micro()) + 50) / 100) / 100.0).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+REL_VOLUME_SHIPPING_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       floor((CAST(sum({_REV_MICRO_SQL}) AS BIGINT) + 50) / 100) / 100.0
+           AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+LARGE_ORDER_QTY = 300  # Q18 threshold (fixture p99 per-order qty = 262)
+
+
+def rel_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds LARGE_ORDER_QTY, with their customer — the
+    aggregate-then-semi-join-back shape (the HAVING subquery
+    de-correlates into one per-order aggregate reused as both the
+    filter and an output column).
+
+    One lineitem shuffle on the order key produces the per-order
+    quantity; the qualifying-order set (tiny after the threshold)
+    broadcasts back onto orders; customer joins broadcast. Quantities
+    are integral fixtures, so the threshold compare and the output
+    sum are exact BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        orders.join(
+            F.broadcast(big), orders.o_orderkey == big.l_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+REL_LARGE_ORDERS_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS BIGINT)) > {LARGE_ORDER_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN big      ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES = {
     "rel_waiting_supplier": rel_waiting_supplier,
     "rel_small_qty_revenue": rel_small_qty_revenue,
@@ -1511,6 +1655,8 @@ QUERIES = {
     "rel_disjunctive_revenue": rel_disjunctive_revenue,
     "rel_returned_customers": rel_returned_customers,
     "rel_forecast_revenue": rel_forecast_revenue,
+    "rel_volume_shipping": rel_volume_shipping,
+    "rel_large_orders": rel_large_orders,
 }
 
 ORACLES = {
@@ -1545,4 +1691,6 @@ ORACLES = {
     "rel_disjunctive_revenue": REL_DISJUNCTIVE_REVENUE_SQL,
     "rel_returned_customers": REL_RETURNED_CUSTOMERS_SQL,
     "rel_forecast_revenue": REL_FORECAST_REVENUE_SQL,
+    "rel_volume_shipping": REL_VOLUME_SHIPPING_SQL,
+    "rel_large_orders": REL_LARGE_ORDERS_SQL,
 }
