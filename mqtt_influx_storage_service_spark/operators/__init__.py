@@ -106,7 +106,9 @@ _PRIORITY = [
     # and rel_forecast_revenue (exact-integer money ranking /
     # scan-filter shapes), pipeline_shuffle_order, mm_contrastive_pairs,
     # iq_show_measurements_where, and the Q7/Q18 shapes
-    # (rel_volume_shipping, rel_large_orders). All locally oracle-green; they
+    # (rel_volume_shipping, rel_large_orders,
+    # rel_priority_late_orders, rel_market_share). All locally
+    # oracle-green; they
     # FRONT-LOAD the r8 queue. iq_show_tag_values' r7-changed SHOW
     # FROM path is re-proven by the two iq_show_tag_values_* entries
     # above; its own refresh joins the r8 queue with the displaced
@@ -123,6 +125,8 @@ _PRIORITY = [
     "iq_show_measurements_where",
     "rel_volume_shipping",
     "rel_large_orders",
+    "rel_priority_late_orders",
+    "rel_market_share",
     "iq_show_tag_values",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,

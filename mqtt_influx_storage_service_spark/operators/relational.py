@@ -1615,6 +1615,148 @@ LIMIT 100
 """
 
 
+def rel_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): per priority class, the
+    count of orders in one quarter having AT LEAST ONE late lineitem —
+    the EXISTS-correlated-subquery shape, de-correlated into a LEFT
+    SEMI join with an extra non-equi conjunct (the fixture lacks
+    commit/receipt dates, so 'late' is shipped > 60 days after the
+    order date, same shape).
+
+    The semi join keeps the orders side row-preserving and
+    deduplicating in one pass (no distinct needed); the date conjunct
+    rides the join condition, not a post-join filter, so the shuffle
+    carries only the key columns."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (
+                li.l_shipdate
+                > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+REL_PRIORITY_LATE_ORDERS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3 suppliers' share of
+    PROMO-part revenue sold to ASIA-region customers, by order year.
+    The share is a conditional-sum ratio over ONE joined relation —
+    never two scans — and both the numerator and denominator are
+    exact integer microcents, so the single division is the last
+    step, round 6.
+
+    customer→nation→region collapse into one broadcast side; part and
+    supplier(+nation) broadcast; lineitem⋈orders is the only
+    fact-fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cr_key"),
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == nation_c.cn_key)
+        .join(F.broadcast(region), nation_c.cr_key == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_s), supp.s_nationkey == nation_s.sn_key)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev_micro().alias("rev"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_3", F.col("rev")
+                    ).otherwise(F.lit(0))
+                )
+                / F.sum("rev"),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+REL_MARKET_SHARE_SQL = f"""
+WITH j AS (
+    SELECT year(o_orderdate) AS o_year,
+           {_REV_MICRO_SQL} AS rev,
+           n1.n_name AS supp_nation
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region   ON n2.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                           ELSE 0 END) AS BIGINT)
+             / CAST(sum(rev) AS BIGINT), 6) AS mkt_share,
+       count(*) AS n_lines
+FROM j
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
 QUERIES = {
     "rel_waiting_supplier": rel_waiting_supplier,
     "rel_small_qty_revenue": rel_small_qty_revenue,
@@ -1657,6 +1799,8 @@ QUERIES = {
     "rel_forecast_revenue": rel_forecast_revenue,
     "rel_volume_shipping": rel_volume_shipping,
     "rel_large_orders": rel_large_orders,
+    "rel_priority_late_orders": rel_priority_late_orders,
+    "rel_market_share": rel_market_share,
 }
 
 ORACLES = {
@@ -1693,4 +1837,6 @@ ORACLES = {
     "rel_forecast_revenue": REL_FORECAST_REVENUE_SQL,
     "rel_volume_shipping": REL_VOLUME_SHIPPING_SQL,
     "rel_large_orders": REL_LARGE_ORDERS_SQL,
+    "rel_priority_late_orders": REL_PRIORITY_LATE_ORDERS_SQL,
+    "rel_market_share": REL_MARKET_SHARE_SQL,
 }
