@@ -128,6 +128,13 @@ _PRIORITY = [
     "rel_priority_late_orders",
     "rel_market_share",
     "iq_show_tag_values",
+    # (slot 51+ continued) the final four TPC-H shapes (Q2/Q9/Q16/Q20,
+    # completing the 22-query suite) — locally oracle-green; they join
+    # the r8 front-load queue behind the entries above.
+    "rel_min_cost_supplier",
+    "rel_product_profit",
+    "rel_supplier_part_types",
+    "rel_excess_supply",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
     # sim_ann_brp/ivf/ivf_pq, rel_sketches, dedup_semantic_ivf) stay

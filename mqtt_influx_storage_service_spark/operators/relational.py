@@ -1757,6 +1757,322 @@ ORDER BY o_year
 """
 
 
+# --------------------------------------------------------------------------
+# The last four TPC-H shapes (Q2 / Q9 / Q16 / Q20), completing the
+# 22-query suite. The fixture has no partsupp table, so the
+# part-supplier catalog is DERIVED from lineitem (distinct pairs /
+# per-pair aggregates) — the join/subquery shapes are unchanged, only
+# the catalog's provenance differs. Supply cost rides the same exact
+# microcent discipline as Q6..Q19: every per-row value is a BIGINT
+# before any aggregate, and integer division (Spark DIV ≡ DuckDB //
+# on positives) replaces float division so both engines agree bit-for-
+# bit.
+# --------------------------------------------------------------------------
+
+_UNIT_MICRO = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def rel_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for every SMALL part of size
+    <= 15, the EUROPE-region supplier(s) offering it at the minimum
+    unit cost, ordered by supplier account balance. The spec's
+    correlated MIN subquery over partsupp is decorrelated into a
+    WINDOW MIN over the derived supply catalog — one shuffle keyed by
+    part, no join-back against a second aggregate of the same
+    relation (the classic Q2 plan needs two passes over partsupp;
+    the window form needs one).
+
+    Unit cost = min over the pair's lineitems of
+    floor(rev_micro / quantity) — exact integer division, so the
+    min/equality comparisons are engine-independent. Supplier→nation→
+    region collapse into one broadcast side; part is broadcast after
+    its selective filter. At 100 TB the only shuffle is the supply
+    groupBy (partkey, suppkey) feeding the window repartition by
+    partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.expr(f"({_UNIT_MICRO}) DIV CAST(l_quantity AS BIGINT)")
+        ).alias("cost_micro")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    )
+    euro = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        supply.join(F.broadcast(euro), supply.l_suppkey == euro.s_suppkey)
+        .join(F.broadcast(part), supply.l_partkey == part.p_partkey)
+        .withColumn(
+            "min_cost",
+            F.min("cost_micro").over(Window.partitionBy("p_partkey")),
+        )
+    )
+    return (
+        cand.filter(F.col("cost_micro") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "cost_micro",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+REL_MIN_COST_SUPPLIER_SQL = f"""
+WITH supply AS (
+    SELECT l_partkey, l_suppkey,
+           min(({_UNIT_MICRO}) // CAST(l_quantity AS BIGINT)) AS cost_micro
+    FROM lineitem GROUP BY 1, 2
+), euro AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+), cand AS (
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_micro,
+           min(cost_micro) OVER (PARTITION BY p_partkey) AS min_cost
+    FROM supply
+    JOIN euro ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'SMALL' AND p_size <= 15
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_micro
+FROM cand WHERE cost_micro = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def rel_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit on 'red' parts by
+    supplier nation and order year. The fixture has no
+    ps_supplycost, so cost is modeled as 60% of the part's retail
+    price per unit — profit_micro = rev_micro − qty·retail_cents·60
+    stays an exact BIGINT per row (retail prices are 2-decimal), and
+    the one microcent→currency conversion happens after the sum with
+    the integer half-up discipline shared by Q6..Q14.
+
+    lineitem ⋈ orders is the only fact-fact shuffle; part (name-
+    filtered), supplier, and nation broadcast. The p_name filter
+    prunes ~11/12 of parts before the join, so the broadcast side
+    stays small at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("supp_nation")
+    )
+    profit_micro = _rev_micro() - (
+        F.col("l_quantity").cast("bigint")
+        * F.round(F.col("p_retailprice") * 100).cast("bigint")
+        * F.lit(60)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "supp_nation",
+            F.year("o_orderdate").alias("o_year"),
+            profit_micro.alias("pm"),
+        )
+        .groupBy("supp_nation", "o_year")
+        .agg(
+            (F.floor((F.sum("pm") + 50) / 100) / 100.0).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", F.desc("o_year"))
+    )
+
+
+REL_PRODUCT_PROFIT_SQL = f"""
+WITH j AS (
+    SELECT n_name AS supp_nation,
+           year(o_orderdate) AS o_year,
+           {_REV_MICRO_SQL}
+             - CAST(l_quantity AS BIGINT)
+               * CAST(round(p_retailprice * 100) AS BIGINT) * 60 AS pm
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+)
+SELECT supp_nation, o_year,
+       floor((CAST(sum(pm) AS BIGINT) + 50) / 100) / 100.0 AS sum_profit,
+       count(*) AS n_lines
+FROM j
+GROUP BY supp_nation, o_year
+ORDER BY supp_nation, o_year DESC
+"""
+
+
+def rel_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many suppliers can
+    supply each (brand, type, size) combination, excluding a
+    disqualified supplier set — the NOT IN subquery shape, lowered to
+    a broadcast LEFT ANTI join. The part-supplier catalog is the
+    DISTINCT (partkey, suppkey) projection of lineitem (the fixture's
+    partsupp); 'customer complaints' is modeled as a negative account
+    balance.
+
+    Plan: one distinct-shuffle on the pair, anti join against the
+    (tiny, broadcast) complained-supplier set, broadcast part join,
+    then count(DISTINCT suppkey) per group — the distinct agg rides
+    Catalyst's two-phase expand. The spec's size list is 8 literal
+    sizes from the fixture's 2..37 domain."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    complained = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(2, 5, 11, 17, 23, 28, 31, 37)
+    )
+    return (
+        pairs.join(F.broadcast(complained), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+REL_SUPPLIER_PART_TYPES_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+  AND p_size IN (2, 5, 11, 17, 23, 28, 31, 37)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def rel_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): ASIA-region suppliers
+    whose supply of 'small…' parts is concentrated in one year —
+    the nested-aggregate qualification chain (per-pair aggregate
+    compared against a fraction of the pair's own total, Q20's
+    availqty > ½·shipped-qty predicate with the derived catalog's
+    '1996 qty > ½ all-time qty' as the excess test). Because the
+    fixture's suppliers each hold hundreds of pairs, a bare EXISTS
+    saturates (every supplier qualifies), so the output keeps Q20's
+    qualification chain but reports per-supplier excess-part counts
+    and quantities — discriminative at every SF, and the result size
+    is bounded by the supplier dimension, never the fact table.
+
+    Plan: one groupBy (partkey, suppkey) over lineitem with
+    conditional sums (both BIGINT-exact), a broadcast semi join
+    against the name-filtered part set, the integer qualification
+    filter, then a reaggregation keyed by supplier — no window, no
+    second fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(
+            F.when(F.year("l_shipdate") == 1996, qty).otherwise(F.lit(0))
+        ).alias("qty_1996"),
+        F.sum(qty).alias("qty_total"),
+    )
+    small = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    qual = sq.join(
+        F.broadcast(small), sq.l_partkey == small.p_partkey, "left_semi"
+    ).filter(F.lit(2) * F.col("qty_1996") > F.col("qty_total"))
+    asia = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return (
+        qual.join(F.broadcast(asia), qual.l_suppkey == asia.s_suppkey)
+        .groupBy("s_name", "s_acctbal")
+        .agg(
+            F.count(F.lit(1)).alias("n_excess_parts"),
+            F.sum("qty_1996").alias("excess_qty"),
+        )
+        .orderBy("s_name")
+    )
+
+
+REL_EXCESS_SUPPLY_SQL = """
+WITH sq AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CASE WHEN year(l_shipdate) = 1996
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_1996,
+           sum(CAST(l_quantity AS BIGINT)) AS qty_total
+    FROM lineitem GROUP BY 1, 2
+), qual AS (
+    SELECT * FROM sq
+    WHERE 2 * qty_1996 > qty_total
+      AND l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'small%')
+), asia AS (
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+)
+SELECT s_name, s_acctbal,
+       count(*) AS n_excess_parts,
+       CAST(sum(qty_1996) AS BIGINT) AS excess_qty
+FROM qual JOIN asia ON l_suppkey = s_suppkey
+GROUP BY s_name, s_acctbal
+ORDER BY s_name
+"""
+
+
 QUERIES = {
     "rel_waiting_supplier": rel_waiting_supplier,
     "rel_small_qty_revenue": rel_small_qty_revenue,
@@ -1801,6 +2117,10 @@ QUERIES = {
     "rel_large_orders": rel_large_orders,
     "rel_priority_late_orders": rel_priority_late_orders,
     "rel_market_share": rel_market_share,
+    "rel_min_cost_supplier": rel_min_cost_supplier,
+    "rel_product_profit": rel_product_profit,
+    "rel_supplier_part_types": rel_supplier_part_types,
+    "rel_excess_supply": rel_excess_supply,
 }
 
 ORACLES = {
@@ -1839,4 +2159,8 @@ ORACLES = {
     "rel_large_orders": REL_LARGE_ORDERS_SQL,
     "rel_priority_late_orders": REL_PRIORITY_LATE_ORDERS_SQL,
     "rel_market_share": REL_MARKET_SHARE_SQL,
+    "rel_min_cost_supplier": REL_MIN_COST_SUPPLIER_SQL,
+    "rel_product_profit": REL_PRODUCT_PROFIT_SQL,
+    "rel_supplier_part_types": REL_SUPPLIER_PART_TYPES_SQL,
+    "rel_excess_supply": REL_EXCESS_SUPPLY_SQL,
 }

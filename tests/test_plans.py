@@ -309,6 +309,56 @@ def test_new_tpch_shapes_join_strategy(spark):
     assert "l_shipdate" in " ".join(plans.pushed_filters(df))
 
 
+def test_final_tpch_shapes_plan_discipline(spark):
+    """The suite-completing Q2/Q9/Q16/Q20 shapes: Q2's correlated MIN
+    decorrelates into ONE Window over the supply catalog (no second
+    aggregate + join-back pass over the same relation); Q16's NOT IN
+    lowers to a broadcast LEFT ANTI join; Q9/Q20 broadcast every
+    dimension with lineitem(⋈orders) as the only shuffled fact. None
+    may plan a cartesian."""
+    qs = all_queries()
+
+    q2 = qs["rel_min_cost_supplier"](spark, SF)
+    p2 = plans.plan_str(q2)
+    assert "Window" in p2
+    assert plans.has_broadcast_join(q2)
+    assert not plans.has_cartesian(q2)
+    # one shuffle for the pair groupBy, one for the window repartition
+    # by part, one for the final sort — a join-back formulation would
+    # add a second aggregate subtree over `supply`.
+    assert p2.count("HashAggregate") <= 4
+
+    q9 = qs["rel_product_profit"](spark, SF)
+    assert plans.has_broadcast_join(q9)
+    assert not plans.has_cartesian(q9)
+    assert any("p_name" in f for f in plans.pushed_filters(q9))
+
+    q16 = qs["rel_supplier_part_types"](spark, SF)
+    p16 = plans.plan_str(q16)
+    assert "LeftAnti" in p16 and "BroadcastHashJoin" in p16
+    assert not plans.has_cartesian(q16)
+
+    q20 = qs["rel_excess_supply"](spark, SF)
+    p20 = plans.plan_str(q20)
+    assert "LeftSemi" in p20
+    assert not plans.has_cartesian(q20)
+    assert "Window" not in p20
+
+
+def test_min_cost_supplier_rows_are_per_part_minima(spark):
+    """Every emitted Q2 row's cost equals the minimum cost among ALL
+    emitted rows for that part (the window-decorrelation semantics),
+    and ties surface as multiple rows rather than an arbitrary pick."""
+    df = all_queries()["rel_min_cost_supplier"](spark, SF)
+    rows = df.collect()
+    assert rows
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.p_partkey, []).append(r.cost_micro)
+    for costs in by_part.values():
+        assert all(c == costs[0] for c in costs)
+
+
 def test_topk_entries_use_take_ordered_not_global_sort(spark):
     """Q10's top-20 and DSIR's Gumbel-top-k must plan as
     TakeOrderedAndProject (per-partition heaps + k-row merge) — a
