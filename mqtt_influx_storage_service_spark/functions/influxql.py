@@ -37,8 +37,12 @@ Supported surface (practical InfluxQL 1.x subset):
   regex ``=~ /re/`` / ``!~ /re/``, and ``time`` bounds as timestamp
   strings, exact integer epoch-ns literals (bare or ``ns``-suffixed),
   or ``now() ± <dur>`` against the injectable clock
-- ``SHOW MEASUREMENTS | SERIES [CARDINALITY] | TAG KEYS | FIELD KEYS |
-  TAG VALUES WITH KEY =``
+- ``SHOW MEASUREMENTS | SERIES | TAG KEYS | FIELD KEYS |
+  TAG VALUES WITH KEY =`` and the full cardinality family
+  ``SHOW MEASUREMENT | SERIES | TAG KEY | TAG VALUES ... WITH KEY |
+  FIELD KEY  [EXACT] CARDINALITY`` (plain = HLL++ estimate via
+  ``approx_count_distinct``, EXACT = exact distinct count — the
+  InfluxDB 1.x estimate/exact split mapped onto Spark's sketch)
 - ``SELECT ... INTO`` (:func:`influxql_into`), ``DELETE FROM ...
   WHERE`` / ``DROP MEASUREMENT`` (:func:`influxql_delete`), and
   ``CREATE CONTINUOUS QUERY`` (compiled by ``..streaming.cq``)
@@ -224,6 +228,11 @@ class Show:
     # SHOW MEASUREMENTS WITH MEASUREMENT = name | =~ /regex/ (the
     # Grafana measurement-variable query) — str | Rgx | None.
     with_measurement: object | None = None
+    # InfluxDB 1.x cardinality split: ``SHOW <x> CARDINALITY`` is an
+    # ESTIMATE (lowered onto approx_count_distinct — one HLL++ partial
+    # merge, no distinct shuffle, the right primitive at 100 TB) and
+    # ``SHOW <x> EXACT CARDINALITY`` is the exact distinct count.
+    exact: bool = False
 
 
 @dataclass
@@ -487,12 +496,29 @@ class _Parser:
             self.expect_kw("POLICIES")
             db = self._ident("database name") if self.kw("ON") else None
             return Show("retention policies", on_database=db)
+        if self.kw("MEASUREMENT"):
+            # singular: SHOW MEASUREMENT [EXACT] CARDINALITY
+            exact = bool(self.kw("EXACT"))
+            self.expect_kw("CARDINALITY")
+            return Show(
+                "measurement cardinality",
+                exact=exact,
+                from_measurement=self._opt_from_multi(),
+                where=self._expr() if self.kw("WHERE") else None,
+            )
         if self.kw("SERIES"):
+            exact = bool(self.kw("EXACT"))
             if self.kw("CARDINALITY"):
                 return Show(
                     "series cardinality",
+                    exact=exact,
                     from_measurement=self._opt_from_multi(),
                     where=self._expr() if self.kw("WHERE") else None,
+                )
+            if exact:
+                t = self.peek()
+                raise InfluxQLError(
+                    f"EXACT requires CARDINALITY at {t.pos}"
                 )
             return Show(
                 "series",
@@ -506,7 +532,24 @@ class _Parser:
                     from_measurement=self._opt_from_multi(),
                     where=self._expr() if self.kw("WHERE") else None,
                 )
+            if self.kw("KEY"):
+                # singular: SHOW TAG KEY [EXACT] CARDINALITY
+                exact = bool(self.kw("EXACT"))
+                self.expect_kw("CARDINALITY")
+                return Show(
+                    "tag key cardinality",
+                    exact=exact,
+                    from_measurement=self._opt_from_multi(),
+                    where=self._expr() if self.kw("WHERE") else None,
+                )
             self.expect_kw("VALUES")
+            exact = bool(self.kw("EXACT"))
+            card = bool(self.kw("CARDINALITY"))
+            if exact and not card:
+                t = self.peek()
+                raise InfluxQLError(
+                    f"EXACT requires CARDINALITY at {t.pos}"
+                )
             frm = self._opt_from_multi()
             self.expect_kw("WITH")
             self.expect_kw("KEY")
@@ -515,14 +558,26 @@ class _Parser:
             if key.kind != "ident":
                 raise InfluxQLError(f"expected tag key at {key.pos}")
             return Show(
-                "tag values",
+                "tag values cardinality" if card else "tag values",
+                exact=exact,
                 with_key=key.text,
                 from_measurement=frm,
                 where=self._expr() if self.kw("WHERE") else None,
             )
         if self.kw("FIELD"):
-            self.expect_kw("KEYS")
-            return Show("field keys", from_measurement=self._opt_from_multi())
+            if self.kw("KEYS"):
+                return Show(
+                    "field keys", from_measurement=self._opt_from_multi()
+                )
+            self.expect_kw("KEY")
+            # singular: SHOW FIELD KEY [EXACT] CARDINALITY
+            exact = bool(self.kw("EXACT"))
+            self.expect_kw("CARDINALITY")
+            return Show(
+                "field key cardinality",
+                exact=exact,
+                from_measurement=self._opt_from_multi(),
+            )
         t = self.peek()
         raise InfluxQLError(f"unsupported SHOW at {t.pos}: {t.text!r}")
 
@@ -2816,10 +2871,89 @@ def _compile_show(
                 for t in sorted(sch.tags)
             ],
         )
-        series = df.select(key.alias("key")).distinct()
         if stmt.what == "series cardinality":
-            return series.agg(F.count(F.lit(1)).alias("cardinality"))
-        return series.orderBy("key")
+            # EXACT = distinct + count (two-phase exact); plain
+            # CARDINALITY = InfluxDB's estimate, lowered onto HLL++
+            # (approx_count_distinct): one map-side partial-merge agg,
+            # NO distinct shuffle — at 100 TB the estimate costs one
+            # scan while the exact form pays a full-key exchange.
+            src = df.select(key.alias("key"))
+            if stmt.exact:
+                src = src.distinct()
+            agg = (
+                F.count(F.lit(1))
+                if stmt.exact
+                else F.approx_count_distinct("key")
+            )
+            return src.agg(agg.cast("long").alias("cardinality"))
+        return df.select(key.alias("key")).distinct().orderBy("key")
+    if stmt.what == "measurement cardinality":
+        names = _show_measurements(cat, stmt.from_measurement)
+        if stmt.where is None:
+            # catalog metadata — a 1-row literal, no scan
+            return spark.createDataFrame(
+                [(len(names),)], "cardinality long"
+            )
+        # existence semantics: measurements with >= 1 matching point
+        df = _union_measurements(spark, cat, names).filter(
+            _bare_compiler(now)._cond(stmt.where)
+        )
+        agg = (
+            F.count_distinct(F.col("measurement"))
+            if stmt.exact
+            else F.approx_count_distinct("measurement")
+        )
+        return df.agg(agg.cast("long").alias("cardinality"))
+    if stmt.what == "tag key cardinality":
+        # uniform-schema catalog: every measurement with >= 1 matching
+        # point carries the full tag-key set (a metadata count per
+        # measurement — InfluxDB's per-measurement result blocks)
+        names = _show_measurements(cat, stmt.from_measurement)
+        nkeys = len(sch.tags)
+        if stmt.where is None:
+            return spark.createDataFrame(
+                [(n, nkeys) for n in sorted(names)],
+                "measurement string, cardinality long",
+            )
+        df = _union_measurements(spark, cat, names).filter(
+            _bare_compiler(now)._cond(stmt.where)
+        )
+        return (
+            df.select("measurement")
+            .distinct()
+            .select(
+                "measurement",
+                F.lit(nkeys).cast("long").alias("cardinality"),
+            )
+            .orderBy("measurement")
+        )
+    if stmt.what == "tag values cardinality":
+        if stmt.with_key not in sch.tags:
+            raise InfluxQLError(f"unknown tag key {stmt.with_key!r}")
+        names = _show_measurements(cat, stmt.from_measurement)
+        df = _union_measurements(spark, cat, names)
+        if stmt.where is not None:
+            df = df.filter(_bare_compiler(now)._cond(stmt.where))
+        # per-measurement distinct tag values (InfluxDB's result
+        # blocks); the estimate form is a single hash-agg of HLL
+        # sketches — partial-merged map-side, no distinct exchange
+        agg = (
+            F.count_distinct(F.col(stmt.with_key))
+            if stmt.exact
+            else F.approx_count_distinct(stmt.with_key)
+        )
+        return (
+            df.groupBy("measurement")
+            .agg(agg.cast("long").alias("cardinality"))
+            .orderBy("measurement")
+        )
+    if stmt.what == "field key cardinality":
+        # metadata: the uniform schema's field count per measurement
+        names = _show_measurements(cat, stmt.from_measurement)
+        return spark.createDataFrame(
+            [(n, len(sch.fields)) for n in sorted(names)],
+            "measurement string, cardinality long",
+        )
     if stmt.what == "tag values":
         if stmt.with_key not in sch.tags:
             raise InfluxQLError(f"unknown tag key {stmt.with_key!r}")

@@ -135,6 +135,14 @@ _PRIORITY = [
     "rel_product_profit",
     "rel_supplier_part_types",
     "rel_excess_supply",
+    # (slot 51+ continued) the cardinality family: iq_series_cardinality
+    # is hash-CHANGED in late r7 (its statement moved to the EXACT
+    # spelling when plain CARDINALITY became InfluxDB's HLL estimate) and
+    # iq_tag_values_cardinality is new — both join the r8 front-load
+    # queue; the estimate forms are tolerance-tested in pytest, not
+    # oracle-hashed (sketches differ across engines by design).
+    "iq_series_cardinality",
+    "iq_tag_values_cardinality",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
     # sim_ann_brp/ivf/ivf_pq, rel_sketches, dedup_semantic_ivf) stay

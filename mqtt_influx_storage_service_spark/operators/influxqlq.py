@@ -974,12 +974,31 @@ FROM ranked WHERE rn <= 3
 
 # -- 10. SHOW SERIES (series-key catalog) ----------------------------------
 
-IQ_SERIES_CARDINALITY = "SHOW SERIES CARDINALITY"
+# EXACT spelling: the oracle-hashable form. The plain spelling
+# (``SHOW SERIES CARDINALITY``) is InfluxDB's ESTIMATE and lowers onto
+# approx_count_distinct (HLL++) — tolerance-tested in
+# tests/test_influxql.py, not oracle-hashed (sketch estimates differ
+# across engines by design).
+IQ_SERIES_CARDINALITY = "SHOW SERIES EXACT CARDINALITY"
 
 IQ_SERIES_CARDINALITY_SQL = """
 SELECT CAST(count(DISTINCT event_type || ',user_id='
             || CAST(user_id AS VARCHAR)) AS BIGINT) AS cardinality
 FROM events
+"""
+
+# Per-measurement tag-value cardinality (InfluxDB's per-measurement
+# result blocks): one hash-agg keyed by measurement.
+IQ_TAG_VALUES_CARDINALITY = (
+    "SHOW TAG VALUES EXACT CARDINALITY WITH KEY = user_id"
+)
+
+IQ_TAG_VALUES_CARDINALITY_SQL = """
+SELECT event_type AS measurement,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS cardinality
+FROM events
+GROUP BY event_type
+ORDER BY measurement
 """
 
 
@@ -1665,6 +1684,7 @@ QUERIES = {
     "iq_top_points": _q(IQ_TOP_POINTS),
     "iq_show_series": _q(IQ_SHOW_SERIES),
     "iq_series_cardinality": _q(IQ_SERIES_CARDINALITY),
+    "iq_tag_values_cardinality": _q(IQ_TAG_VALUES_CARDINALITY),
     "iq_bucket_offset": _q(IQ_BUCKET_OFFSET),
     "iq_agg_arithmetic": _q(IQ_AGG_ARITHMETIC),
     "iq_tag_regex": _q(IQ_TAG_REGEX),
@@ -1722,6 +1742,7 @@ ORACLES = {
     "iq_top_points": IQ_TOP_POINTS_SQL,
     "iq_show_series": IQ_SHOW_SERIES_SQL,
     "iq_series_cardinality": IQ_SERIES_CARDINALITY_SQL,
+    "iq_tag_values_cardinality": IQ_TAG_VALUES_CARDINALITY_SQL,
     "iq_bucket_offset": IQ_BUCKET_OFFSET_SQL,
     "iq_agg_arithmetic": IQ_AGG_ARITHMETIC_SQL,
     "iq_tag_regex": IQ_TAG_REGEX_SQL,

@@ -68,6 +68,21 @@ def test_parse_show_variants():
     st = parse("SHOW SERIES FROM /cpu.*/, mem")
     assert st.from_measurement[0].pattern == "cpu.*"
     assert st.from_measurement[1] == "mem"
+    # the cardinality family: plain = HLL estimate, EXACT = exact
+    assert parse("SHOW MEASUREMENT CARDINALITY") == Show(
+        "measurement cardinality"
+    )
+    assert parse("SHOW SERIES EXACT CARDINALITY") == Show(
+        "series cardinality", exact=True
+    )
+    assert parse("SHOW TAG KEY EXACT CARDINALITY FROM cpu") == Show(
+        "tag key cardinality", None, ["cpu"], exact=True
+    )
+    st = parse("SHOW TAG VALUES EXACT CARDINALITY FROM cpu WITH KEY = host")
+    assert st == Show("tag values cardinality", "host", ["cpu"], exact=True)
+    assert parse("SHOW FIELD KEY CARDINALITY FROM cpu") == Show(
+        "field key cardinality", None, ["cpu"]
+    )
 
 
 @pytest.mark.parametrize(
@@ -336,12 +351,90 @@ def test_now_relative_equals_absolute(spark, sf_dir):
 
 
 def test_show_series_cardinality(spark, sf_dir):
-    card = influxql(spark, sf_dir, "SHOW SERIES CARDINALITY").collect()[0][
-        "cardinality"
-    ]
+    card = influxql(
+        spark, sf_dir, "SHOW SERIES EXACT CARDINALITY"
+    ).collect()[0]["cardinality"]
     series = influxql(spark, sf_dir, "SHOW SERIES").collect()
     assert card == len(series)
     assert all("," in r["key"] and "user_id=" in r["key"] for r in series)
+    # plain CARDINALITY is InfluxDB's ESTIMATE — lowered onto HLL++
+    # (approx_count_distinct, rsd 0.05): within tolerance of exact,
+    # never oracle-hashed
+    est = influxql(spark, sf_dir, "SHOW SERIES CARDINALITY").collect()[0][
+        "cardinality"
+    ]
+    assert abs(est - card) <= max(2, 0.1 * card)
+
+
+def test_show_cardinality_family(spark, sf_dir):
+    """SHOW MEASUREMENT / TAG KEY / TAG VALUES / FIELD KEY [EXACT]
+    CARDINALITY — the InfluxDB 1.x cardinality statements. EXACT forms
+    equal brute-force distinct counts; per-measurement forms mirror
+    InfluxDB's per-measurement result blocks."""
+    names = [
+        r["name"]
+        for r in influxql(spark, sf_dir, "SHOW MEASUREMENTS").collect()
+    ]
+    mcard = influxql(
+        spark, sf_dir, "SHOW MEASUREMENT EXACT CARDINALITY"
+    ).collect()
+    assert mcard[0]["cardinality"] == len(names)
+    # WHERE switches to existence semantics (measurements with >= 1
+    # matching point)
+    mwhere = influxql(
+        spark, sf_dir,
+        "SHOW MEASUREMENT EXACT CARDINALITY WHERE user_id = 7",
+    ).collect()[0]["cardinality"]
+    assert 0 < mwhere <= len(names)
+    tk = influxql(
+        spark, sf_dir, "SHOW TAG KEY CARDINALITY"
+    ).collect()
+    keys = influxql(spark, sf_dir, "SHOW TAG KEYS").collect()
+    assert sorted(r["measurement"] for r in tk) == sorted(names)
+    assert all(r["cardinality"] == len(keys) for r in tk)
+    tv = influxql(
+        spark, sf_dir,
+        "SHOW TAG VALUES EXACT CARDINALITY FROM click WITH KEY = user_id",
+    ).collect()
+    vals = influxql(
+        spark, sf_dir, "SHOW TAG VALUES FROM click WITH KEY = user_id"
+    ).collect()
+    assert tv == [("click", len(vals))] or (
+        tv[0]["measurement"] == "click"
+        and tv[0]["cardinality"] == len(vals)
+    )
+    # estimate form within HLL tolerance of exact, per measurement
+    tv_est = {
+        r["measurement"]: r["cardinality"]
+        for r in influxql(
+            spark, sf_dir,
+            "SHOW TAG VALUES CARDINALITY WITH KEY = user_id",
+        ).collect()
+    }
+    tv_exact = {
+        r["measurement"]: r["cardinality"]
+        for r in influxql(
+            spark, sf_dir,
+            "SHOW TAG VALUES EXACT CARDINALITY WITH KEY = user_id",
+        ).collect()
+    }
+    assert set(tv_est) == set(tv_exact)
+    for m, exact in tv_exact.items():
+        assert abs(tv_est[m] - exact) <= max(2, 0.1 * exact)
+    fk = influxql(
+        spark, sf_dir, "SHOW FIELD KEY CARDINALITY FROM click"
+    ).collect()
+    nfields = len(
+        influxql(spark, sf_dir, "SHOW FIELD KEYS FROM click").collect()
+    )
+    assert fk == [("click", nfields)] or (
+        fk[0]["measurement"] == "click" and fk[0]["cardinality"] == nfields
+    )
+    # EXACT without CARDINALITY is a parse error
+    with pytest.raises(InfluxQLError, match="EXACT requires CARDINALITY"):
+        parse("SHOW SERIES EXACT")
+    with pytest.raises(InfluxQLError, match="EXACT requires CARDINALITY"):
+        parse("SHOW TAG VALUES EXACT FROM cpu WITH KEY = host")
 
 
 def test_subquery_raw_passthrough(spark, sf_dir):
@@ -1048,7 +1141,7 @@ def test_show_from_regex_and_multi(spark, sf_dir):
     assert [r.key for r in rx] == [r.key for r in multi]
     assert all(r.key.split(",")[0] in ("click", "view") for r in rx)
     card = influxql(
-        spark, sf_dir, "SHOW SERIES CARDINALITY FROM /click|view/"
+        spark, sf_dir, "SHOW SERIES EXACT CARDINALITY FROM /click|view/"
     ).collect()
     assert card[0].cardinality == len(rx)
     with pytest.raises(InfluxQLError, match="no measurement matched"):
@@ -1076,7 +1169,7 @@ def test_show_where_filters_series_and_tag_values(spark, sf_dir):
     assert none == [] and len(allv) > 0
     card = influxql(
         spark, sf_dir,
-        "SHOW SERIES CARDINALITY FROM click WHERE user_id = 7",
+        "SHOW SERIES EXACT CARDINALITY FROM click WHERE user_id = 7",
     ).collect()
     assert card[0].cardinality == 1
     # now() works in SHOW WHERE when a clock is injected
