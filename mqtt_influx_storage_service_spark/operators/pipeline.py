@@ -583,6 +583,86 @@ WHERE domain_rank <= ceil({DOMAIN_FRAC} * n_total)
 """
 
 
+PRUNE_KEEP_FRAC = 0.7
+
+
+def pipeline_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality-percentile prune: each ``source`` keeps its
+    top ceil(PRUNE_KEEP_FRAC x n_domain) documents by composite quality
+    score (DataComp-LM-style model-score pruning, with the repo's
+    deterministic heuristic score standing in for the fastText
+    classifier). Pruning WITHIN each domain — rather than one global
+    cutoff — keeps a high-quality-on-average domain from crowding out
+    the long tail, the same reasoning as the per-domain quota.
+
+    Plan: the score is row-local (one scan, two-step projection — see
+    quality_score_expr), then ONE window shuffle keyed by source for
+    the exact per-domain rank; integer ceil-division cap, no float
+    thresholds. At 100 TB a skewed mega-domain serializes its window
+    partition — the production twin replaces the exact rank with a
+    per-domain score CUTOFF from approx_percentile (two scans, zero
+    windows); the exact-rank form is registered because its semantics
+    are oracle-hashable and the fixtures' domains are balanced.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    scored = docs.select(
+        "doc_id", "source", *quality_feature_cols()
+    ).withColumn("quality_score", quality_score_expr())
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    ranked = (
+        scored.select("doc_id", "source", "quality_score")
+        .withColumn("prune_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n_domain",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("source"))
+            .cast("long"),
+        )
+    )
+    cap = F.ceil(F.lit(PRUNE_KEEP_FRAC) * F.col("n_domain")).cast("long")
+    return ranked.filter(F.col("prune_rank") <= cap).select(
+        "doc_id",
+        "source",
+        "quality_score",
+        "prune_rank",
+        "n_domain",
+        cap.alias("domain_keep"),
+    )
+
+
+PIPELINE_QUALITY_PRUNE_SQL = f"""
+WITH feats AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(len(list_distinct(string_split(text, ' ')))
+                 / len(string_split(text, ' ')), 6) AS distinct_ratio,
+           round(list_reduce(list_prepend(0, list_transform(
+                     string_split(text, ' '), t -> length(t))),
+                     (a, b) -> a + b)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+), scored AS (
+    SELECT doc_id, source,
+           round(round(ln(n_tokens), 6) * 0.3 + distinct_ratio * 0.5
+                 + round(avg_token_len / 10, 7) * 0.2, 7) AS quality_score
+    FROM feats
+), r AS (
+    SELECT doc_id, source, quality_score,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY quality_score DESC, doc_id)
+                AS BIGINT) AS prune_rank,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_domain
+    FROM scored
+)
+SELECT doc_id, source, quality_score, prune_rank, n_domain,
+       CAST(ceil({PRUNE_KEEP_FRAC} * n_domain) AS BIGINT) AS domain_keep
+FROM r
+WHERE prune_rank <= ceil({PRUNE_KEEP_FRAC} * n_domain)
+"""
+
+
 def pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic round-robin interleave across sources — the
     training-order shuffle that keeps any one source from clumping in
@@ -1175,6 +1255,7 @@ FROM keyed
 QUERIES = {
     "pipeline_shard_plan": pipeline_shard_plan,
     "pipeline_domain_quota": pipeline_domain_quota,
+    "pipeline_quality_prune": pipeline_quality_prune,
     "pipeline_temperature_mix": pipeline_temperature_mix,
     "pipeline_epochs": pipeline_epochs,
     "pipeline_dedup_mix": pipeline_dedup_mix,
@@ -1192,6 +1273,7 @@ QUERIES = {
 ORACLES = {
     "pipeline_shard_plan": PIPELINE_SHARD_PLAN_SQL,
     "pipeline_domain_quota": PIPELINE_DOMAIN_QUOTA_SQL,
+    "pipeline_quality_prune": PIPELINE_QUALITY_PRUNE_SQL,
     "pipeline_temperature_mix": PIPELINE_TEMPERATURE_MIX_SQL,
     "pipeline_epochs": PIPELINE_EPOCHS_SQL,
     "pipeline_dedup_mix": PIPELINE_DEDUP_MIX_SQL,

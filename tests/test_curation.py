@@ -359,6 +359,49 @@ def test_domain_quota_cap_bites_and_keeps_longest(spark, sf_dir):
     assert any(len(full[s]) > cap for s in full)
 
 
+def test_quality_prune_keeps_top_fraction_per_domain(spark, sf_dir):
+    """pipeline_quality_prune: each source keeps exactly
+    ceil(PRUNE_KEEP_FRAC x n_domain) docs, survivors are the top of
+    the per-domain quality ranking (min kept score >= max dropped
+    score, doc_id tiebreak), and the prune bites on every domain."""
+    from mqtt_influx_storage_service_spark.operators.pipeline import (
+        PRUNE_KEEP_FRAC,
+        pipeline_quality_prune,
+    )
+    from mqtt_influx_storage_service_spark.operators.textops import (
+        quality_feature_cols,
+        quality_score_expr,
+    )
+    from mqtt_influx_storage_service_spark.sources import load_table
+    import math
+
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", *quality_feature_cols())
+        .withColumn("quality_score", quality_score_expr())
+        .select("doc_id", "source", "quality_score")
+        .collect()
+    )
+    kept = pipeline_quality_prune(spark, sf_dir).collect()
+    full, by_src = {}, {}
+    for d in scored:
+        full.setdefault(d.source, []).append(d)
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == set(full)
+    for src, rows in by_src.items():
+        n = len(full[src])
+        cap = math.ceil(PRUNE_KEEP_FRAC * n)
+        assert len(rows) == cap < n  # the prune bites on every domain
+        assert all(r.n_domain == n and r.domain_keep == cap for r in rows)
+        expect = sorted(
+            full[src], key=lambda d: (-d.quality_score, d.doc_id)
+        )[:cap]
+        assert sorted(r.doc_id for r in rows) == sorted(
+            d.doc_id for d in expect
+        )
+
+
 # --------------------------------------------------------------------------
 # text_dsir_importance
 # --------------------------------------------------------------------------
