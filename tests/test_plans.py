@@ -367,3 +367,20 @@ def test_topk_entries_use_take_ordered_not_global_sort(spark):
         df = all_queries()[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_cardinality_estimate_skips_the_distinct_shuffle(spark):
+    """The InfluxQL cardinality estimate/exact split's scale contract:
+    plain ``SHOW SERIES CARDINALITY`` lowers onto approx_count_distinct
+    — HLL++ sketches partial-merged map-side, so the ONLY exchange is
+    the one-row SinglePartition merge. The EXACT form pays the full
+    distinct hashpartitioning exchange on top. At 100 TB that is the
+    difference between one scan and a corpus-wide key shuffle."""
+    from mqtt_influx_storage_service_spark.functions.influxql import influxql
+
+    est = influxql(spark, SF, "SHOW SERIES CARDINALITY")
+    exact = influxql(spark, SF, "SHOW SERIES EXACT CARDINALITY")
+    assert plans.exchange_count(est) == 1
+    assert plans.single_partition_exchanges(est) == 1
+    assert "approx_count_distinct" in plans.plan_str(est, "simple")
+    assert plans.exchange_count(exact) == 2  # distinct shuffle + merge
