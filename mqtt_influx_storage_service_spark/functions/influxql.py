@@ -859,12 +859,22 @@ class ContinuousQuery:
     name: str
     database: str
     select: Select
+    # RESAMPLE EVERY <d> — how often the rollup advances; lowered onto
+    # the streaming trigger interval (processingTime) by ..streaming.cq.
+    every_ns: int | None = None
+    # RESAMPLE FOR <d> — InfluxDB's recompute window: points older than
+    # FOR (relative to the run clock) never update their bucket.
+    # Lowered as the late-data horizon on each micro-batch (the
+    # watermark role), measured against the batch's max EVENT time —
+    # deterministic where InfluxDB's wall clock is not.
+    for_ns: int | None = None
 
 
 def parse_continuous_query(src: str) -> ContinuousQuery:
-    """Parse ``CREATE CONTINUOUS QUERY <name> ON <db> BEGIN <select>
-    END`` — the InfluxQL statement the streaming tier's
-    :mod:`..streaming.cq` compiles into an incremental rollup."""
+    """Parse ``CREATE CONTINUOUS QUERY <name> ON <db>
+    [RESAMPLE [EVERY <dur>] [FOR <dur>]] BEGIN <select> END`` — the
+    InfluxQL statement the streaming tier's :mod:`..streaming.cq`
+    compiles into an incremental rollup."""
     p = _Parser(src)
     p.expect_kw("CREATE")
     p.expect_kw("CONTINUOUS")
@@ -876,6 +886,23 @@ def parse_continuous_query(src: str) -> ContinuousQuery:
     db = p.next()
     if db.kind != "ident":
         raise InfluxQLError(f"expected database name at {db.pos}")
+    every_ns = for_ns = None
+    if p.kw("RESAMPLE"):
+        if p.kw("EVERY"):
+            d = p.next()
+            if d.kind != "dur":
+                raise InfluxQLError(f"expected duration at {d.pos}")
+            every_ns = _dur_ns(d.text)
+        if p.kw("FOR"):
+            d = p.next()
+            if d.kind != "dur":
+                raise InfluxQLError(f"expected duration at {d.pos}")
+            for_ns = _dur_ns(d.text)
+        if every_ns is None and for_ns is None:
+            t = p.peek()
+            raise InfluxQLError(
+                f"RESAMPLE needs EVERY and/or FOR at {t.pos}"
+            )
     p.expect_kw("BEGIN")
     p.expect_kw("SELECT")
     sel = p._select()
@@ -883,7 +910,7 @@ def parse_continuous_query(src: str) -> ContinuousQuery:
     t = p.peek()
     if t.kind != "eof":
         raise InfluxQLError(f"trailing input at {t.pos}: {t.text!r}")
-    return ContinuousQuery(name.text, db.text, sel)
+    return ContinuousQuery(name.text, db.text, sel, every_ns, for_ns)
 
 
 # --------------------------------------------------------------------------

@@ -31,6 +31,14 @@ partials are not additive scalars (argmax-by-time needs struct
 partials; rank selection is not decomposable). The batch compiler
 covers them; a CQ that needs them should roll up at a finer grain and
 finish in batch.
+
+``RESAMPLE EVERY <d> FOR <d>`` maps onto the streaming model it was
+imitating: EVERY is the micro-batch trigger interval, FOR is the
+late-data horizon — a point whose bucket ended more than FOR before
+the batch's newest event no longer updates the rollup (InfluxDB's
+recompute window, but on the deterministic event-time clock instead
+of the server's wall clock, and enforced per micro-batch instead of
+per re-run). FOR must cover at least one bucket, as in InfluxDB.
 """
 
 from __future__ import annotations
@@ -80,6 +88,10 @@ class CompiledCQ:
     group_tags: list[str]
     iv_us: int
     aggs: list[_AggSpec]
+    # RESAMPLE EVERY → trigger interval (µs); RESAMPLE FOR → per-batch
+    # late-data horizon (µs) — see parse_continuous_query.
+    every_us: int | None = None
+    for_us: int | None = None
 
 
 def compile_cq(cq_text: str, catalog=None) -> CompiledCQ:
@@ -134,6 +146,12 @@ def compile_cq(cq_text: str, catalog=None) -> CompiledCQ:
             pcols = [f"_m_{i}"]
         aggs.append(_AggSpec(out, e.func, fld, pcols))
 
+    if cq.for_ns is not None and cq.for_ns < st.group_time_ns:
+        raise InfluxQLError(
+            "RESAMPLE FOR must cover at least one GROUP BY time() "
+            "bucket"
+        )
+
     group_tags = st.group_tags
     if group_tags == ["*"]:
         group_tags = ["user_id"]
@@ -148,6 +166,8 @@ def compile_cq(cq_text: str, catalog=None) -> CompiledCQ:
         group_tags,
         st.group_time_ns // 1000,
         aggs,
+        cq.every_ns // 1000 if cq.every_ns is not None else None,
+        cq.for_ns // 1000 if cq.for_ns is not None else None,
     )
 
 
@@ -173,6 +193,16 @@ def cq_partials(cc: CompiledCQ, batch: DataFrame) -> DataFrame:
     df = df.withColumn(
         "time", F.timestamp_micros(us - us % F.lit(cc.iv_us))
     )
+    if cc.for_us is not None:
+        # RESAMPLE FOR: a point whose bucket ended more than FOR before
+        # the batch's newest event never updates the rollup (InfluxDB's
+        # recompute window, on the deterministic event-time clock). A
+        # 1-row broadcast of the batch max — plan-side, no driver
+        # action per micro-batch; an empty batch yields no rows.
+        mx = df.agg(F.max(F.unix_micros("time")).alias("_mx"))
+        df = df.crossJoin(F.broadcast(mx)).filter(
+            F.unix_micros("time") >= F.col("_mx") - F.lit(cc.for_us)
+        ).drop("_mx")
     exprs: list = []
     for spec in cc.aggs:
         col = F.col(spec.field)
@@ -287,4 +317,11 @@ def start_continuous_query(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif cc.every_us is not None:
+        # RESAMPLE EVERY <d> → the micro-batch trigger interval: the
+        # rollup advances on InfluxDB's schedule, each advance touching
+        # only the new data (never a re-run of the full select)
+        writer = writer.trigger(
+            processingTime=f"{cc.every_us // 1000} milliseconds"
+        )
     return writer.start(), cc, table

@@ -105,6 +105,55 @@ def test_compile_rejections(bad, msg):
         compile_cq(bad)
 
 
+def test_resample_parse_and_horizon(spark):
+    """RESAMPLE EVERY <d> FOR <d>: EVERY/FOR parse onto the trigger /
+    late-data-horizon seats; FOR drops points whose bucket ended more
+    than FOR before the batch's newest event; FOR under one bucket is
+    rejected (InfluxDB's constraint)."""
+    cq = parse_continuous_query(
+        "CREATE CONTINUOUS QUERY r ON d RESAMPLE EVERY 30m FOR 2d BEGIN "
+        "SELECT COUNT(value) AS n FROM click GROUP BY time(1d) END"
+    )
+    assert cq.every_ns == 30 * 60 * 10**9
+    assert cq.for_ns == 2 * 86400 * 10**9
+    cc = compile_cq(
+        "CREATE CONTINUOUS QUERY r ON d RESAMPLE FOR 1d BEGIN "
+        "SELECT COUNT(value) AS n FROM click GROUP BY time(1d) END"
+    )
+    assert cc.for_us == 86400 * 10**6 and cc.every_us is None
+    with pytest.raises(InfluxQLError, match="EVERY and/or FOR"):
+        parse_continuous_query(
+            "CREATE CONTINUOUS QUERY r ON d RESAMPLE BEGIN "
+            "SELECT COUNT(value) FROM click GROUP BY time(1d) END"
+        )
+    with pytest.raises(InfluxQLError, match="at least one"):
+        compile_cq(
+            "CREATE CONTINUOUS QUERY r ON d RESAMPLE FOR 1h BEGIN "
+            "SELECT COUNT(value) FROM click GROUP BY time(1d) END"
+        )
+    # horizon behavior: a batch holding one fresh and one 3-days-stale
+    # point keeps only buckets within FOR=1d of the newest bucket
+    batch = spark.createDataFrame(
+        [
+            (1, "2024-01-10 12:00:00", 7, "click", 1.0),
+            (2, "2024-01-07 12:00:00", 7, "click", 1.0),
+            (3, "2024-01-09 18:00:00", 7, "click", 1.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    kept = {
+        str(r["time"]) for r in cq_partials(cc, batch).collect()
+    }
+    assert kept == {"2024-01-10 00:00:00", "2024-01-09 00:00:00"}
+    # without RESAMPLE the same batch keeps every bucket
+    cc_all = compile_cq(
+        "CREATE CONTINUOUS QUERY r ON d BEGIN "
+        "SELECT COUNT(value) AS n FROM click GROUP BY time(1d) END"
+    )
+    assert cq_partials(cc_all, batch).count() == 3
+
+
 def test_stream_equals_batch(spark, tmp_path):
     src = _event_batches(spark, tmp_path)
     q, cc, table = start_continuous_query(
