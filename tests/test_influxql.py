@@ -523,6 +523,9 @@ def test_parser_total_on_arbitrary_input():
         "CHANDE_MOMENTUM_OSCILLATOR(MEAN(value), 5), "
         "ROUND(LN(value), 4) + ATAN2(value, 2) - POW(value, LOG(value, 10)) "
         "FROM cpu GROUP BY time(1h), host",
+        # the late-r7 surface: cardinality statements + SHOW WHERE
+        "SHOW TAG VALUES EXACT CARDINALITY FROM /cpu.*/, mem "
+        "WITH KEY = host WHERE region = 'us' AND time >= now() - 1d",
     )
     for base in bases:
         for i in range(len(base)):
@@ -531,6 +534,23 @@ def test_parser_total_on_arbitrary_input():
                     parse(frag)
                 except InfluxQLError:
                     pass
+
+    # parse_continuous_query is its own total entrypoint — walk the
+    # RESAMPLE grammar the same way
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        parse_continuous_query,
+    )
+
+    cq = (
+        "CREATE CONTINUOUS QUERY r ON db RESAMPLE EVERY 30m FOR 2d "
+        "BEGIN SELECT MEAN(value) FROM cpu GROUP BY time(1h), host END"
+    )
+    for i in range(len(cq)):
+        for frag in (cq[:i], cq[i:], cq[:i] + "(" + cq[i:]):
+            try:
+                parse_continuous_query(frag)
+            except InfluxQLError:
+                pass
 
 
 def test_duplicate_unaliased_fields_get_suffixes(spark, sf_dir):
