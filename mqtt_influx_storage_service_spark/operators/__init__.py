@@ -144,8 +144,10 @@ _PRIORITY = [
     "iq_series_cardinality",
     "iq_tag_values_cardinality",
     # (slot 51+ continued) new in late r7: DCLM-style per-domain
-    # quality-percentile prune — r8 front-load queue.
+    # quality-percentile prune, and the Lee-et-al span-REMOVAL pass —
+    # r8 front-load queue.
     "pipeline_quality_prune",
+    "dedup_substring_scrub",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
     # sim_ann_brp/ivf/ivf_pq, rel_sketches, dedup_semantic_ivf) stay

@@ -1574,6 +1574,96 @@ FROM (
 """
 
 
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL pass Lee et al.'s pipeline feeds the spans into:
+    rebuild every document with all duplicated-span tokens cut out
+    (symmetric policy — every occurrence goes; the keep-one-canonical
+    variant is a rank-1 filter on the span side). Emits (doc_id,
+    n_tokens, n_removed, clean_text); clean_text is rebuilt by
+    array_join on BOTH engines so the hash never depends on the
+    source text's whitespace.
+
+    Plan: the spans come from the linear-in-corpus-tokens span plan,
+    collapse to one row per affected doc (collect_list bounded by
+    spans-per-doc), LEFT-join back to documents on doc_id, and the cut
+    is a row-local whole-stage-codegen HOF chain (transform → filter
+    by NOT exists over the span list → transform → array_join) — no
+    corpus-token shuffle is added on top of the span plan, and docs
+    with no duplicated spans never leave the codegen stage."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    spans = (
+        dedup_substring_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("long").alias("s"),
+                    (F.col("span_start") + F.col("span_len") - 1)
+                    .cast("long")
+                    .alias("e"),
+                )
+            ).alias("spans")
+        )
+    )
+    toks = F.split(F.col("text"), " ")
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), (i + 1).alias("p"))
+    )
+    span_list = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<s:long,e:long>>"),
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            span_list,
+            lambda sp: (x["p"] >= sp["s"]) & (x["p"] <= sp["e"]),
+        ),
+    )
+    return (
+        docs.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(kept, lambda x: x["t"]), " "
+            ).alias("clean_text"),
+        )
+    )
+
+
+DEDUP_SUBSTRING_SCRUB_SQL = f"""
+WITH spans AS (
+    {DEDUP_SUBSTRING_SPANS_SQL.replace(chr(10), chr(10) + '    ')}
+), base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), tokpos AS (
+    SELECT doc_id, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) AS p
+    FROM base
+), kept AS (
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+    FROM tokpos t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id
+          AND t.p BETWEEN s.span_start
+                      AND s.span_start + s.span_len - 1
+    )
+    GROUP BY t.doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       b.n_tokens - coalesce(k.n_kept, 0) AS n_removed,
+       coalesce(k.clean_text, '') AS clean_text
+FROM base b LEFT JOIN kept k USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Asymmetric containment (quote / subset detection)
 # --------------------------------------------------------------------------
@@ -2055,6 +2145,7 @@ QUERIES = {
     "dedup_passage": dedup_passage,
     "dedup_substring": dedup_substring,
     "dedup_substring_spans": dedup_substring_spans,
+    "dedup_substring_scrub": dedup_substring_scrub,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_components": dedup_components,
@@ -2169,6 +2260,7 @@ ORACLES = {
     "dedup_passage": DEDUP_PASSAGE_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "dedup_substring_spans": DEDUP_SUBSTRING_SPANS_SQL,
+    "dedup_substring_scrub": DEDUP_SUBSTRING_SCRUB_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,

@@ -300,6 +300,22 @@ def test_substring_dedup_span_semantics(spark, tmp_path):
         for r in dedup_substring_spans(spark, sf).collect()
     }
     assert spans == {1: (31, 40), 2: (1, 40)}
+    # the scrub cuts EXACTLY the span-covered tokens and rebuilds the
+    # rest in order: doc 1 keeps its 30 filler tokens, doc 2 its 55,
+    # untouched docs come back token-identical with n_removed = 0
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        dedup_substring_scrub,
+    )
+
+    scrub = {
+        r.doc_id: r for r in dedup_substring_scrub(spark, sf).collect()
+    }
+    assert scrub[1].n_removed == 40 and scrub[1].clean_text == a_filler
+    assert scrub[2].n_removed == 40 and scrub[2].clean_text == b_filler
+    for d, original in ((3, rows[2][1]), (4, rows[3][1]), (5, rows[4][1])):
+        assert scrub[d].n_removed == 0
+        assert scrub[d].clean_text == original
+    assert scrub[1].n_tokens == 70 and scrub[3].n_tokens == 2
 
 
 def test_substring_kernels_agree(spark, sf_dir):
