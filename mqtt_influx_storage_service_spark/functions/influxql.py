@@ -283,6 +283,13 @@ class CreateDatabase:
     name: str
 
 
+@dataclass
+class KillQuery:
+    # InfluxDB qids are integers; Spark streaming query ids are UUIDs —
+    # both ride as the literal text of the id token.
+    qid: str
+
+
 class _Parser:
     def __init__(self, src: str):
         self.src = src
@@ -407,6 +414,12 @@ class _Parser:
             analyze = bool(self.kw("ANALYZE"))
             self.expect_kw("SELECT")
             stmt = Explain(self._select(), analyze)
+        elif self.kw("KILL"):
+            self.expect_kw("QUERY")
+            t = self.next()
+            if t.kind not in ("ident", "num", "str"):
+                raise InfluxQLError(f"expected query id at {t.pos}")
+            stmt = KillQuery(t.text)
         else:
             self.expect_kw("SELECT")
             stmt = self._select()
@@ -492,6 +505,8 @@ class _Parser:
             )
         if self.kw("DATABASES"):
             return Show("databases")
+        if self.kw("QUERIES"):
+            return Show("queries")
         if self.kw("RETENTION"):
             self.expect_kw("POLICIES")
             db = self._ident("database name") if self.kw("ON") else None
@@ -2671,11 +2686,14 @@ def influxql(
     if isinstance(stmt, Explain):
         return _explain_df(spark, cat, stmt, now)
     if isinstance(stmt, Show):
+        if stmt.what == "queries":
+            return show_queries(spark)
         return _compile_show(spark, cat, stmt, meta=meta, now=now)
-    if isinstance(stmt, (RetentionPolicyStmt, CreateDatabase, DropSeries)):
+    if isinstance(stmt, (RetentionPolicyStmt, CreateDatabase, DropSeries, KillQuery)):
         raise InfluxQLError(
             "management DDL is not a read statement — apply it with "
-            "influxql_admin (policies/databases) or influxql_drop_series"
+            "influxql_admin (policies/databases/KILL QUERY) or "
+            "influxql_drop_series"
         )
     return _Compiler(spark, cat, stmt, now=now).compile()
 
@@ -2701,12 +2719,22 @@ def influxql_batch(
                 "DELETE/DROP in a batch is not a read statement — apply it "
                 "with influxql_delete against a SnapshotTable"
             )
+        if isinstance(
+            stmt, (RetentionPolicyStmt, CreateDatabase, DropSeries, KillQuery)
+        ):
+            raise InfluxQLError(
+                "management DDL in a batch is not a read statement — "
+                "apply it with influxql_admin or influxql_drop_series"
+            )
         if isinstance(stmt, Explain):
             # ANALYZE executes eagerly — the one batch member that is
             # not lazy
             out.append(_explain_df(spark, cat, stmt, now))
         elif isinstance(stmt, Show):
-            out.append(_compile_show(spark, cat, stmt, now=now))
+            if stmt.what == "queries":
+                out.append(show_queries(spark))
+            else:
+                out.append(_compile_show(spark, cat, stmt, now=now))
         else:
             out.append(_Compiler(spark, cat, stmt, now=now).compile())
     return out
@@ -3086,13 +3114,41 @@ def influxql_drop_series(table, query: str, catalog=None) -> None:
     table.delete(drop_series_condition(stmt, catalog))
 
 
+def show_queries(spark: SparkSession) -> DataFrame:
+    """``SHOW QUERIES`` — the session's ACTIVE queries. In InfluxDB
+    this lists in-flight statements; the Spark-native long-lived
+    queries are the streaming ones (CQ rollups, ingest, screens), so
+    the statement maps onto ``spark.streams.active``. Columns follow
+    InfluxDB's (qid, query) with ``status`` in the duration seat —
+    a wall-clock duration would be nondeterministic, and status is
+    what KILL QUERY actually needs."""
+    rows = [
+        (str(q.id), q.name or "", "running") for q in spark.streams.active
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "qid string, query string, status string"
+    )
+
+
+def kill_query(spark: SparkSession, qid: str) -> None:
+    """``KILL QUERY <qid>`` — stop the active streaming query whose id
+    (or registered name) matches. Unknown qid errors, as InfluxDB
+    does."""
+    for q in spark.streams.active:
+        if str(q.id) == qid or (q.name or "") == qid:
+            q.stop()
+            return
+    raise InfluxQLError(f"no such query: {qid!r}")
+
+
 def influxql_admin(spark: SparkSession, meta, query: str):
-    """Execute a management statement against a MetaStore: CREATE
-    DATABASE, CREATE/ALTER/DROP RETENTION POLICY (returns None), SHOW
-    DATABASES / SHOW RETENTION POLICIES (returns a DataFrame). The
+    """Execute a management statement: CREATE DATABASE, CREATE/ALTER/
+    DROP RETENTION POLICY, KILL QUERY (return None), SHOW DATABASES /
+    SHOW RETENTION POLICIES / SHOW QUERIES (return a DataFrame). The
     policy catalog then drives ``..retention.retention_filter``
     (query-time expiry) and ``enforce_retention`` (the storage
-    sweep)."""
+    sweep). SHOW QUERIES / KILL QUERY act on the session's active
+    streaming queries and need no MetaStore (``meta`` may be None)."""
     stmt = parse(query)
     if isinstance(stmt, CreateDatabase):
         meta.create_database(stmt.name)
@@ -3100,9 +3156,15 @@ def influxql_admin(spark: SparkSession, meta, query: str):
     if isinstance(stmt, RetentionPolicyStmt):
         meta.apply_policy_stmt(stmt)
         return None
+    if isinstance(stmt, KillQuery):
+        kill_query(spark, stmt.qid)
+        return None
+    if isinstance(stmt, Show) and stmt.what == "queries":
+        return show_queries(spark)
     if isinstance(stmt, Show) and stmt.what in ("databases", "retention policies"):
         return _compile_show_meta(spark, meta, stmt)
     raise InfluxQLError(
         "influxql_admin handles CREATE DATABASE, CREATE/ALTER/DROP "
-        "RETENTION POLICY, SHOW DATABASES, SHOW RETENTION POLICIES"
+        "RETENTION POLICY, SHOW DATABASES, SHOW RETENTION POLICIES, "
+        "SHOW QUERIES, KILL QUERY"
     )

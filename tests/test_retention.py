@@ -221,3 +221,37 @@ def test_metastore_policy_drives_enforcement(spark, tmp_path):
         wh, meta.default_policy("t"), dt.datetime(2024, 1, 15, 12)
     )
     assert removed == ["ingest_date=2024-01-10", "ingest_date=2024-01-12"]
+
+
+def test_show_queries_and_kill_query(spark, tmp_path):
+    """SHOW QUERIES lists the session's active streaming queries
+    (InfluxDB's in-flight-statement view mapped onto spark.streams);
+    KILL QUERY stops one by id or name; an unknown qid errors as
+    InfluxDB does."""
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        InfluxQLError,
+        influxql_admin,
+    )
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("noop")
+        .queryName("iq_admin_probe")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        rows = influxql_admin(spark, None, "SHOW QUERIES").collect()
+        mine = [r for r in rows if r["query"] == "iq_admin_probe"]
+        assert len(mine) == 1 and mine[0]["status"] == "running"
+        assert mine[0]["qid"] == str(q.id)
+        with pytest.raises(InfluxQLError, match="no such query"):
+            influxql_admin(spark, None, "KILL QUERY nope")
+        assert influxql_admin(spark, None, "KILL QUERY iq_admin_probe") is None
+        q.awaitTermination(60)
+        assert not q.isActive
+    finally:
+        if q.isActive:
+            q.stop()
