@@ -284,6 +284,12 @@ class CreateDatabase:
 
 
 @dataclass
+class DropContinuousQuery:
+    name: str
+    database: str
+
+
+@dataclass
 class KillQuery:
     # InfluxDB qids are integers; Spark streaming query ids are UUIDs —
     # both ride as the literal text of the id token.
@@ -386,6 +392,9 @@ class _Parser:
         elif self.kw("CREATE"):
             if self.kw("DATABASE"):
                 stmt = CreateDatabase(self._ident("database name"))
+            elif self.kw("CONTINUOUS"):
+                self.expect_kw("QUERY")
+                stmt = self._continuous_query()
             else:
                 self.expect_kw("RETENTION")
                 self.expect_kw("POLICY")
@@ -407,6 +416,13 @@ class _Parser:
                 self.expect_kw("ON")
                 db = self._ident("database name")
                 stmt = RetentionPolicyStmt("drop", name, db)
+            elif self.kw("CONTINUOUS"):
+                self.expect_kw("QUERY")
+                name = self._ident("continuous query name")
+                self.expect_kw("ON")
+                stmt = DropContinuousQuery(
+                    name, self._ident("database name")
+                )
             else:
                 self.expect_kw("MEASUREMENT")
                 stmt = Delete(self._ident("measurement"), None)
@@ -430,6 +446,39 @@ class _Parser:
         if t.kind != "ident":
             raise InfluxQLError(f"expected {what} at {t.pos}, got {t.text!r}")
         return t.text
+
+    def _continuous_query(self) -> "ContinuousQuery":
+        """``<name> ON <db> [RESAMPLE [EVERY <dur>] [FOR <dur>]]
+        BEGIN <select> END`` — the tail after CREATE CONTINUOUS QUERY."""
+        name = self.next()
+        if name.kind != "ident":
+            raise InfluxQLError(f"expected CQ name at {name.pos}")
+        self.expect_kw("ON")
+        db = self.next()
+        if db.kind != "ident":
+            raise InfluxQLError(f"expected database name at {db.pos}")
+        every_ns = for_ns = None
+        if self.kw("RESAMPLE"):
+            if self.kw("EVERY"):
+                d = self.next()
+                if d.kind != "dur":
+                    raise InfluxQLError(f"expected duration at {d.pos}")
+                every_ns = _dur_ns(d.text)
+            if self.kw("FOR"):
+                d = self.next()
+                if d.kind != "dur":
+                    raise InfluxQLError(f"expected duration at {d.pos}")
+                for_ns = _dur_ns(d.text)
+            if every_ns is None and for_ns is None:
+                t = self.peek()
+                raise InfluxQLError(
+                    f"RESAMPLE needs EVERY and/or FOR at {t.pos}"
+                )
+        self.expect_kw("BEGIN")
+        self.expect_kw("SELECT")
+        sel = self._select()
+        self.expect_kw("END")
+        return ContinuousQuery(name.text, db.text, sel, every_ns, for_ns)
 
     def _retention_policy(self, action: str) -> RetentionPolicyStmt:
         """The clause tail shared by CREATE and ALTER RETENTION POLICY:
@@ -507,6 +556,9 @@ class _Parser:
             return Show("databases")
         if self.kw("QUERIES"):
             return Show("queries")
+        if self.kw("CONTINUOUS"):
+            self.expect_kw("QUERIES")
+            return Show("continuous queries")
         if self.kw("RETENTION"):
             self.expect_kw("POLICIES")
             db = self._ident("database name") if self.kw("ON") else None
@@ -889,43 +941,17 @@ def parse_continuous_query(src: str) -> ContinuousQuery:
     """Parse ``CREATE CONTINUOUS QUERY <name> ON <db>
     [RESAMPLE [EVERY <dur>] [FOR <dur>]] BEGIN <select> END`` — the
     InfluxQL statement the streaming tier's :mod:`..streaming.cq`
-    compiles into an incremental rollup."""
+    compiles into an incremental rollup. The same grammar is reachable
+    through :func:`parse` (for ``influxql_admin`` registration)."""
     p = _Parser(src)
     p.expect_kw("CREATE")
     p.expect_kw("CONTINUOUS")
     p.expect_kw("QUERY")
-    name = p.next()
-    if name.kind != "ident":
-        raise InfluxQLError(f"expected CQ name at {name.pos}")
-    p.expect_kw("ON")
-    db = p.next()
-    if db.kind != "ident":
-        raise InfluxQLError(f"expected database name at {db.pos}")
-    every_ns = for_ns = None
-    if p.kw("RESAMPLE"):
-        if p.kw("EVERY"):
-            d = p.next()
-            if d.kind != "dur":
-                raise InfluxQLError(f"expected duration at {d.pos}")
-            every_ns = _dur_ns(d.text)
-        if p.kw("FOR"):
-            d = p.next()
-            if d.kind != "dur":
-                raise InfluxQLError(f"expected duration at {d.pos}")
-            for_ns = _dur_ns(d.text)
-        if every_ns is None and for_ns is None:
-            t = p.peek()
-            raise InfluxQLError(
-                f"RESAMPLE needs EVERY and/or FOR at {t.pos}"
-            )
-    p.expect_kw("BEGIN")
-    p.expect_kw("SELECT")
-    sel = p._select()
-    p.expect_kw("END")
+    cq = p._continuous_query()
     t = p.peek()
     if t.kind != "eof":
         raise InfluxQLError(f"trailing input at {t.pos}: {t.text!r}")
-    return ContinuousQuery(name.text, db.text, sel, every_ns, for_ns)
+    return cq
 
 
 # --------------------------------------------------------------------------
@@ -2689,10 +2715,20 @@ def influxql(
         if stmt.what == "queries":
             return show_queries(spark)
         return _compile_show(spark, cat, stmt, meta=meta, now=now)
-    if isinstance(stmt, (RetentionPolicyStmt, CreateDatabase, DropSeries, KillQuery)):
+    if isinstance(
+        stmt,
+        (
+            RetentionPolicyStmt,
+            CreateDatabase,
+            DropSeries,
+            KillQuery,
+            ContinuousQuery,
+            DropContinuousQuery,
+        ),
+    ):
         raise InfluxQLError(
             "management DDL is not a read statement — apply it with "
-            "influxql_admin (policies/databases/KILL QUERY) or "
+            "influxql_admin (policies/databases/CQs/KILL QUERY) or "
             "influxql_drop_series"
         )
     return _Compiler(spark, cat, stmt, now=now).compile()
@@ -2720,7 +2756,15 @@ def influxql_batch(
                 "with influxql_delete against a SnapshotTable"
             )
         if isinstance(
-            stmt, (RetentionPolicyStmt, CreateDatabase, DropSeries, KillQuery)
+            stmt,
+            (
+                RetentionPolicyStmt,
+                CreateDatabase,
+                DropSeries,
+                KillQuery,
+                ContinuousQuery,
+                DropContinuousQuery,
+            ),
         ):
             raise InfluxQLError(
                 "management DDL in a batch is not a read statement — "
@@ -2882,7 +2926,7 @@ def _compile_show(
                 .orderBy("name")
             )
         return spark.createDataFrame([(n,) for n in names], "name string")
-    if stmt.what in ("databases", "retention policies"):
+    if stmt.what in ("databases", "retention policies", "continuous queries"):
         if meta is None:
             raise InfluxQLError(
                 f"SHOW {stmt.what.upper()} needs a MetaStore — pass meta= "
@@ -3028,11 +3072,21 @@ def _compile_show(
 
 
 def _compile_show_meta(spark: SparkSession, meta, stmt: Show) -> DataFrame:
-    """SHOW DATABASES / SHOW RETENTION POLICIES against a MetaStore —
-    dimension-sized literal relations (InfluxDB 1.x column layout)."""
+    """SHOW DATABASES / RETENTION POLICIES / CONTINUOUS QUERIES against
+    a MetaStore — dimension-sized literal relations (InfluxDB 1.x
+    column layout)."""
     if stmt.what == "databases":
         return spark.createDataFrame(
             [(n,) for n in sorted(meta.databases())], "name string"
+        )
+    if stmt.what == "continuous queries":
+        rows = [
+            (db, name, text)
+            for db in sorted(meta.databases())
+            for name, text in meta.continuous_queries(db)
+        ]
+        return spark.createDataFrame(
+            rows, "database string, name string, query string"
         )
     db = stmt.on_database
     if db is None:
@@ -3159,12 +3213,25 @@ def influxql_admin(spark: SparkSession, meta, query: str):
     if isinstance(stmt, KillQuery):
         kill_query(spark, stmt.qid)
         return None
+    if isinstance(stmt, ContinuousQuery):
+        # registration only — hand the statement to
+        # ..streaming.cq.start_continuous_query to actually run it
+        meta.register_cq(stmt.database, stmt.name, query.strip())
+        return None
+    if isinstance(stmt, DropContinuousQuery):
+        meta.drop_cq(stmt.database, stmt.name)
+        return None
     if isinstance(stmt, Show) and stmt.what == "queries":
         return show_queries(spark)
-    if isinstance(stmt, Show) and stmt.what in ("databases", "retention policies"):
+    if isinstance(stmt, Show) and stmt.what in (
+        "databases",
+        "retention policies",
+        "continuous queries",
+    ):
         return _compile_show_meta(spark, meta, stmt)
     raise InfluxQLError(
         "influxql_admin handles CREATE DATABASE, CREATE/ALTER/DROP "
-        "RETENTION POLICY, SHOW DATABASES, SHOW RETENTION POLICIES, "
+        "RETENTION POLICY, CREATE/DROP CONTINUOUS QUERY, SHOW "
+        "DATABASES, SHOW RETENTION POLICIES, SHOW CONTINUOUS QUERIES, "
         "SHOW QUERIES, KILL QUERY"
     )

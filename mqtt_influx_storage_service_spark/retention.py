@@ -138,6 +138,9 @@ class MetaStore:
     def __init__(self):
         self._dbs: dict[str, dict[str, RetentionPolicy]] = {}
         self._default: dict[str, str] = {}
+        # db → cq name → full statement text (SHOW CONTINUOUS QUERIES
+        # displays the registered statement verbatim, as InfluxDB does)
+        self._cqs: dict[str, dict[str, str]] = {}
 
     # -- databases ---------------------------------------------------------
     def create_database(self, name: str) -> None:
@@ -172,6 +175,29 @@ class MetaStore:
 
     def default_policy(self, db: str) -> RetentionPolicy:
         return self.policy(db, self.default_policy_name(db))
+
+    # -- continuous queries --------------------------------------------------
+    def register_cq(self, db: str, name: str, text: str) -> None:
+        """CREATE CONTINUOUS QUERY registration — duplicate names fail,
+        as InfluxDB's 'continuous query already exists'."""
+        self._db(db)
+        cqs = self._cqs.setdefault(db, {})
+        if name in cqs:
+            raise ValueError(f"continuous query {name!r} already exists")
+        cqs[name] = text
+
+    def continuous_queries(self, db: str) -> list[tuple[str, str]]:
+        """(name, statement text) pairs registered on ``db``, sorted."""
+        self._db(db)
+        return sorted(self._cqs.get(db, {}).items())
+
+    def drop_cq(self, db: str, name: str) -> None:
+        self._db(db)
+        if name not in self._cqs.get(db, {}):
+            raise KeyError(
+                f"continuous query {name!r} not found on {db!r}"
+            )
+        del self._cqs[db][name]
 
     def apply_policy_stmt(self, stmt) -> None:
         """Lower a parsed CREATE/ALTER/DROP RETENTION POLICY statement

@@ -255,3 +255,41 @@ def test_show_queries_and_kill_query(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+def test_continuous_query_registry(spark):
+    """CREATE/DROP CONTINUOUS QUERY register on the MetaStore and SHOW
+    CONTINUOUS QUERIES lists the statement text verbatim per database;
+    duplicates and unknown names error with InfluxDB's semantics. The
+    registered text is runnable by the streaming tier (compile_cq)."""
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        InfluxQLError,
+        influxql_admin,
+    )
+    from mqtt_influx_storage_service_spark.retention import MetaStore
+    from mqtt_influx_storage_service_spark.streaming.cq import compile_cq
+
+    meta = MetaStore()
+    influxql_admin(spark, meta, "CREATE DATABASE telemetry")
+    cq = (
+        "CREATE CONTINUOUS QUERY daily ON telemetry "
+        "RESAMPLE EVERY 30m FOR 2d BEGIN "
+        "SELECT MEAN(value) AS mv FROM click GROUP BY time(1d) END"
+    )
+    assert influxql_admin(spark, meta, cq) is None
+    rows = influxql_admin(spark, meta, "SHOW CONTINUOUS QUERIES").collect()
+    assert [(r.database, r.name) for r in rows] == [("telemetry", "daily")]
+    assert rows[0].query == cq
+    cc = compile_cq(rows[0].query)  # the stored text round-trips
+    assert cc.every_us == 30 * 60 * 10**6 and cc.for_us == 2 * 86400 * 10**6
+    with pytest.raises(ValueError, match="already exists"):
+        influxql_admin(spark, meta, cq)
+    with pytest.raises(KeyError, match="not found"):
+        influxql_admin(
+            spark, meta, "DROP CONTINUOUS QUERY nope ON telemetry"
+        )
+    influxql_admin(spark, meta, "DROP CONTINUOUS QUERY daily ON telemetry")
+    assert (
+        influxql_admin(spark, meta, "SHOW CONTINUOUS QUERIES").collect()
+        == []
+    )
