@@ -150,6 +150,9 @@ def main() -> int:
                  "ts_counter_rate", "ts_cumulative_sum",
                  # linear single-scan curation gates
                  "text_gopher_rules", "pipeline_quality_gate",
+                 # late-r7: per-domain percentile prune — one window
+                 # shuffle keyed by source over the 10x corpus
+                 "pipeline_quality_prune",
                  # DSIR weights at 10x: the unigram+bigram explode is
                  # ~2x corpus tokens; both downstream shuffles are
                  # word-count shaped, the model stays 4096 rows
@@ -169,6 +172,11 @@ def main() -> int:
                  # exploded rows per doc; the rotated variants share
                  # long spans, the adversarial case for run detection
                  "dedup_substring",
+                 # late-r7: the span-REMOVAL pass on top of the span
+                 # plan (per-doc collect + LEFT join + codegen cut);
+                 # the rotated variants make spans dense — adversarial
+                 # for the per-doc span lists
+                 "dedup_substring_scrub",
                  # retrieval tier LAST, after the cache release: BM25's
                  # bounded 50-query set scored against a 10x corpus
                  # (the unbounded stride-grown set measured 40 s here
