@@ -559,6 +559,11 @@ class _Parser:
         if self.kw("CONTINUOUS"):
             self.expect_kw("QUERIES")
             return Show("continuous queries")
+        if self.kw("SHARD"):
+            self.expect_kw("GROUPS")
+            return Show("shard groups")
+        if self.kw("SHARDS"):
+            return Show("shards")
         if self.kw("RETENTION"):
             self.expect_kw("POLICIES")
             db = self._ident("database name") if self.kw("ON") else None
@@ -3195,15 +3200,49 @@ def kill_query(spark: SparkSession, qid: str) -> None:
     raise InfluxQLError(f"no such query: {qid!r}")
 
 
-def influxql_admin(spark: SparkSession, meta, query: str):
+def influxql_admin(spark: SparkSession, meta, query: str, warehouse=None):
     """Execute a management statement: CREATE DATABASE, CREATE/ALTER/
-    DROP RETENTION POLICY, KILL QUERY (return None), SHOW DATABASES /
-    SHOW RETENTION POLICIES / SHOW QUERIES (return a DataFrame). The
-    policy catalog then drives ``..retention.retention_filter``
+    DROP RETENTION POLICY, CREATE/DROP CONTINUOUS QUERY, KILL QUERY
+    (return None), SHOW DATABASES / RETENTION POLICIES / CONTINUOUS
+    QUERIES / QUERIES / SHARDS / SHARD GROUPS (return a DataFrame).
+    The policy catalog then drives ``..retention.retention_filter``
     (query-time expiry) and ``enforce_retention`` (the storage
     sweep). SHOW QUERIES / KILL QUERY act on the session's active
-    streaming queries and need no MetaStore (``meta`` may be None)."""
+    streaming queries and need no MetaStore (``meta`` may be None);
+    SHOW SHARDS / SHARD GROUPS list the ``ingest_date=`` partition
+    layout of ``warehouse`` carved into the default policy's
+    epoch-aligned shard-group windows (pure metadata, no data read)."""
     stmt = parse(query)
+    if isinstance(stmt, Show) and stmt.what in ("shards", "shard groups"):
+        if warehouse is None:
+            raise InfluxQLError(
+                f"SHOW {stmt.what.upper()} needs warehouse= (the "
+                "ingest_date-partitioned points directory)"
+            )
+        from ..retention import shard_group_rows
+
+        dbs = meta.databases()
+        if len(dbs) != 1:
+            raise InfluxQLError(
+                f"SHOW {stmt.what.upper()} needs exactly one database "
+                "on the MetaStore (one warehouse maps to one database)"
+            )
+        db = dbs[0]
+        rows = shard_group_rows(warehouse, db, meta.default_policy(db))
+        if stmt.what == "shard groups":
+            return spark.createDataFrame(
+                rows,
+                "id long, database string, retention_policy string, "
+                "start_time timestamp, end_time timestamp, "
+                "expiry_time timestamp",
+            )
+        # single-node layout: one shard per group, no owners
+        return spark.createDataFrame(
+            [(r[0], r[1], r[2], r[0], r[3], r[4], r[5], "") for r in rows],
+            "id long, database string, retention_policy string, "
+            "shard_group long, start_time timestamp, end_time timestamp, "
+            "expiry_time timestamp, owners string",
+        )
     if isinstance(stmt, CreateDatabase):
         meta.create_database(stmt.name)
         return None
@@ -3233,5 +3272,5 @@ def influxql_admin(spark: SparkSession, meta, query: str):
         "influxql_admin handles CREATE DATABASE, CREATE/ALTER/DROP "
         "RETENTION POLICY, CREATE/DROP CONTINUOUS QUERY, SHOW "
         "DATABASES, SHOW RETENTION POLICIES, SHOW CONTINUOUS QUERIES, "
-        "SHOW QUERIES, KILL QUERY"
+        "SHOW QUERIES, SHOW SHARDS, SHOW SHARD GROUPS, KILL QUERY"
     )

@@ -252,6 +252,48 @@ class MetaStore:
             raise ValueError(f"unknown policy action {stmt.action!r}")
 
 
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+def shard_group_rows(
+    warehouse_dir: str, db: str, policy: RetentionPolicy
+) -> list[tuple]:
+    """The ``SHOW SHARD GROUPS`` relation over an ``ingest_date=``
+    warehouse: partitions grouped into epoch-aligned windows of the
+    policy's shard-group duration (InfluxDB's shard-group carving,
+    derived from the SAME layout ``enforce_retention`` sweeps). Each
+    row is (id, database, retention_policy, start_time, end_time,
+    expiry_time) — id is the epoch window ordinal (stable across
+    calls), expiry is end + duration, NULL for infinite retention.
+    Pure metadata: one directory listing, no data read."""
+    shard_days = max(1, policy.shard_ns // (86_400 * 10**9))
+    root = Path(warehouse_dir)
+    if not root.is_dir():
+        raise FileNotFoundError(f"warehouse dir {warehouse_dir} does not exist")
+    windows: dict[int, None] = {}
+    for child in sorted(root.iterdir()):
+        if not child.is_dir() or not child.name.startswith("ingest_date="):
+            continue
+        try:
+            d = _dt.date.fromisoformat(child.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        windows[(d - _EPOCH).days // shard_days] = None
+    rows = []
+    for idx in sorted(windows):
+        start = _dt.datetime.combine(
+            _EPOCH + _dt.timedelta(days=idx * shard_days), _dt.time()
+        )
+        end = start + _dt.timedelta(days=shard_days)
+        expiry = (
+            None
+            if policy.duration_ns is None
+            else end + _dt.timedelta(microseconds=policy.duration_ns // 1000)
+        )
+        rows.append((idx, db, policy.name, start, end, expiry))
+    return rows
+
+
 def retention_filter(
     df: DataFrame,
     policy: RetentionPolicy,

@@ -293,3 +293,57 @@ def test_continuous_query_registry(spark):
         influxql_admin(spark, meta, "SHOW CONTINUOUS QUERIES").collect()
         == []
     )
+
+
+def test_show_shards_and_shard_groups(spark, tmp_path):
+    """SHOW SHARD GROUPS carves the ingest_date= layout into
+    epoch-aligned windows of the default policy's shard-group duration
+    (ids stable, every partition day inside its window); SHOW SHARDS
+    is the one-shard-per-group single-node view; a finite-duration
+    policy stamps expiry_time = end + duration, infinite stays NULL.
+    Pure metadata — no data is read."""
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        InfluxQLError,
+        influxql_admin,
+    )
+    from mqtt_influx_storage_service_spark.retention import MetaStore
+
+    wh = _warehouse(spark, tmp_path, [1, 5, 10, 15, 19])
+    meta = MetaStore()
+    meta.create_database("t")  # autogen: INF retention, 7d shards
+    groups = influxql_admin(
+        spark, meta, "SHOW SHARD GROUPS", warehouse=wh
+    ).collect()
+    assert len(groups) > 1  # the 5 days span several 7d windows
+    assert [r.id for r in groups] == sorted({r.id for r in groups})
+    for r in groups:
+        assert r.retention_policy == "autogen" and r.database == "t"
+        assert (r.end_time - r.start_time).days == 7
+        assert r.expiry_time is None  # infinite retention
+    days = [dt.date(2024, 1, d) for d in (1, 5, 10, 15, 19)]
+    for d in days:  # every partition day falls inside some window
+        assert any(
+            r.start_time.date() <= d < r.end_time.date() for r in groups
+        )
+    shards = influxql_admin(
+        spark, meta, "SHOW SHARDS", warehouse=wh
+    ).collect()
+    assert [(r.id, r.shard_group) for r in shards] == [
+        (g.id, g.id) for g in groups
+    ]
+    # finite retention: expiry = end + duration
+    meta2 = MetaStore()
+    meta2.create_database("t")
+    influxql_admin(
+        spark, meta2,
+        "CREATE RETENTION POLICY week ON t DURATION 14d REPLICATION 1 "
+        "SHARD DURATION 1d DEFAULT",
+    )
+    g2 = influxql_admin(
+        spark, meta2, "SHOW SHARD GROUPS", warehouse=wh
+    ).collect()
+    assert len(g2) == 5  # 1d shards: one group per partition day
+    for r in g2:
+        assert r.expiry_time == r.end_time + dt.timedelta(days=14)
+    with pytest.raises(InfluxQLError, match="warehouse"):
+        influxql_admin(spark, meta, "SHOW SHARDS")
