@@ -290,6 +290,17 @@ class DropContinuousQuery:
 
 
 @dataclass
+class DropDatabase:
+    name: str
+
+
+@dataclass
+class DropShard:
+    # the shard-group window ordinal SHOW SHARDS lists as ``id``
+    shard_id: int
+
+
+@dataclass
 class KillQuery:
     # InfluxDB qids are integers; Spark streaming query ids are UUIDs —
     # both ride as the literal text of the id token.
@@ -423,6 +434,13 @@ class _Parser:
                 stmt = DropContinuousQuery(
                     name, self._ident("database name")
                 )
+            elif self.kw("DATABASE"):
+                stmt = DropDatabase(self._ident("database name"))
+            elif self.kw("SHARD"):
+                t = self.next()
+                if t.kind != "num" or "." in t.text:
+                    raise InfluxQLError(f"expected shard id at {t.pos}")
+                stmt = DropShard(int(t.text))
             else:
                 self.expect_kw("MEASUREMENT")
                 stmt = Delete(self._ident("measurement"), None)
@@ -2729,6 +2747,8 @@ def influxql(
             KillQuery,
             ContinuousQuery,
             DropContinuousQuery,
+            DropDatabase,
+            DropShard,
         ),
     ):
         raise InfluxQLError(
@@ -2769,6 +2789,8 @@ def influxql_batch(
                 KillQuery,
                 ContinuousQuery,
                 DropContinuousQuery,
+                DropDatabase,
+                DropShard,
             ),
         ):
             raise InfluxQLError(
@@ -3251,6 +3273,31 @@ def influxql_admin(spark: SparkSession, meta, query: str, warehouse=None):
         return None
     if isinstance(stmt, KillQuery):
         kill_query(spark, stmt.qid)
+        return None
+    if isinstance(stmt, DropDatabase):
+        meta.drop_database(stmt.name)
+        if warehouse is not None:
+            # InfluxDB's DROP DATABASE removes the data too; the
+            # warehouse directory IS this database's storage
+            import shutil
+
+            shutil.rmtree(warehouse, ignore_errors=True)
+        return None
+    if isinstance(stmt, DropShard):
+        if warehouse is None:
+            raise InfluxQLError(
+                "DROP SHARD needs warehouse= (the ingest_date-"
+                "partitioned points directory)"
+            )
+        from ..retention import drop_shard
+
+        dbs = meta.databases()
+        if len(dbs) != 1:
+            raise InfluxQLError(
+                "DROP SHARD needs exactly one database on the "
+                "MetaStore (one warehouse maps to one database)"
+            )
+        drop_shard(warehouse, meta.default_policy(dbs[0]), stmt.shard_id)
         return None
     if isinstance(stmt, ContinuousQuery):
         # registration only — hand the statement to

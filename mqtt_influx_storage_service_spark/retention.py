@@ -154,6 +154,17 @@ class MetaStore:
     def databases(self) -> list[str]:
         return list(self._dbs)
 
+    def drop_database(self, name: str) -> None:
+        """DROP DATABASE: remove the catalog entry (policies, default,
+        CQ registrations). Metadata only — the warehouse directory is
+        the caller's to delete (``influxql_admin`` does it when given
+        ``warehouse=``, mirroring InfluxDB's data removal); a missing
+        name errors, as InfluxDB's 'database not found'."""
+        self._db(name)
+        del self._dbs[name]
+        self._default.pop(name, None)
+        self._cqs.pop(name, None)
+
     def _db(self, name: str) -> dict[str, RetentionPolicy]:
         if name not in self._dbs:
             raise KeyError(f"database {name!r} does not exist")
@@ -292,6 +303,37 @@ def shard_group_rows(
         )
         rows.append((idx, db, policy.name, start, end, expiry))
     return rows
+
+
+def drop_shard(
+    warehouse_dir: str, policy: RetentionPolicy, shard_id: int
+) -> list[str]:
+    """``DROP SHARD <id>``: delete every ``ingest_date=`` partition
+    inside the shard-group window ``SHOW SHARDS`` lists as that id —
+    the manual space-reclaim InfluxDB operators run. Same deletion
+    discipline as :func:`enforce_retention` (only directories that
+    parse as our date partitions are touched); an id holding no
+    partitions errors, as InfluxDB's 'shard not found'."""
+    shard_days = max(1, policy.shard_ns // (86_400 * 10**9))
+    lo = _EPOCH + _dt.timedelta(days=shard_id * shard_days)
+    hi = lo + _dt.timedelta(days=shard_days)
+    root = Path(warehouse_dir)
+    if not root.is_dir():
+        raise FileNotFoundError(f"warehouse dir {warehouse_dir} does not exist")
+    removed: list[str] = []
+    for child in sorted(root.iterdir()):
+        if not child.is_dir() or not child.name.startswith("ingest_date="):
+            continue
+        try:
+            d = _dt.date.fromisoformat(child.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if lo <= d < hi:
+            shutil.rmtree(child)
+            removed.append(child.name)
+    if not removed:
+        raise KeyError(f"shard {shard_id} not found")
+    return removed
 
 
 def retention_filter(

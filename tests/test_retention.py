@@ -347,3 +347,55 @@ def test_show_shards_and_shard_groups(spark, tmp_path):
         assert r.expiry_time == r.end_time + dt.timedelta(days=14)
     with pytest.raises(InfluxQLError, match="warehouse"):
         influxql_admin(spark, meta, "SHOW SHARDS")
+
+
+def test_drop_shard_and_drop_database(spark, tmp_path):
+    """DROP SHARD <id> deletes exactly the partitions inside that
+    shard-group window (unknown id errors); DROP DATABASE removes the
+    catalog entry and, when given the warehouse, the storage — like
+    InfluxDB's data removal."""
+    import os
+
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        InfluxQLError,
+        influxql_admin,
+    )
+    from mqtt_influx_storage_service_spark.retention import MetaStore
+
+    wh = _warehouse(spark, tmp_path, [1, 5, 10, 15, 19])
+    meta = MetaStore()
+    meta.create_database("t")
+    influxql_admin(
+        spark, meta,
+        "CREATE RETENTION POLICY daily ON t DURATION 30d REPLICATION 1 "
+        "SHARD DURATION 1d DEFAULT",
+    )
+    shards = influxql_admin(
+        spark, meta, "SHOW SHARDS", warehouse=wh
+    ).collect()
+    victim = shards[0]
+    assert victim.start_time.date() == dt.date(2024, 1, 1)
+    influxql_admin(
+        spark, meta, f"DROP SHARD {victim.id}", warehouse=wh
+    )
+    assert not os.path.isdir(f"{wh}/ingest_date=2024-01-01")
+    assert os.path.isdir(f"{wh}/ingest_date=2024-01-05")
+    left = influxql_admin(
+        spark, meta, "SHOW SHARDS", warehouse=wh
+    ).collect()
+    assert [r.id for r in left] == [r.id for r in shards[1:]]
+    with pytest.raises(KeyError, match="not found"):
+        influxql_admin(
+            spark, meta, f"DROP SHARD {victim.id}", warehouse=wh
+        )
+    # DROP DATABASE: metadata always, storage only with warehouse=
+    with pytest.raises(KeyError, match="does not exist"):
+        influxql_admin(spark, meta, "DROP DATABASE nope")
+    influxql_admin(spark, meta, "DROP DATABASE t", warehouse=wh)
+    assert meta.databases() == [] and not os.path.isdir(wh)
+    # a dropped-database statement in a read batch still refuses
+    from mqtt_influx_storage_service_spark.functions.influxql import (
+        influxql,
+    )
+    with pytest.raises(InfluxQLError, match="management DDL"):
+        influxql(spark, str(tmp_path), "DROP SHARD 3")
