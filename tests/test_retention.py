@@ -399,3 +399,53 @@ def test_drop_shard_and_drop_database(spark, tmp_path):
     )
     with pytest.raises(InfluxQLError, match="management DDL"):
         influxql(spark, str(tmp_path), "DROP SHARD 3")
+
+
+def test_shard_carving_partitions_exactly_once():
+    """Property: for any set of partition dates and any shard duration,
+    the carve assigns every date to exactly one listed window, windows
+    are disjoint epoch-aligned [start, end) intervals, and ids are the
+    epoch ordinals (so they never change as data arrives)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mqtt_influx_storage_service_spark.retention import (
+        RetentionPolicy,
+        shard_group_rows,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        days=st.sets(
+            st.integers(min_value=0, max_value=40_000), min_size=1, max_size=40
+        ),
+        shard_days=st.integers(min_value=1, max_value=30),
+    )
+    def check(days, shard_days):
+        import tempfile
+
+        pol = RetentionPolicy(None, shard_ns=shard_days * 86_400 * 10**9)
+        with tempfile.TemporaryDirectory() as wh:
+            dates = []
+            for n in days:
+                d = dt.date(1970, 1, 1) + dt.timedelta(days=n)
+                os.makedirs(f"{wh}/ingest_date={d.isoformat()}")
+                dates.append(d)
+            rows = shard_group_rows(wh, "t", pol)
+        ids = [r[0] for r in rows]
+        assert ids == sorted(set(ids))
+        for rid, _db, _rp, start, end, expiry in rows:
+            assert (start.date() - dt.date(1970, 1, 1)).days == rid * shard_days
+            assert (end - start).days == shard_days
+            assert expiry is None
+        # every date in exactly one window
+        for d in dates:
+            holders = [
+                r for r in rows if r[3].date() <= d < r[4].date()
+            ]
+            assert len(holders) == 1
+        # no empty windows listed
+        for r in rows:
+            assert any(r[3].date() <= d < r[4].date() for d in dates)
+
+    check()
