@@ -526,14 +526,21 @@ def test_parser_total_on_arbitrary_input():
         # the late-r7 surface: cardinality statements + SHOW WHERE
         "SHOW TAG VALUES EXACT CARDINALITY FROM /cpu.*/, mem "
         "WITH KEY = host WHERE region = 'us' AND time >= now() - 1d",
+        # the late-r7 management grammar, as one ;-batch walked by parse()
+        "SHOW SHARD GROUPS; DROP SHARD 42; DROP DATABASE d; "
+        "KILL QUERY abc; DROP CONTINUOUS QUERY c ON d; "
+        "SHOW CONTINUOUS QUERIES; SHOW QUERIES",
     )
+    from mqtt_influx_storage_service_spark.functions.influxql import parse_all
+
     for base in bases:
         for i in range(len(base)):
             for frag in (base[:i], base[i:], base[:i] + "(" + base[i:]):
-                try:
-                    parse(frag)
-                except InfluxQLError:
-                    pass
+                for entry in (parse, parse_all):
+                    try:
+                        entry(frag)
+                    except InfluxQLError:
+                        pass
 
     # parse_continuous_query is its own total entrypoint — walk the
     # RESAMPLE grammar the same way
