@@ -148,6 +148,7 @@ _PRIORITY = [
     # r8 front-load queue.
     "pipeline_quality_prune",
     "dedup_substring_scrub",
+    "pipeline_funnel",
     # ---- slot 50 boundary: everything below overflows the driver's
     # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
     # sim_ann_brp/ivf/ivf_pq, rel_sketches, dedup_semantic_ivf) stay

@@ -850,6 +850,93 @@ FROM scored
 """
 
 
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attrition funnel a curation campaign reports: for each gate
+    in pipeline order (exact dedup → Gopher rules → quality score →
+    language-ID), how many documents entered, survived, dropped, and
+    how many tokens remain — the governance summary every dataset card
+    publishes (`pipeline_quality_gate` is the per-document view this
+    aggregates; docs_in of each stage = docs_out of the previous).
+
+    Plan: the gate view's one corpus scan + one 1-row conditional
+    aggregate, reshaped into four stage rows by an inline-array explode
+    — nothing stage-shaped is shuffled."""
+    g = pipeline_quality_gate(spark, sf_dir)
+    s1 = F.col("is_representative")
+    s2 = s1 & F.col("gopher_keep")
+    s3 = s2 & F.col("quality_keep")
+    s4 = s3 & F.col("lang_match")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    tok = lambda c: F.sum(F.when(c, F.col("n_tokens")).otherwise(0)).cast("long")  # noqa: E731
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        one(s1).alias("n1"),
+        one(s2).alias("n2"),
+        one(s3).alias("n3"),
+        one(s4).alias("n4"),
+        tok(s1).alias("t1"),
+        tok(s2).alias("t2"),
+        tok(s3).alias("t3"),
+        tok(s4).alias("t4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"n{i - 1}").alias("docs_in"),
+                F.col(f"n{i}").alias("docs_out"),
+                (F.col(f"n{i - 1}") - F.col(f"n{i}")).alias("docs_dropped"),
+                F.col(f"t{i}").alias("tokens_out"),
+            )
+            for i, name in enumerate(
+                ["exact_dedup", "gopher_rules", "quality_score", "langid"],
+                start=1,
+            )
+        ]
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"))
+        .select("s.*")
+        .orderBy("stage_idx")
+    )
+
+
+PIPELINE_FUNNEL_SQL = f"""
+WITH gate AS (
+    {PIPELINE_QUALITY_GATE_SQL.replace(chr(10), chr(10) + '    ')}
+), agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN is_representative THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN is_representative AND gopher_keep
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN is_representative AND gopher_keep
+                    AND quality_keep THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+           CAST(sum(CASE WHEN is_representative
+                    THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+           CAST(sum(CASE WHEN is_representative AND gopher_keep
+                    THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+           CAST(sum(CASE WHEN is_representative AND gopher_keep
+                    AND quality_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+           CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS t4
+    FROM gate
+)
+SELECT * FROM (
+    SELECT CAST(1 AS BIGINT) AS stage_idx, 'exact_dedup' AS stage,
+           n0 AS docs_in, n1 AS docs_out, n0 - n1 AS docs_dropped,
+           t1 AS tokens_out FROM agg
+    UNION ALL
+    SELECT 2, 'gopher_rules', n1, n2, n1 - n2, t2 FROM agg
+    UNION ALL
+    SELECT 3, 'quality_score', n2, n3, n2 - n3, t3 FROM agg
+    UNION ALL
+    SELECT 4, 'langid', n3, n4, n3 - n4, t4 FROM agg
+)
+ORDER BY stage_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # Curriculum ordering — stage by difficulty, shuffle within stage
 # --------------------------------------------------------------------------
@@ -1256,6 +1343,7 @@ QUERIES = {
     "pipeline_shard_plan": pipeline_shard_plan,
     "pipeline_domain_quota": pipeline_domain_quota,
     "pipeline_quality_prune": pipeline_quality_prune,
+    "pipeline_funnel": pipeline_funnel,
     "pipeline_temperature_mix": pipeline_temperature_mix,
     "pipeline_epochs": pipeline_epochs,
     "pipeline_dedup_mix": pipeline_dedup_mix,
@@ -1274,6 +1362,7 @@ ORACLES = {
     "pipeline_shard_plan": PIPELINE_SHARD_PLAN_SQL,
     "pipeline_domain_quota": PIPELINE_DOMAIN_QUOTA_SQL,
     "pipeline_quality_prune": PIPELINE_QUALITY_PRUNE_SQL,
+    "pipeline_funnel": PIPELINE_FUNNEL_SQL,
     "pipeline_temperature_mix": PIPELINE_TEMPERATURE_MIX_SQL,
     "pipeline_epochs": PIPELINE_EPOCHS_SQL,
     "pipeline_dedup_mix": PIPELINE_DEDUP_MIX_SQL,

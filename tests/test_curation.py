@@ -470,3 +470,29 @@ def test_dsir_counts_materialize_once(spark):
         assert plan.count("InMemoryTableScan") >= 3
     finally:
         assert release_dsir(spark) == 1
+
+
+def test_funnel_chains_and_matches_gate_view(spark, sf_dir):
+    """pipeline_funnel: stages chain (docs_in of k = docs_out of k-1),
+    survivor counts are monotone non-increasing, and the final stage
+    equals the gate view's keep count and kept-token sum."""
+    from mqtt_influx_storage_service_spark.operators.pipeline import (
+        pipeline_funnel,
+        pipeline_quality_gate,
+    )
+
+    rows = sorted(
+        pipeline_funnel(spark, sf_dir).collect(), key=lambda r: r.stage_idx
+    )
+    assert [r.stage for r in rows] == [
+        "exact_dedup", "gopher_rules", "quality_score", "langid",
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.docs_in == prev.docs_out
+    for r in rows:
+        assert r.docs_dropped == r.docs_in - r.docs_out >= 0
+    gate = pipeline_quality_gate(spark, sf_dir).collect()
+    kept = [g for g in gate if g.keep]
+    assert rows[0].docs_in == len(gate)
+    assert rows[-1].docs_out == len(kept)
+    assert rows[-1].tokens_out == sum(g.n_tokens for g in kept)
