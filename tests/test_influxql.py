@@ -1654,3 +1654,22 @@ def test_ta_kernels_match_python_reference_on_random_series(spark, sf_dir):
         assert col(f"CHANDE_MOMENTUM_OSCILLATOR(value, {n})") == ref("cmo")
         assert col(f"RELATIVE_STRENGTH_INDEX(value, {n})") == ref("rsi")
         assert col(f"KAUFMANS_EFFICIENCY_RATIO(value, {n})") == ref("ker")
+
+
+def test_subquery_nests_two_levels(spark, sf_dir):
+    """FROM (SELECT ... FROM (SELECT ...)) — the parser/compiler
+    recursion handles depth-2 nesting: a raw projection feeding a
+    bucketed aggregate feeding an outer selector, equal to the same
+    pipeline composed by hand."""
+    got = influxql(
+        spark, sf_dir,
+        "SELECT MAX(mv) AS mmv FROM (SELECT MEAN(v2) AS mv FROM "
+        "(SELECT value * 2 AS v2 FROM click) GROUP BY time(1d))",
+    ).collect()
+    inner = influxql(
+        spark, sf_dir,
+        "SELECT MEAN(v2) AS mv FROM (SELECT value * 2 AS v2 FROM click) "
+        "GROUP BY time(1d)",
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["mmv"] == max(r["mv"] for r in inner)
