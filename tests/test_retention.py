@@ -249,7 +249,9 @@ def test_show_queries_and_kill_query(spark, tmp_path):
         assert mine[0]["qid"] == str(q.id)
         with pytest.raises(InfluxQLError, match="no such query"):
             influxql_admin(spark, None, "KILL QUERY nope")
-        assert influxql_admin(spark, None, "KILL QUERY iq_admin_probe") is None
+        # Spark query ids are UUIDs (contain dashes) — the quoted-
+        # identifier form addresses them
+        assert influxql_admin(spark, None, f'KILL QUERY "{q.id}"') is None
         q.awaitTermination(60)
         assert not q.isActive
     finally:
