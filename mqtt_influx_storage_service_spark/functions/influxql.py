@@ -1003,6 +1003,38 @@ class MeasurementSchema:
 # not scale; refuse beyond this bound rather than melt an executor.
 RAW_GLOBAL_WINDOW_MAX = 5_000_000
 
+# PointsCatalog/WidePointsCatalog materialize a measurement-name index
+# on the driver at construction (mirrors InfluxDB's in-memory series
+# index, influx_service.py:183-197 layouts). At 100 TB with millions of
+# series that collect is a driver-memory bottleneck, so the probe is
+# BOUNDED: distinct().limit(MAX+1) — Spark stops the scan early — and
+# above the cap construction refuses with the same actionable error
+# shape as RAW_GLOBAL_WINDOW_MAX (feed the index from the maintained
+# series-catalog table instead of an ad-hoc scan).
+CATALOG_MAX_SERIES = 100_000
+
+
+def _bounded_index(
+    spark: SparkSession, points_dir: str, col: str, what: str
+) -> list[str]:
+    rows = (
+        spark.read.parquet(points_dir)
+        .select(col)
+        .distinct()
+        .limit(CATALOG_MAX_SERIES + 1)
+        .collect()
+    )
+    if len(rows) > CATALOG_MAX_SERIES:
+        raise InfluxQLError(
+            f"catalog construction over {points_dir!r} found more than "
+            f"{CATALOG_MAX_SERIES} distinct {what}; a driver-side "
+            "measurement index at that cardinality is a memory hazard — "
+            "bind the lake through a maintained series catalog "
+            "(operators/timeseries.py::ts_series_catalog) or raise "
+            "CATALOG_MAX_SERIES deliberately"
+        )
+    return sorted(r[0] for r in rows)
+
 
 class PointsCatalog:
     """InfluxQL binding for the engine's OWN ingested narrow points
@@ -1029,12 +1061,8 @@ class PointsCatalog:
             tiebreak="pid",
             series_col="series_id",
         )
-        self._names = sorted(
-            r.series_id
-            for r in spark.read.parquet(points_dir)
-            .select("series_id")
-            .distinct()
-            .collect()
+        self._names = _bounded_index(
+            spark, points_dir, "series_id", "series"
         )
 
     def measurement_names(self) -> list[str]:
@@ -1075,14 +1103,11 @@ class WidePointsCatalog:
 
     def __init__(self, spark: SparkSession, points_dir: str):
         self.points_dir = points_dir
-        pts = spark.read.parquet(points_dir)
-        self._devices = sorted(
-            r.device_id
-            for r in pts.select("device_id").distinct().collect()
+        self._devices = _bounded_index(
+            spark, points_dir, "device_id", "devices"
         )
-        self._fields = sorted(
-            r.transducer
-            for r in pts.select("transducer").distinct().collect()
+        self._fields = _bounded_index(
+            spark, points_dir, "transducer", "transducers"
         )
         self.schema = MeasurementSchema(
             tags=[],

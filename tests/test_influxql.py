@@ -1592,6 +1592,42 @@ def test_influxql_over_wide_layout(spark, tmp_path):
     ]
 
 
+def test_catalog_constructor_series_cap(spark, tmp_path, monkeypatch):
+    """VERDICT r7 'Next round' #3: the catalog constructors' driver-side
+    measurement index is a BOUNDED probe (distinct().limit(MAX+1)), and
+    above CATALOG_MAX_SERIES construction refuses with an actionable
+    error instead of collecting millions of series — same idiom as
+    RAW_GLOBAL_WINDOW_MAX. At exactly the cap it still constructs."""
+    from mqtt_influx_storage_service_spark.functions import influxql as iqmod
+    from mqtt_influx_storage_service_spark.streaming.ingest import to_points
+
+    msgs = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", f"openchirp/device/dev{m}/Temp",
+             str(20.0 + m))
+            for m in range(4)
+        ],
+        "ts string, topic string, payload string",
+    ).select(F.col("ts").cast("timestamp"), "topic", "payload")
+    out = str(tmp_path / "points")
+    to_points(msgs).write.partitionBy("ingest_date").parquet(out)
+
+    # 4 distinct series: cap=3 refuses (narrow AND wide), cap=4 works
+    monkeypatch.setattr(iqmod, "CATALOG_MAX_SERIES", 3)
+    with pytest.raises(iqmod.InfluxQLError, match="CATALOG_MAX_SERIES"):
+        iqmod.PointsCatalog(spark, out)
+    with pytest.raises(iqmod.InfluxQLError, match="distinct devices"):
+        iqmod.WidePointsCatalog(spark, out)
+
+    monkeypatch.setattr(iqmod, "CATALOG_MAX_SERIES", 4)
+    cat = iqmod.PointsCatalog(spark, out)
+    assert cat.measurement_names() == [
+        "dev0_temp", "dev1_temp", "dev2_temp", "dev3_temp"
+    ]
+    wcat = iqmod.WidePointsCatalog(spark, out)
+    assert len(wcat.measurement_names()) == 4
+
+
 def test_ta_kernels_match_python_reference_on_random_series(spark, sf_dir):
     """CMO/RSI/KER over three seeded pseudo-random 2-decimal series
     equal a direct pure-Python computation of the declared semantics
