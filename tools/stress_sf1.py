@@ -247,6 +247,48 @@ def main() -> int:
             results.setdefault("errors", {})[f"skew:{name}"] = str(exc)[:500]
         print("skew", name, results["skew"][name], flush=True)
 
+    # Skewed-DOMAIN pass (VERDICT r7 #4): one mega-source holding ~90%
+    # of all documents — the hazard for pipeline_quality_prune's exact
+    # per-domain rank window (one task sorts the mega-domain). The
+    # approx twin's cutoff is a mergeable sketch aggregate, so its time
+    # should stay near the balanced run while the exact form shows the
+    # hot-task floor. Reuses the already-generated 10x documents with
+    # sources re-keyed in place.
+    skewdoc_dir = os.path.join(STRESS_DIR, "skewed_docs")
+    os.makedirs(skewdoc_dir, exist_ok=True)
+    dt = pq.read_table(f"{STRESS_DIR}/documents.parquet")
+    nd = dt.num_rows
+    mega = pa.array([i % 10 != 0 for i in range(nd)], pa.bool_())
+    src_col = pc.if_else(
+        mega, pa.scalar("common_crawl", pa.string()),
+        dt["source"].combine_chunks(),
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": dt["doc_id"], "text": dt["text"], "lang": dt["lang"],
+            "source": src_col, "n_chars": dt["n_chars"],
+        }),
+        f"{skewdoc_dir}/documents.parquet",
+    )
+    results["skew_docs"] = {}
+    for name in ("pipeline_quality_prune", "pipeline_quality_prune_approx"):
+        for tag, d in (("balanced", STRESS_DIR), ("skewed", skewdoc_dir)):
+            t0 = time.time()
+            try:
+                qs[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                results["skew_docs"][f"{name}:{tag}"] = round(
+                    time.time() - t0, 2
+                )
+            except Exception as exc:  # noqa: BLE001
+                results["skew_docs"][f"{name}:{tag}"] = None
+                results.setdefault("errors", {})[
+                    f"skew_docs:{name}:{tag}"
+                ] = str(exc)[:500]
+            print("skew_docs", name, tag,
+                  results["skew_docs"][f"{name}:{tag}"], flush=True)
+
     hot = sorted(
         lsh_hot_buckets(spark, STRESS_DIR).collect(),
         key=lambda r: -r["n_members"],
