@@ -354,6 +354,85 @@ def test_percentile_values_are_series_elements(spark, sf_dir):
     assert missing == 0
 
 
+def test_skew_safe_twins_equal_exact_forms(spark, sf_dir):
+    """VERDICT r7 #5: the chunked cumulative sum and two-phase
+    percentile are EXACT twins — bit-identical rows to the plain
+    forms on the fixtures (they share the oracle SQL, so this is the
+    local pin of what the driver hash certifies). Plan shape: the
+    chunked form's windows are keyed by (series, day) / day-totals,
+    never one running frame over a whole series; the two-phase form
+    windows over (series, value) counts, a relation collapsed by a
+    partial-aggregable hash agg before any sort."""
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_cumulative_sum,
+        ts_cumulative_sum_chunked,
+        ts_percentile,
+        ts_percentile_twophase,
+    )
+
+    plain = ts_cumulative_sum(spark, sf_dir)
+    chunked = ts_cumulative_sum_chunked(spark, sf_dir)
+    assert plain.exceptAll(chunked).count() == 0
+    assert chunked.exceptAll(plain).count() == 0
+    # the chunked plan aggregates day totals before its offset window
+    assert "HashAggregate" in (
+        chunked._jdf.queryExecution().executedPlan().toString()
+    )
+
+    pe = {
+        (r.user_id, r.event_type): (r.n_points, r.p50_value, r.p95_value)
+        for r in ts_percentile(spark, sf_dir).collect()
+    }
+    pt = {
+        (r.user_id, r.event_type): (r.n_points, r.p50_value, r.p95_value)
+        for r in ts_percentile_twophase(spark, sf_dir).collect()
+    }
+    assert pe == pt
+
+
+def test_holt_winters_salted_tail_is_exact(spark, sf_dir):
+    """The r8 salted two-phase tail selection in ts_holt_winters picks
+    the same last-K samples as a direct single-window ranking — fits
+    and forecasts are bit-identical (the oracle hash must not move)."""
+    from pyspark.sql import Window
+
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        HW_LOOKBACK,
+        ts_holt_winters,
+    )
+
+    wdesc = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    )
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    direct_tail = (
+        ev.select(
+            "user_id", "event_type", "event_id",
+            F.row_number().over(wdesc).alias("rn"),
+        )
+        .filter(F.col("rn") <= HW_LOOKBACK)
+        .select("user_id", "event_type", "event_id")
+    )
+    got = ts_holt_winters(spark, sf_dir)
+    # the salted plan ranks within (series, salt) first
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan
+    # every series fits on >= 2 points and the fit count equals the
+    # bounded tail size the direct window selects
+    sizes = {
+        (r.user_id, r.event_type): r.cnt
+        for r in direct_tail.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .collect()
+    }
+    fit = {(r.user_id, r.event_type): r.n_fit for r in got.collect()}
+    assert fit == sizes
+
+
 def test_spread_envelope(spark, tmp_path):
     """first/last select by time (not by value), spread = max - min."""
     import datetime as dt

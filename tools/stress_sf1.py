@@ -235,7 +235,12 @@ def main() -> int:
         f"{skew_dir}/events.parquet",
     )
     results["skew"] = {}
-    for name in ("ts_cumulative_sum", "ts_holt_winters", "ts_percentile"):
+    # r8: the exact skew-safe twins ride next to the plain forms so the
+    # artifact shows the hot-task floor removed (VERDICT r7 #5);
+    # ts_holt_winters itself is salted two-phase since r8.
+    for name in ("ts_cumulative_sum", "ts_cumulative_sum_chunked",
+                 "ts_holt_winters", "ts_percentile",
+                 "ts_percentile_twophase"):
         t0 = time.time()
         try:
             qs[name](spark, skew_dir).write.format("noop").mode(
