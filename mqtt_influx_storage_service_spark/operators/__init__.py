@@ -41,81 +41,15 @@ from . import (
 # tools/check_oracles.py runs the FULL registry regardless — the
 # prefix only bounds what the driver re-certifies per round.
 _PRIORITY = [
-    # (a) bumped from the r6 prefix (r3-green, 3 rounds stale)
-    "ts_gap_fill",
-    "ts_interpolate",
-    "ts_sliding_agg",
-    "ts_moving_avg",
-    "ts_registry_enriched",
-    "ts_throughput",
-    "ts_series_catalog",
-    "ts_asof_join",
-    # (b) the rest of the r3-green cohort (26)
-    "pipeline_interleave",
-    "rel_anti_join",
-    "rel_distinct_agg",
-    "rel_exists_subquery",
-    "rel_grouping_sets",
-    "rel_interval_overlap",
-    "rel_json_extract",
-    "rel_map_funcs",
-    "rel_outer_join",
-    "rel_quantiles",
-    "rel_range_join_banded",
-    "rel_scalar_funcs",
-    "rel_scalar_subquery",
-    "rel_semi_join",
-    "rel_unpivot",
-    "text_repetition",
-    "ts_anomaly_zscore",
-    "ts_difference",
-    "ts_ewma",
-    "ts_funnel",
-    "ts_histogram",
-    "ts_integral",
-    "ts_mad_outliers",
-    "ts_ohlc",
-    "ts_retention",
-    "ts_sessionize",
-    # (c) new/changed in r7 — each insertion popped one filler entry
-    # below to hold the 50 boundary
-    "iq_retention_policies",
-    "iq_drop_series",
-    "iq_retention_filter",
-    "iq_show_tag_values_regex",
-    "iq_show_tag_values_where",
-    # (c continued) new in the r7 continuation session: the InfluxQL
-    # technical-analysis family + the libm scalar math family (each
-    # displaced one plain-filler slot below)
-    "iq_math",
-    "iq_ema",
-    "iq_cmo",
-    "iq_rsi",
-    "iq_ker",
-    "text_dsir_importance",
-    "rel_late_lines_priority",
-    "rel_customer_orders_dist",
-    "rel_promo_revenue",
-    "rel_disjunctive_revenue",
-    "iq_trix",
-    # slot 51+: the new r7 entries that did not fit the 50-slot
-    # prefix (23 new entries vs 16 free slots) — iq_dema (the
-    # least-machinery TA composition; the 3-stage chain + lag is
-    # proven by iq_trix above), pipeline_dsir_resample (keying over
-    # the prefix-checked text_dsir_importance), rel_returned_customers
-    # and rel_forecast_revenue (exact-integer money ranking /
-    # scan-filter shapes), pipeline_shuffle_order, mm_contrastive_pairs,
-    # iq_show_measurements_where, and the Q7/Q18 shapes
-    # (rel_volume_shipping, rel_large_orders,
-    # rel_priority_late_orders, rel_market_share). All locally
-    # oracle-green; they
-    # FRONT-LOAD the r8 queue. iq_show_tag_values' r7-changed SHOW
-    # FROM path is re-proven by the two iq_show_tag_values_* entries
-    # above; its own refresh joins the r8 queue with the displaced
-    # r4-green filler: sim_mmr, iq_subquery_rollup, iq_now_relative,
-    # iq_lineitem_profile, iq_show_series, iq_top_points,
-    # iq_raw_select, iq_mean_by_day, iq_selectors,
-    # iq_percentile_weekly.
+    # ---- r8 ROTATION (VERDICT r7 "Next round" #1): slots 1-21 are the
+    # r7 additions with NO driver row yet (all oracle-green in the
+    # judge's own r7 sweep and in tools/check_oracles.py here); slots
+    # 22-23 are new in r8 (the exact skew-safe twins — same oracle SQL
+    # as their plain forms); the rest is the r4-green filler queue from
+    # the r7 comment, oldest rows first, up to the 50-slot boundary.
+    # ts_holt_winters rides at slot 37: its r8 plan change (salted
+    # two-phase tail) is output-identical but the hash must be
+    # re-certified under the new plan.
     "iq_dema",
     "pipeline_dsir_resample",
     "rel_returned_customers",
@@ -128,52 +62,71 @@ _PRIORITY = [
     "rel_priority_late_orders",
     "rel_market_share",
     "iq_show_tag_values",
-    # (slot 51+ continued) the final four TPC-H shapes (Q2/Q9/Q16/Q20,
-    # completing the 22-query suite) — locally oracle-green; they join
-    # the r8 front-load queue behind the entries above.
     "rel_min_cost_supplier",
     "rel_product_profit",
     "rel_supplier_part_types",
     "rel_excess_supply",
-    # (slot 51+ continued) the cardinality family: iq_series_cardinality
-    # is hash-CHANGED in late r7 (its statement moved to the EXACT
-    # spelling when plain CARDINALITY became InfluxDB's HLL estimate) and
-    # iq_tag_values_cardinality is new — both join the r8 front-load
-    # queue; the estimate forms are tolerance-tested in pytest, not
-    # oracle-hashed (sketches differ across engines by design).
     "iq_series_cardinality",
     "iq_tag_values_cardinality",
-    # (slot 51+ continued) new in late r7: DCLM-style per-domain
-    # quality-percentile prune, and the Lee-et-al span-REMOVAL pass —
-    # r8 front-load queue.
     "pipeline_quality_prune",
     "dedup_substring_scrub",
     "pipeline_funnel",
-    # ---- slot 50 boundary: everything below overflows the driver's
-    # checked prefix. Rows-only-by-nature entries (dedup_minhash_ml,
-    # sim_ann_brp/ivf/ivf_pq, rel_sketches, dedup_semantic_ivf) stay
-    # out of the prefix: a slot spent on them can never go hash-green.
-    #
-    # r8 ROTATION QUEUE (front-load next round): the remaining r4-green
-    # rows not re-certified here — text_pii_scrub, text_gopher_rules,
-    # text_bigram_lm, text_langid_ngram, text_chunking, text_bm25,
-    # mm_token_budget, pipeline_dedup_mix, pipeline_curriculum,
-    # pipeline_quality_gate, ref_line_protocol, ts_mode,
-    # ts_seasonal_profile, ts_holt_winters, ts_pattern_match,
-    # ts_downsample, ts_cross_correlation, ts_cumulative_sum,
-    # ts_counter_rate, ts_percentile, ts_spread, ts_elapsed,
-    # ts_top_per_bucket, ts_sample, ts_changepoint,
-    # rel_waiting_supplier, rel_revenue_threshold,
-    # rel_sales_opportunity, rel_top_supplier, sim_centroid_assign,
-    # emb_quantize_int8, plus the filler displaced late in r7
-    # (sim_mmr, iq_subquery_rollup, iq_now_relative,
+    # new in r8 (no driver row by definition)
+    "ts_cumulative_sum_chunked",
+    "ts_percentile_twophase",
+    # r4-green filler, oldest-first (the r7 queue comment, verbatim)
+    "text_pii_scrub",
+    "text_gopher_rules",
+    "text_bigram_lm",
+    "text_langid_ngram",
+    "text_chunking",
+    "text_bm25",
+    "mm_token_budget",
+    "pipeline_dedup_mix",
+    "pipeline_curriculum",
+    "pipeline_quality_gate",
+    "ref_line_protocol",
+    "ts_mode",
+    "ts_seasonal_profile",
+    "ts_holt_winters",
+    "ts_pattern_match",
+    "ts_downsample",
+    "ts_cross_correlation",
+    "ts_cumulative_sum",
+    "ts_counter_rate",
+    "ts_percentile",
+    "ts_spread",
+    "ts_elapsed",
+    "ts_top_per_bucket",
+    "ts_sample",
+    "ts_changepoint",
+    "rel_waiting_supplier",
+    "rel_revenue_threshold",
+    # ---- slot 50 boundary. r9 ROTATION QUEUE (front-load next round):
+    # the filler that did not fit — rel_sales_opportunity,
+    # rel_top_supplier, sim_centroid_assign, emb_quantize_int8,
+    # sim_mmr, iq_subquery_rollup, iq_now_relative,
     # iq_lineitem_profile, iq_show_series, iq_top_points,
     # iq_raw_select, iq_mean_by_day, iq_selectors,
-    # iq_percentile_weekly) — then the oldest r5 rows.
-    "dedup_minhash_ml",
-    "sim_ann_brp",
-    "sim_ann_ivf",
-    "sim_ann_ivf_pq",
+    # iq_percentile_weekly — then the oldest remaining r5 rows.
+    # Rows-only-by-nature entries (dedup_minhash_ml, sim_ann_brp,
+    # sim_ann_ivf, sim_ann_ivf_pq, rel_sketches, dedup_semantic_ivf,
+    # pipeline_quality_prune_approx) stay OUT of the prefix: a slot
+    # spent on them can never go hash-green.
+    "rel_sales_opportunity",
+    "rel_top_supplier",
+    "sim_centroid_assign",
+    "emb_quantize_int8",
+    "sim_mmr",
+    "iq_subquery_rollup",
+    "iq_now_relative",
+    "iq_lineitem_profile",
+    "iq_show_series",
+    "iq_top_points",
+    "iq_raw_select",
+    "iq_mean_by_day",
+    "iq_selectors",
+    "iq_percentile_weekly",
 ]
 
 _MODULES = [

@@ -69,3 +69,43 @@ def test_prior_round_ratio_uses_newest_parsed_round(tmp_path, monkeypatch):
 def test_prior_round_ratio_handles_no_history(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "_REPO", str(tmp_path))
     assert bench._prior_round_ratio({"a": 1.0}) == {}
+
+
+def test_canary_normalization_contract(tmp_path, monkeypatch):
+    """VERDICT r7 #2/#7: the artifact embeds a fixed-work canary and the
+    common ratio is normalized against it when the prior round has one
+    — a 2x machine slowdown with unchanged per-query times normalizes
+    back to ~1.0; a prior round WITHOUT a canary (r7 and earlier)
+    yields an explicit null, never a silently-raw number."""
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    # prior round with canary: machine then took 1.0s of fixed work
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps(
+            {"parsed": {"queries": {"a": 1.0, "b": 1.0},
+                        "canary": {"sec": 1.0}}}
+        )
+    )
+    # this run: every query 2x slower, but the canary is also 2x slower
+    # => raw ratio 2.0, normalized 1.0 (pure machine drift)
+    r = bench._prior_round_ratio({"a": 2.0, "b": 2.0}, canary_sec=2.0)
+    assert r["common_ratio"] == 2.0
+    assert r["common_ratio_canary_normalized"] == 1.0
+    # prior round without canary -> normalized is null, raw preserved
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"parsed": {"queries": {"a": 1.0, "b": 1.0}}})
+    )
+    r = bench._prior_round_ratio({"a": 2.0, "b": 2.0}, canary_sec=2.0)
+    assert r["common_vs_round"] == "r09"
+    assert r["common_ratio"] == 2.0
+    assert r["common_ratio_canary_normalized"] is None
+
+
+def test_canary_is_fixed_work_and_sf_independent():
+    """The canary job is built from constants only (no SPARK_GRAFT_SF_DIR
+    reads), so its wall time is comparable across rounds regardless of
+    the benched scale factor."""
+    import inspect
+
+    src = inspect.getsource(bench._canary)
+    assert "_CANARY_ROWS" in src
+    assert "sf_dir" not in src and "SPARK_GRAFT" not in src
