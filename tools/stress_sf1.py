@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STRESS_DIR = "/tmp/spark_graft_sf1"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "STRESS_r07.json")
+                   "STRESS_r08.json")
 SRC = "/root/testdata/sf0.1"
 FANOUT = 10
 
