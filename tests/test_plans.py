@@ -188,12 +188,17 @@ def test_seasonal_profile_broadcasts_and_single_exchange(spark):
 
 def test_new_series_ops_single_exchange(spark):
     """Each per-series window/rollup op shuffles exactly once, on the
-    series key."""
+    series key — except ts_holt_winters, whose r8 skew guard makes the
+    tail selection a DELIBERATE two-phase (exchange on (series, salt),
+    then on series over the <= K x SALT survivors): exactly 2."""
     for name in ["ts_cumulative_sum", "ts_counter_rate", "ts_percentile",
-                 "ts_spread", "ts_holt_winters"]:
+                 "ts_spread"]:
         df = all_queries()[name](spark, SF)
         assert plans.exchange_count(df) == 1, name
         assert not plans.has_cartesian(df), name
+    hw = all_queries()["ts_holt_winters"](spark, SF)
+    assert plans.exchange_count(hw) == 2
+    assert not plans.has_cartesian(hw)
 
 
 def test_bm25_prunes_tokens_with_broadcast_and_stays_partitioned(spark):
