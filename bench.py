@@ -54,8 +54,11 @@ _CANARY_ROWS = 50_000_000
 
 
 def _canary(spark) -> float:
+    # one DISCARDED warm rep: the start-of-artifact canary otherwise
+    # runs on a colder JVM than the end one (first r8 run measured a
+    # spurious 64% "drift" that was JIT/GC warm-up, not contention)
     reps = []
-    for _ in range(3):
+    for i in range(4):
         t0 = time.time()
         (
             spark.range(0, _CANARY_ROWS, 1, 32)
@@ -66,7 +69,8 @@ def _canary(spark) -> float:
             .mode("overwrite")
             .save()
         )
-        reps.append(time.time() - t0)
+        if i > 0:
+            reps.append(time.time() - t0)
     return round(min(reps), 3)
 
 
