@@ -221,6 +221,45 @@ def test_cumulative_sum_matches_prefix_model(spark, values):
 
 @settings(**SETTINGS)
 @given(series_values)
+def test_cumulative_sum_chunked_equals_plain(spark, values):
+    """The r8 skew-safe twin is exact on arbitrary series: the
+    day-chunked prefix-sum decomposition returns bit-identical rows to
+    the single-window form (7-minute spacing makes longer lists span
+    multiple calendar-day chunks, exercising the offset join)."""
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_cumulative_sum,
+        ts_cumulative_sum_chunked,
+    )
+
+    d = _write_series(spark, values)
+    plain = ts_cumulative_sum(spark, d).orderBy("ts", "event_id").collect()
+    chunk = ts_cumulative_sum_chunked(spark, d).orderBy(
+        "ts", "event_id"
+    ).collect()
+    assert [r.cumulative for r in plain] == [r.cumulative for r in chunk]
+
+
+@settings(**SETTINGS)
+@given(series_values)
+def test_percentile_twophase_equals_exact(spark, values):
+    """The two-phase (counting) percentile returns the same nearest-rank
+    VALUES as the row-ranking form on arbitrary series — including tied
+    values, where the boundary row differs but the value cannot."""
+    from mqtt_influx_storage_service_spark.operators.timeseries import (
+        ts_percentile,
+        ts_percentile_twophase,
+    )
+
+    d = _write_series(spark, values)
+    a = ts_percentile(spark, d).collect()[0]
+    b = ts_percentile_twophase(spark, d).collect()[0]
+    assert (a.n_points, a.p50_value, a.p95_value) == (
+        b.n_points, b.p50_value, b.p95_value
+    )
+
+
+@settings(**SETTINGS)
+@given(series_values)
 def test_holt_winters_matches_python_fold(spark, values):
     from mqtt_influx_storage_service_spark.operators.timeseries import (
         HW_ALPHA,
