@@ -1029,8 +1029,9 @@ def _bounded_index(
             f"catalog construction over {points_dir!r} found more than "
             f"{CATALOG_MAX_SERIES} distinct {what}; a driver-side "
             "measurement index at that cardinality is a memory hazard — "
-            "bind the lake through a maintained series catalog "
-            "(operators/timeseries.py::ts_series_catalog) or raise "
+            "bind the lake through a maintained series catalog (pass "
+            "the names=/devices=/fields= constructor overrides, fed "
+            "from operators/timeseries.py::ts_series_catalog) or raise "
             "CATALOG_MAX_SERIES deliberately"
         )
     return sorted(r[0] for r in rows)
@@ -1053,7 +1054,12 @@ class PointsCatalog:
     partitioned window even though the layout has no queryable tags.
     """
 
-    def __init__(self, spark: SparkSession, points_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        points_dir: str,
+        names: list[str] | None = None,
+    ):
         self.points_dir = points_dir
         self.schema = MeasurementSchema(
             tags=[],
@@ -1061,8 +1067,14 @@ class PointsCatalog:
             tiebreak="pid",
             series_col="series_id",
         )
-        self._names = _bounded_index(
-            spark, points_dir, "series_id", "series"
+        # `names`: the 100-TB path — feed the measurement index from
+        # the maintained series catalog (ts_series_catalog output or
+        # any curated list) instead of an ad-hoc scan; the bounded
+        # probe below is the convenience path for small lakes.
+        self._names = (
+            sorted(names)
+            if names is not None
+            else _bounded_index(spark, points_dir, "series_id", "series")
         )
 
     def measurement_names(self) -> list[str]:
@@ -1101,13 +1113,26 @@ class WidePointsCatalog:
     keeps raw transforms partitioned (each device is one series).
     """
 
-    def __init__(self, spark: SparkSession, points_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        points_dir: str,
+        devices: list[str] | None = None,
+        fields: list[str] | None = None,
+    ):
         self.points_dir = points_dir
-        self._devices = _bounded_index(
-            spark, points_dir, "device_id", "devices"
+        # same catalog-fed override as PointsCatalog: pass the device /
+        # transducer universes from maintained metadata to skip the
+        # bounded construction probe entirely.
+        self._devices = (
+            sorted(devices)
+            if devices is not None
+            else _bounded_index(spark, points_dir, "device_id", "devices")
         )
-        self._fields = _bounded_index(
-            spark, points_dir, "transducer", "transducers"
+        self._fields = (
+            sorted(fields)
+            if fields is not None
+            else _bounded_index(spark, points_dir, "transducer", "transducers")
         )
         self.schema = MeasurementSchema(
             tags=[],

@@ -1627,6 +1627,24 @@ def test_catalog_constructor_series_cap(spark, tmp_path, monkeypatch):
     wcat = iqmod.WidePointsCatalog(spark, out)
     assert len(wcat.measurement_names()) == 4
 
+    # the 100-TB path: a catalog-FED index skips the probe entirely,
+    # so it constructs even below the cap that refused the scan —
+    # and queries against it still compile and run
+    monkeypatch.setattr(iqmod, "CATALOG_MAX_SERIES", 0)
+    fed = iqmod.PointsCatalog(spark, out, names=["dev1_temp"])
+    assert fed.measurement_names() == ["dev1_temp"]
+    got = influxql(
+        spark, out,
+        "SELECT COUNT(value) AS n FROM dev1_temp "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-02'",
+        catalog=fed,
+    ).collect()
+    assert got[0].n == 1
+    wfed = iqmod.WidePointsCatalog(
+        spark, out, devices=["dev0"], fields=["temp"]
+    )
+    assert wfed.measurement_names() == ["dev0"]
+
 
 def test_ta_kernels_match_python_reference_on_random_series(spark, sf_dir):
     """CMO/RSI/KER over three seeded pseudo-random 2-decimal series
