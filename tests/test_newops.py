@@ -390,6 +390,17 @@ def test_skew_safe_twins_equal_exact_forms(spark, sf_dir):
     assert pe == pt
 
 
+def test_skew_safe_twins_share_their_oracles_verbatim():
+    """The twins' exactness claim is certified by registering the SAME
+    oracle SQL object as their plain forms — pin the identity so a
+    future edit to one form's oracle can't silently diverge the other
+    (they would then hash against different truths)."""
+    from mqtt_influx_storage_service_spark.operators.timeseries import ORACLES
+
+    assert ORACLES["ts_cumulative_sum_chunked"] is ORACLES["ts_cumulative_sum"]
+    assert ORACLES["ts_percentile_twophase"] is ORACLES["ts_percentile"]
+
+
 def test_holt_winters_salted_tail_is_exact(spark, sf_dir):
     """The r8 salted two-phase tail selection in ts_holt_winters picks
     the same last-K samples as a direct single-window ranking — fits
