@@ -2705,9 +2705,15 @@ class _Compiler:
             # operators/timeseries.ts_interpolate: nearest non-null
             # bucket on each side via last/first(ignorenulls) over
             # unbounded frames on the (spine-sized) result — never the
-            # raw facts. Interpolated values are round(·,6)+0.0 (the
-            # repo's double-determinism discipline); observed values
-            # pass through untouched.
+            # raw facts. Interpolated values are RAW doubles (+0.0
+            # normalizes -0.0): the expression is a fixed IEEE
+            # sequence written with identical association in the
+            # oracle, hence bit-deterministic — while a final
+            # round(x, 6) was the ONLY divergence source (engines
+            # disagree on decimal-midpoint halves; at sf0.1 three
+            # interpolated rows landed exactly on one — the
+            # ts_holt_winters lesson, re-learned in r8's sf0.1 sweep).
+            # Observed values pass through untouched.
             base = (
                 Window.partitionBy(*kcols).orderBy("time")
                 if kcols
@@ -2723,11 +2729,8 @@ class _Compiler:
                 prev_t = F.last(at_val, ignorenulls=True).over(wb)
                 next_t = F.first(at_val, ignorenulls=True).over(wf)
                 interp = (
-                    F.round(
-                        prev_v
-                        + (next_v - prev_v) * ((us - prev_t) / (next_t - prev_t)),
-                        6,
-                    )
+                    prev_v
+                    + (next_v - prev_v) * ((us - prev_t) / (next_t - prev_t))
                     + F.lit(0.0)
                 )
                 filled = filled.withColumn(

@@ -100,15 +100,22 @@ _PRIORITY = [
     "ts_top_per_bucket",
     "ts_sample",
     "ts_changepoint",
-    "rel_waiting_supplier",
-    "rel_revenue_threshold",
+    # hash-CHANGED in late r8 (the sf0.1 sweep exposed the round(x,6)
+    # decimal-midpoint divergence on interpolated doubles; both now
+    # emit RAW bit-identical doubles) — displacing the last two
+    # merely-stale fillers to the r9 queue:
+    "iq_fill_linear",
+    "ts_interpolate",
     # ---- slot 50 boundary. r9 ROTATION QUEUE (front-load next round):
+    # the displaced rel_waiting_supplier, rel_revenue_threshold, then
     # the filler that did not fit — rel_sales_opportunity,
     # rel_top_supplier, sim_centroid_assign, emb_quantize_int8,
     # sim_mmr, iq_subquery_rollup, iq_now_relative,
     # iq_lineitem_profile, iq_show_series, iq_top_points,
     # iq_raw_select, iq_mean_by_day, iq_selectors,
     # iq_percentile_weekly — then the oldest remaining r5 rows.
+    "rel_waiting_supplier",
+    "rel_revenue_threshold",
     # Rows-only-by-nature entries (dedup_minhash_ml, sim_ann_brp,
     # sim_ann_ivf, sim_ann_ivf_pq, rel_sketches, dedup_semantic_ivf,
     # pipeline_quality_prune_approx) stay OUT of the prefix: a slot

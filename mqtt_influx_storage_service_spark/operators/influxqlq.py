@@ -1066,9 +1066,9 @@ WITH agg AS (
 SELECT user_id, time,
        CASE WHEN mv IS NOT NULL THEN mv
             WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
-            ELSE round(prev_v + (next_v - prev_v)
-                       * ((epoch_us(time) - prev_t)
-                          / CAST(next_t - prev_t AS DOUBLE)), 6) + 0.0
+            ELSE prev_v + (next_v - prev_v)
+                 * ((epoch_us(time) - prev_t)
+                    / CAST(next_t - prev_t AS DOUBLE)) + 0.0
        END AS mean_value
 FROM br
 """

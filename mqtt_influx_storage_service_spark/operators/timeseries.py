@@ -620,8 +620,13 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes over the (spine-sized, tiny) frame, never the raw facts.
     Determinism: bucket values are round(·,6) doubles, elapsed time is
     exact integer microseconds, and both engines evaluate the same
-    IEEE expression prev + (next-prev) * dt_ratio before the final
-    round.
+    IEEE expression prev + (next-prev) * dt_ratio with identical
+    association — so the interpolated doubles are bit-identical RAW
+    and a final round(x, 6) would be the only divergence source
+    (engines disagree on hard-to-round midpoint doubles: Spark rounds
+    the exact BigDecimal expansion, DuckDB rounds x*1e6 — the defect
+    that fired on iq_fill_linear in r8's sf0.1 sweep). +0.0
+    normalizes -0.0.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -673,7 +678,7 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "event_type",
         "avg_value",
-        (F.round(interp, 6) + F.lit(0.0)).alias("interp_avg"),
+        (interp + F.lit(0.0)).alias("interp_avg"),
         F.col("avg_value").isNull().alias("was_gap"),
     )
 
@@ -706,11 +711,11 @@ WITH daily AS (
                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT day, event_type, avg_value,
-       round(CASE WHEN avg_value IS NOT NULL THEN avg_value
-                  WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
-                  ELSE prev_v + (next_v - prev_v)
-                       * ((dus - prev_d) / (next_d - prev_d))
-             END, 6) + 0.0 AS interp_avg,
+       CASE WHEN avg_value IS NOT NULL THEN avg_value
+            WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+            ELSE prev_v + (next_v - prev_v)
+                 * ((dus - prev_d) / (next_d - prev_d))
+       END + 0.0 AS interp_avg,
        (avg_value IS NULL) AS was_gap
 FROM f
 """
