@@ -9,14 +9,28 @@ DuckDB at sf0.01, then compares:
 plus a tolerance-based float comparison so we can distinguish "hash
 brittleness" from "actually wrong values".
 
-Usage: python tools/check_oracles.py [query_name ...] [--sf DIR]
+Large results (pair-producing joins at sf>=0.1 can exceed the driver's
+``spark.driver.maxResultSize``) go through a CHUNKED comparison instead:
+Spark writes its result as parquet (a distributed write — no driver
+collect), both sides then stream through DuckDB in fixed-size chunks,
+and the comparison is an order-insensitive COMMUTATIVE multiset hash
+(row count + sum of per-row sha256 prefixes) — no global sort, no full
+materialization on either side. This is the same discipline the engine
+itself follows: the certification tool must not be the one component
+that collects an unbounded result to one process. Chunked mode engages
+automatically when the plain collect trips maxResultSize, or force it
+with --chunked.
+
+Usage: python tools/check_oracles.py [query_name ...] [--sf DIR] [--chunked]
 """
 
 from __future__ import annotations
 
 import argparse
 import hashlib
+import shutil
 import sys
+import tempfile
 import time
 import traceback
 
@@ -33,7 +47,8 @@ TABLES = [
 ]
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon_types(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-order + dtype normalization only (row-local, chunk-safe)."""
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
         s = df[c]
@@ -47,8 +62,79 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.round(6)
         elif s.dtype == object:
             df[c] = s.map(lambda x: "∅NULL" if pd.isna(x) else str(x))
+    return df
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = canon_types(df)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+
+def _chunk_hash_update(chunk: pd.DataFrame, acc: list) -> None:
+    """Fold one chunk into acc = [row_count, hash_sum]. Per-row strings
+    are built column-wise (no CSV quoting — embedded newlines in document
+    text must not split rows) and hashed commutatively, so chunk
+    boundaries and row order are irrelevant."""
+    chunk = canon_types(chunk)
+    cols = []
+    for c in chunk.columns:
+        s = chunk[c]
+        if pd.api.types.is_float_dtype(s):
+            cols.append(s.map(lambda x: "∅NULL" if pd.isna(x) else f"{x:.6f}"))
+        else:
+            cols.append(s.map(lambda x: "∅NULL" if pd.isna(x) else str(x)))
+    if not cols:
+        acc[0] += len(chunk)
+        return
+    lines = cols[0].astype(str)
+    if len(cols) > 1:
+        lines = lines.str.cat([c.astype(str) for c in cols[1:]], sep="\x1f")
+    # vectorized deterministic per-row hash (fixed-key siphash); both
+    # sides of the compare run the identical function in this process,
+    # so cross-version stability is irrelevant
+    row_hashes = pd.util.hash_pandas_object(lines, index=False)
+    acc[1] = (acc[1] + int(row_hashes.to_numpy(dtype="uint64")
+                           .sum(dtype="object"))) % (1 << 128)
+    acc[0] += len(chunk)
+
+
+def _stream_multiset(rel) -> tuple[int, int, list[str]]:
+    """Consume a DuckDB relation chunk-at-a-time; return
+    (row_count, commutative_hash, sorted_columns)."""
+    acc = [0, 0]
+    columns = sorted(rel.columns)
+    while True:
+        chunk = rel.fetch_df_chunk(16)
+        if chunk is None or len(chunk) == 0:
+            break
+        _chunk_hash_update(chunk, acc)
+    return acc[0], acc[1], columns
+
+
+def compare_chunked(name: str, sdf, oracle: str, con) -> list[str]:
+    """maxResultSize-proof compare: Spark result lands as parquet via a
+    distributed write; both sides stream through DuckDB in chunks into a
+    commutative multiset hash. Memory is O(chunk), not O(result)."""
+    tmp = tempfile.mkdtemp(prefix=f"oracle_{name}_")
+    try:
+        sdf.write.mode("overwrite").parquet(f"{tmp}/spark_result")
+        scon = con.cursor()
+        s_rel = scon.sql(
+            f"SELECT * FROM read_parquet('{tmp}/spark_result/*.parquet')")
+        s_n, s_h, s_cols = _stream_multiset(s_rel)
+        d_rel = con.cursor().sql(oracle)
+        d_n, d_h, d_cols = _stream_multiset(d_rel)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    problems = []
+    if s_n != d_n:
+        problems.append(f"rowcount spark={s_n} duck={d_n}")
+    if s_cols != d_cols:
+        problems.append(f"columns spark={s_cols} duck={d_cols}")
+    if not problems and s_h != d_h:
+        problems.append("multiset hash mismatch (chunked mode)")
+    return problems
 
 
 def value_hash(df: pd.DataFrame) -> str:
@@ -101,6 +187,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default=DEFAULT_SF)
+    ap.add_argument("--chunked", action="store_true",
+                    help="force the streaming multiset-hash compare "
+                         "(no driver collect) for every query")
     args = ap.parse_args()
 
     import __spark_entry__ as ent
@@ -122,28 +211,63 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
-            spark_pdf = sdf.toPandas()
         except Exception:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
-        if name not in oracles:
+        spark_pdf = None
+        if not args.chunked:
+            try:
+                spark_pdf = sdf.toPandas()
+            except Exception as exc:
+                if "maxResultSize" not in str(exc) and name in oracles:
+                    print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+                    n_fail += 1
+                    continue
+                # result too big for a driver collect — the chunked
+                # path below never collects, so fall through.
+        if spark_pdf is not None and name not in oracles:
             print(f"rows {name}: {len(spark_pdf)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
-        try:
-            duck_pdf = con.sql(oracles[name]).df()
-        except Exception:
-            print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
-            n_fail += 1
+        if name not in oracles:
+            try:
+                n_rows = sdf.count()
+            except Exception:
+                print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+                n_fail += 1
+                continue
+            print(f"rows {name}: {n_rows} rows (no oracle, counted "
+                  f"distributed) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
             continue
-        problems = compare(name, spark_pdf, duck_pdf)
+        if spark_pdf is not None:
+            try:
+                duck_pdf = con.sql(oracles[name]).df()
+            except Exception:
+                print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+                n_fail += 1
+                continue
+            problems = compare(name, spark_pdf, duck_pdf)
+            n_rows = len(spark_pdf)
+            mode = ""
+        else:
+            try:
+                problems = compare_chunked(name, sdf, oracles[name], con)
+            except Exception:
+                print(f"FAIL {name}: chunked compare raised\n"
+                      f"{traceback.format_exc()}")
+                n_fail += 1
+                continue
+            n_rows = None
+            mode = " (chunked)"
         if problems:
-            print(f"FAIL {name}: " + "; ".join(problems))
+            print(f"FAIL {name}{mode}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"ok   {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
+            rows = f"{n_rows} rows" if n_rows is not None else "rows matched"
+            print(f"ok   {name}{mode}: {rows} [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} failed "
           f"of {len(names)}")
