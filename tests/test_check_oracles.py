@@ -1,0 +1,83 @@
+"""The certification tool's chunked compare is itself load-bearing: it
+is what lets pair-producing results certify at sf0.1 without a driver
+collect (spark.driver.maxResultSize). Pin its invariants:
+
+- row strings are built column-wise, NOT via CSV, so embedded newlines
+  in document text cannot split one row into two;
+- the multiset hash is chunk-boundary- and row-order-insensitive;
+- a single changed value IS detected (the hash is not vacuously equal).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+spec = importlib.util.spec_from_file_location(
+    "check_oracles", "/root/repo/tools/check_oracles.py")
+check_oracles = importlib.util.module_from_spec(spec)
+sys.modules["check_oracles"] = check_oracles
+spec.loader.exec_module(check_oracles)
+
+_chunk_hash_update = check_oracles._chunk_hash_update
+_stream_multiset = check_oracles._stream_multiset
+compare_chunked = check_oracles.compare_chunked
+
+
+def _hash_of(df: pd.DataFrame) -> tuple[int, int]:
+    acc = [0, 0]
+    _chunk_hash_update(df, acc)
+    return tuple(acc)
+
+
+def test_multiset_hash_order_and_chunk_insensitive():
+    df = pd.DataFrame({"a": [1, 2, 3, 4], "b": ["x", "y", "z", "w"]})
+    whole = _hash_of(df)
+    shuffled = _hash_of(df.iloc[[3, 1, 0, 2]])
+    assert whole == shuffled
+    acc = [0, 0]
+    _chunk_hash_update(df.iloc[:2], acc)
+    _chunk_hash_update(df.iloc[2:], acc)
+    assert tuple(acc) == whole
+
+
+def test_multiset_hash_detects_value_change():
+    a = pd.DataFrame({"a": [1, 2], "v": [1.25, 2.5]})
+    b = pd.DataFrame({"a": [1, 2], "v": [1.25, 2.5000021]})  # > 1e-6 drift
+    assert _hash_of(a) != _hash_of(b)
+    # and duplicates count: {x, x} != {x}
+    assert _hash_of(pd.DataFrame({"a": [1, 1]})) != _hash_of(
+        pd.DataFrame({"a": [1]}))
+
+
+def test_newlines_in_text_do_not_split_rows():
+    # two rows whose CSV serialization would collide if newlines split
+    # lines: ("a\nb", "c") vs ("a", "b\nc")
+    x = pd.DataFrame({"l": ["a\nb"], "r": ["c"]})
+    y = pd.DataFrame({"l": ["a"], "r": ["b\nc"]})
+    assert _hash_of(x) != _hash_of(y)
+    assert _hash_of(x)[0] == 1  # one row stays one row
+
+
+def test_compare_chunked_end_to_end(spark, tmp_path):
+    sdf = spark.createDataFrame(
+        [(i, float(i) / 3.0, f"line\nbreak{i}") for i in range(500)],
+        "id long, val double, txt string",
+    )
+    con = duckdb.connect()
+    ok = compare_chunked(
+        "t", sdf,
+        "SELECT range::BIGINT AS id, range/3.0 AS val, "
+        "'line' || chr(10) || 'break' || range AS txt FROM range(500)",
+        con)
+    assert ok == []
+    bad = compare_chunked(
+        "t", sdf,
+        "SELECT range::BIGINT AS id, range/3.0 + 0.001 AS val, "
+        "'line' || chr(10) || 'break' || range AS txt FROM range(500)",
+        con)
+    assert bad and "hash" in bad[0]
