@@ -25,7 +25,7 @@ from pyspark.sql.functions import pandas_udf
 from ..sources import load_table
 from ..sources.tables import table_row_count
 from .dedup import JACCARD_THRESHOLD, _doc_shingles
-from .similarity import N_QUERIES, TOPK
+from .similarity import IVF_TARGET_LIST, N_QUERIES, TOPK
 
 SEED_TF = 1 << 18      # hashing-TF feature space for shingle sets
 ML_HASH_TABLES = 8
@@ -127,9 +127,24 @@ def sim_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_K = 16        # inverted-file partitions (k-means centroids)
+IVF_K = 16        # inverted-file partitions (k-means centroids), fixture floor
 IVF_NPROBE = 4    # clusters probed per query
 IVF_SAMPLE = 2048  # training-sample cap (~128/list, flat in corpus size)
+
+
+def _ivf_k(n_vecs: int) -> int:
+    """Coarse-list count for the IVF family: the fixture-scale floor
+    IVF_K up to IVF_K*IVF_TARGET_LIST vectors, then n/IVF_TARGET_LIST
+    so LIST SIZE — and with it the rows a probe scans per query — stays
+    bounded as the corpus grows (faiss sizes its coarse quantizer the
+    same way). A fixed K is the quadratic trap the 100x stress exposed:
+    at 200k vectors, 16 lists meant ~12.5k-row lists and 5M scored
+    candidates for the 100-query set (sim_ann_ivf 10.5 s -> 162 s,
+    ~16x for 10x the data). Capped at IVF_SAMPLE//8 so the bounded
+    training sample keeps >= 8 points per centroid; past that cap
+    (n > ~4M) IVF_SAMPLE itself is the knob to raise — same structure
+    as similarity._pair_centroids."""
+    return max(IVF_K, min(-(-n_vecs // IVF_TARGET_LIST), IVF_SAMPLE // 8))
 
 
 def _lloyd(sample: "np.ndarray", k: int = IVF_K, seed: int = 42,
@@ -205,7 +220,7 @@ def _ivf_train(
         .collect()
     )
     sample = np.array([r.unit for r in rows])
-    out = (_lloyd(sample), sample)
+    out = (_lloyd(sample, k=_ivf_k(n_vecs)), sample)
     if key is not None:
         _IVF_TRAIN_CACHE[key] = out
     return out
@@ -229,22 +244,54 @@ def _assign_udf(centers: "np.ndarray"):
 
 
 def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalized embeddings via ONE Arrow kernel. This was
+    previously the Spark-side ``transform(arr, x / sqrt(aggregate(...)))``
+    — higher-order expressions never enter codegen, and the interpreted
+    per-element eval cost ~400µs/row: at the 100x stress corpus (200k
+    vectors) just MATERIALIZING the unit column inside the probe join
+    took 80 of sim_ann_ivf's 162 s. The kernel accumulates the
+    norm's squares in the SAME left-fold order (vectorized across rows,
+    sequential across dimensions), then performs the identical IEEE
+    sqrt and per-element divide — unit values are bit-identical to the
+    fold form's, so every downstream rounded cosine is unchanged."""
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    vecd = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("arr"),
-    )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("arr"), lambda x: x * x),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    return vecd.select(
-        "vec_id",
-        F.transform(F.col("arr"), lambda x: x / norm).alias("unit"),
-    )
+
+    @pandas_udf("array<double>")
+    def _unitize(embs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in embs.to_numpy()])
+        acc = np.zeros(len(X))
+        for j in range(X.shape[1]):
+            acc = acc + X[:, j] * X[:, j]
+        # no zero guard, exactly like the fold form: x / 0.0 follows
+        # IEEE (inf/nan) in both engines
+        U = X / np.sqrt(acc)[:, None]
+        return pd.Series(list(U))
+
+    return emb.select("vec_id", _unitize(F.col("embedding")).alias("unit"))
+
+
+def _fold_dot_udf():
+    """Row-batched dot product that accumulates DIMENSIONS sequentially
+    (a left fold vectorized ACROSS rows): each step is the same IEEE
+    double add the Spark ``aggregate(zip_with(...))`` fold performs, in
+    the same order, so results are bit-identical to the fold-scored
+    baselines — unlike einsum/np.dot, whose pairwise/SIMD summation can
+    differ in the last ulp and flip a round(x, 6) midpoint. A factory
+    (not a module-level UDF) because pandas_udf parses its return type
+    eagerly and needs an active session."""
+
+    @pandas_udf("double")
+    def _dot(q_units: pd.Series, units: pd.Series) -> pd.Series:
+        Q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in q_units.to_numpy()])
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in units.to_numpy()])
+        acc = np.zeros(len(Q))
+        for j in range(Q.shape[1]):
+            acc = acc + Q[:, j] * X[:, j]
+        return pd.Series(acc)
+
+    return _dot
 
 
 def _probe_clusters(unit: DataFrame, centers: list, nprobe: int) -> DataFrame:
@@ -307,6 +354,14 @@ def sim_ann_ivf(
     data; recall vs the brute-force baseline is pinned in
     tests/test_mlops.py (probing every list reproduces brute force
     exactly — the plumbing check).
+
+    Candidate scoring is the Arrow kernel ``_fold_dot_udf``, NOT the
+    Spark-side ``aggregate(zip_with(...))`` fold: the fold is an
+    interpreted (never-codegen) higher-order expression, and scoring
+    every (query x probed-list-member) row with it was the 100x
+    stress's second quadratic trap (the kernel accumulates dimensions
+    in the SAME left-fold order, so emitted cosines stay bit-identical
+    to the brute-force baseline's fold — equality pinned in tests).
     """
     unit = _unit_vectors(spark, sf_dir)
     n_vecs = table_row_count(sf_dir, "embeddings")
@@ -319,15 +374,12 @@ def sim_ann_ivf(
     cand = F.broadcast(probes).join(assigned, "cluster").filter(
         F.col("query_id") != F.col("vec_id")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("q_unit"), F.col("unit"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(dot, 6).alias("cosine"),
+        F.round(_fold_dot_udf()(F.col("q_unit"), F.col("unit")), 6).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

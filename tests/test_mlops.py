@@ -215,3 +215,47 @@ def test_ivf_training_cache_is_transparent(spark, sf_dir):
     c3, _ = _ivf_train(unit, n, cache_key=sf_dir)    # fresh fit
     assert c3 is not c1
     assert np.array_equal(c1, c3)
+
+
+def test_ivf_k_scales_with_corpus():
+    """Fixed K was the 100x stress's quadratic trap (list size grew
+    linearly with the corpus): K must stay at the fixture floor below
+    IVF_K*IVF_TARGET_LIST vectors — so every driver-checked fixture
+    result is untouched — then grow as n/IVF_TARGET_LIST, capped where
+    the bounded training sample would go under 8 points per centroid."""
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        IVF_TARGET_LIST,
+    )
+
+    assert mlops._ivf_k(2_000) == mlops.IVF_K
+    assert mlops._ivf_k(mlops.IVF_K * IVF_TARGET_LIST) == mlops.IVF_K
+    assert mlops._ivf_k(200_000) == -(-200_000 // IVF_TARGET_LIST)  # 98
+    assert mlops._ivf_k(10**9) == mlops.IVF_SAMPLE // 8  # sample cap binds
+
+
+def test_fold_dot_kernel_bit_identical_to_spark_fold(spark):
+    """The Arrow scoring kernel accumulates dimensions in left-fold
+    order, so its doubles must equal Spark's aggregate(zip_with(...))
+    fold EXACTLY (==, not approx) — that is what keeps sim_ann_ivf's
+    emitted cosines bit-consistent with the fold-scored baselines."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rnd = random.Random(7)
+    rows = [
+        ([rnd.uniform(-1, 1) for _ in range(64)],
+         [rnd.uniform(-1, 1) for _ in range(64)])
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    fold = F.aggregate(
+        F.zip_with(F.col("a"), F.col("b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    got = df.select(
+        fold.alias("fold"),
+        mlops._fold_dot_udf()(F.col("a"), F.col("b")).alias("kernel"),
+    ).collect()
+    assert all(r["fold"] == r["kernel"] for r in got)

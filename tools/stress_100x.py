@@ -1,0 +1,224 @@
+"""100x scale curve for the candidate-volume-sensitive tier.
+
+STRESS_r08's 10x pass (tools/stress_sf1.py) grows near-dup GROUP DEPTH
+(each doc gains 9 rotated variants) — the adversarial case for
+candidate volume. This pass asks the complementary scale question: what
+is the measured 10x -> 100x scaling EXPONENT when the corpus grows the
+way a real crawl grows — more near-dup GROUPS at constant depth? A
+plan that is linear in corpus size shows a time ratio near 10 between
+the two scales; a hidden quadratic shows ~100. Both scales here are
+generated with the SAME recipe (group-count growth, depth fixed at 10)
+so the ratio is apples-to-apples — the 10x numbers in STRESS_r08
+"timings" use the depth-growth recipe and are NOT comparable.
+
+Recipe (deterministic, seeded):
+- documents: each source doc yields fanout variants in groups of 10.
+  Group identity comes from substituting every 13th word with a
+  group-unique token (~8% of words -> ~40% of 5-gram shingles differ ->
+  inter-group Jaccard well under the near-dup threshold); within a
+  group, member m rotates the words by m and drops the last m (the 10x
+  harness's high-overlap recipe). Dup-group depth is constant, so
+  candidate volume must scale with GROUP COUNT — linear — if the
+  blocking works.
+- embeddings: each source vector yields fanout variants in groups of
+  10; the group center gets sigma=0.05 noise, members sigma=0.01 around
+  it — dense cosine neighborhoods whose COUNT grows with scale.
+
+Audits at 100x: LSH over-cap bucket census (cap must hold when group
+depth does not grow) and the IVF Sum(list^2)/n^2 ratio (must SHRINK ~
+linearly in n at fixed IVF_TARGET_LIST — work ~ p^2*L*n, not n^2).
+
+Results merge into STRESS_r08.json under "scale_curve". Usage:
+
+    python tools/stress_100x.py [--skip-gen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/tmp/spark_graft_100x"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "STRESS_r08.json")
+SRC = "/root/testdata/sf0.1"
+DEPTH = 10  # near-dup group depth, constant across scales
+
+QUERIES = [
+    # blocked/banded candidate generation over documents
+    "dedup_exact", "dedup_minhash_lsh", "dedup_substring",
+    # embedding tier through the IVF gate (both scales are > GEMM_EXACT_MAX)
+    "dedup_semantic", "sim_ann_ivf",
+    # broadcast-model scoring scans (the linear anchors)
+    "text_gopher_rules", "text_dsir_importance",
+    # sketch-cutoff prune (mergeable aggregate, zero windows)
+    "pipeline_quality_prune_approx",
+]
+
+
+def gen(fanout: int, out_dir: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    assert fanout % DEPTH == 0
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = pq.read_table(f"{SRC}/documents.parquet").to_pydict()
+    n = len(docs["doc_id"])
+    out = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+    for i in range(n):
+        words = docs["text"][i].split(" ")
+        nw = len(words)
+        for v in range(fanout):
+            g, m = v // DEPTH, v % DEPTH
+            gw = list(words)
+            if g:  # group 0 keeps the original vocabulary
+                for j in range(g % 13, nw, 13):
+                    gw[j] = f"g{g}w{j}"
+            rot = gw if m == 0 else (
+                gw[m % nw:] + gw[: m % nw])[: max(1, nw - m)]
+            text = " ".join(rot)
+            out["doc_id"].append(docs["doc_id"][i] * fanout + v)
+            out["text"].append(text)
+            out["lang"].append(docs["lang"][i])
+            out["source"].append(docs["source"][i])
+            out["n_chars"].append(len(text))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "text": pa.array(out["text"], pa.string()),
+            "lang": pa.array(out["lang"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "n_chars": pa.array(out["n_chars"], pa.int64()),
+        }),
+        f"{out_dir}/documents.parquet",
+    )
+
+    emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pydict()
+    vecs = np.array(emb["embedding"], dtype=np.float32)
+    _, d = vecs.shape
+    rng = np.random.default_rng(1234)  # one seed, consumed in a fixed order
+    centers = rng.normal(0.0, 0.05, size=(fanout // DEPTH, d)).astype(np.float32)
+    members = rng.normal(0.0, 0.01, size=(DEPTH, d)).astype(np.float32)
+    ids, labels, rows = [], [], []
+    for v in range(fanout):
+        g, m = v // DEPTH, v % DEPTH
+        ids.extend(int(x) * fanout + v for x in emb["vec_id"])
+        labels.extend(emb["label"])
+        rows.append(vecs + centers[g] + (members[m] if m else 0.0))
+    allv = np.concatenate(rows, axis=0)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(allv), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }),
+        f"{out_dir}/embeddings.parquet",
+    )
+    print(f"generated {len(out['doc_id'])} docs, {len(ids)} vectors "
+          f"at fanout {fanout}", flush=True)
+
+
+def release_all(spark) -> None:
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        release_semantic, release_shingles)
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        release_mmr)
+    from mqtt_influx_storage_service_spark.operators.textops import (
+        release_dsir)
+    release_shingles(spark)
+    release_semantic(spark)
+    release_mmr(spark)
+    release_dsir(spark)
+
+
+def main() -> int:
+    dirs = {10: f"{BASE}/f10", 100: f"{BASE}/f100"}
+    if "--skip-gen" not in sys.argv:
+        for fanout, d in dirs.items():
+            gen(fanout, d)
+
+    from mqtt_influx_storage_service_spark.operators import all_queries
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        LSH_BUCKET_CAP, lsh_hot_buckets)
+    from mqtt_influx_storage_service_spark.session import get_spark
+
+    spark = get_spark("stress_100x")
+    qs = all_queries()
+    curve: dict = {
+        "recipe": "group-count growth, dup depth fixed at 10; same recipe "
+                  "both scales so ratios are apples-to-apples",
+        "timings": {},
+        "ratios_100x_over_10x": {},
+    }
+    for fanout, d in dirs.items():
+        for name in QUERIES:
+            release_all(spark)  # no warm caches may carry between scales
+            t0 = time.time()
+            try:
+                qs[name](spark, d).write.format("noop").mode(
+                    "overwrite").save()
+                curve["timings"][f"{name}@{fanout}x"] = round(
+                    time.time() - t0, 2)
+            except Exception as exc:  # noqa: BLE001 - record, keep going
+                curve["timings"][f"{name}@{fanout}x"] = None
+                curve.setdefault("errors", {})[f"{name}@{fanout}x"] = (
+                    str(exc)[:500])
+            print(fanout, name, curve["timings"][f"{name}@{fanout}x"],
+                  flush=True)
+    for name in QUERIES:
+        a = curve["timings"].get(f"{name}@10x")
+        b = curve["timings"].get(f"{name}@100x")
+        if a and b:
+            curve["ratios_100x_over_10x"][name] = round(b / a, 2)
+
+    hot = sorted(lsh_hot_buckets(spark, dirs[100]).collect(),
+                 key=lambda r: -r["n_members"])
+    curve["lsh_hot_buckets_100x"] = {
+        "cap": LSH_BUCKET_CAP,
+        "n_over_cap": len(hot),
+        "worst": [{"band_idx": r["band_idx"], "n_members": r["n_members"]}
+                  for r in hot[:5]],
+    }
+
+    from mqtt_influx_storage_service_spark.operators import similarity as S
+    from mqtt_influx_storage_service_spark.sources import load_table
+    from mqtt_influx_storage_service_spark.sources.tables import (
+        table_row_count)
+    audit = {}
+    for fanout, d in dirs.items():
+        emb = load_table(spark, d, "embeddings", rebalance=True)
+        n_vec = table_row_count(d, "embeddings")
+        sizes = [
+            r["cnt"]
+            for r in S._ivf_assigned(emb, n_vec, S.IVF_PAIR_PROBES)
+            .groupBy("lst").agg({"*": "count"})
+            .withColumnRenamed("count(1)", "cnt").collect()
+        ]
+        audit[f"{fanout}x"] = {
+            "n_vectors": n_vec,
+            "n_lists": len(sizes),
+            "max_list": max(sizes) if sizes else 0,
+            "sum_sq_over_n_sq": round(
+                sum(s * s for s in sizes) / float(n_vec) ** 2, 5),
+        }
+    curve["ivf_pair_audit_curve"] = audit
+
+    results = {}
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            results = json.load(fh)
+    results["scale_curve"] = curve
+    with open(OUT, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(json.dumps(curve))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
