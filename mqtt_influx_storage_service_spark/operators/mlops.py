@@ -278,7 +278,16 @@ def _fold_dot_udf():
     baselines — unlike einsum/np.dot, whose pairwise/SIMD summation can
     differ in the last ulp and flip a round(x, 6) midpoint. A factory
     (not a module-level UDF) because pandas_udf parses its return type
-    eagerly and needs an active session."""
+    eagerly and needs an active session.
+
+    Scope note: similarity.py records (r4) that pair-LEVEL Arrow dot
+    kernels lose 5-35x at corpus-pair scale — both 64-double arrays
+    ship through Arrow per pair (26 GB at 25M pairs). That dead end
+    does not apply here: sim_ann_ivf's candidate set is bounded at
+    ~N_QUERIES x nprobe x IVF_TARGET_LIST rows (~1M at ANY corpus size
+    now that K grows with n), so the Arrow ship is bounded too; the
+    corpus-scale work in this plan is per-ROW (_unit_vectors, assign),
+    which is exactly where Arrow kernels win."""
 
     @pandas_udf("double")
     def _dot(q_units: pd.Series, units: pd.Series) -> pd.Series:
