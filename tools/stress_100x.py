@@ -88,6 +88,11 @@ def gen(fanout: int, out_dir: str) -> None:
             out["lang"].append(docs["lang"][i])
             out["source"].append(docs["source"][i])
             out["n_chars"].append(len(text))
+    # Bounded row groups: parquet splits at row-group granularity, so a
+    # single-group 500k-row file would force every non-rebalanced scan
+    # through ONE task — a fixture artifact, not an engine property (a
+    # real 100 TB lake is many files/row groups). 16k-row groups give
+    # Spark ~31 input splits at 100x.
     pq.write_table(
         pa.table({
             "doc_id": pa.array(out["doc_id"], pa.int64()),
@@ -97,6 +102,7 @@ def gen(fanout: int, out_dir: str) -> None:
             "n_chars": pa.array(out["n_chars"], pa.int64()),
         }),
         f"{out_dir}/documents.parquet",
+        row_group_size=16384,
     )
 
     emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pydict()
@@ -119,6 +125,7 @@ def gen(fanout: int, out_dir: str) -> None:
             "label": pa.array(labels, pa.int32()),
         }),
         f"{out_dir}/embeddings.parquet",
+        row_group_size=16384,
     )
     print(f"generated {len(out['doc_id'])} docs, {len(ids)} vectors "
           f"at fanout {fanout}", flush=True)
@@ -148,27 +155,39 @@ def main() -> int:
         LSH_BUCKET_CAP, lsh_hot_buckets)
     from mqtt_influx_storage_service_spark.session import get_spark
 
+    from bench import _canary
+
     spark = get_spark("stress_100x")
     qs = all_queries()
     curve: dict = {
         "recipe": "group-count growth, dup depth fixed at 10; same recipe "
                   "both scales so ratios are apples-to-apples",
+        # the VM's hour-scale throughput wobble swings one-shot
+        # embedding-tier timings up to 1.8x run-to-run; min-of-2 with a
+        # fixed-work canary stamp makes the curve reproducible (the
+        # bench.py discipline)
+        "reps": 2,
+        "canary_start_sec": round(_canary(spark), 3),
         "timings": {},
         "ratios_100x_over_10x": {},
     }
     for fanout, d in dirs.items():
         for name in QUERIES:
-            release_all(spark)  # no warm caches may carry between scales
-            t0 = time.time()
-            try:
-                qs[name](spark, d).write.format("noop").mode(
-                    "overwrite").save()
-                curve["timings"][f"{name}@{fanout}x"] = round(
-                    time.time() - t0, 2)
-            except Exception as exc:  # noqa: BLE001 - record, keep going
-                curve["timings"][f"{name}@{fanout}x"] = None
-                curve.setdefault("errors", {})[f"{name}@{fanout}x"] = (
-                    str(exc)[:500])
+            best = None
+            for _ in range(2):
+                release_all(spark)  # no warm caches carry between reps
+                t0 = time.time()
+                try:
+                    qs[name](spark, d).write.format("noop").mode(
+                        "overwrite").save()
+                    t = time.time() - t0
+                    best = t if best is None else min(best, t)
+                except Exception as exc:  # noqa: BLE001 - record, keep going
+                    curve.setdefault("errors", {})[f"{name}@{fanout}x"] = (
+                        str(exc)[:500])
+                    break
+            curve["timings"][f"{name}@{fanout}x"] = (
+                round(best, 2) if best is not None else None)
             print(fanout, name, curve["timings"][f"{name}@{fanout}x"],
                   flush=True)
     for name in QUERIES:
@@ -208,6 +227,7 @@ def main() -> int:
                 sum(s * s for s in sizes) / float(n_vec) ** 2, 5),
         }
     curve["ivf_pair_audit_curve"] = audit
+    curve["canary_end_sec"] = round(_canary(spark), 3)
 
     results = {}
     if os.path.exists(OUT):
