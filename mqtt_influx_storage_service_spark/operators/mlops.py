@@ -303,46 +303,37 @@ def _fold_dot_udf():
     return _dot
 
 
-def _probe_clusters(unit: DataFrame, centers: list, nprobe: int) -> DataFrame:
-    """(query_id, q_unit, cluster) probe rows: the k centroids are
-    re-broadcast as LITERALS only for the QUERY rows, whose nprobe
+def _probe_clusters(
+    unit: DataFrame, centers: "np.ndarray", nprobe: int
+) -> DataFrame:
+    """(query_id, q_unit, cluster) probe rows: the (k x 64) centroid
+    matrix rides the UDF closure only for the QUERY rows, whose nprobe
     nearest lists are ranked by ``dot(unit, c_i) − ‖c_i‖²/2``
-    (equivalent to nearest-euclidean on unit vectors, so probe order
-    is consistent with the assignment)."""
-    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
-    half_lit = F.array(
-        *[F.lit(0.5 * sum(x * x for x in c)) for c in centers]
-    )
-    scores = F.transform(
-        cent_lit,
-        lambda c, i: F.aggregate(
-            F.zip_with(F.col("unit"), c, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ) - F.element_at(half_lit, i + F.lit(1)),
-    )
+    (equivalent to nearest-euclidean on unit vectors, so probe order is
+    consistent with the assignment; stable argsort breaks score ties on
+    centroid index, like ``_assign_udf``). Formerly k centroid-array
+    LITERALS scored per query row with interpreted transform/aggregate
+    folds — a flat-but-real cost (k x 64 interpreted ops per query,
+    seconds once K grows past the fixture floor) with no parity value:
+    these scores only SELECT lists, they are never emitted."""
+    C = centers
+    half = 0.5 * (C ** 2).sum(axis=1)
+    p = min(nprobe, len(C))
+
+    @pandas_udf("array<long>")
+    def _probe(units: pd.Series) -> pd.Series:
+        U = np.stack([np.asarray(v, dtype=np.float64) for v in units.to_numpy()])
+        S = U @ C.T - half[None, :]
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :p]
+        return pd.Series(list(idx.astype(np.int64)))
+
     return (
         unit.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("unit").alias("q_unit"),
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.transform(
-                            scores,
-                            lambda s, i: F.struct(
-                                (-s).alias("neg"), i.alias("idx")
-                            ),
-                        )
-                    ),
-                    lambda st: st["idx"].cast("long"),
-                ),
-                1,
-                nprobe,
-            ).alias("probe_list"),
+            F.explode(_probe(F.col("unit"))).alias("cluster"),
         )
-        .select("query_id", "q_unit", F.explode("probe_list").alias("cluster"))
     )
 
 
@@ -375,11 +366,10 @@ def sim_ann_ivf(
     unit = _unit_vectors(spark, sf_dir)
     n_vecs = table_row_count(sf_dir, "embeddings")
     centers_np, _ = _ivf_train(unit, n_vecs, cache_key=sf_dir)
-    centers = [[float(x) for x in c] for c in centers_np]
     assigned = unit.select(
         "vec_id", "unit", _assign_udf(centers_np)(F.col("unit")).alias("cluster")
     )
-    probes = _probe_clusters(unit, centers, nprobe)
+    probes = _probe_clusters(unit, centers_np, nprobe)
     cand = F.broadcast(probes).join(assigned, "cluster").filter(
         F.col("query_id") != F.col("vec_id")
     )
@@ -458,7 +448,6 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Coarse centroids AND PQ codebooks train on the SAME bounded
     # sample (one capped collect serves both fits).
     centers_np, sample = _ivf_train(unit, n_vecs, cache_key=sf_dir)
-    centers = [[float(x) for x in c] for c in centers_np]
     books = _pq_train(sample[:PQ_SAMPLE])
     sub = books.shape[2]
 
@@ -500,7 +489,7 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _encode(F.col("unit")).alias("codes"),
     )
 
-    probes = _probe_clusters(unit, centers, IVF_NPROBE)
+    probes = _probe_clusters(unit, centers_np, IVF_NPROBE)
     cand = (
         F.broadcast(probes)
         .join(assigned, "cluster")
