@@ -106,7 +106,12 @@ _PRIORITY = [
     # merely-stale fillers to the r9 queue:
     "iq_fill_linear",
     "ts_interpolate",
-    # ---- slot 50 boundary. r9 ROTATION QUEUE (front-load next round):
+    # ---- slot 50 boundary. r9 WORK ITEM (besides rotation): bound
+    # dedup_components' shingle-join pair stage with the
+    # LSH_BUCKET_CAP idiom — it blows shuffle/spill at 500k dense docs
+    # (STRESS_r08 scale_curve.dedup_components_100x_FAILURE); re-verify
+    # its oracle hash + add an 8g-heap 100x stress row after.
+    # r9 ROTATION QUEUE (front-load next round):
     # the displaced rel_waiting_supplier, rel_revenue_threshold, then
     # the filler that did not fit — rel_sales_opportunity,
     # rel_top_supplier, sim_centroid_assign, emb_quantize_int8,
