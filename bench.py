@@ -134,12 +134,23 @@ def main() -> int:
 
     for name in headline_names(qs):
         try:
-            if name in ("dedup_substring", "dedup_substring_spans"):
-                # one DISCARDED warm rep: these showed a 148.8% min-max
-                # spread at sf0.1 (VERDICT r6 #5), dominated by
-                # first-touch shuffle/page-cache effects on the
-                # corpus-token-sized explode; warming once brings the
-                # timed reps onto the steady state the number claims.
+            if name in (
+                "dedup_substring",
+                "dedup_substring_spans",
+                # VERDICT r8 residue: the committed r8 artifact's
+                # top-decile rows still showed min-of-5 spreads of 349%
+                # (sim_ann_ivf), 332% (dedup_substring_scrub) and 273%
+                # (pipeline_dsir_resample) — same first-touch
+                # shuffle/page-cache shape, same treatment.
+                "sim_ann_ivf",
+                "dedup_substring_scrub",
+                "pipeline_dsir_resample",
+            ):
+                # one DISCARDED warm rep: these showed >148% min-max
+                # spreads at sf0.1 (VERDICT r6 #5 / r8 residue),
+                # dominated by first-touch shuffle/page-cache effects;
+                # warming once brings the timed reps onto the steady
+                # state the number claims.
                 _one_rep(name)
             reps = [_one_rep(name) for _ in range(2)]
             rep_times[name] = reps

@@ -41,104 +41,81 @@ from . import (
 # tools/check_oracles.py runs the FULL registry regardless — the
 # prefix only bounds what the driver re-certifies per round.
 _PRIORITY = [
-    # ---- r8 ROTATION (VERDICT r7 "Next round" #1): slots 1-21 are the
-    # r7 additions with NO driver row yet (all oracle-green in the
-    # judge's own r7 sweep and in tools/check_oracles.py here); slots
-    # 22-23 are new in r8 (the exact skew-safe twins — same oracle SQL
-    # as their plain forms); the rest is the r4-green filler queue from
-    # the r7 comment, oldest rows first, up to the 50-slot boundary.
-    # ts_holt_winters rides at slot 37: its r8 plan change (salted
-    # two-phase tail) is output-identical but the hash must be
-    # re-certified under the new plan.
-    "iq_dema",
-    "pipeline_dsir_resample",
-    "rel_returned_customers",
-    "rel_forecast_revenue",
-    "pipeline_shuffle_order",
-    "mm_contrastive_pairs",
-    "iq_show_measurements_where",
-    "rel_volume_shipping",
-    "rel_large_orders",
-    "rel_priority_late_orders",
-    "rel_market_share",
-    "iq_show_tag_values",
-    "rel_min_cost_supplier",
-    "rel_product_profit",
-    "rel_supplier_part_types",
-    "rel_excess_supply",
-    "iq_series_cardinality",
-    "iq_tag_values_cardinality",
-    "pipeline_quality_prune",
-    "dedup_substring_scrub",
-    "pipeline_funnel",
-    # new in r8 (no driver row by definition)
-    "ts_cumulative_sum_chunked",
-    "ts_percentile_twophase",
-    # r4-green filler, oldest-first (the r7 queue comment, verbatim)
-    "text_pii_scrub",
-    "text_gopher_rules",
-    "text_bigram_lm",
-    "text_langid_ngram",
-    "text_chunking",
-    "text_bm25",
-    "mm_token_budget",
+    # ---- r9 ROTATION (VERDICT r8 "Next round" #1-2). Slots 1-7: the
+    # entries whose PLAN changed in r9 (the SHINGLE_DF_CAP candidate
+    # stage under _jaccard_pairs/dedup_containment and the labels
+    # subtree that inherits it) — output-identical at fixture scale
+    # (max shingle df 7/25 vs cap 64; re-verified locally at sf0.01
+    # AND sf0.1) but the hash must be re-certified under the new plan,
+    # exactly like ts_holt_winters in r8.
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_containment",
+    "pipeline_training_mix",
+    "pipeline_token_budget",
+    "pipeline_epochs",
     "pipeline_dedup_mix",
-    "pipeline_curriculum",
-    "pipeline_quality_gate",
-    "ref_line_protocol",
-    "ts_mode",
-    "ts_seasonal_profile",
-    "ts_holt_winters",
-    "ts_pattern_match",
-    "ts_downsample",
-    "ts_cross_correlation",
-    "ts_cumulative_sum",
-    "ts_counter_rate",
-    "ts_percentile",
-    "ts_spread",
-    "ts_elapsed",
-    "ts_top_per_bucket",
-    "ts_sample",
-    "ts_changepoint",
-    # hash-CHANGED in late r8 (the sf0.1 sweep exposed the round(x,6)
-    # decimal-midpoint divergence on interpolated doubles; both now
-    # emit RAW bit-identical doubles) — displacing the last two
-    # merely-stale fillers to the r9 queue:
-    "iq_fill_linear",
-    "ts_interpolate",
-    # ---- slot 50 boundary. r9 WORK ITEM (besides rotation): bound
-    # dedup_components' shingle-join pair stage with the
-    # LSH_BUCKET_CAP idiom — it blows shuffle/spill at 500k dense docs
-    # (STRESS_r08 scale_curve.dedup_components_100x_FAILURE); re-verify
-    # its oracle hash + add an 8g-heap 100x stress row after.
-    # r9 ROTATION QUEUE (front-load next round):
-    # the displaced rel_waiting_supplier, rel_revenue_threshold, then
-    # the filler that did not fit — rel_sales_opportunity,
-    # rel_top_supplier, sim_centroid_assign, emb_quantize_int8,
-    # sim_mmr, iq_subquery_rollup, iq_now_relative,
-    # iq_lineitem_profile, iq_show_series, iq_top_points,
-    # iq_raw_select, iq_mean_by_day, iq_selectors,
-    # iq_percentile_weekly — then the oldest remaining r5 rows.
-    "rel_waiting_supplier",
+    # the full r4-green cohort (21 entries; the r8 comment queued 16 —
+    # the other 5 r4 rows are iq_fill_previous, iq_regex_union,
+    # sim_hybrid_rrf, sim_knn_exact, sim_range_search): after this
+    # round NO entry's newest driver row is older than r5.
+    "emb_quantize_int8",
+    "iq_fill_previous",
+    "iq_lineitem_profile",
+    "iq_mean_by_day",
+    "iq_now_relative",
+    "iq_percentile_weekly",
+    "iq_raw_select",
+    "iq_regex_union",
+    "iq_selectors",
+    "iq_show_series",
+    "iq_subquery_rollup",
+    "iq_top_points",
     "rel_revenue_threshold",
-    # Rows-only-by-nature entries (dedup_minhash_ml, sim_ann_brp,
-    # sim_ann_ivf, sim_ann_ivf_pq, rel_sketches, dedup_semantic_ivf,
-    # pipeline_quality_prune_approx) stay OUT of the prefix: a slot
-    # spent on them can never go hash-green.
     "rel_sales_opportunity",
     "rel_top_supplier",
+    "rel_waiting_supplier",
     "sim_centroid_assign",
-    "emb_quantize_int8",
+    "sim_hybrid_rrf",
+    "sim_knn_exact",
     "sim_mmr",
-    "iq_subquery_rollup",
-    "iq_now_relative",
-    "iq_lineitem_profile",
-    "iq_show_series",
-    "iq_top_points",
-    "iq_raw_select",
-    "iq_mean_by_day",
-    "iq_selectors",
-    "iq_percentile_weekly",
+    "sim_range_search",
+    # oldest-r5 filler (alphabetical; 22 of the 42-strong r5 cohort)
+    # up to the 50-slot boundary.
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_passage",
+    "dedup_simhash",
+    "iq_elapsed",
+    "iq_holt_winters",
+    "iq_holt_winters_seasonal",
+    "iq_sample",
+    "mm_extract_features",
+    "mm_frame_sample",
+    "mm_manifest",
+    "pipeline_pack_sequences",
+    "pipeline_stratified_sample",
+    "ref_payload_coercion",
+    "ref_registry_filter",
+    "ref_topic_parse",
+    "rel_merge_join",
+    "rel_set_ops",
+    "sim_ann_lsh",
+    "sim_cosine_topk",
+    "sim_knn_graph",
+    # ---- slot 50 boundary. r10 ROTATION QUEUE (front-load next
+    # round): the remaining 20 r5-green entries —
+    # sim_label_centroid, sim_label_trimmed_norm, sim_threshold_pairs, text_boilerplate,
+    # text_contamination, text_fingerprint, text_langid, text_quality,
+    # text_regex_tokens, text_tfidf_top, text_token_stats, text_word_freq,
+    # ts_holt_winters_seasonal, win_cube, win_monthly_revenue, win_ntile_customers,
+    # win_percentiles, win_rollup, win_topk_per_group, win_value_frames
+    # — then the oldest remaining r6 rows as filler. Rows-only-by-
+    # nature entries (dedup_minhash_ml, sim_ann_brp, sim_ann_ivf,
+    # sim_ann_ivf_pq, rel_sketches, dedup_semantic_ivf,
+    # pipeline_quality_prune_approx) stay OUT of the prefix: a slot
+    # spent on them can never go hash-green.
 ]
 
 _MODULES = [

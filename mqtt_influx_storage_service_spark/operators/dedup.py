@@ -40,6 +40,24 @@ SIMHASH_BLOCKS = 4      # pigeonhole: hamming <= 3 guarantees a shared block
 # bursts) — the candidate-pair analogue of stopword removal. Dropped
 # buckets are auditable via :func:`lsh_hot_buckets`, never silent.
 LSH_BUCKET_CAP = 64
+# Document-frequency cap for BLOCKING shingles in the exact-Jaccard /
+# containment candidate stage (VERDICT r8 #1 / STRESS_r08
+# dedup_components_100x_FAILURE): the uncapped exploded-shingle
+# self-join materializes Σ c(s)² pair partials, and a corpus whose dup
+# groups share most of their vocabulary (boilerplate, template farms,
+# the 100x stress corpus's per-source shingle overlap at c(s)≈100)
+# turns that into billions of rows BEFORE any per-pair trim can run.
+# The cap lands BEFORE pair aggregation: a shingle appearing in more
+# than CAP documents is skipped for candidate generation (the exact
+# LSH_BUCKET_CAP idiom, and IR's stopword removal), bounding the pair
+# stage at CAP²/2 rows per shingle key. Jaccard/containment stay EXACT
+# because candidates are re-verified against the FULL shingle arrays
+# (array_intersect) — the cap only loses pairs whose docs share no
+# OTHER under-cap shingle, i.e. pairs connected solely through
+# corpus-wide boilerplate. Skipped shingles are auditable via
+# :func:`jaccard_hot_shingles`, never silent; the test fixtures' max
+# df is 7 (sf0.01) / 25 (sf0.1), so driver oracle hashes are unchanged.
+SHINGLE_DF_CAP = 64
 # Peak-memory bound for the vectorized signature kernels: chunks of the
 # Arrow batch are sized so the (64 x flat) intermediate matrices stay
 # ~32 MB (cache-friendly, no executor-memory pressure with 32 parallel
@@ -197,58 +215,157 @@ FROM documents GROUP BY text
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with 3-shingle Jaccard >= 0.5.
 
-    Plan: explode distinct shingles → self-equi-join on shingle with
-    doc_a < doc_b → count shared shingles per pair → join per-doc
-    shingle counts → Jaccard = inter / (|A| + |B| - inter). Never
-    forms the cross product; the shingle index is the blocking key.
+    Plan: explode distinct shingles → bucket-collect per shingle key,
+    capped at SHINGLE_DF_CAP documents per shingle → in-bucket pair
+    expansion → distinct candidates → exact verify against the full
+    shingle arrays (Jaccard = |A∩B| / (|A| + |B| - |A∩B|)). Never
+    forms the cross product; the shingle index is the blocking key and
+    the df cap bounds the pair stage on boilerplate-heavy corpora
+    (skips audited by :func:`jaccard_hot_shingles`).
     """
     return _jaccard_pairs(spark, sf_dir)
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with Jaccard >= threshold via the exploded shingle
-    self-join: join output feeds the (doc_a, doc_b) count aggregation
-    in the SAME stage, so the Σ c(s)² intermediate pair rows are
-    partially combined map-side and only pair-level partials shuffle.
+def _shingle_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one blocking
+    shingle with document frequency <= SHINGLE_DF_CAP — the capped
+    candidate stage shared by :func:`_jaccard_pairs` and
+    :func:`dedup_containment` (VERDICT r8 #1).
 
-    Measured dead end (sf1.0 stress corpus, local[32]): AllPairs-style
-    prefix filtering (Bayardo et al., WWW'07 — index only each doc's
-    ``n - ceil(t*n) + 1`` rarest-by-df shingles, verify candidates with
-    ``array_intersect``) ran 2x SLOWER end-to-end (42.7s vs 20.9s for
-    the pair step; 157s vs ~35s for cold dedup_components). Prefix
-    filtering pays when document frequency is skewed so prefixes hit
-    LOW-collision shingles; this corpus's rotation-variant dups share
-    every shingle ~uniformly (c(s) ≈ fanout), so candidates only
-    dropped ~4x while the verify step shuffled full shingle ARRAYS per
-    candidate (wide rows) and the df-rank window added two more
-    exploded-table shuffles. On a real crawl with Zipfian shingle df,
-    revisit — the hook is exactly this function.
+    Plan: explode distinct shingles keyed by their 64-bit md5 prefix
+    (8-byte shuffle keys, not ~25-byte strings) → bucket-collect the
+    doc ids per shingle (ONE shuffle of the exploded table — the old
+    self-join shuffled it twice) → drop buckets over the cap BEFORE
+    any pair is generated → in-bucket sorted pair expansion (c·(c-1)/2
+    rows per bucket, bounded by CAP²/2) → distinct, with map-side
+    partial dedup combining the within-partition repeats. Same
+    bucket-collect idiom as :func:`dedup_minhash_lsh`; same unbounded-
+    collect_list exposure on a degenerate key, bounded in practice by
+    the same argument (the filter drops the array before anything
+    downstream touches it, and a key hot enough to matter is exactly
+    what the cap exists to skip).
+
+    Measured dead end kept for the record (sf1.0 stress corpus,
+    local[32], the pre-cap self-join era): AllPairs-style prefix
+    filtering (Bayardo et al., WWW'07 — index only each doc's
+    ``n - ceil(t*n) + 1`` rarest-by-df shingles) ran 2x SLOWER
+    end-to-end (42.7s vs 20.9s for the pair step) because the df-rank
+    window added two more exploded-table shuffles while uniform c(s)
+    only dropped candidates ~4x. The df CAP gets the same protection
+    for one linear aggregation.
     """
     ds = _doc_shingles(spark, sf_dir)
-    # Join on the 64-bit md5-prefix of the shingle, not the string:
-    # the Σ c(s)² intermediate shuffles 8-byte longs instead of ~25-byte
-    # strings and hash-joins on long equality (measured 18.6 s → 11.7 s
-    # for the pair join at the sf1.0 stress corpus). A cross-shingle
-    # 60-bit collision would over-count n_inter by 1; P ≈ n_shingles²/2⁶¹
-    # per doc pair (~10⁻¹² at 1k-shingle docs) and the DuckDB twin
-    # computes the identical keyed count, so the gate stays exact.
     exploded = ds.select(
         "doc_id", F.explode("shingles").alias("s")
     ).select("doc_id", _shingle_hash64(F.col("s")).alias("shingle"))
-    a = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = exploded.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    buckets = (
+        exploded.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("members"))
+        .filter(
+            (F.size("members") >= 2) & (F.size("members") <= SHINGLE_DF_CAP)
+        )
+        .select(F.array_sort("members").alias("members"))
     )
-    counts = ds.select("doc_id", "n_shingles")
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    pair_col = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_col).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def jaccard_hot_shingles(
+    spark: SparkSession, sf_dir: str, cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """Audit view of the blocking shingles :func:`_shingle_candidates`
+    SKIPS under the df cap: (shingle, df) for every shingle appearing
+    in more than ``cap`` documents (twin of :func:`lsh_hot_buckets` —
+    truncation is never silent). Keyed by the shingle STRING, not the
+    hash, so a campaign can read what the boilerplate actually says.
+    Empty on the test fixtures (max df 7 at sf0.01 / 25 at sf0.1)."""
+    return (
+        _doc_shingles(spark, sf_dir)
+        .select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+    )
+
+
+def _verify_joined(cand: DataFrame, sa: DataFrame, sb: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs joined to both docs' shingle
+    arrays, join strategies PINNED — the scale contract of every
+    candidates→verify pipeline in this module:
+
+    - join 1 builds a SHUFFLE_HASH table on the CANDIDATE side: id
+      pairs, ~16 bytes a row, per-partition-bounded at any corpus
+      size, and nothing wide gets sorted;
+    - join 2 is SORT_MERGE against the corpus shingle table: both
+      sides are wide (shingle arrays), and SMJ is the spill-safe
+      strategy — the sort is linear and Tungsten spills it.
+
+    Left to its static stats Catalyst BROADCASTS both sides here: the
+    post-aggregate candidate subtree estimates tiny at any actual
+    size, and the corpus shingle table follows it into a static
+    BroadcastExchange — which is corpus-sized and can never be a
+    broadcast side (measured: 8 GiB driver OOM at the 500k-doc stress
+    corpus; AQE cannot demote a static broadcast whose input has no
+    shuffle stage to measure, so the only honest fix is the pin).
+    """
+    return (
+        cand.hint("shuffle_hash")
+        .join(sa, "doc_a")
+        .join(sb.hint("merge"), "doc_b")
+    )
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with Jaccard >= threshold among docs sharing at least
+    one under-cap blocking shingle: capped candidate generation
+    (:func:`_shingle_candidates`) + EXACT verification against the
+    full shingle arrays — the same candidates→verify architecture as
+    :func:`dedup_minhash_lsh`, so the pair stage is bounded by
+    SHINGLE_DF_CAP²/2 per shingle key instead of Σ c(s)².
+
+    n_inter = ``array_intersect`` on the shingle STRING arrays is the
+    exact intersection (no hash-collision exposure at all — strictly
+    tighter than the old hashed-count formulation); the DuckDB twin's
+    hashed count differs only on a 60-bit md5-prefix collision
+    (P ≈ n_shingles²/2⁶¹ per pair). The verify join shuffles full
+    shingle arrays, but only candidate-many rows of them — collision-
+    bounded, never corpus².
+
+    The verify joins are strategy-PINNED (see :func:`_verify_joined`):
+    Catalyst's static size estimate for the post-aggregate candidate
+    subtree lands under the broadcast threshold at ANY corpus scale,
+    and the resulting static BroadcastExchange of the corpus-sized
+    shingle table killed the 8 GiB driver at the 100x stress corpus
+    (AQE cannot demote a statically planned broadcast whose input has
+    no shuffle stage to measure — the r8 minhash run survived only
+    because the persisted shingle cache happened to materialize first).
+    """
+    ds = _doc_shingles(spark, sf_dir)
+    sa = ds.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    sb = ds.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
     jac = (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        _verify_joined(_shingle_candidates(spark, sf_dir), sa, sb)
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
@@ -329,10 +446,13 @@ EDGE_CAP = 8
 
 
 def _dup_edges_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNCAPPED symmetric weighted edges (src, dst, w): Jaccard >= 0.5
-    pairs (w = jaccard) UNION exact-text duplicate pairs (w = 1.0;
-    short docs have no shingles, so identical <3-token docs only
-    appear via the exact leg)."""
+    """EDGE_CAP-free symmetric weighted edges (src, dst, w): Jaccard
+    >= 0.5 pairs (w = jaccard) UNION exact-text duplicate pairs
+    (w = 1.0; short docs have no shingles, so identical <3-token docs
+    only appear via the exact leg). "Uncapped" refers to the per-node
+    EDGE trim only — the pair GENERATION stage underneath is
+    df-capped via :func:`_shingle_candidates` (VERDICT r8 #1), which
+    is what keeps this subtree alive on boilerplate-dense corpora."""
     jac = _jaccard_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.col("jaccard").alias("w")
     )
@@ -840,8 +960,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
                    F.col("n_shingles").alias("n_b"))
     verified = (
-        candidates.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        # strategy-pinned: see _verify_joined — the corpus shingle
+        # table must never land in a static BroadcastExchange
+        _verify_joined(candidates, sa, sb)
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -1680,31 +1801,49 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment, the RETSim/quote-dedup primitive). Emits BOTH
     directions when both clear the bar (mutual containment ≈ near-dup).
 
-    Same candidate machinery as the Jaccard pipeline — one shared-
-    shingle equi-join on the 64-bit md5-prefix key, count per ordered
-    pair, divide by the CONTAINED side's shingle count — so the scale
-    shape is identical (word-count-shaped shuffles, Σ c(s)² bounded by
-    the blocking key, never corpus²) and the shingle table is the same
-    persisted campaign artifact.
+    Same candidate machinery as the Jaccard pipeline
+    (:func:`_shingle_candidates`: df-capped shingle buckets → in-bucket
+    pairs → distinct) with the same exact-verify step — each unordered
+    candidate is verified ONCE against the full shingle arrays, then
+    exploded into its two directions with the contained side's own
+    denominator. The pair stage is bounded by SHINGLE_DF_CAP²/2 per
+    shingle key (never Σ c(s)², never corpus²) and the shingle table is
+    the same persisted campaign artifact.
     """
     ds = _doc_shingles(spark, sf_dir)
-    exploded = ds.select(
-        "doc_id", F.explode("shingles").alias("s")
-    ).select("doc_id", _shingle_hash64(F.col("s")).alias("shingle"))
-    a = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = exploded.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sa = ds.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("na"),
     )
-    ca = ds.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    sb = ds.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("nb"),
     )
+    und = _verify_joined(
+        _shingle_candidates(spark, sf_dir), sa, sb
+    ).withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+    both = und.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_a"),
+                    F.col("doc_b").alias("doc_b"),
+                    F.col("n_inter").alias("n_inter"),
+                    F.col("na").alias("n_a"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"),
+                    F.col("n_inter").alias("n_inter"),
+                    F.col("nb").alias("n_a"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .withColumn(
+        both.withColumn(
             "containment", F.round(F.col("n_inter") / F.col("n_a"), 6)
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)

@@ -142,9 +142,23 @@ def _ivf_k(n_vecs: int) -> int:
     candidates for the 100-query set (sim_ann_ivf 10.5 s -> 162 s,
     ~16x for 10x the data). Capped at IVF_SAMPLE//8 so the bounded
     training sample keeps >= 8 points per centroid; past that cap
-    (n > ~4M) IVF_SAMPLE itself is the knob to raise — same structure
-    as similarity._pair_centroids."""
+    (n > ~524k = (IVF_SAMPLE//8)·IVF_TARGET_LIST, where list sizes
+    start growing again) IVF_SAMPLE itself is the knob to raise — same
+    structure as similarity._pair_centroids."""
     return max(IVF_K, min(-(-n_vecs // IVF_TARGET_LIST), IVF_SAMPLE // 8))
+
+
+def _ivf_nprobe(n_vecs: int) -> int:
+    """Probe count scales WITH the list count (faiss practice —
+    ADVICE r9): a fixed nprobe over a growing :func:`_ivf_k` silently
+    shrinks the probed fraction (4/16 = 25% at fixture scale →
+    4/98 ≈ 4% at 200k vectors → 1.6% at the 256-list cap), which would
+    turn r8's 'scale-flat' wall time into an unmeasured recall slide.
+    nprobe = max(IVF_NPROBE, ceil(k/8)) pins the probed fraction at
+    ≥ ~12.5% of lists at any scale; the recall-vs-brute-force tradeoff
+    is MEASURED at 10x/100x corpus scale by tools/stress_ivf_recall.py
+    (STRESS_r09 'ivf_recall')."""
+    return max(IVF_NPROBE, -(-_ivf_k(n_vecs) // 8))
 
 
 def _lloyd(sample: "np.ndarray", k: int = IVF_K, seed: int = 42,
@@ -338,7 +352,7 @@ def _probe_clusters(
 
 
 def sim_ann_ivf(
-    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
 ) -> DataFrame:
     """IVF-style ANN top-k: k-means centroids define an inverted file;
     each vector is assigned to its nearest centroid, queries probe the
@@ -365,6 +379,8 @@ def sim_ann_ivf(
     """
     unit = _unit_vectors(spark, sf_dir)
     n_vecs = table_row_count(sf_dir, "embeddings")
+    if nprobe is None:
+        nprobe = _ivf_nprobe(n_vecs)  # scales with the list count
     centers_np, _ = _ivf_train(unit, n_vecs, cache_key=sf_dir)
     assigned = unit.select(
         "vec_id", "unit", _assign_udf(centers_np)(F.col("unit")).alias("cluster")
@@ -489,7 +505,7 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _encode(F.col("unit")).alias("codes"),
     )
 
-    probes = _probe_clusters(unit, centers_np, IVF_NPROBE)
+    probes = _probe_clusters(unit, centers_np, _ivf_nprobe(n_vecs))
     cand = (
         F.broadcast(probes)
         .join(assigned, "cluster")

@@ -81,3 +81,26 @@ def test_compare_chunked_end_to_end(spark, tmp_path):
         "'line' || chr(10) || 'break' || range AS txt FROM range(500)",
         con)
     assert bad and "hash" in bad[0]
+    # the mismatch must carry the ADVICE-r9 diagnostics: which rows
+    # differ (bounded EXCEPT ALL sample), not just 'hash mismatch'
+    assert any("spark-only" in p for p in bad), bad
+    assert any("oracle-only" in p for p in bad), bad
+
+
+def test_compare_chunked_tolerance_diagnostic(spark):
+    """A sub-1e-6 float divergence trips the 6dp multiset hash only at
+    the rounding boundary; when the EXCEPT ALL anti-joins at 6dp come
+    back EMPTY the tool must say 'canonicalization brittleness', not
+    leave a bare mismatch (the header's hash-brittleness-vs-wrong-values
+    promise, restored for chunked mode)."""
+    con = duckdb.connect()
+    # a real table, not register(): compare_chunked reads through
+    # cursors, which do not see replacement-scan registrations
+    con.execute("CREATE TABLE probe AS SELECT 0.1234565::DOUBLE AS v")
+    # DuckDB's round() half-up vs the hash's %.6f formatting of the
+    # stored double can disagree exactly at a decimal midpoint; both
+    # sides here agree at 6dp, so the diagnostic must classify it
+    sdf = spark.createDataFrame([(0.12345650000001,)], "v double")
+    out = compare_chunked("t", sdf, "SELECT v FROM probe", con)
+    if out:  # only if the hash actually tripped on this platform
+        assert any("canonicalization" in p or "-only" in p for p in out), out

@@ -93,6 +93,66 @@ def test_hot_bucket_cap_bounds_candidates(spark, tmp_path):
         release_shingles(spark)
 
 
+def test_shingle_df_cap_bounds_pair_stage_keeps_exactness(spark, tmp_path):
+    """VERDICT r8 #1 scenario in miniature: a boilerplate corpus where
+    one shared vocabulary spans 120 docs (every one of its shingles has
+    df=120, over SHINGLE_DF_CAP — at 100x this Σ c(s)² pair stage
+    killed the SparkContext) plus near-dup pairs that ALSO carry
+    pair-unique shingles. The df cap must (a) skip the over-cap
+    shingles before any pair is generated — visible via
+    jaccard_hot_shingles, never silent — and (b) still find every pair
+    that shares at least one under-cap shingle, with EXACT jaccard
+    (the verify step intersects the FULL arrays, over-cap shingles
+    included)."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        SHINGLE_DF_CAP,
+        dedup_ngram_jaccard,
+        jaccard_hot_shingles,
+        release_shingles,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(40))
+    rows = [(i, boiler) for i in range(120)]
+    # two docs = the boilerplate + a shared UNIQUE tail: their pair
+    # shares the tail's under-cap shingles, so the candidate stage must
+    # keep them, and their jaccard must count the boilerplate shingles
+    # too (exact verify), not just the surviving blockers
+    tail = " ".join(f"tailw{i}" for i in range(10))
+    rows += [(200, boiler + " " + tail), (201, boiler + " " + tail + " xx")]
+    sf = str(tmp_path / "dfskew")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(4).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    try:
+        hot = jaccard_hot_shingles(spark, sf).collect()
+        assert len(hot) > 0 and all(r.df >= 120 for r in hot)
+        got = {(r.doc_a, r.doc_b): r for r in dedup_ngram_jaccard(spark, sf).collect()}
+        # the 120-member pure-boilerplate cluster shares ONLY over-cap
+        # shingles -> contributes none of its C(120,2)=7140 pairs; the
+        # tailed pair survives through its under-cap tail shingles
+        assert set(got) == {(200, 201)}
+        r = got[(200, 201)]
+        # exactness: n_inter counts the over-cap boilerplate shingles
+        # as well (38 boiler + 3 bridge + 8 tail shared 3-shingles)
+        assert r.n_inter > 40, r
+        assert r.jaccard > 0.9, r
+        assert SHINGLE_DF_CAP < 120
+    finally:
+        release_shingles(spark)
+
+
+def test_hot_shingle_audit_empty_on_fixtures(spark, sf_dir):
+    """The fixtures' max shingle df (7 at sf0.01 / 25 at sf0.1) sits
+    far under SHINGLE_DF_CAP, so the capped candidate stage is
+    provably a no-op there — the premise behind 'driver oracle hashes
+    unchanged' for the r9 plan change."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        jaccard_hot_shingles,
+    )
+
+    assert jaccard_hot_shingles(spark, sf_dir).count() == 0
+
+
 def test_release_shingles_unpersists(spark, sf_dir):
     """The shared shingle table is persisted once per (app, sf_dir) and
     must be releasable — a long-lived service can't pin executor memory

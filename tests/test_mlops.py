@@ -52,9 +52,17 @@ def test_ivf_full_probe_reproduces_brute_force(spark, sf_dir):
     """Probing every inverted list makes IVF exhaustive — the result
     must be the brute-force top-5 (modulo 1e-6 cosine-rounding ties),
     proving the assign→probe→rerank plumbing loses nothing."""
+    from mqtt_influx_storage_service_spark.sources.tables import (
+        table_row_count,
+    )
+
     truth = _topk_sets(similarity.sim_cosine_topk(spark, sf_dir).collect())
+    # nprobe = the ACTUAL list count for this fixture, not the IVF_K
+    # floor: on any fixture above IVF_K*IVF_TARGET_LIST vectors a
+    # literal IVF_K would silently stop probing all lists (ADVICE r9)
+    k_lists = mlops._ivf_k(table_row_count(sf_dir, "embeddings"))
     got = _topk_sets(
-        mlops.sim_ann_ivf(spark, sf_dir, nprobe=mlops.IVF_K).collect()
+        mlops.sim_ann_ivf(spark, sf_dir, nprobe=k_lists).collect()
     )
     assert set(got) == set(truth)
     hits = sum(len(truth[q] & got[q]) for q in truth)

@@ -238,13 +238,14 @@ def test_dup_edge_plan_single_trim_window_no_subtree_duplication(spark, sf_dir):
     try:
         plan = _dup_edges(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Window ") <= 2, plan
-        # the shingle self-join appears ONCE (one explode per join
-        # side): the two symmetrizations are explodes (row
+        # the shingle explode appears ONCE (the df-capped candidate
+        # stage; the verify step reads the shingle ARRAYS, no second
+        # explode): the two symmetrizations are explodes (row
         # duplication), so the expensive jaccard subtree is not copied
         # into the plan. (the single legitimate Union is jac ∪ exact —
         # two DIFFERENT legs, one evaluation each; a self-union
         # formulation measured 4 copies / 6 Window nodes here.)
-        assert plan.count("explode(shingles") == 2, plan
+        assert plan.count("explode(shingles") == 1, plan
     finally:
         release_shingles(spark)
 

@@ -112,6 +112,46 @@ def _stream_multiset(rel) -> tuple[int, int, list[str]]:
     return acc[0], acc[1], columns
 
 
+def _chunked_mismatch_detail(
+    con, s_src: str, d_src: str, cols: list[str]
+) -> list[str]:
+    """Bounded diagnostic for a chunked-mode hash mismatch (ADVICE r9):
+    the bare 'multiset hash mismatch' line gave zero signal about
+    WHETHER values were wrong or the hash canonicalization was brittle
+    — the distinction this tool's header promises. An EXCEPT ALL
+    anti-join of the two sides (floats rounded to the hash's own 6dp),
+    LIMITed to a few rows per direction, reports the offending rows;
+    if both anti-joins come back empty the values agree at tolerance
+    and the mismatch is canonicalization, not wrongness. DuckDB's
+    EXCEPT ALL hashes and spills, so this stays bounded on any result
+    size; only the LIMITed sample is materialized."""
+    types = {
+        r["column_name"]: str(r["column_type"]).upper()
+        for _, r in con.cursor().sql(f"DESCRIBE {s_src}").df().iterrows()
+    }
+    items = ", ".join(
+        (f'round("{c}", 6) AS "{c}"'
+         if types.get(c, "") in ("DOUBLE", "FLOAT", "REAL") else f'"{c}"')
+        for c in cols
+    )
+    out = []
+    for label, left, right in (
+        ("spark-only", s_src, d_src),
+        ("oracle-only", d_src, s_src),
+    ):
+        sample = con.cursor().sql(
+            f"SELECT {items} FROM ({left}) "
+            f"EXCEPT ALL SELECT {items} FROM ({right}) LIMIT 4"
+        ).df()
+        if len(sample):
+            out.append(f"{label} rows (floats@6dp): "
+                       f"{sample.to_dict('records')}")
+    if not out:
+        out.append("values agree at 6dp in both directions — hash "
+                   "canonicalization brittleness, not wrong values")
+    return out
+
+
 def compare_chunked(name: str, sdf, oracle: str, con) -> list[str]:
     """maxResultSize-proof compare: Spark result lands as parquet via a
     distributed write; both sides stream through DuckDB in chunks into a
@@ -119,21 +159,24 @@ def compare_chunked(name: str, sdf, oracle: str, con) -> list[str]:
     tmp = tempfile.mkdtemp(prefix=f"oracle_{name}_")
     try:
         sdf.write.mode("overwrite").parquet(f"{tmp}/spark_result")
-        scon = con.cursor()
-        s_rel = scon.sql(
-            f"SELECT * FROM read_parquet('{tmp}/spark_result/*.parquet')")
+        s_src = f"SELECT * FROM read_parquet('{tmp}/spark_result/*.parquet')"
+        s_rel = con.cursor().sql(s_src)
         s_n, s_h, s_cols = _stream_multiset(s_rel)
         d_rel = con.cursor().sql(oracle)
         d_n, d_h, d_cols = _stream_multiset(d_rel)
+        problems = []
+        if s_n != d_n:
+            problems.append(f"rowcount spark={s_n} duck={d_n}")
+        if s_cols != d_cols:
+            problems.append(f"columns spark={s_cols} duck={d_cols}")
+        if not problems and s_h != d_h:
+            problems.append("multiset hash mismatch (chunked mode)")
+            # the parquet result is still on disk here — diagnose
+            # before the finally-cleanup removes it
+            problems.extend(
+                _chunked_mismatch_detail(con, s_src, oracle, s_cols))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    problems = []
-    if s_n != d_n:
-        problems.append(f"rowcount spark={s_n} duck={d_n}")
-    if s_cols != d_cols:
-        problems.append(f"columns spark={s_cols} duck={d_cols}")
-    if not problems and s_h != d_h:
-        problems.append("multiset hash mismatch (chunked mode)")
     return problems
 
 
@@ -183,6 +226,26 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def _is_result_size_error(exc: Exception) -> bool:
+    """True only for Spark's driver-result-size refusal. Prefer the
+    typed error condition (PySpark 4 surfaces it via getCondition /
+    getErrorClass on captured exceptions); the TaskSetManager abort
+    that enforces spark.driver.maxResultSize is a legacy SparkException
+    WITHOUT a condition, so fall back to matching the CONFIG KEY in the
+    message — a deliberately narrower token than the old 'maxResultSize'
+    substring (ADVICE r9)."""
+    for attr in ("getCondition", "getErrorClass"):
+        g = getattr(exc, attr, None)
+        if callable(g):
+            try:
+                cond = g()
+            except Exception:  # noqa: BLE001 - diagnostics only
+                cond = None
+            if cond:
+                return "RESULT_SIZE" in str(cond).upper()
+    return "spark.driver.maxResultSize" in str(exc)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
@@ -220,12 +283,16 @@ def main() -> int:
             try:
                 spark_pdf = sdf.toPandas()
             except Exception as exc:
-                if "maxResultSize" not in str(exc) and name in oracles:
+                # Only a RESULT-SIZE error may fall through to the
+                # never-collects paths below; any other toPandas
+                # failure is a genuine defect and must FAIL — for
+                # no-oracle queries too, where the old substring check
+                # silently converted it into a rows-only pass
+                # (ADVICE r9).
+                if not _is_result_size_error(exc):
                     print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
                     n_fail += 1
                     continue
-                # result too big for a driver collect — the chunked
-                # path below never collects, so fall through.
         if spark_pdf is not None and name not in oracles:
             print(f"rows {name}: {len(spark_pdf)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
