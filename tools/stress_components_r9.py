@@ -106,7 +106,9 @@ def main() -> int:
     if os.path.exists(OUT):
         with open(OUT) as fh:
             results = json.load(fh)
-    results["components_fix"] = row
+    # merge, don't replace: cap_recall_10x and other ad-hoc evidence
+    # keys recorded under components_fix must survive a re-run
+    results["components_fix"] = {**results.get("components_fix", {}), **row}
     with open(OUT, "w") as fh:
         json.dump(results, fh, indent=1, sort_keys=True)
     print(json.dumps(row, indent=1))
