@@ -55,6 +55,12 @@ _PRIORITY = [
     "pipeline_token_budget",
     "pipeline_epochs",
     "pipeline_dedup_mix",
+    # late-r9 broadcast-census fixes (corpus-sized static broadcasts
+    # pinned to shuffle-hash) — plans changed, so their newest driver
+    # rows (r8/r5) predate the plan; re-certify:
+    "text_langid_ngram",
+    "mm_contrastive_pairs",
+    "sim_threshold_pairs",
     # the full r4-green cohort (21 entries; the r8 comment queued 16 —
     # the other 5 r4 rows are iq_fill_previous, iq_regex_union,
     # sim_hybrid_rrf, sim_knn_exact, sim_range_search): after this
@@ -101,11 +107,13 @@ _PRIORITY = [
     "ref_topic_parse",
     "rel_merge_join",
     "rel_set_ops",
-    "sim_ann_lsh",
-    "sim_cosine_topk",
-    "sim_knn_graph",
+    # (sim_ann_lsh / sim_cosine_topk / sim_knn_graph were the last
+    # three r5 fillers here; displaced to the r10 queue by the three
+    # census-fix entries above — they hold r5-green rows, so the
+    # "no entry older than r5" goal is unaffected)
     # ---- slot 50 boundary. r10 ROTATION QUEUE (front-load next
-    # round): the remaining 20 r5-green entries —
+    # round): sim_ann_lsh, sim_cosine_topk, sim_knn_graph, then the
+    # remaining 20 r5-green entries —
     # sim_label_centroid, sim_label_trimmed_norm, sim_threshold_pairs, text_boilerplate,
     # text_contamination, text_fingerprint, text_langid, text_quality,
     # text_regex_tokens, text_tfidf_top, text_token_stats, text_word_freq,

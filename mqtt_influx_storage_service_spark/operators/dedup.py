@@ -649,9 +649,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized tables; at 100 TB the subgraph (nodes touched by near-dup
     pairs) is orders of magnitude smaller than the corpus, and the
     corpus itself is touched exactly twice: once to build edges, once
-    in the final broadcast-joined assignment. The whole query stays a
-    single lazy plan — no driver-side convergence loop, no eager
-    action (the verdict's laziness contract).
+    in the final assignment join. The whole query stays a single lazy
+    plan — no driver-side convergence loop, no eager action (the
+    verdict's laziness contract).
+
+    The assignment joins are pinned SHUFFLE_HASH with the label/size
+    tables as build side (r9 broadcast census): the earlier explicit
+    ``F.broadcast(labels)`` assumed labels stay broadcast-small, but
+    labels has one row per dup-SUBGRAPH NODE — on a dup-heavy corpus
+    (30%+ duplication is normal for crawl data) that is corpus-scale
+    and a static broadcast is the same driver-kill class the shingle
+    verify had. SHJ keeps the build side per-partition-bounded at any
+    scale and costs one corpus shuffle on doc_id, which is the honest
+    price of attaching a per-doc label.
     """
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     labels = _component_labels(spark, sf_dir)
@@ -659,11 +669,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_sz")
     ).withColumnRenamed("label", "component_id")
     assigned = docs.select("doc_id").join(
-        F.broadcast(labels), "doc_id", "left_outer"
+        labels.hint("shuffle_hash"), "doc_id", "left_outer"
     ).select(
         "doc_id", F.coalesce("label", "doc_id").alias("component_id")
     )
-    return assigned.join(F.broadcast(sizes), "component_id", "left_outer").select(
+    return assigned.join(
+        sizes.hint("shuffle_hash"), "component_id", "left_outer"
+    ).select(
         "doc_id",
         "component_id",
         F.coalesce("_sz", F.lit(1)).alias("component_size"),

@@ -635,9 +635,14 @@ def mm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "k", "caption_doc_id")
     )
+    # the caption fetch shuffles BOTH sides on caption_doc_id with the
+    # narrow caps projection as the shuffle-hash build (r9 broadcast
+    # census: left alone, Catalyst statically broadcast the
+    # corpus-sized caps relation — the docstring's 'corpus shuffles
+    # once' contract, now pinned instead of assumed)
     return (
         pos.unionByName(neg)
-        .join(caps, "caption_doc_id")
+        .join(caps.hint("shuffle_hash"), "caption_doc_id")
         .select(
             "doc_id",
             "k",

@@ -61,8 +61,12 @@ def _curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         langid_pred_expr().alias("predicted_lang"),
     )
     labels = _component_labels(spark, sf_dir)
+    # shuffle-hash, labels as build side (r9 broadcast census): labels
+    # is dup-subgraph-node-sized — corpus-scale on dup-heavy corpora —
+    # so a forced broadcast is the shingle-verify driver-kill class;
+    # see dedup_components' assignment join for the full argument
     return (
-        feats.join(F.broadcast(labels), "doc_id", "left_outer")
+        feats.join(labels.hint("shuffle_hash"), "doc_id", "left_outer")
         .filter(F.coalesce("label", "doc_id") == F.col("doc_id"))
         .filter(F.col("quality_score") >= QUALITY_KEEP_THRESHOLD)
         .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
@@ -1091,8 +1095,13 @@ def pipeline_dedup_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
     )
     rep = F.col("is_representative")
+    # both sides are corpus-sized; the narrow (doc_id, lang, n_tokens)
+    # projection is the pinned shuffle-hash build side — Catalyst's
+    # static stats otherwise put the docs subtree (with the text
+    # column evaluation) into a corpus-sized static BroadcastExchange
+    # (r9 broadcast census)
     return (
-        t.join(comp, "doc_id")
+        t.hint("shuffle_hash").join(comp, "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("docs_total"),

@@ -569,9 +569,14 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _gemm_threshold_pairs(spark, sf_dir, SIM_THRESHOLD)
     la = labels.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"))
     lb = labels.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"))
+    # label attach is shuffle-hash with the (vec_id, label) projection
+    # as build side, NOT broadcast (r9 broadcast census): the label
+    # table is corpus-sized — one row per vector — and a forced
+    # broadcast of it is the static-BroadcastExchange driver-kill
+    # class at real scale; SHJ keeps the build per-partition-bounded
     return (
-        pairs.join(F.broadcast(la), "id_a")
-        .join(F.broadcast(lb), "id_b")
+        pairs.join(la.hint("shuffle_hash"), "id_a")
+        .join(lb.hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b", "cosine", "label_a", "label_b")
     )
 

@@ -340,8 +340,12 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     tf = grams.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    # the (doc_id, lang) projection is corpus-sized: pinned as the
+    # shuffle-hash build side here and in the final assignment below —
+    # Catalyst's static stats otherwise put it into a corpus-sized
+    # static BroadcastExchange (r9 broadcast census)
     cnt = (
-        tf.join(docs.select("doc_id", "lang"), "doc_id")
+        tf.join(docs.select("doc_id", "lang").hint("shuffle_hash"), "doc_id")
         .groupBy("lang", "bucket")
         .agg(F.sum("tf").alias("n_lb"))
     )
@@ -385,6 +389,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.select("doc_id", "lang")
+        .hint("shuffle_hash")
         .join(best, "doc_id")
         .select("doc_id", "lang", "predicted_lang", "score6")
     )
