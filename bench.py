@@ -145,6 +145,11 @@ def main() -> int:
                 "sim_ann_ivf",
                 "dedup_substring_scrub",
                 "pipeline_dsir_resample",
+                # r9: the capped-candidate rework gave these the same
+                # first-touch bucket-aggregation shape (258%/90%
+                # min-of-5 spreads on a wobbly box without warm-up)
+                "dedup_ngram_jaccard",
+                "dedup_containment",
             ):
                 # one DISCARDED warm rep: these showed >148% min-max
                 # spreads at sf0.1 (VERDICT r6 #5 / r8 residue),
