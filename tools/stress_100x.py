@@ -44,7 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/tmp/spark_graft_100x"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "STRESS_r08.json")
+                   "STRESS_r09.json")
 SRC = "/root/testdata/sf0.1"
 DEPTH = 10  # near-dup group depth, constant across scales
 
