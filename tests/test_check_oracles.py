@@ -88,19 +88,26 @@ def test_compare_chunked_end_to_end(spark, tmp_path):
 
 
 def test_compare_chunked_tolerance_diagnostic(spark):
-    """A sub-1e-6 float divergence trips the 6dp multiset hash only at
-    the rounding boundary; when the EXCEPT ALL anti-joins at 6dp come
-    back EMPTY the tool must say 'canonicalization brittleness', not
-    leave a bare mismatch (the header's hash-brittleness-vs-wrong-values
-    promise, restored for chunked mode)."""
+    """A decimal-midpoint float pair that DETERMINISTICALLY trips the
+    6dp multiset hash while agreeing under DuckDB's round(v, 6)
+    (ADVICE r9: the old fixture only tripped 'on some platforms', so
+    the assertion was vacuously skippable): 0.1234565 stores as
+    0.12345649999..., so Python's %.6f formats it '0.123456', while
+    0.12345650000001 formats '0.123457' — hash mismatch guaranteed —
+    yet DuckDB round()s BOTH to 0.123457, so the EXCEPT ALL anti-joins
+    at 6dp come back empty and the tool must say 'canonicalization
+    brittleness', not leave a bare mismatch (the header's
+    hash-brittleness-vs-wrong-values promise, for chunked mode)."""
     con = duckdb.connect()
     # a real table, not register(): compare_chunked reads through
     # cursors, which do not see replacement-scan registrations
-    con.execute("CREATE TABLE probe AS SELECT 0.1234565::DOUBLE AS v")
-    # DuckDB's round() half-up vs the hash's %.6f formatting of the
-    # stored double can disagree exactly at a decimal midpoint; both
-    # sides here agree at 6dp, so the diagnostic must classify it
-    sdf = spark.createDataFrame([(0.12345650000001,)], "v double")
+    con.execute("CREATE TABLE probe AS SELECT 0.12345650000001::DOUBLE AS v")
+    # precondition of the fixture, asserted rather than hoped (the
+    # hash formats %.6f; the diagnostic rounds at 6dp):
+    assert f"{0.1234565:.6f}" != f"{0.12345650000001:.6f}"
+    assert (con.execute("SELECT round(0.1234565::DOUBLE, 6) = "
+                        "round(0.12345650000001::DOUBLE, 6)").fetchone()[0])
+    sdf = spark.createDataFrame([(0.1234565,)], "v double")
     out = compare_chunked("t", sdf, "SELECT v FROM probe", con)
-    if out:  # only if the hash actually tripped on this platform
-        assert any("canonicalization" in p or "-only" in p for p in out), out
+    assert out, "the midpoint pair must trip the 6dp multiset hash"
+    assert any("canonicalization" in p for p in out), out

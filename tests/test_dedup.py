@@ -98,12 +98,15 @@ def test_shingle_df_cap_bounds_pair_stage_keeps_exactness(spark, tmp_path):
     one shared vocabulary spans 120 docs (every one of its shingles has
     df=120, over SHINGLE_DF_CAP — at 100x this Σ c(s)² pair stage
     killed the SparkContext) plus near-dup pairs that ALSO carry
-    pair-unique shingles. The df cap must (a) skip the over-cap
-    shingles before any pair is generated — visible via
-    jaccard_hot_shingles, never silent — and (b) still find every pair
-    that shares at least one under-cap shingle, with EXACT jaccard
-    (the verify step intersects the FULL arrays, over-cap shingles
-    included)."""
+    pair-unique shingles. The df cap must (a) surface the over-cap
+    shingles via jaccard_hot_shingles — never silent — (b) still find
+    every pair that shares at least one under-cap shingle, with EXACT
+    jaccard (the verify step intersects the FULL arrays, over-cap
+    shingles included), and (c — r10 rescue tier) recover pairs
+    bridged ONLY by over-cap shingles through the bounded hash-sample:
+    the 120 identical boilerplate docs share >= 2 over-cap shingles,
+    so the sampled buckets rescue (a bounded subset of) their true-dup
+    pairs instead of the r9 behavior of dropping all 7140."""
     from mqtt_influx_storage_service_spark.operators.dedup import (
         SHINGLE_DF_CAP,
         dedup_ngram_jaccard,
@@ -127,16 +130,73 @@ def test_shingle_df_cap_bounds_pair_stage_keeps_exactness(spark, tmp_path):
         hot = jaccard_hot_shingles(spark, sf).collect()
         assert len(hot) > 0 and all(r.df >= 120 for r in hot)
         got = {(r.doc_a, r.doc_b): r for r in dedup_ngram_jaccard(spark, sf).collect()}
-        # the 120-member pure-boilerplate cluster shares ONLY over-cap
-        # shingles -> contributes none of its C(120,2)=7140 pairs; the
-        # tailed pair survives through its under-cap tail shingles
-        assert set(got) == {(200, 201)}
+        # under-cap tier unchanged: the tailed pair survives through
+        # its under-cap tail shingles with exact jaccard (n_inter
+        # counts the over-cap boilerplate shingles as well: 38 boiler
+        # + 3 bridge + 8 tail shared 3-shingles)
+        assert (200, 201) in got
         r = got[(200, 201)]
-        # exactness: n_inter counts the over-cap boilerplate shingles
-        # as well (38 boiler + 3 bridge + 8 tail shared 3-shingles)
         assert r.n_inter > 40, r
         assert r.jaccard > 0.9, r
+        # rescue tier: the pure-boilerplate docs (identical text,
+        # jaccard 1.0, bridged ONLY by over-cap shingles — the r9 plan
+        # lost all of them) contribute pairs again, every one verified
+        # exact; volume stays bounded by C(CAP+1, 2) per bucket
+        rescued = {p for p in got if p != (200, 201)}
+        assert len(rescued) > 0, "rescue tier recovered nothing"
+        # pure-boilerplate pairs are identical docs: exact verify must
+        # report jaccard 1.0; boiler x tailed-doc pairs are genuine
+        # near-dups at 38/48 (vs 200) or 38/49 (vs 201)
+        legal = {1.0, round(38 / 48, 6), round(38 / 49, 6)}
+        assert all(
+            got[p].jaccard
+            == (1.0 if p[1] < 200 else round(38 / (48 + p[1] - 200), 6))
+            for p in rescued
+        ) and {got[p].jaccard for p in rescued} <= legal, sorted(rescued)[:5]
         assert SHINGLE_DF_CAP < 120
+    finally:
+        release_shingles(spark)
+
+
+def test_rescue_tier_cooc_gate(spark, tmp_path):
+    """The r10 rescue tier's two contracts, deterministically:
+
+    (a) a pair bridged by >= RESCUE_COOC_MIN over-cap shingle buckets
+    IS a candidate — with df = SHINGLE_DF_CAP + 1 the 'sample' keeps
+    every member (rank <= CAP+1), so no hash luck is involved;
+    (b) a pair whose ONLY bridge is a single over-cap bucket is NOT
+    (the co-occurrence gate: one shared boilerplate phrase between
+    otherwise-unrelated docs is a coincidence, not a near-dup signal).
+    """
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        RESCUE_COOC_MIN,
+        SHINGLE_DF_CAP,
+        _shingle_candidates,
+        release_shingles,
+    )
+
+    assert RESCUE_COOC_MIN == 2  # the fixture encodes exactly this gate
+    n = SHINGLE_DF_CAP + 1  # every bucket JUST over cap: sample == all
+    # Two 3-word bridge phrases. Docs 0 and 1 carry BOTH (their filler
+    # words differ, so the two bridge 3-shingles are their ONLY shared
+    # shingles -> cooc = 2 -> rescued). Padding docs give each bridge
+    # shingle df = n = CAP+1 (over cap, but the rank<=CAP+1 sample
+    # keeps every member — no hash luck, fully deterministic); any two
+    # padding docs of the same family share EXACTLY one over-cap
+    # shingle -> cooc = 1 -> gated out.
+    rows = [
+        (0, "h1 h2 h3 m0a m0b k1 k2 k3"),
+        (1, "h1 h2 h3 m1a m1b k1 k2 k3"),
+    ]
+    rows += [(i, f"h1 h2 h3 p{i}a p{i}b p{i}c") for i in range(2, n)]
+    rows += [(1000 + j, f"k1 k2 k3 w{j}a w{j}b w{j}c") for j in range(n - 2)]
+    sf = str(tmp_path / "coocgate")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(4).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    try:
+        cand = {(r.doc_a, r.doc_b) for r in _shingle_candidates(spark, sf).collect()}
+        assert cand == {(0, 1)}, sorted(cand)[:10]
     finally:
         release_shingles(spark)
 

@@ -257,8 +257,9 @@ def test_dup_edge_plan_single_trim_window_no_subtree_duplication(spark, sf_dir):
     evaluation of the jaccard subtree: rank + whole-partition min share
     a (partitionBy, orderBy) so Catalyst folds them into a single
     WindowExec, and both symmetrizations are explodes (row duplication)
-    rather than self-unions (subtree duplication). 2 Window nodes
-    total: the exact-dup rep window + the trim window."""
+    rather than self-unions (subtree duplication). 3 Window nodes
+    total: the candidate-stage rank window (r10 rescue tier) + the
+    exact-dup rep window + the trim window."""
     from mqtt_influx_storage_service_spark.operators.dedup import (
         _dup_edges,
         release_shingles,
@@ -266,7 +267,7 @@ def test_dup_edge_plan_single_trim_window_no_subtree_duplication(spark, sf_dir):
 
     try:
         plan = _dup_edges(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Window ") <= 2, plan
+        assert plan.count("Window ") <= 3, plan
         # the shingle explode appears ONCE (the df-capped candidate
         # stage; the verify step reads the shingle ARRAYS, no second
         # explode): the two symmetrizations are explodes (row
@@ -275,6 +276,39 @@ def test_dup_edge_plan_single_trim_window_no_subtree_duplication(spark, sf_dir):
         # two DIFFERENT legs, one evaluation each; a self-union
         # formulation measured 4 copies / 6 Window nodes here.)
         assert plan.count("explode(shingles") == 1, plan
+    finally:
+        release_shingles(spark)
+
+
+def test_shingle_candidate_plan_group_limit_two_exchanges(spark, sf_dir):
+    """The r10 rescue-tier candidate stage's scale contract, pinned:
+
+    - the rank <= CAP+1 filter is pushed INTO the window as a
+      WindowGroupLimit (partial + final), so an over-cap bucket is
+      truncated to its 65 smallest-by-hash members on the MAP side —
+      no unbounded collect_list buffer and no over-cap bucket ever
+      crosses the wire whole (ADVICE r9: the collect_list
+      materialization hazard);
+    - exactly TWO hash exchanges end-to-end (shingle, pair): the
+      bucket collect reuses the window's shingle partitioning, and the
+      pair gate aggregates with map-side partials;
+    - no BroadcastExchange anywhere (corpus-sized relations must never
+      ride a static broadcast — the r9 census class)."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        _shingle_candidates,
+        release_shingles,
+    )
+
+    try:
+        plan = (
+            _shingle_candidates(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("WindowGroupLimit") == 2, plan  # partial + final
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "BroadcastExchange" not in plan, plan
+        # map-side partial gate aggregation before the pair exchange
+        assert "partial_max(under_cap" in plan, plan
     finally:
         release_shingles(spark)
 

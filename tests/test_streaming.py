@@ -249,6 +249,31 @@ def test_wide_view_pivot(spark):
     rows = {r["device_id"]: r for r in wide.collect()}
     assert rows["d1"]["temp"] == 1.5 and rows["d1"]["hum"] == 40.0
     assert rows["d2"]["temp"] == 2.5 and rows["d2"]["hum"] is None
+    # explicit fields skip the probe AND bound the schema: unknown
+    # transducers fold away, absent ones yield all-null columns
+    narrow = st.wide_view(pts, fields=["temp", "co2"])
+    assert set(narrow.columns) == {"device_id", "ts", "temp", "co2"}
+    got = {r["device_id"]: r for r in narrow.collect()}
+    assert got["d1"]["temp"] == 1.5 and got["d1"]["co2"] is None
+
+
+def test_wide_view_refuses_unbounded_pivot(spark, monkeypatch):
+    """VERDICT r9 #3: the dynamic pivot's distinct probe is CAPPED —
+    above WIDE_VIEW_MAX_FIELDS wide_view must refuse with the catalog
+    pointer (the _bounded_index idiom) instead of minting one driver
+    column per transducer. Capped probe = limit(MAX+1), so the scan
+    stops early rather than counting the universe."""
+    import pytest
+
+    monkeypatch.setattr(st.ingest, "WIDE_VIEW_MAX_FIELDS", 5)
+    pts = spark.createDataFrame(
+        [("d1", f"t{i}", float(i)) for i in range(10)],
+        "device_id string, transducer string, value_double double",
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    with pytest.raises(ValueError, match="series catalog"):
+        st.wide_view(pts)
+    # explicit fields remain the sanctioned route at any cardinality
+    assert st.wide_view(pts, fields=["t1", "t2"]).count() == 1
 
 
 def test_split_malformed_quarantine(spark):

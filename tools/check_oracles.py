@@ -266,7 +266,28 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
+    # The shingle-df-capped family's oracles are UNCAPPED SQL: equality
+    # holds exactly when the fixture has no over-cap blocking shingle
+    # (then the cap and rescue tier are provably no-ops). Assert that
+    # precondition HERE instead of trusting it (ADVICE r9) — on a
+    # cap-engaged corpus these hashes would be conditional, not wrong.
+    _CAP_FAMILY = {"dedup_ngram_jaccard", "dedup_containment",
+                   "dedup_components", "pipeline_dedup_mix"}
     n_pass = n_fail = n_rows_only = 0
+    if _CAP_FAMILY & set(names):
+        from mqtt_influx_storage_service_spark.operators.dedup import (
+            jaccard_hot_shingles,
+        )
+        n_hot = jaccard_hot_shingles(spark, args.sf).count()
+        if n_hot:
+            skipped = sorted(_CAP_FAMILY & set(names))
+            print(f"FAIL precondition: {n_hot} over-cap shingles at "
+                  f"{args.sf} — the uncapped oracle SQL is not comparable "
+                  "to the capped/rescued plan on this corpus; use a "
+                  f"fixture with max shingle df <= SHINGLE_DF_CAP "
+                  f"(skipping {skipped})")
+            n_fail += len(skipped)
+            names = [n for n in names if n not in _CAP_FAMILY]
     for name in names:
         if name not in qs:
             print(f"?? {name}: not in queries()")
