@@ -41,87 +41,82 @@ from . import (
 # tools/check_oracles.py runs the FULL registry regardless — the
 # prefix only bounds what the driver re-certifies per round.
 _PRIORITY = [
-    # ---- r9 ROTATION (VERDICT r8 "Next round" #1-2). Slots 1-7: the
-    # entries whose PLAN changed in r9 (the SHINGLE_DF_CAP candidate
-    # stage under _jaccard_pairs/dedup_containment and the labels
-    # subtree that inherits it) — output-identical at fixture scale
-    # (max shingle df 7/25 vs cap 64; re-verified locally at sf0.01
-    # AND sf0.1) but the hash must be re-certified under the new plan,
-    # exactly like ts_holt_winters in r8.
+    # ---- r10 ROTATION (VERDICT r9 "Next round" #1-2). Slots 1-4: the
+    # entries whose PLAN changed in r10 (the rescue tier in
+    # _shingle_candidates under _jaccard_pairs/dedup_containment/
+    # dedup_components, inherited by pipeline_dedup_mix) —
+    # output-identical at fixture scale (no over-cap shingles, the
+    # precondition check_oracles now ASSERTS) but the hash must be
+    # re-certified under the new plan.
     "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_containment",
-    "pipeline_training_mix",
-    "pipeline_token_budget",
-    "pipeline_epochs",
     "pipeline_dedup_mix",
-    # late-r9 broadcast-census fixes (corpus-sized static broadcasts
-    # pinned to shuffle-hash) — plans changed, so their newest driver
-    # rows (r8/r5) predate the plan; re-certify:
-    "text_langid_ngram",
-    "mm_contrastive_pairs",
-    "sim_threshold_pairs",
-    # the full r4-green cohort (21 entries; the r8 comment queued 16 —
-    # the other 5 r4 rows are iq_fill_previous, iq_regex_union,
-    # sim_hybrid_rrf, sim_knn_exact, sim_range_search): after this
-    # round NO entry's newest driver row is older than r5.
-    "emb_quantize_int8",
-    "iq_fill_previous",
-    "iq_lineitem_profile",
-    "iq_mean_by_day",
-    "iq_now_relative",
-    "iq_percentile_weekly",
-    "iq_raw_select",
-    "iq_regex_union",
-    "iq_selectors",
-    "iq_show_series",
-    "iq_subquery_rollup",
-    "iq_top_points",
-    "rel_revenue_threshold",
-    "rel_sales_opportunity",
-    "rel_top_supplier",
-    "rel_waiting_supplier",
-    "sim_centroid_assign",
-    "sim_hybrid_rrf",
-    "sim_knn_exact",
-    "sim_mmr",
-    "sim_range_search",
-    # oldest-r5 filler (alphabetical; 22 of the 42-strong r5 cohort)
-    # up to the 50-slot boundary.
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_passage",
-    "dedup_simhash",
-    "iq_elapsed",
-    "iq_holt_winters",
-    "iq_holt_winters_seasonal",
-    "iq_sample",
-    "mm_extract_features",
-    "mm_frame_sample",
-    "mm_manifest",
-    "pipeline_pack_sequences",
-    "pipeline_stratified_sample",
-    "ref_payload_coercion",
-    "ref_registry_filter",
-    "ref_topic_parse",
-    "rel_merge_join",
-    "rel_set_ops",
-    # (sim_ann_lsh / sim_cosine_topk / sim_knn_graph were the last
-    # three r5 fillers here; displaced to the r10 queue by the three
-    # census-fix entries above — they hold r5-green rows, so the
-    # "no entry older than r5" goal is unaffected)
-    # ---- slot 50 boundary. r10 ROTATION QUEUE (front-load next
-    # round): sim_ann_lsh, sim_cosine_topk, sim_knn_graph, then the
-    # remaining 20 r5-green entries —
-    # sim_label_centroid, sim_label_trimmed_norm, sim_threshold_pairs, text_boilerplate,
-    # text_contamination, text_fingerprint, text_langid, text_quality,
-    # text_regex_tokens, text_tfidf_top, text_token_stats, text_word_freq,
-    # ts_holt_winters_seasonal, win_cube, win_monthly_revenue, win_ntile_customers,
-    # win_percentiles, win_rollup, win_topk_per_group, win_value_frames
-    # — then the oldest remaining r6 rows as filler. Rows-only-by-
-    # nature entries (dedup_minhash_ml, sim_ann_brp, sim_ann_ivf,
-    # sim_ann_ivf_pq, rel_sketches, dedup_semantic_ivf,
+    # the full r5-green cohort (22 entries, VERDICT r9 #2's list):
+    # after this round NO entry's newest driver row is older than r6.
+    "sim_ann_lsh",
+    "sim_cosine_topk",
+    "sim_knn_graph",
+    "sim_label_centroid",
+    "sim_label_trimmed_norm",
+    "text_boilerplate",
+    "text_contamination",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_regex_tokens",
+    "text_tfidf_top",
+    "text_token_stats",
+    "text_word_freq",
+    "ts_holt_winters_seasonal",
+    "win_cube",
+    "win_monthly_revenue",
+    "win_ntile_customers",
+    "win_percentiles",
+    "win_rollup",
+    "win_topk_per_group",
+    "win_value_frames",
+    # r6-cohort filler to the 50-slot boundary: first the six entries
+    # adjacent to this round's dedup-tier changes, then alphabetical.
+    "dedup_semantic",
+    "dedup_substring",
+    "dedup_substring_spans",
+    "dedup_threshold_sweep",
+    "mm_dedup_payload",
+    "mm_dedup_perceptual",
+    "iq_agg_arithmetic",
+    "iq_bucket_offset",
+    "iq_derivative_daily",
+    "iq_distinct",
+    "iq_fill_slimit",
+    "iq_integral",
+    "iq_limit_offset",
+    "iq_limit_per_series",
+    "iq_nonneg_derivative",
+    "iq_raw_derivative",
+    "iq_raw_grouped",
+    "iq_raw_nonneg",
+    "iq_raw_running",
+    "iq_raw_series",
+    "iq_scalar_math",
+    "iq_selector_bare",
+    "iq_selector_mixed",
+    "iq_slimit",
+    # (rel_range_join's lone r1 row belongs to the RETIRED broadcast-
+    # BNLJ form; its successor rel_range_join_banded — identical rows,
+    # banded equi-join plan — holds an r7-green row, so nothing stale
+    # hides behind the rename.)
+    # ---- slot 50 boundary. r11 ROTATION QUEUE (front-load next
+    # round): the remaining r6-green rows —
+    # iq_soffset, iq_tag_regex, iq_transform_nested, iq_tz, pipeline_domain_quota, pipeline_shard_plan,
+    # pipeline_temperature_mix, ref_narrow_points, ref_registry_cdc,
+    # ref_transducer_create, rel_pricing_summary, rel_region_revenue,
+    # rel_shipping_priority, rel_small_qty_revenue, rel_topk_orders,
+    # text_entropy, ts_availability, ts_bucket_agg, ts_burn_rate,
+    # ts_cross_series_join, ts_device_wide, ts_histogram_quantile,
+    # ts_last_value, ts_series_scan — then r7 rows as filler.
+    # Rows-only-by-nature entries (dedup_minhash_ml, sim_ann_brp,
+    # sim_ann_ivf, sim_ann_ivf_pq, rel_sketches, dedup_semantic_ivf,
     # pipeline_quality_prune_approx) stay OUT of the prefix: a slot
     # spent on them can never go hash-green.
 ]

@@ -409,12 +409,51 @@ IVF_PAIR_PROBES = 2
 IVF_TARGET_LIST = 2048
 
 
+# Hot-list split discipline for the symmetric pair tier (VERDICT r9
+# #5): per-list GEMM work is Σ list², so ONE oversized Lloyd list
+# dominates the whole budget (measured at the 100x stress corpus:
+# max_list 13,557 vs mean ~2k — that single list carried ~45% of
+# Σ list²). A centroid whose TRAINING-SAMPLE ownership exceeds
+# _LIST_SPLIT_FACTOR x the target share is re-split into
+# ceil(own/target) sub-centroids by Lloyd over its own sample members
+# — all driver-side on the bounded sample (no extra corpus pass), the
+# balanced-kmeans refinement faiss applies for the same reason.
+_LIST_SPLIT_FACTOR = 2.0
+_LIST_SPLIT_ROUNDS = 3
+
+
+def _split_hot_centroids(
+    sample: "np.ndarray", C: "np.ndarray", target_share: float
+) -> "np.ndarray":
+    """Iteratively split centroids owning > _LIST_SPLIT_FACTOR x
+    ``target_share`` sample points until balanced (or the round cap).
+    Deterministic: fixed seeds, ownership from a stable argmin."""
+    from .mlops import _lloyd
+
+    for _ in range(_LIST_SPLIT_ROUNDS):
+        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        counts = np.bincount(a, minlength=len(C))
+        hot = np.flatnonzero(counts > _LIST_SPLIT_FACTOR * target_share)
+        if not len(hot):
+            break
+        kept = [C[j] for j in range(len(C)) if j not in set(hot.tolist())]
+        for j in hot:
+            pts = sample[a == j]
+            k_sub = min(len(pts), max(2, -(-int(counts[j]) // max(1, int(target_share)))))
+            kept.extend(_lloyd(pts, k=k_sub, seed=17 + int(j)))
+        C = np.asarray(kept)
+    return C
+
+
 def _pair_centroids(emb: DataFrame, n_rows: int) -> "np.ndarray":
     """Coarse centroids for symmetric pair generation: deterministic
     strided sample of unit vectors (flat in corpus size, the faiss
-    training regime) → driver-side Lloyd. K scales as n/IVF_TARGET_LIST
-    so list size — and with it per-list GEMM work — stays bounded as
-    the corpus grows."""
+    training regime) → driver-side Lloyd → hot-centroid split
+    (:func:`_split_hot_centroids`) so no single list dominates the
+    Σ list² pair budget. K scales as n/IVF_TARGET_LIST so list size —
+    and with it per-list GEMM work — stays bounded as the corpus
+    grows."""
     from .mlops import IVF_SAMPLE, _lloyd
 
     k = max(8, min(-(-n_rows // IVF_TARGET_LIST), IVF_SAMPLE // 8))
@@ -433,7 +472,11 @@ def _pair_centroids(emb: DataFrame, n_rows: int) -> "np.ndarray":
         .collect()
     )
     sample = np.array([r.unit for r in rows])
-    return _lloyd(sample, k=k)
+    C = _lloyd(sample, k=k)
+    # target sample share of one list = IVF_TARGET_LIST scaled from
+    # corpus rows to sample rows
+    target_share = max(1.0, IVF_TARGET_LIST * len(sample) / max(1, n_rows))
+    return _split_hot_centroids(sample, C, target_share)
 
 
 def _multi_assign_udf(centers: "np.ndarray", probes: int):
