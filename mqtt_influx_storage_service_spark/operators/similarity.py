@@ -423,24 +423,37 @@ _LIST_SPLIT_ROUNDS = 3
 
 
 def _split_hot_centroids(
-    sample: "np.ndarray", C: "np.ndarray", target_share: float
+    sample: "np.ndarray", C: "np.ndarray", target_share: float, probes: int
 ) -> "np.ndarray":
     """Iteratively split centroids owning > _LIST_SPLIT_FACTOR x
     ``target_share`` sample points until balanced (or the round cap).
-    Deterministic: fixed seeds, ownership from a stable argmin."""
+    Ownership counts each sample point toward its top-``probes``
+    centroids — the SAME multi-assignment the corpus gets — so the
+    sample share is an unbiased estimate of the actual list size (a
+    first-choice-only count undercounts hot boundary regions by up to
+    p×). Deterministic: fixed seeds, stable argsort; sub-splits train
+    on first-choice members (each point feeds one Lloyd)."""
     from .mlops import _lloyd
 
     for _ in range(_LIST_SPLIT_ROUNDS):
         d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        a = d2.argmin(axis=1)
-        counts = np.bincount(a, minlength=len(C))
+        p = min(probes, len(C))
+        top = np.argsort(d2, kind="stable", axis=1)[:, :p]
+        counts = np.bincount(top.ravel(), minlength=len(C))
         hot = np.flatnonzero(counts > _LIST_SPLIT_FACTOR * target_share)
         if not len(hot):
             break
+        first = top[:, 0]
         kept = [C[j] for j in range(len(C)) if j not in set(hot.tolist())]
         for j in hot:
-            pts = sample[a == j]
-            k_sub = min(len(pts), max(2, -(-int(counts[j]) // max(1, int(target_share)))))
+            pts = sample[first == j]
+            if len(pts) < 2:
+                kept.append(C[j])
+                continue
+            k_sub = min(
+                len(pts),
+                max(2, -(-int(counts[j]) // max(1, int(target_share)))),
+            )
             kept.extend(_lloyd(pts, k=k_sub, seed=17 + int(j)))
         C = np.asarray(kept)
     return C
@@ -456,7 +469,16 @@ def _pair_centroids(emb: DataFrame, n_rows: int) -> "np.ndarray":
     grows."""
     from .mlops import IVF_SAMPLE, _lloyd
 
-    k = max(8, min(-(-n_rows // IVF_TARGET_LIST), IVF_SAMPLE // 8))
+    # K sized for the MULTI-assigned membership count (each vector
+    # lands in IVF_PAIR_PROBES lists, so p·n memberships must spread
+    # over K lists of ~IVF_TARGET_LIST): the r9 single-assign sizing
+    # delivered mean lists of p x the target — 2x the per-list GEMM
+    # budget the docstring promised (measured: mean 4,000 at the 100x
+    # stress corpus; Σ list² halves under this correction).
+    k = max(
+        8,
+        min(-(-(IVF_PAIR_PROBES * n_rows) // IVF_TARGET_LIST), IVF_SAMPLE // 8),
+    )
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     unit = emb.select(
         F.transform(
@@ -474,9 +496,10 @@ def _pair_centroids(emb: DataFrame, n_rows: int) -> "np.ndarray":
     sample = np.array([r.unit for r in rows])
     C = _lloyd(sample, k=k)
     # target sample share of one list = IVF_TARGET_LIST scaled from
-    # corpus rows to sample rows
+    # corpus rows to sample rows (top-p ownership on both sides, so no
+    # p factor appears: m_j/|sample| estimates list_j/n directly)
     target_share = max(1.0, IVF_TARGET_LIST * len(sample) / max(1, n_rows))
-    return _split_hot_centroids(sample, C, target_share)
+    return _split_hot_centroids(sample, C, target_share, IVF_PAIR_PROBES)
 
 
 def _multi_assign_udf(centers: "np.ndarray", probes: int):

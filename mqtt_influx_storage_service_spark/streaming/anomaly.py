@@ -295,12 +295,18 @@ def start_continuous_rollup(
     table_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Maintain the (day, event_type) rollup incrementally: each
     micro-batch MERGEs its partials into the SnapshotTable (additive
     combine, batch-id idempotent). The materialized continuous
     aggregate of a 100 TB point stream is these few rows — queries hit
-    the snapshot, never the raw history."""
+    the snapshot, never the raw history.
+
+    ``max_files_per_trigger`` bounds each micro-batch's working set —
+    at backlog-catchup scale an unbounded availableNow batch would
+    aggregate the whole history in one trigger, which is exactly the
+    full re-run the partials design exists to avoid."""
     table = SnapshotTable(
         spark, table_path, key_cols=["day", "event_type"], schema=ROLLUP_SCHEMA
     )
@@ -310,7 +316,10 @@ def start_continuous_rollup(
             rollup_partials(batch), batch_id=batch_id, combine=_additive_combine
         )
 
-    stream = spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(source_dir)
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     writer = (
         stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", os.path.join(checkpoint_dir, "rollup"))

@@ -293,12 +293,15 @@ def start_continuous_query(
     table_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> tuple[StreamingQuery, CompiledCQ, SnapshotTable]:
     """Run a CREATE CONTINUOUS QUERY against the event stream at
     ``source_dir``: each micro-batch's partials MERGE into the snapshot
     at ``table_path`` (additive combine, batch-id idempotent →
     exactly-once across restarts). Returns (query, compiled, table);
-    read the aggregate with ``cq_view(compiled, table)``."""
+    read the aggregate with ``cq_view(compiled, table)``.
+    ``max_files_per_trigger`` bounds each micro-batch's working set
+    (backlog catch-up must not become one history-sized trigger)."""
     cc = compile_cq(cq_text)
     table = SnapshotTable(
         spark, table_path, key_cols=cc.key_cols, schema=cq_schema(cc)
@@ -309,7 +312,10 @@ def start_continuous_query(
             cq_partials(cc, batch), batch_id=batch_id, combine=cq_combine(cc)
         )
 
-    stream = spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(source_dir)
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     writer = (
         stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", os.path.join(checkpoint_dir, f"cq_{cc.name}"))

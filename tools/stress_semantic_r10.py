@@ -54,10 +54,15 @@ def main() -> int:
     spark = get_spark("stress_semantic_r10")
     qs = all_queries()
     row: dict = {
-        "fix": "similarity.py::_split_hot_centroids — centroids owning > "
-               "2x the target sample share re-split into ceil(own/target) "
-               "sub-centroids (driver-side, bounded sample); pair-tier "
-               "Σ list² no longer dominated by one hot list",
+        "fix": "similarity.py::_pair_centroids — (a) K now sized for the "
+               "MULTI-assigned membership count (p·n/IVF_TARGET_LIST; the "
+               "old single-assign sizing delivered mean lists of p x the "
+               "2048 target, 2x the per-list GEMM budget), and (b) "
+               "_split_hot_centroids: centroids owning > 2x the target "
+               "sample share (top-p ownership, matching the corpus "
+               "assignment) re-split into ceil(own/target) sub-centroids "
+               "(driver-side, bounded sample); pair-tier Σ list² no longer "
+               "dominated by one hot list",
         "r9_was": {"ratio_100x_over_10x": 9.34, "max_list_100x": 13557},
         "reps": 2,
         "canary_start_sec": round(_canary(spark), 3),
