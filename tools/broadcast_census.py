@@ -23,7 +23,7 @@ and are NOT flagged.
 A flagged entry is a REVIEW item, not automatically a bug — a
 filter-reduced relation can be legitimately broadcastable — but every
 true instance of the r8 kill class shows up here. Results merge into
-STRESS_r09.json under "broadcast_census_100x".
+the CURRENT round's stress artifact under "broadcast_census_100x".
 
 Usage: python tools/broadcast_census.py
 """
@@ -38,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/tmp/spark_graft_100x/f100"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "STRESS_r09.json")
+                   "STRESS_r10.json")
 
 FAMILIES = ("dedup_", "sim_", "text_", "pipeline_", "mm_", "emb_")
 

@@ -3,11 +3,11 @@ boundaries at volume.
 
 r8 measured the 10M-frame replay as ONE availableNow batch (throughput
 evidence). This run stages the same volume as 10 x 1M-frame staging
-rounds of 32-way parquet writes (~320 part files) consumed with
-maxFilesPerTrigger=4 — many real micro-batches through the complete
-reference dataflow (topic parse → union-type coercion → quarantine
-split → checkpointed partitioned parquet) — and KILLS the query
-mid-replay, then restarts it on the same checkpoint. Exactly-once
+rounds, each coalesced to 4 parquet parts (40 part files total),
+consumed with maxFilesPerTrigger=4 — ten real 1M-row micro-batches
+through the complete reference dataflow (topic parse → union-type
+coercion → quarantine split → checkpointed partitioned parquet) — and
+KILLS the query mid-replay, then restarts it on the same checkpoint. Exactly-once
 holds iff after the restart the sink contains every staged frame exactly
 once: total rows == staged rows AND count(distinct frame key) == total
 rows (each staged frame carries a unique payload-encoded sequence id).
@@ -37,10 +37,11 @@ ROWS_PER_FILE = 1_000_000
 
 
 def stage(spark) -> None:
-    """10 staging rounds x 1M frames each, written 32-way (~320 parquet
-    part files total; the replay consumes them 4 per micro-batch).
-    Frames carry a globally unique seq in the payload so duplicates
-    are countable after the kill/restart."""
+    """10 staging rounds x 1M frames each, coalesced to 4 parquet
+    parts per round (40 part files; the replay consumes 4 per
+    micro-batch → ten 1M-row batches). Frames carry a globally unique
+    seq in the payload so duplicates are countable after the
+    kill/restart."""
     from pyspark.sql import functions as F
 
     src = f"{BASE}/frames"
