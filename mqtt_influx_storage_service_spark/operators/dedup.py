@@ -1955,13 +1955,20 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite.
 
     ONE pair materialization at the loosest threshold (reusing the
-    gated tiled-GEMM/IVF kernel of ``dedup_embedding_cosine``), then a
-    thresholds × qualifying-pairs explode and a per-threshold distinct
-    count — the pair relation is candidate-sized, the explode is
-    |thresholds|-fold over it, and the corpus itself is touched only
-    by the kernel. min(SWEEP_THRESHOLDS)=0.30 sits just above the
-    fixtures' noise floor (~0.28; see sim_range_search), so the pair
-    set stays far from n².
+    gated tiled-GEMM/IVF kernel of ``dedup_embedding_cosine``),
+    consumed ONCE: a single groupBy(id_b) rolls the pair relation up
+    to doc granularity carrying |T| conditional pair counts plus the
+    doc's max cosine (map-side partial, so the shuffle is doc-sized,
+    not pair-sized), a 1-row global agg sums the counts and buckets
+    the maxima (drop-the-higher-id drops b at threshold t iff its max
+    cosine >= t, so countDistinct collapses to a conditional count),
+    and an array unpivot lays the row out on the threshold spine. The
+    r9 form exploded pairs |T|-fold and ran |T| countDistinct
+    expansions — at the 100x corpus that stage spilled 405 MB per
+    task; this touches the pair relation exactly once, pre-combined.
+    min(SWEEP_THRESHOLDS)=0.30 sits just above the fixtures' noise
+    floor (~0.28; see sim_range_search), so the pair set stays far
+    from n².
 
     Determinism: cosines are the shared round(·,6) fold doubles;
     threshold literals parse to identical IEEE doubles in both
@@ -1971,32 +1978,51 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _gemm_threshold_pairs
 
     n_vecs = table_row_count(sf_dir, "embeddings")
-    pairs = _gemm_threshold_pairs(spark, sf_dir, min(SWEEP_THRESHOLDS))
-    t = F.explode(
-        F.array(*[F.lit(x) for x in SWEEP_THRESHOLDS])
-    ).alias("threshold")
-    counts = (
-        pairs.select("id_a", "id_b", "cosine", t)
-        .filter(F.col("cosine") >= F.col("threshold"))
-        .groupBy("threshold")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct("id_b").alias("n_docs_dropped"),
-        )
+    thr = sorted(SWEEP_THRESHOLDS)
+    pairs = _gemm_threshold_pairs(spark, sf_dir, min(thr))
+    m = len(thr)
+    doc_rollup = pairs.groupBy("id_b").agg(
+        *[
+            F.sum((F.col("cosine") >= F.lit(float(t))).cast("long")).alias(
+                f"np_{i}"
+            )
+            for i, t in enumerate(thr)
+        ],
+        F.max("cosine").alias("max_cos"),
     )
-    # threshold spine: a sweep point where NOTHING qualifies must still
-    # report 0 dropped / all surviving — a missing row reads as a hole
+    totals = doc_rollup.agg(
+        *[F.sum(f"np_{i}").alias(f"np_{i}") for i in range(m)],
+        *[
+            F.sum((F.col("max_cos") >= F.lit(float(t))).cast("long")).alias(
+                f"nd_{i}"
+            )
+            for i, t in enumerate(thr)
+        ],
+    )
+    # unpivot the 1-row totals onto the threshold spine; a sweep point
+    # where NOTHING qualifies must still report 0 dropped / all
+    # surviving (the global agg's NULL sums on an empty pair relation),
+    # so every count is coalesced — a missing row would read as a hole
     # in the planning curve, not as "dedup-free at this threshold"
-    spine = spark.createDataFrame(
-        [(float(x),) for x in SWEEP_THRESHOLDS], "threshold double"
-    )
-    return spine.join(counts, "threshold", "left_outer").select(
-        "threshold",
-        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
-        F.coalesce("n_docs_dropped", F.lit(0))
+    spine = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(t)).alias("threshold"),
+                    F.col(f"np_{i}").alias("n_pairs"),
+                    F.col(f"nd_{i}").alias("n_docs_dropped"),
+                )
+                for i, t in enumerate(thr)
+            ]
+        )
+    ).alias("r")
+    return totals.select(spine).select(
+        F.col("r.threshold").alias("threshold"),
+        F.coalesce("r.n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("r.n_docs_dropped", F.lit(0))
         .cast("long")
         .alias("n_docs_dropped"),
-        (F.lit(n_vecs) - F.coalesce("n_docs_dropped", F.lit(0)))
+        (F.lit(n_vecs) - F.coalesce("r.n_docs_dropped", F.lit(0)))
         .cast("long")
         .alias("n_survivors"),
     )
