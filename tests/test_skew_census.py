@@ -1,0 +1,94 @@
+"""Unit pins for the task-skew census (tools/skew_census.py): the
+stage-audit math and the flag decision must stay deterministic — the
+census's "0 flagged" evidence row (STRESS_r10 `skew_census`) is only as
+trustworthy as these thresholds, so a silent loosening (or a quantile
+mix-up that reads median where max belongs) has to fail a test, not a
+judge. No Spark session: the REST fetch is stubbed the way the status
+store answers."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+spec = importlib.util.spec_from_file_location(
+    "skew_census", "/root/repo/tools/skew_census.py")
+skew_census = importlib.util.module_from_spec(spec)
+sys.modules["skew_census"] = skew_census
+spec.loader.exec_module(skew_census)
+
+
+def _summary(dur, spill=(0, 0, 0), write=(0, 0, 0)):
+    return {
+        "duration": list(dur),
+        "memoryBytesSpilled": list(spill),
+        "shuffleWriteMetrics": {"writeBytes": list(write)},
+    }
+
+
+def _stage(tasks=32, stage_id=7, attempt=0, name="x"):
+    return {"stageId": stage_id, "attemptId": attempt,
+            "numCompleteTasks": tasks, "name": name}
+
+
+def _audit(stage, summary, monkeypatch):
+    monkeypatch.setattr(skew_census, "_get", lambda base, path: summary)
+    return skew_census._audit_stage("http://stub", stage)
+
+
+def test_small_stages_carry_no_parallelism_signal(monkeypatch):
+    # below MIN_TASKS the "skew" is scheduling, not data
+    row = _audit(_stage(tasks=skew_census.MIN_TASKS - 1),
+                 _summary((0, 5_000, 50_000)), monkeypatch)
+    assert row is None
+
+
+def test_subsecond_max_task_is_noise(monkeypatch):
+    row = _audit(_stage(), _summary((10, 80, skew_census.MIN_MAX_MS - 1)),
+                 monkeypatch)
+    assert row is None
+
+
+def test_ratio_reads_max_over_median_not_min(monkeypatch):
+    # quantiles arrive as [p0, p50, p100]; a mix-up that divides by p0
+    # would report 500x here instead of 10x
+    row = _audit(_stage(), _summary((10, 500, 5_000),
+                                    spill=(0, 0, 123),
+                                    write=(1, 2, 3)), monkeypatch)
+    assert row is not None
+    assert row["ratio"] == 10.0
+    assert row["med_ms"] == 500 and row["max_ms"] == 5_000
+    assert row["spill_max"] == 123
+    assert (row["shuffle_write_med"], row["shuffle_write_max"]) == (2, 3)
+
+
+def test_zero_median_is_infinite_ratio_not_crash(monkeypatch):
+    row = _audit(_stage(), _summary((0, 0, 4_000)), monkeypatch)
+    assert row is not None and row["ratio"] == float("inf")
+
+
+def test_evicted_stage_is_skipped_not_fatal(monkeypatch):
+    def _raise(base, path):
+        raise OSError("status store evicted the stage")
+    monkeypatch.setattr(skew_census, "_get", _raise)
+    assert skew_census._audit_stage("http://stub", _stage()) is None
+
+
+def test_flag_needs_both_extreme_and_material():
+    base = {"ratio": skew_census.RATIO_FLAG,
+            "max_ms": skew_census.MIN_FLAG_MS}
+    assert skew_census._is_flagged(dict(base))
+    assert not skew_census._is_flagged(
+        dict(base, ratio=skew_census.RATIO_FLAG - 0.01))
+    assert not skew_census._is_flagged(
+        dict(base, max_ms=skew_census.MIN_FLAG_MS - 1))
+
+
+def test_stage_rows_attribute_each_stage_once(monkeypatch):
+    stages = [_stage(stage_id=1), _stage(stage_id=2)]
+    monkeypatch.setattr(skew_census, "_get", lambda base, path: stages)
+    seen: set = set()
+    first = skew_census._stage_rows("http://stub", seen)
+    assert [s["stageId"] for s in first] == [1, 2]
+    # the same completed stages must not re-attribute to the next query
+    assert skew_census._stage_rows("http://stub", seen) == []

@@ -47,6 +47,12 @@ RATIO_FLAG = 8.0       # max/median at or above this is a straggler shape
 MIN_FLAG_MS = 3_000    # ...but only if the straggler itself is material
 
 
+def _is_flagged(row: dict) -> bool:
+    """A straggler shape worth acting on: relatively extreme AND
+    absolutely material (scheduler jitter on fast tasks is neither)."""
+    return row["ratio"] >= RATIO_FLAG and row["max_ms"] >= MIN_FLAG_MS
+
+
 def _get(base: str, path: str):
     with urllib.request.urlopen(f"{base}{path}", timeout=30) as r:
         return json.load(r)
@@ -144,8 +150,7 @@ def main() -> int:
             if row:
                 stages.append(row)
         worst = max(stages, key=lambda r: r["ratio"], default=None)
-        flagged = [r for r in stages
-                   if r["ratio"] >= RATIO_FLAG and r["max_ms"] >= MIN_FLAG_MS]
+        flagged = [r for r in stages if _is_flagged(r)]
         census[name] = {
             "wall_sec": round(wall, 2),
             "n_stages_audited": len(stages),
