@@ -175,6 +175,21 @@ def main() -> int:
     )[:10]
     variance: dict[str, dict] = {}
     for name in top10:
+        # r10 diagnosis (STRESS_r10 `variance_phase_diag`): by the time
+        # the variance phase runs, 200+ other queries have executed and
+        # this query's persisted/page/codegen state may be evicted — a
+        # fresh-context rep is reproducibly 2-5x the steady state with
+        # GC refuted as the cause (first-touch, not pauses). A timed
+        # rep that pays the rebuild records the eviction cost as
+        # "run-to-run noise", which is not what spread_pct claims, and
+        # the max sticks even after the guard's re-runs converge. One
+        # DISCARDED re-warm rep puts the timed reps back on the steady
+        # state the number describes (same discipline as the main
+        # loop's warm-rep list).
+        try:
+            _one_rep(name)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: {name} re-warm failed: {exc}", file=sys.stderr)
         # contention guard (VERDICT r7 #2c): after the 3rd rep, keep
         # re-running (up to 5 total) while the spread stays above 60% —
         # min-of-N converges on the uncontended number instead of
