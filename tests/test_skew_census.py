@@ -74,14 +74,32 @@ def test_evicted_stage_is_skipped_not_fatal(monkeypatch):
     assert skew_census._audit_stage("http://stub", _stage()) is None
 
 
-def test_flag_needs_both_extreme_and_material():
+def test_straggler_flag_needs_extreme_material_and_wide():
     base = {"ratio": skew_census.RATIO_FLAG,
-            "max_ms": skew_census.MIN_FLAG_MS}
-    assert skew_census._is_flagged(dict(base))
+            "max_ms": skew_census.MIN_FLAG_MS,
+            "tasks": skew_census.RATIO_MIN_TASKS}
+    assert skew_census._flag_reason(dict(base)) == "straggler"
     assert not skew_census._is_flagged(
         dict(base, ratio=skew_census.RATIO_FLAG - 0.01))
     assert not skew_census._is_flagged(
         dict(base, max_ms=skew_census.MIN_FLAG_MS - 1))
+    # below RATIO_MIN_TASKS the median IS the max (Spark's p50 on a
+    # 2-task stage), so the ratio statistic is void there
+    assert not skew_census._is_flagged(
+        dict(base, tasks=skew_census.RATIO_MIN_TASKS - 1))
+
+
+def test_collapse_flag_catches_aqe_coalesced_hot_key():
+    # the r10 selftest shape: AQE coalesces the skewed shuffle to 2
+    # tasks, one giant — ratio reads 1.0, collapse must still flag
+    row = {"ratio": 1.0, "tasks": 2, "max_ms": skew_census.COLLAPSE_MS}
+    assert skew_census._flag_reason(row) == "parallelism-collapse"
+    # a wide stage with big balanced tasks is real work, not collapse
+    assert not skew_census._is_flagged(
+        dict(row, tasks=skew_census.COLLAPSE_TASKS + 1))
+    # a narrow stage with fast tasks is a small stage, not collapse
+    assert not skew_census._is_flagged(
+        dict(row, max_ms=skew_census.COLLAPSE_MS - 1))
 
 
 def test_stage_rows_attribute_each_stage_once(monkeypatch):

@@ -26,9 +26,17 @@ tasks) is excluded by the floors, and single-task stages (global
 sorts' final coalesce, driver-small dimension scans) carry no
 parallelism signal so they are skipped.
 
+`--selftest` is the census's true-positive canary: the registry rows
+all read "0 flagged", which is only evidence if the census CAN flag —
+so the selftest runs a deliberately hot-keyed window (90% of rows on
+one partition key, a shape AQE cannot split) and exits nonzero unless
+the straggler is flagged. The engine's own window tier survives the
+skewed-events fixture balanced (the r8 skew-safe twins), which is
+exactly why the canary has to manufacture the pathology.
+
 Usage:
     python tools/skew_census.py [query_name ...] [--sf DIR]
-        [--json OUT] [--port N]
+        [--json OUT] [--port N] [--selftest]
 """
 
 from __future__ import annotations
@@ -41,16 +49,44 @@ import urllib.request
 
 sys.path.insert(0, "/root/repo")
 
-MIN_TASKS = 4          # below this, "skew" is just scheduling
+MIN_TASKS = 2          # audit floor: a 1-task stage has no distribution
 MIN_MAX_MS = 1_000     # ignore stages whose slowest task is sub-second
+
+# Detector 1 — STRAGGLER: one task far beyond the stage's median. Only
+# meaningful on stages wide enough for the median to be a "typical
+# task" (at n=2 Spark's p50 quantile IS the max, so the ratio reads
+# 1.0 on a 2-task stage where one task holds 90% of the data — the r10
+# selftest caught exactly that blindness).
 RATIO_FLAG = 8.0       # max/median at or above this is a straggler shape
 MIN_FLAG_MS = 3_000    # ...but only if the straggler itself is material
+RATIO_MIN_TASKS = 5    # ...and the median means something
+
+# Detector 2 — PARALLELISM COLLAPSE: AQE coalesces a skewed shuffle's
+# many small partitions into FEW tasks, so the classic hot-agg-key /
+# hot-window-key stage arrives as 2-3 tasks, one of them giant — no
+# ratio statistic survives that. The signal is absolute: a stage
+# running a multi-second task while using a fraction of the box's
+# parallelism. Wide balanced stages with big tasks (32 x 10 s of real
+# work) are NOT collapse; a <=COLLAPSE_TASKS-task stage with a
+# >=COLLAPSE_MS task on a 32-core box is.
+COLLAPSE_MS = 10_000
+COLLAPSE_TASKS = 8     # cores/4 on the local[32] bench box
+
+
+def _flag_reason(row: dict) -> str | None:
+    """The straggler shape (wide stage, one task >> median) or the
+    collapse shape (narrow stage, one giant task); None if neither."""
+    if (row["tasks"] >= RATIO_MIN_TASKS
+            and row["ratio"] >= RATIO_FLAG
+            and row["max_ms"] >= MIN_FLAG_MS):
+        return "straggler"
+    if row["tasks"] <= COLLAPSE_TASKS and row["max_ms"] >= COLLAPSE_MS:
+        return "parallelism-collapse"
+    return None
 
 
 def _is_flagged(row: dict) -> bool:
-    """A straggler shape worth acting on: relatively extreme AND
-    absolutely material (scheduler jitter on fast tasks is neither)."""
-    return row["ratio"] >= RATIO_FLAG and row["max_ms"] >= MIN_FLAG_MS
+    return _flag_reason(row) is not None
 
 
 def _get(base: str, path: str):
@@ -68,6 +104,25 @@ def _stage_rows(base: str, seen: set[tuple[int, int]]) -> list[dict]:
         seen.add(key)
         out.append(s)
     return out
+
+
+def _settle(base: str, timeout_s: float = 6.0) -> None:
+    """The status store applies listener events asynchronously — a
+    query's FINAL stage (often the one with the straggler) can list as
+    running for a beat after the action returns, and auditing too early
+    both misses it and mis-attributes it to the NEXT query. Poll until
+    the completed-stage count is stable across two reads."""
+    prev = -1
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        try:
+            n = len(_get(base, "/stages?status=complete"))
+        except Exception:
+            n = -2
+        if n == prev:
+            return
+        prev = n
+        time.sleep(0.3)
 
 
 def _audit_stage(base: str, s: dict) -> dict | None:
@@ -100,12 +155,51 @@ def _audit_stage(base: str, s: dict) -> dict | None:
     }
 
 
+def _selftest(spark, base: str) -> int:
+    """Manufacture a straggler the census MUST flag: a window over a
+    partition key holding 90% of 40M rows — one sort task carries 36M
+    rows while 31 carry ~130k each. A census that stays quiet here
+    would render every "0 flagged" row meaningless."""
+    from pyspark.sql import functions as F
+
+    seen: set[tuple[int, int]] = set()
+    _stage_rows(base, seen)  # absorb warm-up stages
+    df = (
+        spark.range(40_000_000)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 32)
+            .alias("k"),
+            (F.col("id") % 1000).alias("v"),
+        )
+        .selectExpr("k", "sum(v) over (partition by k order by v "
+                    "rows between unbounded preceding and current row) as s")
+        .filter(F.col("s") < 0)
+    )
+    df.write.format("noop").mode("overwrite").save()
+    _settle(base)
+    rows = [r for s in _stage_rows(base, seen)
+            if (r := _audit_stage(base, s))]
+    flagged = [dict(r, reason=_flag_reason(r)) for r in rows
+               if _is_flagged(r)]
+    worst = max(rows, key=lambda r: r["ratio"], default=None)
+    if flagged:
+        f = flagged[0]
+        print(f"SELFTEST ok: flagged [{f['reason']}] max {f['max_ms']} ms "
+              f"over {f['tasks']} tasks (ratio {f['ratio']}) — the census "
+              "detects a manufactured hot key")
+        return 0
+    print(f"SELFTEST FAILED: no stage flagged; worst seen {worst}")
+    return 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--json", metavar="OUT")
     ap.add_argument("--port", type=int, default=4057)
+    ap.add_argument("--selftest", action="store_true")
     args = ap.parse_args()
 
     import os
@@ -128,6 +222,11 @@ def main() -> int:
     base = (f"http://localhost:{args.port}/api/v1/applications/"
             f"{spark.sparkContext.applicationId}")
 
+    if args.selftest:
+        rc = _selftest(spark, base)
+        spark.stop()
+        return rc
+
     qs = all_queries()
     names = args.names or list(qs)
     seen: set[tuple[int, int]] = set()
@@ -143,14 +242,15 @@ def main() -> int:
             errors[name] = str(e).splitlines()[0][:200]
             continue
         wall = time.monotonic() - t0
-        time.sleep(0.2)  # let the status store settle
+        _settle(base)
         stages = []
         for s in _stage_rows(base, seen):
             row = _audit_stage(base, s)
             if row:
                 stages.append(row)
         worst = max(stages, key=lambda r: r["ratio"], default=None)
-        flagged = [r for r in stages if _is_flagged(r)]
+        flagged = [dict(r, reason=_flag_reason(r)) for r in stages
+                   if _is_flagged(r)]
         census[name] = {
             "wall_sec": round(wall, 2),
             "n_stages_audited": len(stages),
@@ -166,7 +266,10 @@ def main() -> int:
     summary = {
         "sf": args.sf,
         "thresholds": {"min_tasks": MIN_TASKS, "min_max_ms": MIN_MAX_MS,
-                       "ratio_flag": RATIO_FLAG, "min_flag_ms": MIN_FLAG_MS},
+                       "ratio_flag": RATIO_FLAG, "min_flag_ms": MIN_FLAG_MS,
+                       "ratio_min_tasks": RATIO_MIN_TASKS,
+                       "collapse_ms": COLLAPSE_MS,
+                       "collapse_tasks": COLLAPSE_TASKS},
         "n_queries": len(census),
         "flagged": flagged_q,
         "errors": errors,
