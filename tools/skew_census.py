@@ -158,39 +158,54 @@ def _audit_stage(base: str, s: dict) -> dict | None:
 def _selftest(spark, base: str) -> int:
     """Manufacture a straggler the census MUST flag: a window over a
     partition key holding 90% of 40M rows — one sort task carries 36M
-    rows while 31 carry ~130k each. A census that stays quiet here
-    would render every "0 flagged" row meaningless."""
+    rows while 31 carry ~130k each. Run twice: with AQE coalescing ON
+    the hot stage arrives as 2 tasks (the shape the COLLAPSE detector
+    owns — Spark's p50 quantile equals the max at n=2, so the ratio
+    reads 1.0), and with coalescing OFF the same data arrives as a
+    WIDE stage with one giant task (the STRAGGLER detector's shape).
+    A census that stays quiet on either would render the registry's
+    "0 flagged" rows meaningless for that shape."""
     from pyspark.sql import functions as F
 
-    seen: set[tuple[int, int]] = set()
-    _stage_rows(base, seen)  # absorb warm-up stages
-    df = (
-        spark.range(40_000_000)
-        .select(
-            F.when(F.col("id") % 10 < 9, F.lit(0))
-            .otherwise(F.col("id") % 32)
-            .alias("k"),
-            (F.col("id") % 1000).alias("v"),
+    def _hot_window():
+        return (
+            spark.range(40_000_000)
+            .select(
+                F.when(F.col("id") % 10 < 9, F.lit(0))
+                .otherwise(F.col("id") % 32)
+                .alias("k"),
+                (F.col("id") % 1000).alias("v"),
+            )
+            .selectExpr(
+                "k", "sum(v) over (partition by k order by v "
+                "rows between unbounded preceding and current row) as s")
+            .filter(F.col("s") < 0)
         )
-        .selectExpr("k", "sum(v) over (partition by k order by v "
-                    "rows between unbounded preceding and current row) as s")
-        .filter(F.col("s") < 0)
-    )
-    df.write.format("noop").mode("overwrite").save()
-    _settle(base)
-    rows = [r for s in _stage_rows(base, seen)
-            if (r := _audit_stage(base, s))]
-    flagged = [dict(r, reason=_flag_reason(r)) for r in rows
-               if _is_flagged(r)]
-    worst = max(rows, key=lambda r: r["ratio"], default=None)
-    if flagged:
-        f = flagged[0]
-        print(f"SELFTEST ok: flagged [{f['reason']}] max {f['max_ms']} ms "
-              f"over {f['tasks']} tasks (ratio {f['ratio']}) — the census "
-              "detects a manufactured hot key")
-        return 0
-    print(f"SELFTEST FAILED: no stage flagged; worst seen {worst}")
-    return 1
+
+    seen: set[tuple[int, int]] = set()
+    failures = 0
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    for want, coalesce in (("parallelism-collapse", "true"),
+                           ("straggler", "false")):
+        spark.conf.set(coalesce_key, coalesce)
+        _stage_rows(base, seen)  # absorb stages from the prior pass
+        _hot_window().write.format("noop").mode("overwrite").save()
+        _settle(base)
+        rows = [r for s in _stage_rows(base, seen)
+                if (r := _audit_stage(base, s))]
+        hits = [dict(r, reason=_flag_reason(r)) for r in rows
+                if _flag_reason(r) == want]
+        if hits:
+            f = hits[0]
+            print(f"SELFTEST ok [{want}]: max {f['max_ms']} ms over "
+                  f"{f['tasks']} tasks (ratio {f['ratio']})")
+        else:
+            worst = max(rows, key=lambda r: r["ratio"], default=None)
+            print(f"SELFTEST FAILED [{want}]: not flagged; "
+                  f"worst seen {worst}")
+            failures += 1
+    spark.conf.set(coalesce_key, "true")
+    return 1 if failures else 0
 
 
 def main() -> int:
