@@ -29,10 +29,19 @@ parallelism signal so they are skipped.
 `--selftest` is the census's true-positive canary: the registry rows
 all read "0 flagged", which is only evidence if the census CAN flag —
 so the selftest runs a deliberately hot-keyed window (90% of rows on
-one partition key, a shape AQE cannot split) and exits nonzero unless
-the straggler is flagged. The engine's own window tier survives the
-skewed-events fixture balanced (the r8 skew-safe twins), which is
-exactly why the canary has to manufacture the pathology.
+one partition key, a shape AQE cannot split) under BOTH detector
+shapes (AQE-coalesced narrow stage → parallelism-collapse; coalescing
+disabled → wide-stage straggler) and exits nonzero unless both flag.
+The engine's own window tier survives the skewed-events fixture
+balanced (the r8 skew-safe twins), which is exactly why the canary
+has to manufacture the pathology.
+
+Each query row also records per-query shuffle-volume accounting
+(input/shuffle-read/shuffle-write byte totals off the stage rows) and
+the summary ranks the top shuffle-write:input ratios — at 100 TB the
+shuffle is the cost driver, and a query writing far more shuffle than
+it reads input is paying for a plan shape the sf0.1 suite seconds
+never surface.
 
 Usage:
     python tools/skew_census.py [query_name ...] [--sf DIR]
@@ -259,18 +268,32 @@ def main() -> int:
         wall = time.monotonic() - t0
         _settle(base)
         stages = []
-        for s in _stage_rows(base, seen):
+        raw = _stage_rows(base, seen)
+        for s in raw:
             row = _audit_stage(base, s)
             if row:
                 stages.append(row)
         worst = max(stages, key=lambda r: r["ratio"], default=None)
         flagged = [dict(r, reason=_flag_reason(r)) for r in stages
                    if _is_flagged(r)]
+        # shuffle-volume accounting straight off the stage rows: at
+        # 100 TB the shuffle is the cost driver, and a query that
+        # writes much more shuffle than it reads input is paying for a
+        # plan shape (re-keying wide rows, pre-aggregation misses)
+        # that the suite seconds at sf0.1 will never surface
+        io = {
+            "input_bytes": sum(s.get("inputBytes") or 0 for s in raw),
+            "shuffle_write_bytes": sum(
+                s.get("shuffleWriteBytes") or 0 for s in raw),
+            "shuffle_read_bytes": sum(
+                s.get("shuffleReadBytes") or 0 for s in raw),
+        }
         census[name] = {
             "wall_sec": round(wall, 2),
             "n_stages_audited": len(stages),
             "worst": worst,
             "flagged": flagged,
+            "io": io,
         }
         tag = "FLAG" if flagged else "ok"
         wr = worst["ratio"] if worst else "-"
@@ -278,7 +301,24 @@ def main() -> int:
               f"({wall:.1f}s)", flush=True)
 
     flagged_q = {k: v["flagged"] for k, v in census.items() if v["flagged"]}
+    # top shuffle-to-input offenders (informational, min 64 MB written
+    # so tiny queries' fixed-cost shuffles don't dominate the ranking)
+    shuffle_top = sorted(
+        ((k, v["io"]) for k, v in census.items()
+         if v["io"]["shuffle_write_bytes"] >= 64 << 20),
+        key=lambda kv: kv[1]["shuffle_write_bytes"]
+        / max(1, kv[1]["input_bytes"]),
+        reverse=True,
+    )[:10]
     summary = {
+        "shuffle_top10_by_write_to_input": [
+            {"query": k,
+             "write_mb": round(io["shuffle_write_bytes"] / 2**20, 1),
+             "input_mb": round(io["input_bytes"] / 2**20, 1),
+             "ratio": round(io["shuffle_write_bytes"]
+                            / max(1, io["input_bytes"]), 2)}
+            for k, io in shuffle_top
+        ],
         "sf": args.sf,
         "thresholds": {"min_tasks": MIN_TASKS, "min_max_ms": MIN_MAX_MS,
                        "ratio_flag": RATIO_FLAG, "min_flag_ms": MIN_FLAG_MS,
