@@ -497,8 +497,22 @@ def _pair_centroids(emb: DataFrame, n_rows: int) -> "np.ndarray":
     C = _lloyd(sample, k=k)
     # target sample share of one list = IVF_TARGET_LIST scaled from
     # corpus rows to sample rows (top-p ownership on both sides, so no
-    # p factor appears: m_j/|sample| estimates list_j/n directly)
-    target_share = max(1.0, IVF_TARGET_LIST * len(sample) / max(1, n_rows))
+    # p factor appears: m_j/|sample| estimates list_j/n directly).
+    # Floor it at the ACHIEVABLE mean ownership under the chosen K
+    # (p·|sample|/K): once the IVF_SAMPLE//8 cap binds K (n > ~262k at
+    # the current constants), mean list size necessarily exceeds the
+    # corpus-anchored target, and a threshold below the mean would
+    # flag EVERY centroid of a perfectly uniform corpus as hot —
+    # shattering the quantizer into sub-centroids trained on ~2 sample
+    # points each. "Hot" must always mean "vs what K can deliver",
+    # not "vs a list size K cannot express". In the uncapped regime
+    # the two anchors coincide (K ≈ p·n/L ⇒ p·|sample|/K ≈
+    # L·|sample|/n), so tested behavior is unchanged.
+    target_share = max(
+        1.0,
+        IVF_TARGET_LIST * len(sample) / max(1, n_rows),
+        IVF_PAIR_PROBES * len(sample) / max(1, len(C)),
+    )
     return _split_hot_centroids(sample, C, target_share, IVF_PAIR_PROBES)
 
 

@@ -347,7 +347,15 @@ def wide_view(points: DataFrame, fields: list[str] | None = None) -> DataFrame:
                 "ts_series_catalog, the WidePointsCatalog route) or raise "
                 "WIDE_VIEW_MAX_FIELDS deliberately"
             )
-        fields = sorted(r[0] for r in rows)
+        # null-safe: a short data topic parses to a NULL transducer
+        # (try_element_at) and can reach an un-quarantined points frame.
+        # The dynamic pivot this probe replaced sorted nulls first and
+        # minted a 'null' column; keep that contract instead of letting
+        # sorted() throw on a None/str comparison.
+        vals = [r[0] for r in rows]
+        fields = sorted(v for v in vals if v is not None)
+        if len(fields) < len(vals):
+            fields = [None, *fields]
     return (
         points.groupBy("device_id", "ts")
         .pivot("transducer", fields)

@@ -268,3 +268,74 @@ def test_ivf_list_assignment_is_bounded_and_deterministic(spark):
     # deterministic: a second plan construction assigns identically
     a2 = {(r.vec_id, r.lst) for r in S._ivf_assigned(emb, n, S.IVF_PAIR_PROBES).collect()}
     assert {(r.vec_id, r.lst) for r in a1.collect()} == a2
+
+
+# ---------------------------------------------------------------------------
+# Hot-centroid split discipline in the CAPPED-K regime (r10 review
+# finding): K is capped at IVF_SAMPLE//8, so above ~262k vectors the
+# achievable mean list size exceeds the corpus-anchored target share.
+# The split threshold must follow what K can deliver — a threshold
+# below the mean flags EVERY centroid of a perfectly uniform corpus as
+# hot and shatters the quantizer into sub-centroids trained on a
+# couple of sample points each. Driver-side numpy only, no session.
+
+
+def _capped_regime(n_rows: int, sample_n: int = 512, dim: int = 8, k: int = 64):
+    import numpy as np
+
+    from mqtt_influx_storage_service_spark.operators.mlops import _lloyd
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        IVF_PAIR_PROBES,
+        IVF_TARGET_LIST,
+    )
+
+    rng = np.random.default_rng(7)
+    sample = rng.normal(size=(sample_n, dim))
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    C = _lloyd(sample, k=k)
+    # the _pair_centroids threshold contract: corpus-anchored target,
+    # floored at the achievable mean ownership under the chosen K
+    target_share = max(
+        1.0,
+        IVF_TARGET_LIST * len(sample) / max(1, n_rows),
+        IVF_PAIR_PROBES * len(sample) / max(1, len(C)),
+    )
+    return sample, C, target_share
+
+
+def test_uniform_sample_does_not_shatter_under_capped_k():
+    """n_rows far above the K cap's crossover: on uniform data the
+    corpus-anchored share alone would sit BELOW the mean ownership and
+    split everything; the achievable-mean floor must keep the
+    quantizer intact (splits, if any, stay marginal)."""
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        IVF_PAIR_PROBES,
+        _split_hot_centroids,
+    )
+
+    sample, C, target_share = _capped_regime(n_rows=4_000_000)
+    out = _split_hot_centroids(sample, C, target_share, IVF_PAIR_PROBES)
+    assert len(out) <= int(1.5 * len(C)), (
+        f"uniform sample shattered {len(C)} -> {len(out)} centroids"
+    )
+
+
+def test_hot_cluster_still_splits_under_capped_k():
+    """The floor must not blind the splitter to a REAL hot list: pile
+    half the sample into one tight cluster and that centroid's
+    ownership exceeds 2x the mean, so the split fires."""
+    import numpy as np
+
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        IVF_PAIR_PROBES,
+        _split_hot_centroids,
+    )
+
+    sample, C, target_share = _capped_regime(n_rows=4_000_000)
+    hot = np.tile(sample[:1], (len(sample), 1)) + 1e-3 * np.arange(
+        len(sample)
+    ).reshape(-1, 1)
+    hot /= np.linalg.norm(hot, axis=1, keepdims=True)
+    skewed = np.concatenate([sample, hot])
+    out = _split_hot_centroids(skewed, C, target_share, IVF_PAIR_PROBES)
+    assert len(out) > len(C), "hot cluster was not split"

@@ -9,10 +9,13 @@ store answers."""
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 
-spec = importlib.util.spec_from_file_location(
-    "skew_census", "/root/repo/tools/skew_census.py")
+_TOOL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools", "skew_census.py")
+spec = importlib.util.spec_from_file_location("skew_census", _TOOL)
 skew_census = importlib.util.module_from_spec(spec)
 sys.modules["skew_census"] = skew_census
 spec.loader.exec_module(skew_census)

@@ -257,6 +257,28 @@ def test_wide_view_pivot(spark):
     assert got["d1"]["temp"] == 1.5 and got["d1"]["co2"] is None
 
 
+def test_wide_view_null_transducer_keeps_pivot_contract(spark):
+    """r10 review finding: a short data topic parses to a NULL
+    transducer (try_element_at), and an un-quarantined points frame
+    can carry it into the probe — sorted() on a None/str mix throws.
+    The dynamic pivot this probe replaced sorted nulls first and
+    minted a 'null' column; the capped probe must keep that contract,
+    not crash."""
+    pts = spark.createDataFrame(
+        [
+            ("d1", "2024-01-01 00:00:00", "temp", 1.5),
+            ("d1", "2024-01-01 00:00:00", None, 9.9),
+            ("d2", "2024-01-01 00:00:00", "hum", 40.0),
+        ],
+        "device_id string, ts string, transducer string, value_double double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    wide = st.wide_view(pts)
+    assert wide.columns == ["device_id", "ts", "null", "hum", "temp"]
+    rows = {r["device_id"]: r for r in wide.collect()}
+    assert rows["d1"]["null"] == 9.9 and rows["d1"]["temp"] == 1.5
+    assert rows["d2"]["null"] is None and rows["d2"]["hum"] == 40.0
+
+
 def test_wide_view_refuses_unbounded_pivot(spark, monkeypatch):
     """VERDICT r9 #3: the dynamic pivot's distinct probe is CAPPED —
     above WIDE_VIEW_MAX_FIELDS wide_view must refuse with the catalog

@@ -52,11 +52,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 import urllib.request
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MIN_TASKS = 2          # audit floor: a 1-task stage has no distribution
 MIN_MAX_MS = 1_000     # ignore stages whose slowest task is sub-second
@@ -226,7 +227,6 @@ def main() -> int:
     ap.add_argument("--selftest", action="store_true")
     args = ap.parse_args()
 
-    import os
     os.environ.setdefault("SPARK_GRAFT_SF_DIR", args.sf)
     from pyspark.sql import SparkSession
 
@@ -243,8 +243,12 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    base = (f"http://localhost:{args.port}/api/v1/applications/"
-            f"{spark.sparkContext.applicationId}")
+    # read the BOUND port from the context, not args.port: Spark bumps
+    # the UI port with only a warning when the requested one is taken,
+    # and a base URL pointing at the wrong port aborts the census
+    # mid-sweep with an unhandled URLError after the staging work
+    ui = spark.sparkContext.uiWebUrl or f"http://localhost:{args.port}"
+    base = f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}"
 
     if args.selftest:
         rc = _selftest(spark, base)

@@ -103,8 +103,15 @@ def main() -> int:
     q = start_continuous_rollup(
         spark, src, table_path, ckpt,
         max_files_per_trigger=FILES_PER_TRIGGER)
-    # kill after the first completed micro-batch
+    # kill after the first completed micro-batch; a query that dies at
+    # startup (bad checkpoint, schema error) or terminates with zero
+    # batches must FAIL the stress, not hang it (the
+    # stress_ingest_multibatch guard)
     while not q.recentProgress:
+        if not q.isActive:
+            raise RuntimeError(
+                f"rollup query terminated before any batch: {q.exception()}"
+            )
         time.sleep(0.5)
     pre_kill_batches = [p["batchId"] for p in q.recentProgress]
     q.stop()

@@ -12,7 +12,7 @@ holds iff after the restart the sink contains every staged frame exactly
 once: total rows == staged rows AND count(distinct frame key) == total
 rows (each staged frame carries a unique payload-encoded sequence id).
 
-Evidence recorded (STRESS_r09.json "ingest_multibatch"): per-phase batch
+Evidence recorded (the current round's STRESS json, "ingest_multibatch"): per-phase batch
 progress (batch ids + numInputRows from recentProgress), kill point,
 post-restart totals, dupe count (must be 0), wall times.
 
@@ -30,8 +30,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/tmp/spark_graft_ingest_mb"
+# current-round artifact (the broadcast_census convention): a re-run
+# must land in the round being built, never overwrite committed r9
+# evidence
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "STRESS_r09.json")
+                   "STRESS_r10.json")
 N_FILES = 10
 ROWS_PER_FILE = 1_000_000
 
@@ -67,10 +70,9 @@ def stage(spark) -> None:
         )
     # flatten: the file source wants files in ONE dir; one parquet part
     # per staged file would under-fill batches, so move parts up with a
-    # per-source-file prefix (each maxFilesPerTrigger=1 batch is then
-    # one ~250k-row part; 40 parts total -> 40 micro-batches of equal
-    # size. Batch COUNT is not the contract — the boundary-crossing
-    # exactly-once is).
+    # per-source-file prefix (40 ~250k-row parts total, consumed 4 per
+    # trigger -> ~10 micro-batches of equal size. Batch COUNT is not
+    # the contract — the boundary-crossing exactly-once is).
     flat = f"{BASE}/src"
     os.makedirs(flat, exist_ok=True)
     n = 0
