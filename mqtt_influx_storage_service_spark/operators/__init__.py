@@ -30,91 +30,85 @@ from . import (
 # Registration ORDER is load-bearing: the driver's correctness gate
 # walks the registry in insertion order and checks a bounded prefix
 # (50 entries every round so far), so entries WITHOUT a recent green
-# row must come first. The r7 rotation (VERDICT r6 "Next round" #1)
-# front-loads the r7 queue verbatim: (a) the 8 ts_* entries bumped
-# from the r6 prefix by late-r6 additions, (b) the remaining 26
-# entries of the r3-green cohort — after this round NO registry
-# entry's newest driver row is older than r4 — then (c) entries new
-# or hash-changed in r7, and (d) oldest-r4 filler up to slot 50.
-# Everything past slot 50 holds an r4/r5/r6 green row under the
-# current fixtures, so union-of-rounds coverage stays complete. Local
+# row must come first. The r11 rotation (VERDICT r10 "Next round" #1)
+# front-loads the full r6-stale cohort, then the alphabetical head of
+# the r7 cohort up to slot 50. Everything past slot 50 holds an
+# r7/r8/r9/r10 green row under the current fixtures, so
+# union-of-rounds coverage stays complete. Local
 # tools/check_oracles.py runs the FULL registry regardless — the
 # prefix only bounds what the driver re-certifies per round.
 _PRIORITY = [
-    # ---- r10 ROTATION (VERDICT r9 "Next round" #1-2). Slots 1-4: the
-    # entries whose PLAN changed in r10 (the rescue tier in
-    # _shingle_candidates under _jaccard_pairs/dedup_containment/
-    # dedup_components, inherited by pipeline_dedup_mix) —
-    # output-identical at fixture scale (no over-cap shingles, the
-    # precondition check_oracles now ASSERTS) but the hash must be
-    # re-certified under the new plan.
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_containment",
-    "pipeline_dedup_mix",
-    # the full r5-green cohort (22 entries, VERDICT r9 #2's list):
-    # after this round NO entry's newest driver row is older than r6.
-    "sim_ann_lsh",
-    "sim_cosine_topk",
-    "sim_knn_graph",
-    "sim_label_centroid",
-    "sim_label_trimmed_norm",
-    "text_boilerplate",
-    "text_contamination",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_regex_tokens",
-    "text_tfidf_top",
-    "text_token_stats",
-    "text_word_freq",
-    "ts_holt_winters_seasonal",
-    "win_cube",
-    "win_monthly_revenue",
-    "win_ntile_customers",
-    "win_percentiles",
-    "win_rollup",
-    "win_topk_per_group",
-    "win_value_frames",
-    # r6-cohort filler to the 50-slot boundary: first the six entries
-    # adjacent to this round's dedup-tier changes, then alphabetical.
-    "dedup_semantic",
-    "dedup_substring",
-    "dedup_substring_spans",
-    "dedup_threshold_sweep",
-    "mm_dedup_payload",
-    "mm_dedup_perceptual",
-    "iq_agg_arithmetic",
-    "iq_bucket_offset",
-    "iq_derivative_daily",
-    "iq_distinct",
-    "iq_fill_slimit",
-    "iq_integral",
-    "iq_limit_offset",
-    "iq_limit_per_series",
-    "iq_nonneg_derivative",
-    "iq_raw_derivative",
-    "iq_raw_grouped",
-    "iq_raw_nonneg",
-    "iq_raw_running",
-    "iq_raw_series",
-    "iq_scalar_math",
-    "iq_selector_bare",
-    "iq_selector_mixed",
-    "iq_slimit",
+    # ---- r11 ROTATION (VERDICT r10 "Next round" #1). Slots 1-25: the
+    # full r6-stale cohort — every entry whose NEWEST driver-green row
+    # is r6 (recomputed this round from CORRECTNESS_r01..r10; matches
+    # the queue VERDICT r10 recorded, plus iq_top_tags which the old
+    # comment omitted). After this round NO registry entry's newest
+    # driver row is older than r7.
+    "iq_soffset",
+    "iq_tag_regex",
+    "iq_top_tags",
+    "iq_transform_nested",
+    "iq_tz",
+    "pipeline_domain_quota",
+    "pipeline_shard_plan",
+    "pipeline_temperature_mix",
+    "ref_narrow_points",
+    "ref_registry_cdc",
+    "ref_transducer_create",
+    "rel_pricing_summary",
+    "rel_region_revenue",
+    "rel_shipping_priority",
+    "rel_small_qty_revenue",
+    "rel_topk_orders",
+    "text_entropy",
+    "ts_availability",
+    "ts_bucket_agg",
+    "ts_burn_rate",
+    "ts_cross_series_join",
+    "ts_device_wide",
+    "ts_histogram_quantile",
+    "ts_last_value",
+    "ts_series_scan",
+    # Slots 26-50: r7-cohort filler (alphabetical head of the 49-entry
+    # r7-green cohort, now the oldest rows in the registry).
+    "iq_cmo",
+    "iq_drop_series",
+    "iq_ema",
+    "iq_ker",
+    "iq_math",
+    "iq_retention_filter",
+    "iq_retention_policies",
+    "iq_rsi",
+    "iq_show_tag_values_regex",
+    "iq_show_tag_values_where",
+    "iq_trix",
+    "pipeline_interleave",
+    "rel_anti_join",
+    "rel_customer_orders_dist",
+    "rel_disjunctive_revenue",
+    "rel_distinct_agg",
+    "rel_exists_subquery",
+    "rel_grouping_sets",
+    "rel_interval_overlap",
+    "rel_json_extract",
+    "rel_late_lines_priority",
+    "rel_map_funcs",
+    "rel_outer_join",
+    "rel_promo_revenue",
+    "rel_quantiles",
     # (rel_range_join's lone r1 row belongs to the RETIRED broadcast-
     # BNLJ form; its successor rel_range_join_banded — identical rows,
     # banded equi-join plan — holds an r7-green row, so nothing stale
     # hides behind the rename.)
-    # ---- slot 50 boundary. r11 ROTATION QUEUE (front-load next
-    # round): the remaining r6-green rows —
-    # iq_soffset, iq_tag_regex, iq_transform_nested, iq_tz, pipeline_domain_quota, pipeline_shard_plan,
-    # pipeline_temperature_mix, ref_narrow_points, ref_registry_cdc,
-    # ref_transducer_create, rel_pricing_summary, rel_region_revenue,
-    # rel_shipping_priority, rel_small_qty_revenue, rel_topk_orders,
-    # text_entropy, ts_availability, ts_bucket_agg, ts_burn_rate,
-    # ts_cross_series_join, ts_device_wide, ts_histogram_quantile,
-    # ts_last_value, ts_series_scan — then r7 rows as filler.
+    # ---- slot 50 boundary. r12 ROTATION QUEUE (front-load next
+    # round): the remaining 24 r7-green rows —
+    # rel_range_join_banded, rel_scalar_funcs, rel_scalar_subquery,
+    # rel_semi_join, rel_unpivot, text_dsir_importance,
+    # text_repetition, ts_anomaly_zscore, ts_asof_join, ts_difference,
+    # ts_ewma, ts_funnel, ts_gap_fill, ts_histogram, ts_integral,
+    # ts_mad_outliers, ts_moving_avg, ts_ohlc, ts_registry_enriched,
+    # ts_retention, ts_series_catalog, ts_sessionize, ts_sliding_agg,
+    # ts_throughput — then r8 rows as filler.
     # Rows-only-by-nature entries (dedup_minhash_ml, sim_ann_brp,
     # sim_ann_ivf, sim_ann_ivf_pq, rel_sketches, dedup_semantic_ivf,
     # pipeline_quality_prune_approx) stay OUT of the prefix: a slot
