@@ -355,6 +355,21 @@ def wide_view(points: DataFrame, fields: list[str] | None = None) -> DataFrame:
         vals = [r[0] for r in rows]
         fields = sorted(v for v in vals if v is not None)
         if len(fields) < len(vals):
+            # A NULL transducer pivots to a column literally named
+            # 'null'; if a transducer with the string name 'null' ALSO
+            # exists, the pivot would mint two identically-named
+            # columns — ambiguous for every downstream select. Refuse
+            # with a pointer (the same idiom as the width cap) rather
+            # than silently renaming either.
+            if "null" in fields:
+                raise ValueError(
+                    "wide_view found both a NULL transducer (short "
+                    "topic) and a transducer literally named 'null'; "
+                    "pivoting both would mint duplicate 'null' "
+                    "columns — quarantine the NULL rows (streaming."
+                    "ingest.split_malformed) or pass fields= "
+                    "excluding one of them"
+                )
             fields = [None, *fields]
     return (
         points.groupBy("device_id", "ts")

@@ -40,10 +40,48 @@ def _audit(stage, summary, monkeypatch):
 
 
 def test_small_stages_carry_no_parallelism_signal(monkeypatch):
-    # below MIN_TASKS the "skew" is scheduling, not data
+    # below MIN_TASKS (now 1 — ADVICE r10) only a 0-task stage is
+    # skipped; it has nothing to measure
     row = _audit(_stage(tasks=skew_census.MIN_TASKS - 1),
                  _summary((0, 5_000, 50_000)), monkeypatch)
     assert row is None
+
+
+def test_single_task_stage_reaches_collapse_detector(monkeypatch):
+    """ADVICE r10: a 1-task stage (unsplittable input, global sort
+    coalesced to one task) must flow through to the ABSOLUTE collapse
+    check — its signal needs no distribution — while staying invisible
+    to the ratio detector (p50 == max at n=1)."""
+    row = _audit(_stage(tasks=1),
+                 _summary((60_000, 60_000, 60_000)), monkeypatch)
+    assert row is not None and row["tasks"] == 1 and row["ratio"] == 1.0
+    assert skew_census._flag_reason(row) == "parallelism-collapse"
+    # a short 1-task stage is just a small stage, not collapse
+    fast = _audit(_stage(tasks=1),
+                  _summary((2_000, 2_000, 2_000)), monkeypatch)
+    assert fast is not None and not skew_census._is_flagged(fast)
+
+
+def test_settle_waits_for_active_stages_to_drain(monkeypatch):
+    """ADVICE r10: a stable completed count alone is not settled — a
+    paused listener queue can hold it stable while the final stage is
+    still active. _settle must also require the active list empty."""
+    calls = {"n": 0}
+
+    def _fake(base, path):
+        calls["n"] += 1
+        # completed count stable at 5 from the start; one stage stays
+        # active for the first 4 fetches (2 poll rounds)
+        if "active" in path:
+            return [{"stageId": 9}] if calls["n"] < 5 else []
+        return [{"stageId": i} for i in range(5)]
+
+    monkeypatch.setattr(skew_census, "_get", _fake)
+    monkeypatch.setattr(skew_census.time, "sleep", lambda s: None)
+    skew_census._settle("http://stub", timeout_s=5.0)
+    # returned only after the active list drained, not on the first
+    # stable completed read
+    assert calls["n"] >= 5
 
 
 def test_subsecond_max_task_is_noise(monkeypatch):

@@ -279,6 +279,31 @@ def test_wide_view_null_transducer_keeps_pivot_contract(spark):
     assert rows["d2"]["null"] is None and rows["d2"]["hum"] == 40.0
 
 
+def test_wide_view_refuses_null_name_collision(spark):
+    """ADVICE r10: the null-transducer contract (NULL pivots to a
+    column named 'null') collides when a transducer is ALSO literally
+    named 'null' — the pivot would mint two identical column names.
+    wide_view must refuse with a pointer, mirroring the width-cap
+    idiom, instead of producing an ambiguous schema."""
+    import pytest
+
+    pts = spark.createDataFrame(
+        [
+            ("d1", "2024-01-01 00:00:00", None, 9.9),
+            ("d1", "2024-01-01 00:00:00", "null", 1.0),
+            ("d2", "2024-01-01 00:00:00", "temp", 2.0),
+        ],
+        "device_id string, ts string, transducer string, value_double double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="literally named 'null'"):
+        st.wide_view(pts)
+    # an explicit fields= list stays the caller's escape hatch
+    out = st.wide_view(pts, fields=["null", "temp"])
+    assert out.columns == ["device_id", "ts", "null", "temp"]
+    rows = {r["device_id"]: r for r in out.collect()}
+    assert rows["d1"]["null"] == 1.0 and rows["d2"]["temp"] == 2.0
+
+
 def test_wide_view_refuses_unbounded_pivot(spark, monkeypatch):
     """VERDICT r9 #3: the dynamic pivot's distinct probe is CAPPED —
     above WIDE_VIEW_MAX_FIELDS wide_view must refuse with the catalog

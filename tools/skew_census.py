@@ -59,7 +59,12 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MIN_TASKS = 2          # audit floor: a 1-task stage has no distribution
+MIN_TASKS = 1          # ADVICE r10: 1-task stages DO reach the audit —
+                       # they carry no distribution (ratio detector
+                       # needs RATIO_MIN_TASKS anyway) but a single
+                       # unsplittable 10s+ task IS the purest
+                       # parallelism collapse, and the absolute
+                       # detector's signal needs no distribution
 MIN_MAX_MS = 1_000     # ignore stages whose slowest task is sub-second
 
 # Detector 1 — STRAGGLER: one task far beyond the stage's median. Only
@@ -121,15 +126,20 @@ def _settle(base: str, timeout_s: float = 6.0) -> None:
     query's FINAL stage (often the one with the straggler) can list as
     running for a beat after the action returns, and auditing too early
     both misses it and mis-attributes it to the NEXT query. Poll until
-    the completed-stage count is stable across two reads."""
+    the completed-stage count is stable across two reads AND no stage
+    is still listed active (ADVICE r10: a listener queue pausing longer
+    than one poll interval can hold the completed count stable while
+    the final stage is still in flight — the active list catches
+    exactly that)."""
     prev = -1
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
         try:
             n = len(_get(base, "/stages?status=complete"))
+            active = len(_get(base, "/stages?status=active"))
         except Exception:
-            n = -2
-        if n == prev:
+            n, active = -2, 1
+        if n == prev and active == 0:
             return
         prev = n
         time.sleep(0.3)
@@ -174,7 +184,13 @@ def _selftest(spark, base: str) -> int:
     reads 1.0), and with coalescing OFF the same data arrives as a
     WIDE stage with one giant task (the STRAGGLER detector's shape).
     A census that stays quiet on either would render the registry's
-    "0 flagged" rows meaningless for that shape."""
+    "0 flagged" rows meaningless for that shape.
+
+    Third shape (ADVICE r10): a SINGLE-task collapse — an unsplittable
+    input or a global sort coalesced to one long task. n=1 carries no
+    distribution at all, which is exactly why the old MIN_TASKS=2
+    floor made this shape invisible; the absolute detector needs no
+    distribution, so 1-task stages now flow through to it."""
     from pyspark.sql import functions as F
 
     def _hot_window():
@@ -215,6 +231,32 @@ def _selftest(spark, base: str) -> int:
                   f"worst seen {worst}")
             failures += 1
     spark.conf.set(coalesce_key, "true")
+
+    # single-task collapse: all 200M hash+agg rows in ONE task via
+    # coalesce(1) — a 1-task, 10s+ stage the census must now see
+    # (60M measured 4.1s on the bench box; 200M clears COLLAPSE_MS
+    # with ~3x headroom)
+    _stage_rows(base, seen)
+    (
+        spark.range(200_000_000)
+        .coalesce(1)
+        .select((F.xxhash64(F.col("id").cast("string")) % 1000).alias("h"))
+        .agg(F.sum("h"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    _settle(base)
+    rows = [r for s in _stage_rows(base, seen)
+            if (r := _audit_stage(base, s))]
+    hits = [r for r in rows
+            if r["tasks"] == 1
+            and _flag_reason(r) == "parallelism-collapse"]
+    if hits:
+        print(f"SELFTEST ok [single-task-collapse]: max "
+              f"{hits[0]['max_ms']} ms over 1 task")
+    else:
+        print(f"SELFTEST FAILED [single-task-collapse]: not flagged; "
+              f"rows {rows}")
+        failures += 1
     return 1 if failures else 0
 
 
