@@ -38,7 +38,13 @@ from . import (
 # tools/check_oracles.py runs the FULL registry regardless — the
 # prefix only bounds what the driver re-certifies per round.
 _PRIORITY = [
-    # ---- r11 ROTATION (VERDICT r10 "Next round" #1). Slots 1-25: the
+    # ---- r11 ROTATION. Slots 1-2: the entries whose PLAN changed in
+    # r11 (the dst-partitioned persisted self-loop relation in
+    # _component_labels, VERDICT r10 #4) — output-identical, but the
+    # hash must be re-certified under the new plan (r10 precedent).
+    "dedup_components",
+    "pipeline_dedup_mix",
+    # ---- (VERDICT r10 "Next round" #1). Slots 3-27: the
     # full r6-stale cohort — every entry whose NEWEST driver-green row
     # is r6 (recomputed this round from CORRECTNESS_r01..r10; matches
     # the queue VERDICT r10 recorded, plus iq_top_tags which the old
@@ -69,7 +75,7 @@ _PRIORITY = [
     "ts_histogram_quantile",
     "ts_last_value",
     "ts_series_scan",
-    # Slots 26-50: r7-cohort filler (alphabetical head of the 49-entry
+    # Slots 28-50: r7-cohort filler (alphabetical head of the 49-entry
     # r7-green cohort, now the oldest rows in the registry).
     "iq_cmo",
     "iq_drop_series",
@@ -94,14 +100,13 @@ _PRIORITY = [
     "rel_late_lines_priority",
     "rel_map_funcs",
     "rel_outer_join",
-    "rel_promo_revenue",
-    "rel_quantiles",
     # (rel_range_join's lone r1 row belongs to the RETIRED broadcast-
     # BNLJ form; its successor rel_range_join_banded — identical rows,
     # banded equi-join plan — holds an r7-green row, so nothing stale
     # hides behind the rename.)
     # ---- slot 50 boundary. r12 ROTATION QUEUE (front-load next
-    # round): the remaining 24 r7-green rows —
+    # round): the remaining 26 r7-green rows —
+    # rel_promo_revenue, rel_quantiles,
     # rel_range_join_banded, rel_scalar_funcs, rel_scalar_subquery,
     # rel_semi_join, rel_unpivot, text_dsir_importance,
     # text_repetition, ts_anomaly_zscore, ts_asof_join, ts_difference,
