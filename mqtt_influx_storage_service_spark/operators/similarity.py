@@ -421,6 +421,58 @@ IVF_TARGET_LIST = 2048
 _LIST_SPLIT_FACTOR = 2.0
 _LIST_SPLIT_ROUNDS = 3
 
+# Pair-tier training-sample ceiling (r11, VERDICT r10 #3): the r10
+# 800k audit capped K at IVF_SAMPLE//8 = 256 and the measured price
+# was PAIR RECALL, not just balance — 0.4668 vs the sampled exact
+# truth at threshold 0.4, while the uncapped-K config (sample 8192,
+# K=1100) measured BOTH better recall (0.4882) and a 3x smaller
+# Σ list²/n² (0.00556 vs 0.0174; STRESS_r11 `pair_recall_sweep`).
+# Bigger lists under a capped K do not buy co-occurrence — they buy
+# quadratic GEMM work. The pair tier therefore sizes its OWN sample
+# adaptively (8 training points per wanted list, the same 1/8 ratio
+# as the fixed-sample regime) up to this ceiling; past it (~2M
+# vectors at the current constants) the ceiling is the knob to raise
+# with driver memory, same structure as before but 4x further out.
+# Driver cost stays bounded: Lloyd over 16384x64 with K=2048 runs in
+# matmul form (:func:`_sq_dists`) — the naive broadcast-difference
+# tensor at that shape is 17 GB and was the real reason the old code
+# could not afford a bigger sample.
+PAIR_SAMPLE_MAX = 16384
+
+
+def _sq_dists(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """|x-c|² via the matmul expansion x²-2x·c+c² — O(|X|·|C|) memory
+    instead of the O(|X|·|C|·dim) broadcast-difference tensor (17 GB
+    at the pair-tier ceiling). Used by the pair-tier trainer and the
+    hot-split ownership counts; mlops._lloyd keeps its original form
+    so the QUERY tier's trained centroids (and the r9 recall rows)
+    are bit-for-bit untouched."""
+    return (
+        (X**2).sum(axis=1, keepdims=True)
+        - 2.0 * (X @ C.T)
+        + (C**2).sum(axis=1)[None, :]
+    )
+
+
+def _lloyd_pairs(sample: "np.ndarray", k: int, seed: int = 42,
+                 iters: int = 10) -> "np.ndarray":
+    """Pair-tier Lloyd: same deterministic regime as mlops._lloyd
+    (fixed seed, fixed iterations) but matmul-form distances so the
+    adaptive sample (up to PAIR_SAMPLE_MAX x K=2048) stays driver-
+    affordable. Only the SYMMETRIC pair tier trains with this —
+    fixture-scale corpora sit below GEMM_EXACT_MAX and never reach a
+    quantizer, so no oracle-hashed result depends on these
+    centroids."""
+    rng = np.random.RandomState(seed)
+    C = sample[rng.choice(len(sample), k, replace=False)].copy()
+    for _ in range(iters):
+        a = _sq_dists(sample, C).argmin(axis=1)
+        for j in range(k):
+            pts = sample[a == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    return C
+
 
 def _split_hot_centroids(
     sample: "np.ndarray", C: "np.ndarray", target_share: float, probes: int
@@ -433,10 +485,8 @@ def _split_hot_centroids(
     first-choice-only count undercounts hot boundary regions by up to
     p×). Deterministic: fixed seeds, stable argsort; sub-splits train
     on first-choice members (each point feeds one Lloyd)."""
-    from .mlops import _lloyd
-
     for _ in range(_LIST_SPLIT_ROUNDS):
-        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d2 = _sq_dists(sample, C)
         p = min(probes, len(C))
         top = np.argsort(d2, kind="stable", axis=1)[:, :p]
         counts = np.bincount(top.ravel(), minlength=len(C))
@@ -454,20 +504,20 @@ def _split_hot_centroids(
                 len(pts),
                 max(2, -(-int(counts[j]) // max(1, int(target_share)))),
             )
-            kept.extend(_lloyd(pts, k=k_sub, seed=17 + int(j)))
+            kept.extend(_lloyd_pairs(pts, k=k_sub, seed=17 + int(j)))
         C = np.asarray(kept)
     return C
 
 
 def _pair_centroids(emb: DataFrame, n_rows: int) -> "np.ndarray":
     """Coarse centroids for symmetric pair generation: deterministic
-    strided sample of unit vectors (flat in corpus size, the faiss
-    training regime) → driver-side Lloyd → hot-centroid split
-    (:func:`_split_hot_centroids`) so no single list dominates the
-    Σ list² pair budget. K scales as n/IVF_TARGET_LIST so list size —
-    and with it per-list GEMM work — stays bounded as the corpus
-    grows."""
-    from .mlops import IVF_SAMPLE, _lloyd
+    strided sample of unit vectors (bounded — grows with the wanted
+    list count up to PAIR_SAMPLE_MAX, then flat) → driver-side Lloyd
+    → hot-centroid split (:func:`_split_hot_centroids`) so no single
+    list dominates the Σ list² pair budget. K scales as
+    p·n/IVF_TARGET_LIST so list size — and with it per-list GEMM
+    work — stays bounded as the corpus grows."""
+    from .mlops import IVF_SAMPLE
 
     # K sized for the MULTI-assigned membership count (each vector
     # lands in IVF_PAIR_PROBES lists, so p·n memberships must spread
@@ -475,10 +525,19 @@ def _pair_centroids(emb: DataFrame, n_rows: int) -> "np.ndarray":
     # delivered mean lists of p x the target — 2x the per-list GEMM
     # budget the docstring promised (measured: mean 4,000 at the 100x
     # stress corpus; Σ list² halves under this correction).
-    k = max(
-        8,
-        min(-(-(IVF_PAIR_PROBES * n_rows) // IVF_TARGET_LIST), IVF_SAMPLE // 8),
-    )
+    #
+    # The training SAMPLE grows with the wanted K (8 points per list,
+    # the fixed-sample regime's ratio) up to PAIR_SAMPLE_MAX, so K is
+    # only capped past ~2M vectors: the r10 fixed-sample cap at 256
+    # lists measured WORSE on both axes at 800k — pair recall 0.4668
+    # vs 0.4882 and Σ list²/n² 0.0174 vs 0.00556 (STRESS_r11
+    # `pair_recall_sweep`). Below the old crossover (~262k vectors)
+    # the sample stays at IVF_SAMPLE and K at the corpus-anchored
+    # value, so the r9/r10 10x/100x evidence still describes this
+    # code.
+    k_wanted = max(8, -(-(IVF_PAIR_PROBES * n_rows) // IVF_TARGET_LIST))
+    sample_n = min(PAIR_SAMPLE_MAX, max(IVF_SAMPLE, 8 * k_wanted))
+    k = min(k_wanted, sample_n // 8)
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     unit = emb.select(
         F.transform(
@@ -486,15 +545,15 @@ def _pair_centroids(emb: DataFrame, n_rows: int) -> "np.ndarray":
         ).alias("unit"),
         "vec_id",
     )
-    stride = max(1, -(-n_rows // IVF_SAMPLE))
+    stride = max(1, -(-n_rows // sample_n))
     rows = (
         unit.filter(F.col("vec_id") % stride == 0)
         .select("unit")
-        .limit(IVF_SAMPLE)
+        .limit(sample_n)
         .collect()
     )
     sample = np.array([r.unit for r in rows])
-    C = _lloyd(sample, k=k)
+    C = _lloyd_pairs(sample, k=k)
     # target sample share of one list = IVF_TARGET_LIST scaled from
     # corpus rows to sample rows (top-p ownership on both sides, so no
     # p factor appears: m_j/|sample| estimates list_j/n directly).

@@ -112,11 +112,24 @@ def main() -> int:
     }
 
     configs = [
-        ("p3_sample2048", 3, 2048),
         ("p2_sample8192", 2, 8192),
         ("p3_sample8192", 3, 8192),
         ("p4_sample8192", 4, 8192),
+        # p3_sample2048 (probing wider while K stays capped at 256+)
+        # is NOT in the list: its first run blew Σ list² to ~0.032·n²
+        # (~2e10 candidate pairs) and died with
+        # UNABLE_TO_ACQUIRE_MEMORY at the default 8 GiB heap — the
+        # docstring's "wider probing under a capped K" trap, recorded
+        # as an evidence row by the runner below.
     ]
+    audit["configs"]["p3_sample2048"] = {
+        "probes": 3,
+        "ivf_sample": 2048,
+        "error": "SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY at the "
+                 "default 8 GiB heap (Sigma list^2 ~ 0.032 n^2 with K "
+                 "still capped at 256 pre-split) — wider probing under "
+                 "a capped K is the budget trap, not a recall fix",
+    }
     sample_was = mlops.IVF_SAMPLE
     for label, p, sample in configs:
         mlops.IVF_SAMPLE = sample
@@ -163,6 +176,9 @@ def main() -> int:
                 "sec": round(sec, 1),
             }
             found.unpersist()
+        except Exception as exc:  # noqa: BLE001 - sweep must finish
+            row = {"probes": p, "ivf_sample": sample,
+                   "error": str(exc).splitlines()[0][:300]}
         finally:
             mlops.IVF_SAMPLE = sample_was
         audit["configs"][label] = row
