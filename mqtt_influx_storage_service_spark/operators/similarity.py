@@ -654,7 +654,15 @@ def _ivf_gemm_candidate_pairs(
     pairs → the shared :func:`_pairs_tile_kernel` → distinct (a pair
     sharing two lists is generated twice). Approximate by construction:
     a qualifying pair whose members share NO coarse list is missed —
-    recall vs the exact kernel is pinned in tests."""
+    recall vs the exact kernel is pinned in tests, and the MEASURED
+    contract at 800k vectors (STRESS_r11 `pair_threshold_curve`) is
+    that of a NEAR-DUP miner: recall ≥ 0.9975 for cosine ≥ 0.7 and
+    1.0 at ≥ 0.9, degrading toward the similarity noise floor (0.21
+    in the [0.4,0.5) band, where the stress corpus holds 740k+ weakly
+    similar pairs per 1k probes — exhaustive mining at such densities
+    is the exact kernel's job). ``probes`` is the caller-facing recall
+    knob: p=3 lifts threshold-0.4 recall 0.488 → 0.571 at 2.5x the
+    Σ list² budget (`pair_recall_sweep`)."""
     assigned = _ivf_assigned(emb, n_rows, probes)
     exploded = _list_tile_exploded(assigned, chunk)
     cut = threshold - _GEMM_MARGIN

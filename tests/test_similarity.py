@@ -320,6 +320,60 @@ def test_uniform_sample_does_not_shatter_under_capped_k():
     )
 
 
+def test_sq_dists_matches_naive_broadcast_form():
+    """The matmul-form distances that make the adaptive pair-tier
+    sample affordable (r11) must agree with the broadcast-difference
+    form to float tolerance — an argmin flip here silently retrains
+    every pair-tier quantizer."""
+    import numpy as np
+
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        _sq_dists,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(50, 16))
+    C = rng.normal(size=(7, 16))
+    naive = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assert np.allclose(_sq_dists(X, C), naive, atol=1e-9)
+    assert (_sq_dists(X, C).argmin(axis=1) == naive.argmin(axis=1)).all()
+
+
+def test_pair_sample_scales_with_wanted_k_up_to_ceiling():
+    """r11 (VERDICT r10 #3): the pair-tier training sample grows
+    8-points-per-wanted-list so K is NOT capped at IVF_SAMPLE//8 —
+    the fixed-sample cap measured worse on BOTH axes at 800k (recall
+    0.4668 vs 0.4882, Σ list²/n² 0.0174 vs 0.00556). Below the old
+    crossover the sizing must reproduce the r10 regime exactly (the
+    200k continuity audit is bit-identical); past PAIR_SAMPLE_MAX the
+    cap returns (the ceiling is the documented knob)."""
+    from mqtt_influx_storage_service_spark.operators.mlops import (
+        IVF_SAMPLE,
+    )
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        IVF_PAIR_PROBES,
+        IVF_TARGET_LIST,
+        PAIR_SAMPLE_MAX,
+    )
+
+    def sizing(n_rows):
+        k_wanted = max(
+            8, -(-(IVF_PAIR_PROBES * n_rows) // IVF_TARGET_LIST))
+        sample_n = min(PAIR_SAMPLE_MAX, max(IVF_SAMPLE, 8 * k_wanted))
+        return sample_n, min(k_wanted, sample_n // 8)
+
+    # 200k (the r10 evidence corpus): sample stays at IVF_SAMPLE and
+    # K at the corpus-anchored value — continuity with r9/r10 rows
+    s, k = sizing(200_000)
+    assert s == IVF_SAMPLE and k == 196
+    # 800k (the old capped regime): K now uncapped at the wanted value
+    s, k = sizing(800_000)
+    assert k == 782 and s == 8 * 782
+    # past the ceiling the cap returns, 4x further out than before
+    s, k = sizing(4_000_000)
+    assert s == PAIR_SAMPLE_MAX and k == PAIR_SAMPLE_MAX // 8
+
+
 def test_hot_cluster_still_splits_under_capped_k():
     """The floor must not blind the splitter to a REAL hot list: pile
     half the sample into one tight cluster and that centroid's

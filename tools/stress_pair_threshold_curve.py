@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -94,10 +95,20 @@ def main() -> int:
         "corpus": f"{D} ({n_vecs} vectors)",
         "pair_sample_max": similarity.PAIR_SAMPLE_MAX,
         "truth_pairs": n_truth,
+        # The measurement pipeline (GEMM -> verify -> probe-restrict ->
+        # band joins in one plan) runs at 16g; the PRODUCTION pair
+        # stage alone was separately proven at the default 8g heap
+        # (STRESS_r11 ann_800k: 485s / pair_recall_sweep: 503s).
+        "heap": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g (default)"),
         "configs": {},
     }
 
-    for label, p in (("default_p2", 2), ("probes3", 3)):
+    # probes=3 is NOT re-measured here: its threshold-0.4 recall
+    # (0.5713) and budget are already in `pair_recall_sweep`, and the
+    # default_p2 band curve (>= 0.9975 at cosine >= 0.7) already
+    # settles the default; the p3 candidate spill additionally
+    # overflows this box's 80 GB free disk at band-measurement scale.
+    for label, p in (("default_p2", 2),):
         # balance audit under the new adaptive default
         assigned = _ivf_assigned(emb, n_vecs, p)
         counts = [r["count"]
@@ -105,17 +116,30 @@ def main() -> int:
         t0 = time.time()
         cand = _ivf_gemm_candidate_pairs(emb, n_vecs, SIM_THRESHOLD,
                                          probes=p)
-        found = (
+        # materialize the found pairs to parquet FIRST (the production
+        # shape, proven at the 8g heap by ann_800k) — chaining the
+        # probe restriction into the same plan turned the broadcast
+        # join over 230M verified rows into an in-plan nested loop
+        # whose concurrent spills filled the disk on the first attempt
+        fp = f"/tmp/found_pairs_{label}.parquet"
+        (
             _verify_cosine_pairs(emb, cand, SIM_THRESHOLD)
             .select("id_a", "id_b")
-            .join(F.broadcast(probe_ids),
-                  (F.col("id_a") == F.col("pid"))
-                  | (F.col("id_b") == F.col("pid")))
-            .select("id_a", "id_b").distinct()
+            .write.mode("overwrite").parquet(fp)
+        )
+        sec = time.time() - t0
+        fdf = spark.read.parquet(fp)
+        found = (
+            fdf.join(F.broadcast(probe_ids), F.col("id_a") == F.col("pid"))
+            .select("id_a", "id_b")
+            .unionByName(
+                fdf.join(F.broadcast(probe_ids),
+                         F.col("id_b") == F.col("pid"))
+                .select("id_a", "id_b"))
+            .distinct()
             .persist()
         )
         n_found = found.count()
-        sec = time.time() - t0
         joined = truth.join(found.withColumn("hit", F.lit(1)),
                             ["id_a", "id_b"], "left_outer").persist()
         bands = {}
@@ -142,6 +166,7 @@ def main() -> int:
         }
         joined.unpersist()
         found.unpersist()
+        shutil.rmtree(fp, ignore_errors=True)
         print(label, json.dumps(audit["configs"][label]), flush=True)
 
     # 200k continuity: the new adaptive sizing must reproduce the r10
