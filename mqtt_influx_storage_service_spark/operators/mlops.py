@@ -85,6 +85,17 @@ def sim_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     The radius bounds candidate generation (distance 1.2 on the unit
     sphere = cosine ~0.28); recall vs the brute-force baseline is
     pinned in tests/test_mlops.py.
+
+    The query side carries a BROADCAST hint into the LSH join (r11):
+    approxSimilarityJoin otherwise shuffles BOTH sides by
+    (hash-table, bucket) key, and the bounded query set occupies a
+    handful of buckets — the 800k skew census caught the resulting
+    hot-key straggler (one task 16.6 s vs 94 ms median over 32 tasks,
+    STRESS_r11). The hint resolves through MLlib's internal
+    explode+join (EliminateResolvedHint lifts it from anywhere in the
+    join's child subtree), so every corpus partition joins its own
+    bucket entries against the ~600 broadcast query entries locally —
+    no bucket-key exchange, no hot partition, identical rows.
     """
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     vecd = emb.select(
@@ -110,7 +121,9 @@ def sim_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = brp.fit(unit)
     q = unit.filter(F.col("vec_id") < N_QUERIES)
-    joined = model.approxSimilarityJoin(q, unit, 1.2, distCol="dist")
+    joined = model.approxSimilarityJoin(
+        F.broadcast(q), unit, 1.2, distCol="dist"
+    )
     scored = joined.select(
         F.col("datasetA.vec_id").alias("query_id"),
         F.col("datasetB.vec_id").alias("neighbor_id"),
