@@ -38,82 +38,80 @@ from . import (
 # tools/check_oracles.py runs the FULL registry regardless — the
 # prefix only bounds what the driver re-certifies per round.
 _PRIORITY = [
-    # ---- r11 ROTATION. Slots 1-2: the entries whose PLAN changed in
-    # r11 (the dst-partitioned persisted self-loop relation in
-    # _component_labels, VERDICT r10 #4) — output-identical, but the
-    # hash must be re-certified under the new plan (r10 precedent).
-    "dedup_components",
-    "pipeline_dedup_mix",
-    # ---- (VERDICT r10 "Next round" #1). Slots 3-27: the
-    # full r6-stale cohort — every entry whose NEWEST driver-green row
-    # is r6 (recomputed this round from CORRECTNESS_r01..r10; matches
-    # the queue VERDICT r10 recorded, plus iq_top_tags which the old
-    # comment omitted). After this round NO registry entry's newest
-    # driver row is older than r7.
-    "iq_soffset",
-    "iq_tag_regex",
-    "iq_top_tags",
-    "iq_transform_nested",
-    "iq_tz",
-    "pipeline_domain_quota",
-    "pipeline_shard_plan",
-    "pipeline_temperature_mix",
-    "ref_narrow_points",
-    "ref_registry_cdc",
-    "ref_transducer_create",
-    "rel_pricing_summary",
-    "rel_region_revenue",
-    "rel_shipping_priority",
-    "rel_small_qty_revenue",
-    "rel_topk_orders",
-    "text_entropy",
-    "ts_availability",
-    "ts_bucket_agg",
-    "ts_burn_rate",
-    "ts_cross_series_join",
-    "ts_device_wide",
-    "ts_histogram_quantile",
-    "ts_last_value",
-    "ts_series_scan",
-    # Slots 28-50: r7-cohort filler (alphabetical head of the 49-entry
-    # r7-green cohort, now the oldest rows in the registry).
-    "iq_cmo",
-    "iq_drop_series",
-    "iq_ema",
-    "iq_ker",
-    "iq_math",
-    "iq_retention_filter",
-    "iq_retention_policies",
-    "iq_rsi",
-    "iq_show_tag_values_regex",
-    "iq_show_tag_values_where",
-    "iq_trix",
-    "pipeline_interleave",
-    "rel_anti_join",
-    "rel_customer_orders_dist",
-    "rel_disjunctive_revenue",
-    "rel_distinct_agg",
-    "rel_exists_subquery",
-    "rel_grouping_sets",
-    "rel_interval_overlap",
-    "rel_json_extract",
-    "rel_late_lines_priority",
-    "rel_map_funcs",
-    "rel_outer_join",
-    # (rel_range_join's lone r1 row belongs to the RETIRED broadcast-
-    # BNLJ form; its successor rel_range_join_banded — identical rows,
-    # banded equi-join plan — holds an r7-green row, so nothing stale
-    # hides behind the rename.)
-    # ---- slot 50 boundary. r12 ROTATION QUEUE (front-load next
-    # round): the remaining 26 r7-green rows —
-    # rel_promo_revenue, rel_quantiles,
-    # rel_range_join_banded, rel_scalar_funcs, rel_scalar_subquery,
-    # rel_semi_join, rel_unpivot, text_dsir_importance,
-    # text_repetition, ts_anomaly_zscore, ts_asof_join, ts_difference,
-    # ts_ewma, ts_funnel, ts_gap_fill, ts_histogram, ts_integral,
-    # ts_mad_outliers, ts_moving_avg, ts_ohlc, ts_registry_enriched,
-    # ts_retention, ts_series_catalog, ts_sessionize, ts_sliding_agg,
-    # ts_throughput — then r8 rows as filler.
+    # ---- r12 ROTATION (VERDICT r11 "Next round" #6). Slots 1-3: the
+    # entries whose SOURCE changed in r12 (the enforced pair-tier
+    # recall contract — above-gate refusal branch in
+    # similarity._gemm_threshold_pairs; below-gate fixture plans are
+    # byte-identical, so this is re-certification insurance, the r10/
+    # r11 precedent for touched entries).
+    "sim_threshold_pairs",
+    "dedup_embedding_cosine",
+    "dedup_threshold_sweep",
+    # Slots 4-29: the full r7-stale cohort — every entry whose NEWEST
+    # driver-green row is r7 (recomputed this round from
+    # CORRECTNESS_r01..r11; matches the queue the r11 comment
+    # recorded). After this round NO registry entry's newest driver
+    # row is older than r8.
+    "rel_promo_revenue",
+    "rel_quantiles",
+    "rel_range_join_banded",
+    "rel_scalar_funcs",
+    "rel_scalar_subquery",
+    "rel_semi_join",
+    "rel_unpivot",
+    "text_dsir_importance",
+    "text_repetition",
+    "ts_anomaly_zscore",
+    "ts_asof_join",
+    "ts_difference",
+    "ts_ewma",
+    "ts_funnel",
+    "ts_gap_fill",
+    "ts_histogram",
+    "ts_integral",
+    "ts_mad_outliers",
+    "ts_moving_avg",
+    "ts_ohlc",
+    "ts_registry_enriched",
+    "ts_retention",
+    "ts_series_catalog",
+    "ts_sessionize",
+    "ts_sliding_agg",
+    "ts_throughput",
+    # Slots 30-50: r8-cohort filler (alphabetical head of the
+    # 47-entry r8-green cohort, now the oldest rows in the registry).
+    "dedup_substring_scrub",
+    "iq_dema",
+    "iq_fill_linear",
+    "iq_series_cardinality",
+    "iq_show_measurements_where",
+    "iq_show_tag_values",
+    "iq_tag_values_cardinality",
+    "mm_token_budget",
+    "pipeline_curriculum",
+    "pipeline_dsir_resample",
+    "pipeline_funnel",
+    "pipeline_quality_gate",
+    "pipeline_quality_prune",
+    "pipeline_shuffle_order",
+    "ref_line_protocol",
+    "rel_excess_supply",
+    "rel_forecast_revenue",
+    "rel_large_orders",
+    "rel_market_share",
+    "rel_min_cost_supplier",
+    "rel_priority_late_orders",
+    # ---- slot 50 boundary. r13 ROTATION QUEUE (front-load next
+    # round): the remaining 26 r8-green rows —
+    # rel_product_profit, rel_returned_customers,
+    # rel_supplier_part_types, rel_volume_shipping, text_bigram_lm, text_bm25,
+    # text_chunking, text_gopher_rules, text_pii_scrub,
+    # ts_changepoint, ts_counter_rate, ts_cross_correlation,
+    # ts_cumulative_sum, ts_cumulative_sum_chunked, ts_downsample,
+    # ts_elapsed, ts_holt_winters, ts_interpolate, ts_mode,
+    # ts_pattern_match, ts_percentile, ts_percentile_twophase,
+    # ts_sample, ts_seasonal_profile, ts_spread, ts_top_per_bucket
+    # — then r9 rows as filler.
     # Rows-only-by-nature entries (dedup_minhash_ml, sim_ann_brp,
     # sim_ann_ivf, sim_ann_ivf_pq, rel_sketches, dedup_semantic_ivf,
     # pipeline_quality_prune_approx) stay OUT of the prefix: a slot

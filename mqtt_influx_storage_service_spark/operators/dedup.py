@@ -1277,6 +1277,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora) the blocked path (``_threshold_pairs_verified``) becomes
     the right plan again. The oracle below is the brute-force SQL, so
     the driver gate re-proves the equality at sf0.01.
+
+    Above GEMM_EXACT_MAX this entry REFUSES (VERDICT r11 #2): 0.4 is
+    below the IVF pair tier's measured competence band (recall 0.21
+    in [0.4,0.5) at 800k vectors, STRESS_r11 `pair_threshold_curve`),
+    so the registered query raises with the curve citation instead of
+    silently dropping half the qualifying pairs. At-scale callers use
+    ``similarity._gemm_threshold_pairs(..., below_band='exact')``
+    (recall 1.0 — and measured cheaper than the IVF tier at
+    noise-floor densities) or raise the threshold into the band.
     """
     from .similarity import _gemm_threshold_pairs
 
@@ -1995,6 +2004,12 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: cosines are the shared round(·,6) fold doubles;
     threshold literals parse to identical IEEE doubles in both
     engines, so every ``>=`` decides identically.
+
+    Above GEMM_EXACT_MAX the 0.30 pair materialization REFUSES with
+    the recall-curve citation (similarity.PAIR_BAND_MIN) — a planning
+    sweep whose counts are the deliverable must not be built on a
+    tier measured at 0.21 recall in the [0.4,0.5) band; at-scale
+    campaigns re-run it with below_band='exact' on a sampled corpus.
     """
     from ..sources.tables import table_row_count
     from .similarity import _gemm_threshold_pairs
@@ -2327,7 +2342,12 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins + distinct; at 800k vectors and eps 0.35 (below the stress
     corpus's similarity noise floor) that is hundreds of millions of
     pairs, and the spill filled an 80 GB disk before the plan
-    finished (STRESS_r11 `semdedup_800k`). Within-cluster pruning is
+    finished. The kernel form completes the same corpus in 44.7 s at
+    the default 8 GiB heap with Σ cluster²/n² = 0.00109 and a clean
+    top-4-cluster distribution-integrity check (STRESS_r12
+    `semdedup_800k`); fixture-scale semantics vs the brute-force
+    within-cluster rule are pinned by the forced-gate test in
+    tests/test_dedup.py. Within-cluster pruning is
     also the paper's actual semantics — SemDeDup computes pairwise
     similarity INSIDE k-means clusters, never across them.
 

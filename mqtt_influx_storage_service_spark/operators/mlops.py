@@ -90,12 +90,18 @@ def sim_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     approxSimilarityJoin otherwise shuffles BOTH sides by
     (hash-table, bucket) key, and the bounded query set occupies a
     handful of buckets — the 800k skew census caught the resulting
-    hot-key straggler (one task 16.6 s vs 94 ms median over 32 tasks,
-    STRESS_r11). The hint resolves through MLlib's internal
-    explode+join (EliminateResolvedHint lifts it from anywhere in the
-    join's child subtree), so every corpus partition joins its own
-    bucket entries against the ~600 broadcast query entries locally —
-    no bucket-key exchange, no hot partition, identical rows.
+    hot-key straggler; the measured before/after is the
+    STRESS_r12 `brp_census_800k` row (wall 48.8 → 41.2 s, audited
+    stages 6 → 3; a residual SCAN-side hot task survives the hint and
+    is recorded there as an open attribution — the hint removes the
+    exchange, not every straggler), and the plan shape
+    (BroadcastHashJoin on (entry, hashValue), no bucket-key exchange)
+    is pinned in tests/test_mlops.py. The hint resolves through
+    MLlib's internal explode+join (EliminateResolvedHint lifts it
+    from anywhere in the join's child subtree), so every corpus
+    partition joins its own bucket entries against the ~600 broadcast
+    query entries locally — no bucket-key exchange, no hot partition,
+    identical rows.
     """
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     vecd = emb.select(

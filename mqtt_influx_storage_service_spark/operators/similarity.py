@@ -509,6 +509,38 @@ def _split_hot_centroids(
     return C
 
 
+def _pair_training_sample(
+    emb: DataFrame, n_rows: int
+) -> tuple["np.ndarray", int]:
+    """(training sample of unit vectors, K) for the pair-tier
+    quantizer — the deterministic strided collect `_pair_centroids`
+    trains on, exposed separately so tests can pin the trainer on the
+    ACTUAL fixture sample (ADVICE r11: the matmul-form `_lloyd_pairs`
+    must reproduce the broadcast-form `mlops._lloyd` on this exact
+    input, or near-tie argmin flips could silently drift fixture
+    rows)."""
+    from .mlops import IVF_SAMPLE
+
+    k_wanted = max(8, -(-(IVF_PAIR_PROBES * n_rows) // IVF_TARGET_LIST))
+    sample_n = min(PAIR_SAMPLE_MAX, max(IVF_SAMPLE, 8 * k_wanted))
+    k = min(k_wanted, sample_n // 8)
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    unit = emb.select(
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") / norm
+        ).alias("unit"),
+        "vec_id",
+    )
+    stride = max(1, -(-n_rows // sample_n))
+    rows = (
+        unit.filter(F.col("vec_id") % stride == 0)
+        .select("unit")
+        .limit(sample_n)
+        .collect()
+    )
+    return np.array([r.unit for r in rows]), k
+
+
 def _pair_centroids(emb: DataFrame, n_rows: int) -> "np.ndarray":
     """Coarse centroids for symmetric pair generation: deterministic
     strided sample of unit vectors (bounded — grows with the wanted
@@ -535,24 +567,7 @@ def _pair_centroids(emb: DataFrame, n_rows: int) -> "np.ndarray":
     # the sample stays at IVF_SAMPLE and K at the corpus-anchored
     # value, so the r9/r10 10x/100x evidence still describes this
     # code.
-    k_wanted = max(8, -(-(IVF_PAIR_PROBES * n_rows) // IVF_TARGET_LIST))
-    sample_n = min(PAIR_SAMPLE_MAX, max(IVF_SAMPLE, 8 * k_wanted))
-    k = min(k_wanted, sample_n // 8)
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    unit = emb.select(
-        F.transform(
-            F.col("embedding"), lambda x: x.cast("double") / norm
-        ).alias("unit"),
-        "vec_id",
-    )
-    stride = max(1, -(-n_rows // sample_n))
-    rows = (
-        unit.filter(F.col("vec_id") % stride == 0)
-        .select("unit")
-        .limit(sample_n)
-        .collect()
-    )
-    sample = np.array([r.unit for r in rows])
+    sample, k = _pair_training_sample(emb, n_rows)
     C = _lloyd_pairs(sample, k=k)
     # target sample share of one list = IVF_TARGET_LIST scaled from
     # corpus rows to sample rows (top-p ownership on both sides, so no
@@ -678,8 +693,25 @@ def _ivf_gemm_candidate_pairs(
     )
 
 
+# Measured competence floor of the IVF pair tier (STRESS_r11
+# `pair_threshold_curve`, 800k vectors, default p=2): recall by
+# requested-threshold band is 1.0 at cosine ≥ 0.9, ≥ 0.9975 at ≥ 0.7,
+# ~0.79 in [0.6,0.7), collapsing to 0.21 in the [0.4,0.5) noise-floor
+# band (where the stress corpus holds ~740k weakly-similar pairs per
+# 1k probes — densities that are the exact kernel's job). Above
+# GEMM_EXACT_MAX the tier is therefore a NEAR-DUP MINER and a
+# requested threshold below this floor must not silently return <50%
+# of qualifying pairs — the same refusal idiom as
+# functions/influxql.py::_bounded_index.
+PAIR_BAND_MIN = 0.6
+
+
 def _gemm_threshold_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float, chunk: int = GEMM_CHUNK
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    chunk: int = GEMM_CHUNK,
+    below_band: str = "refuse",
 ) -> DataFrame:
     """Tiled-GEMM candidates → exact fold-dot verify. The candidate
     set is exact-with-margin below GEMM_EXACT_MAX (the fixture regime,
@@ -688,13 +720,42 @@ def _gemm_threshold_pairs(
     touch only qualifying pairs (+ a margin sliver) and the emitted
     cosine comes from the same Spark-side fold/round expressions as
     every other scored query, keeping bit-parity with the DuckDB
-    oracle."""
+    oracle.
+
+    ENFORCED recall contract (VERDICT r11 #2): above the gate a
+    ``threshold`` below :data:`PAIR_BAND_MIN` sits outside the IVF
+    tier's measured competence band and the call REFUSES by default
+    with the curve citation. ``below_band`` is the caller's explicit
+    escape hatch: ``"exact"`` routes to the exact corpus²-tile kernel
+    (recall 1.0 — pay the quadratic tile fan-out knowingly; at 800k
+    vectors the exact broadcast-scan truth cost 224.9 s vs the IVF
+    tier's 485 s *with* a 0.47 recall, STRESS_r11 `ann_800k`, so
+    exact is also the CHEAPER plan at noise-floor densities);
+    ``"approx"`` accepts the measured sub-band recall knowingly
+    (probes=3 lifts threshold-0.4 recall 0.488 → 0.571 at 2.5× the
+    Σ list² budget, `pair_recall_sweep`)."""
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     n_rows = table_row_count(sf_dir, "embeddings")
     if n_rows <= GEMM_EXACT_MAX:
         cand = _gemm_candidate_pairs(emb, n_rows, threshold, chunk)
-    else:
+    elif threshold >= PAIR_BAND_MIN or below_band == "approx":
         cand = _ivf_gemm_candidate_pairs(emb, n_rows, threshold, chunk)
+    elif below_band == "exact":
+        cand = _gemm_candidate_pairs(emb, n_rows, threshold, chunk)
+    else:
+        raise ValueError(
+            f"pair threshold {threshold} is below the IVF pair tier's "
+            f"measured competence band (recall ≥ 0.9975 only at cosine "
+            f"≥ 0.7; 0.21 in [0.4,0.5) — STRESS_r11 "
+            f"`pair_threshold_curve` at 800k vectors) and the corpus "
+            f"({n_rows} rows) is above GEMM_EXACT_MAX={GEMM_EXACT_MAX}. "
+            f"Either raise the threshold to ≥ PAIR_BAND_MIN="
+            f"{PAIR_BAND_MIN}, pass below_band='exact' for the exact "
+            f"corpus²-tile kernel (recall 1.0, and measured CHEAPER "
+            f"than the IVF tier at noise-floor pair densities), or "
+            f"pass below_band='approx' to accept the measured sub-band "
+            f"recall (escalate probes= for 0.488 → 0.571 at p=3)."
+        )
     return _verify_cosine_pairs(emb, cand, threshold)
 
 
@@ -710,7 +771,16 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality on the (exact-path) fixtures. The blocked LSH path
     (:func:`_threshold_pairs_verified`) is NOT used here: at a
     noise-floor threshold its candidate join materializes every pair
-    ~6 times (measured 164 s vs <20 s at sf1.0)."""
+    ~6 times (measured 164 s vs <20 s at sf1.0).
+
+    Above GEMM_EXACT_MAX this entry REFUSES rather than run the IVF
+    tier at SIM_THRESHOLD=0.4 — 0.4 sits below the tier's measured
+    competence band (recall 0.21–0.49 there vs ≥ 0.9975 at ≥ 0.7,
+    STRESS_r11 `pair_threshold_curve`), and a registered query must
+    not silently lose half its pairs at scale. Callers who want the
+    sub-band sweep at 10⁹ vectors call :func:`_gemm_threshold_pairs`
+    directly with below_band='exact' (recall 1.0) or 'approx'
+    (measured sub-band recall, probes as the knob)."""
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     labels = emb.select("vec_id", "label")
     pairs = _gemm_threshold_pairs(spark, sf_dir, SIM_THRESHOLD)

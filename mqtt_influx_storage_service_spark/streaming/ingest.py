@@ -360,8 +360,12 @@ def wide_view(points: DataFrame, fields: list[str] | None = None) -> DataFrame:
             # exists, the pivot would mint two identically-named
             # columns — ambiguous for every downstream select. Refuse
             # with a pointer (the same idiom as the width cap) rather
-            # than silently renaming either.
-            if "null" in fields:
+            # than silently renaming either. Case-FOLDED comparison
+            # (ADVICE r11): Spark column resolution is case-insensitive
+            # by default (spark.sql.caseSensitive=false), so a
+            # transducer named 'NULL' or 'Null' collides with the
+            # NULL-transducer's 'null' column just the same.
+            if any(f.lower() == "null" for f in fields):
                 raise ValueError(
                     "wide_view found both a NULL transducer (short "
                     "topic) and a transducer literally named 'null'; "

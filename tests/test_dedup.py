@@ -654,3 +654,62 @@ def test_semantic_assigned_is_cached_and_released(spark, sf_dir):
     c = D._semantic_assigned(spark, sf_dir)
     assert c is not a
     D.release_shingles(spark)
+
+
+def test_semdedup_ivf_kernel_above_gate_matches_within_cluster_rule(
+    spark, sf_dir, monkeypatch
+):
+    """VERDICT r11 #1a / ADVICE r11: the above-gate SemDeDup path —
+    ONE per-cluster Arrow kernel (_semdedup_list_verdicts) via
+    groupBy(cl).applyInPandas — is what a 100-TB run executes, and it
+    is a semantic change vs the below-gate exact path (within-cluster
+    pruning, the paper's rule, vs the global pair rule). Force the
+    gate to 0 so the kernel runs on the fixture and pin its verdicts
+    row-for-row against the brute-force NumPy WITHIN-CLUSTER rule:
+    assign each vector to its nearest coarse centroid (stable argmax,
+    round-6 cosine), sort each cluster by (cos_c, vec_id), drop a row
+    iff ANY earlier row in ITS cluster is an eps-neighbor (round-6
+    cosine >= SEMDEDUP_EPS, dropped or not — pairwise, not
+    transitive)."""
+    import collections
+
+    import numpy as np
+
+    from mqtt_influx_storage_service_spark.operators import dedup as D
+    from mqtt_influx_storage_service_spark.operators import similarity as S
+    from mqtt_influx_storage_service_spark.sources import load_table
+    from mqtt_influx_storage_service_spark.sources.tables import (
+        table_row_count,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    n = table_row_count(sf_dir, "embeddings")
+    centers = S._pair_centroids(emb, n)
+    C = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    clusters = collections.defaultdict(list)
+    info = {}
+    for r in emb.select("vec_id", "embedding").collect():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        u = v / np.linalg.norm(v)
+        s = u @ C.T
+        cl = int(s.argmax())
+        info[r.vec_id] = (cl, round(float(s[cl]), 6), u)
+        clusters[cl].append(r.vec_id)
+    expect = {}
+    for cl, ids in clusters.items():
+        ordered = sorted(ids, key=lambda i: (info[i][1], i))
+        for i, vid in enumerate(ordered):
+            dropped = any(
+                float(np.round(info[vid][2] @ info[p][2], 6))
+                >= D.SEMDEDUP_EPS
+                for p in ordered[:i]
+            )
+            expect[vid] = (cl, info[vid][1], not dropped)
+
+    monkeypatch.setattr(S, "GEMM_EXACT_MAX", 0)
+    got = {
+        r.vec_id: (r.cluster, r.cos_c, r.kept)
+        for r in D.dedup_semantic_ivf(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(1 for _, _, kept in got.values() if not kept) > 0

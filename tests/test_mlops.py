@@ -267,3 +267,22 @@ def test_fold_dot_kernel_bit_identical_to_spark_fold(spark):
         mlops._fold_dot_udf()(F.col("a"), F.col("b")).alias("kernel"),
     ).collect()
     assert all(r["fold"] == r["kernel"] for r in got)
+
+
+def test_brp_query_side_broadcast_no_bucket_exchange(spark, sf_dir):
+    """VERDICT r11 #1b: sim_ann_brp's broadcast hint on the bounded
+    query side must SURVIVE MLlib's approxSimilarityJoin internals
+    (explode + join — EliminateResolvedHint lifts the hint from the
+    join's child subtree): the LSH candidate join plans as a
+    BroadcastHashJoin on (entry, hashValue) with the query side
+    built, and NO exchange hash-partitions on the bucket key. The
+    800k skew census found the alternative — both sides shuffled by
+    (hash-table, bucket) key — concentrating the bounded query set's
+    handful of buckets on one straggler task; the measured
+    before/after at 800k is the STRESS_r12 `brp_census_800k` row."""
+    df = mlops.sim_ann_brp(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [entry" in plan, plan
+    assert "SortMergeJoin [entry" not in plan, plan
+    assert "ShuffledHashJoin [entry" not in plan, plan
+    assert "hashpartitioning(entry" not in plan, plan

@@ -393,3 +393,83 @@ def test_hot_cluster_still_splits_under_capped_k():
     skewed = np.concatenate([sample, hot])
     out = _split_hot_centroids(skewed, C, target_share, IVF_PAIR_PROBES)
     assert len(out) > len(C), "hot cluster was not split"
+
+
+def test_pair_tier_band_contract_above_gate(spark, monkeypatch):
+    """VERDICT r11 #2 (enforce the measured recall contract): above
+    GEMM_EXACT_MAX a requested threshold below PAIR_BAND_MIN sits in
+    the band where the IVF pair tier measured 0.21-0.49 recall at
+    800k vectors (STRESS_r11 `pair_threshold_curve`), so the call
+    must REFUSE by default with the curve citation instead of
+    silently returning <50% of qualifying pairs. below_band='exact'
+    stays the recall-1.0 escape (identical rows to the below-gate
+    exact kernel); below_band='approx' accepts the measured sub-band
+    recall knowingly; an in-band threshold proceeds on the IVF tier
+    unprompted. The registered entries declaring 0.4
+    (sim_threshold_pairs, dedup_embedding_cosine,
+    dedup_threshold_sweep's 0.30 materialization) inherit the refusal."""
+    import pytest
+
+    from mqtt_influx_storage_service_spark.operators import dedup as D
+    from mqtt_influx_storage_service_spark.operators import similarity as S
+
+    exact_04 = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in S._gemm_threshold_pairs(spark, SF001, 0.4).collect()
+    }
+    assert len(exact_04) > 0
+    monkeypatch.setattr(S, "GEMM_EXACT_MAX", 0)
+    with pytest.raises(ValueError, match="pair_threshold_curve"):
+        S._gemm_threshold_pairs(spark, SF001, 0.4)
+    with pytest.raises(ValueError, match="competence band"):
+        S.sim_threshold_pairs(spark, SF001)
+    with pytest.raises(ValueError, match="competence band"):
+        D.dedup_embedding_cosine(spark, SF001)
+    with pytest.raises(ValueError, match="competence band"):
+        D.dedup_threshold_sweep(spark, SF001)
+    escaped = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in S._gemm_threshold_pairs(
+            spark, SF001, 0.4, below_band="exact"
+        ).collect()
+    }
+    assert escaped == exact_04
+    approx = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in S._gemm_threshold_pairs(
+            spark, SF001, 0.4, below_band="approx"
+        ).collect()
+    }
+    # exact verify forbids false pairs on the approx tier too
+    assert approx <= exact_04
+    # in-band threshold needs no escape hatch (collect proves no raise;
+    # the near-orthogonal fixture has no pairs at 0.7, which is itself
+    # the contract: refusal is about RECALL, not emptiness)
+    inband = S._gemm_threshold_pairs(spark, SF001, S.PAIR_BAND_MIN)
+    assert {(r.id_a, r.id_b) for r in inband.collect()} <= {
+        (a, b) for a, b, _ in exact_04
+    }
+
+
+def test_pair_lloyd_matmul_matches_broadcast_form(spark):
+    """ADVICE r11: the pair-tier trainer `_lloyd_pairs` (matmul-form
+    squared distances) must reproduce the broadcast-difference-form
+    `mlops._lloyd` BIT-FOR-BIT on the actual fixture training sample
+    (same seed, same iterations) — a near-tie argmin flip between the
+    two float orderings would silently drift fixture-scale
+    dedup_semantic_ivf rows (cluster/cos_c/kept) that the below-gate
+    pin derives from `_pair_centroids` itself."""
+    import numpy as np
+
+    from mqtt_influx_storage_service_spark.operators import mlops as M
+    from mqtt_influx_storage_service_spark.operators import similarity as S
+    from mqtt_influx_storage_service_spark.sources import load_table
+    from mqtt_influx_storage_service_spark.sources.tables import (
+        table_row_count,
+    )
+
+    emb = load_table(spark, SF001, "embeddings", rebalance=True)
+    n = table_row_count(SF001, "embeddings")
+    sample, k = S._pair_training_sample(emb, n)
+    assert len(sample) > 0 and k >= 8
+    assert np.array_equal(S._lloyd_pairs(sample, k=k), M._lloyd(sample, k=k))

@@ -297,6 +297,21 @@ def test_wide_view_refuses_null_name_collision(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     with pytest.raises(ValueError, match="literally named 'null'"):
         st.wide_view(pts)
+    # ADVICE r11: Spark column resolution is case-insensitive by
+    # default (spark.sql.caseSensitive=false), so 'NULL'/'Null'
+    # transducers collide with the NULL-transducer's 'null' column
+    # exactly the same way — the guard must case-fold.
+    for cased in ("NULL", "Null"):
+        pts_cased = spark.createDataFrame(
+            [
+                ("d1", "2024-01-01 00:00:00", None, 9.9),
+                ("d1", "2024-01-01 00:00:00", cased, 1.0),
+            ],
+            "device_id string, ts string, transducer string, "
+            "value_double double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        with pytest.raises(ValueError, match="literally named 'null'"):
+            st.wide_view(pts_cased)
     # an explicit fields= list stays the caller's escape hatch
     out = st.wide_view(pts, fields=["null", "temp"])
     assert out.columns == ["device_id", "ts", "null", "temp"]
