@@ -109,3 +109,58 @@ def test_canary_is_fixed_work_and_sf_independent():
     src = inspect.getsource(bench._canary)
     assert "_CANARY_ROWS" in src
     assert "sf_dir" not in src and "SPARK_GRAFT" not in src
+
+
+def _attempt(drift, reps, canary=(0.5, 0.5)):
+    return {
+        "timings": {k: (round(min(v), 3) if v else None) for k, v in reps.items()},
+        "rep_times": reps,
+        "canary_start": canary[0],
+        "canary_end": canary[1],
+        "drift_pct": drift,
+    }
+
+
+def test_merge_attempts_publishes_floors_and_gate(monkeypatch):
+    """VERDICT r11 #4: the contention gate's merge must publish
+    per-query MIN across every attempt's reps, surface every attempt's
+    drift, mark the artifact contended only when NO attempt passed the
+    gate, and carry the pinned diagnosis in that case."""
+    a1 = _attempt(66.4, {"qa": [2.0, 1.8], "qb": [0.5], "qc": []},
+                  canary=(0.6, 0.37))
+    a2 = _attempt(8.0, {"qa": [1.9, 1.5], "qb": [0.6], "qc": [3.0]},
+                  canary=(0.38, 0.41))
+    merged = bench._merge_attempts([a1, a2])
+    assert merged["queries"]["qa"] == 1.5          # floor across attempts
+    assert merged["queries"]["qb"] == 0.5
+    assert merged["queries"]["qc"] == 3.0          # rescued by attempt 2
+    assert merged["failed"] == []
+    gate = merged["contention_gate"]
+    assert gate["drift_pct_per_attempt"] == [66.4, 8.0]
+    assert gate["contended_after_retries"] is False
+    assert "diagnosis" not in gate
+    # canary anchors on the lowest-drift attempt; sec is the floor
+    assert merged["canary"]["drift_pct"] == 8.0
+    assert merged["canary"]["sec"] == 0.37
+
+    # all attempts contended -> diagnosis pinned inside the artifact
+    bad = bench._merge_attempts([a1])
+    assert bad["contention_gate"]["contended_after_retries"] is True
+    assert "canary drift" in bad["contention_gate"]["diagnosis"]
+
+    # a query no attempt ran nulls the headline value
+    a3 = _attempt(5.0, {"qa": [1.0], "qc": []})
+    solo = bench._merge_attempts([a3])
+    assert solo["failed"] == ["qc"] and solo["value"] is None
+
+
+def test_merge_attempts_annotates_pathological_spread():
+    """Top-decile entries with >100% spread carry the known-cause note
+    (shared-LRU rebuilds), so the artifact explains itself instead of
+    demanding a prose adjudication every round."""
+    reps = {f"q{i}": [float(i)] for i in range(12)}
+    reps["q11"] = [11.0, 23.0]  # 109% spread, slowest entry
+    att = _attempt(5.0, reps)
+    merged = bench._merge_attempts([att])
+    v = merged["top_decile_variance"]["q11"]
+    assert v["spread_pct"] > 100 and "LRU" in v["note"]
