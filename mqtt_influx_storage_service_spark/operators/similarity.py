@@ -696,13 +696,16 @@ def _ivf_gemm_candidate_pairs(
 # Measured competence floor of the IVF pair tier (STRESS_r11
 # `pair_threshold_curve`, 800k vectors, default p=2): recall by
 # requested-threshold band is 1.0 at cosine ≥ 0.9, ≥ 0.9975 at ≥ 0.7,
-# ~0.79 in [0.6,0.7), collapsing to 0.21 in the [0.4,0.5) noise-floor
+# 0.7559 in [0.6,0.7) (a 299-pair band — noisy estimate), collapsing
+# through 0.43 in [0.5,0.6) to 0.208 in the [0.4,0.5) noise-floor
 # band (where the stress corpus holds ~740k weakly-similar pairs per
 # 1k probes — densities that are the exact kernel's job). Above
 # GEMM_EXACT_MAX the tier is therefore a NEAR-DUP MINER and a
 # requested threshold below this floor must not silently return <50%
 # of qualifying pairs — the same refusal idiom as
-# functions/influxql.py::_bounded_index.
+# functions/influxql.py::_bounded_index. The floor sits at the
+# VERDICT-r11 band edge: ≥ 0.6 is the miner's working range (recall
+# 0.76+ and rising fast), < 0.6 is the collapse.
 PAIR_BAND_MIN = 0.6
 
 
