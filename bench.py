@@ -117,7 +117,16 @@ def main() -> int:
     # pinned diagnosis instead of silently publishing contended data.
     attempts: list[dict] = []
     for attempt_i in range(_MAX_ATTEMPTS):
-        att = _run_suite(spark, qs, sf_dir, release_mmr, release_semantic)
+        try:
+            att = _run_suite(spark, qs, sf_dir, release_mmr, release_semantic)
+        except Exception as exc:  # noqa: BLE001 - a retry crash must not
+            # discard a completed earlier attempt: the gate exists to
+            # SALVAGE contended runs, so publish what we have
+            print(f"bench: attempt {attempt_i + 1} crashed: {exc}",
+                  file=sys.stderr)
+            if attempts:
+                break
+            raise
         attempts.append(att)
         print(
             f"bench: attempt {attempt_i + 1} canary drift "
@@ -202,16 +211,17 @@ def _run_suite(spark, qs, sf_dir, release_mmr, release_semantic) -> dict:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = None
 
-    # Top-decile variance (VERDICT r5 "Next round" #8): a third rep for
-    # the 10 slowest entries, so the artifact itself shows whether a
-    # round-over-round delta on an expensive query is signal or
-    # run-to-run noise (spread_pct = (max-min)/min over the reps).
+    # Top-decile extra reps (VERDICT r5 "Next round" #8): more reps for
+    # the 10 slowest entries so the artifact can show whether a
+    # round-over-round delta on an expensive query is signal or noise.
+    # The published spread_pct is computed by _merge_attempts over the
+    # MERGED rep lists; this phase only gathers the reps and converges
+    # the floor.
     top10 = sorted(
         (k for k, v in timings.items() if v is not None),
         key=lambda k: timings[k],
         reverse=True,
     )[:10]
-    variance: dict[str, dict] = {}
     for name in top10:
         # r10 diagnosis (STRESS_r10 `variance_phase_diag`): by the time
         # the variance phase runs, 200+ other queries have executed and
@@ -244,12 +254,6 @@ def _run_suite(spark, qs, sf_dir, release_mmr, release_semantic) -> dict:
                 break
         reps = rep_times[name]
         timings[name] = round(min(reps), 3)
-        variance[name] = {
-            "n": len(reps),
-            "min": round(min(reps), 3),
-            "max": round(max(reps), 3),
-            "spread_pct": round(100 * (max(reps) - min(reps)) / min(reps), 1),
-        }
 
     try:
         timings["stream_ingest"] = _bench_stream_ingest(spark, sf_dir)
@@ -348,9 +352,11 @@ def _merge_attempts(attempts: list[dict]) -> dict:
             "STRESS_r10 variance_phase_diag) and round-over-round "
             "comparison should lean on common_ratio_canary_normalized"
         )
-    canary_sec = round(
-        min(min(a["canary_start"], a["canary_end"]) for a in attempts), 3
-    )
+    # machine-speed anchor from the GATE-PASSED window only: a global
+    # min over all attempts could pick a reading from a window the gate
+    # itself judged contended, skewing common_ratio_canary_normalized
+    # (r12 review finding)
+    canary_sec = round(min(best["canary_start"], best["canary_end"]), 3)
     return {
         "metric": "headline_query_suite_sec",
         "value": total,

@@ -549,8 +549,6 @@ def _pair_centroids(emb: DataFrame, n_rows: int) -> "np.ndarray":
     list dominates the Σ list² pair budget. K scales as
     p·n/IVF_TARGET_LIST so list size — and with it per-list GEMM
     work — stays bounded as the corpus grows."""
-    from .mlops import IVF_SAMPLE
-
     # K sized for the MULTI-assigned membership count (each vector
     # lands in IVF_PAIR_PROBES lists, so p·n memberships must spread
     # over K lists of ~IVF_TARGET_LIST): the r9 single-assign sizing
@@ -737,14 +735,23 @@ def _gemm_threshold_pairs(
     ``"approx"`` accepts the measured sub-band recall knowingly
     (probes=3 lifts threshold-0.4 recall 0.488 → 0.571 at 2.5× the
     Σ list² budget, `pair_recall_sweep`)."""
+    if below_band not in ("refuse", "exact", "approx"):
+        raise ValueError(
+            f"below_band={below_band!r} is not one of "
+            "('refuse', 'exact', 'approx') — a misspelled escape hatch "
+            "must fail loudly, not silently fall back to refusal"
+        )
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     n_rows = table_row_count(sf_dir, "embeddings")
     if n_rows <= GEMM_EXACT_MAX:
         cand = _gemm_candidate_pairs(emb, n_rows, threshold, chunk)
+    elif below_band == "exact":
+        # explicit exactness wins over the band check: a caller who
+        # asked for the recall-1.0 kernel must get it even in-band
+        # (the IVF tier is 0.7559 recall in [0.6,0.7))
+        cand = _gemm_candidate_pairs(emb, n_rows, threshold, chunk)
     elif threshold >= PAIR_BAND_MIN or below_band == "approx":
         cand = _ivf_gemm_candidate_pairs(emb, n_rows, threshold, chunk)
-    elif below_band == "exact":
-        cand = _gemm_candidate_pairs(emb, n_rows, threshold, chunk)
     else:
         raise ValueError(
             f"pair threshold {threshold} is below the IVF pair tier's "

@@ -354,6 +354,25 @@ def wide_view(points: DataFrame, fields: list[str] | None = None) -> DataFrame:
         # sorted() throw on a None/str comparison.
         vals = [r[0] for r in rows]
         fields = sorted(v for v in vals if v is not None)
+        # Any two transducers differing only in case collide the same
+        # way the NULL/'null' pair does (r12 review): Spark resolves
+        # columns case-insensitively by default, so a pivot minting
+        # both 'Temp' and 'temp' makes every downstream select
+        # AMBIGUOUS_REFERENCE. Conforming ingest never produces these
+        # (the topic parser lowercases, reference influx_service.py:139)
+        # — this guards un-quarantined external frames.
+        folded: dict[str, str] = {}
+        for f in fields:
+            first = folded.setdefault(f.lower(), f)
+            if first != f:
+                raise ValueError(
+                    f"wide_view found transducers {first!r} and {f!r} "
+                    "differing only in case; column resolution is "
+                    "case-insensitive (spark.sql.caseSensitive=false), "
+                    "so pivoting both mints ambiguous columns — "
+                    "quarantine or rename one, or pass fields= "
+                    "explicitly"
+                )
         if len(fields) < len(vals):
             # A NULL transducer pivots to a column literally named
             # 'null'; if a transducer with the string name 'null' ALSO

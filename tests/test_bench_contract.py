@@ -139,9 +139,11 @@ def test_merge_attempts_publishes_floors_and_gate(monkeypatch):
     assert gate["drift_pct_per_attempt"] == [66.4, 8.0]
     assert gate["contended_after_retries"] is False
     assert "diagnosis" not in gate
-    # canary anchors on the lowest-drift attempt; sec is the floor
+    # canary anchors on the lowest-drift attempt ONLY — a global min
+    # could pick a reading from a window the gate judged contended
+    # (r12 review finding)
     assert merged["canary"]["drift_pct"] == 8.0
-    assert merged["canary"]["sec"] == 0.37
+    assert merged["canary"]["sec"] == 0.38
 
     # all attempts contended -> diagnosis pinned inside the artifact
     bad = bench._merge_attempts([a1])

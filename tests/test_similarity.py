@@ -473,3 +473,31 @@ def test_pair_lloyd_matmul_matches_broadcast_form(spark):
     sample, k = S._pair_training_sample(emb, n)
     assert len(sample) > 0 and k >= 8
     assert np.array_equal(S._lloyd_pairs(sample, k=k), M._lloyd(sample, k=k))
+
+
+def test_pair_tier_explicit_exact_wins_in_band(spark, monkeypatch):
+    """r12 review findings: (a) below_band='exact' must route to the
+    recall-1.0 kernel even for an IN-band threshold above the gate
+    (the IVF tier measures 0.7559 recall in [0.6,0.7) — a caller who
+    explicitly paid for exactness must not silently get the miner);
+    (b) a misspelled below_band fails loudly instead of falling back
+    to refusal."""
+    import pytest
+
+    from mqtt_influx_storage_service_spark.operators import similarity as S
+
+    exact_06 = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in S._gemm_threshold_pairs(spark, SF001, 0.45).collect()
+        if r.cosine >= S.PAIR_BAND_MIN
+    }
+    monkeypatch.setattr(S, "GEMM_EXACT_MAX", 0)
+    got = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in S._gemm_threshold_pairs(
+            spark, SF001, S.PAIR_BAND_MIN, below_band="exact"
+        ).collect()
+    }
+    assert got == exact_06
+    with pytest.raises(ValueError, match="below_band='Exact'"):
+        S._gemm_threshold_pairs(spark, SF001, 0.4, below_band="Exact")

@@ -1132,3 +1132,25 @@ def test_dsir_screen_restart_is_exactly_once(spark, tmp_path):
     ids = sorted(r.doc_id for r in rows)
     assert ids == [500001, 500002]  # each exactly once across restarts
     release_dsir(spark)
+
+
+def test_wide_view_refuses_case_pair_collision(spark):
+    """r12 review finding: two STRING transducers differing only in
+    case ('Temp'/'temp') collide under Spark's default
+    case-insensitive column resolution exactly like the NULL/'null'
+    pair — the probe must refuse, not mint an AMBIGUOUS_REFERENCE
+    schema. Conforming ingest never produces these (the topic parser
+    lowercases, reference influx_service.py:139); this guards
+    un-quarantined external frames."""
+    import pytest
+
+    pts = spark.createDataFrame(
+        [
+            ("d1", "2024-01-01 00:00:00", "Temp", 1.0),
+            ("d1", "2024-01-01 00:00:00", "temp", 2.0),
+            ("d2", "2024-01-01 00:00:00", "hum", 3.0),
+        ],
+        "device_id string, ts string, transducer string, value_double double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="differing only in case"):
+        st.wide_view(pts)
