@@ -1429,7 +1429,14 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Above GEMM_EXACT_MAX the kernel runs within coarse IVF lists
     (``_ivf_block_knn_candidates``) so compute is Σ list² ≪ n² — the
     plan that survives 10⁹ vectors; the fixtures stay on the exact
-    tile path, keeping the driver hashes.
+    tile path, keeping the driver hashes. Measured at the 800k
+    capped-K frontier (STRESS_r12 `knn_800k`): full-graph
+    construction 86 s at the default 8 GiB heap, recall@3 **1.0**
+    (both strict-set and tie-fair-value) against the exact
+    broadcast-scan truth on a 200-probe sample — unlike the
+    low-threshold pair sweep, a vector's top-k neighbors are its
+    nearest points and DO share coarse lists, so the capped-K recall
+    collapse that hit the pair tier at threshold 0.4 does not apply.
     Deterministic tie-break: (cosine DESC, neighbor_id ASC).
     """
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
