@@ -37,8 +37,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/tmp/spark_graft_100x/f100"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "STRESS_r10.json")
+# merge target: pass an explicit artifact path as argv[1]; the default
+# stays the newest STRESS_r*.json so the row lands in the CURRENT round
+# (the hardcoded r10 path silently edited a PRIOR round's artifact once)
+import glob as _glob
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_stress = sorted(_glob.glob(os.path.join(_repo, "STRESS_r*.json")))
+OUT = (sys.argv[1] if len(sys.argv) > 1
+       else (_stress[-1] if _stress
+             else os.path.join(_repo, "STRESS_r00.json")))
 
 FAMILIES = ("dedup_", "sim_", "text_", "pipeline_", "mm_", "emb_")
 
@@ -55,6 +63,13 @@ BENIGN = {
     "text_bm25": "bounded query set (50 query docs)",
     "sim_ann_ivf": "bounded query probe set (vec_id < 100)",
     "sim_ann_ivf_pq": "bounded query probe set (vec_id < 100)",
+    # r12: the broadcast HINT on approxSimilarityJoin's query side —
+    # the flagged subtree is the vec_id < 100 scan (pushed filter
+    # visible in DataFilters), ~100 rows exploded to ~600 hash
+    # entries; the hint exists precisely to broadcast this bounded
+    # set (STRESS_r12 `brp_census_800k`)
+    "sim_ann_brp": "bounded query set (vec_id < 100) under the r12 "
+                   "broadcast hint",
 }
 # nodes that bound the cardinality of everything above them
 BOUNDING = ("Aggregate", "Limit", "TakeOrdered", "WindowGroupLimit")
