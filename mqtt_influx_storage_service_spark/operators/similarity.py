@@ -885,6 +885,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross join — the O(collisions) scale path. Recall vs the
     brute-force baseline is asserted in tests/test_similarity.py
     (multi-probe over single-bit flips keeps recall usable).
+
+    Measured at 800k (STRESS_r12 `lsh_800k`): recall@5 1.0, but at the
+    declared fixture geometry (LSH_PLANES=6 → 64 buckets) the 22-probe
+    join scans ~34% of the corpus per query and runs 2.6× SLOWER than
+    the exact broadcast scan — at this plane count the operator is
+    dominated by ``sim_cosine_topk``. LSH_PLANES (16-24 on real
+    clustered corpora) is the knob that makes bucketing win; the IVF
+    family is the engine's actual scale path (recall 1.0 at 14.65 s
+    on the same corpus).
     """
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     v = _with_norm(emb, "vid", "vv").withColumn("bucket", _bucket_expr(F.col("vv")))
