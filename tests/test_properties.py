@@ -371,3 +371,86 @@ def test_substring_dedup_matches_bruteforce(spark, texts):
         for r in dedup_substring(spark, d).collect()
     }
     assert got == want
+
+
+@given(
+    st_.lists(
+        st_.lists(
+            st_.floats(min_value=-1.0, max_value=1.0,
+                       allow_nan=False, allow_infinity=False),
+            min_size=8, max_size=8,
+        ),
+        min_size=2, max_size=48,
+    ),
+    st_.floats(min_value=0.1, max_value=0.95),
+    st_.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=40, deadline=None)
+def test_semdedup_kernel_matches_quadratic_reference(vecs, eps, chunk):
+    """Property pin for the r12-verified above-gate SemDeDup kernel
+    (`_semdedup_list_verdicts`): on ARBITRARY vector lists, eps values
+    and chunk sizes (including chunk < list size, forcing multiple
+    blockwise-GEMM tiles), the kernel's verdicts must equal the naive
+    O(n²) within-cluster rule — sort by (cos_c, vec_id), drop a row
+    iff ANY earlier row is a round-6 eps-neighbor, dropped or not.
+    Pure-driver property (no Spark): the fixture test pins the
+    distributed path; this pins the kernel math across the input space
+    the fixture cannot reach (ties, zero vectors, tiny chunks)."""
+    import numpy as np
+    import pandas as pd
+
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        _semdedup_list_verdicts,
+    )
+
+    n = len(vecs)
+    X = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    U = X / np.where(norms == 0, 1.0, norms)
+    # priority key replicates _ivf_priority_udf's shape: any float is
+    # valid, INCLUDING duplicates (ties fall to the vec_id tiebreak)
+    cos_c = np.round(U[:, 0], 6)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64) * 7,  # sparse ids
+            "cl": np.zeros(n, dtype=np.int64),
+            "cos_c": cos_c,
+            "emb": [list(map(float, v)) for v in vecs],
+        }
+    )
+    got = _semdedup_list_verdicts(eps, chunk=chunk)(pdf)
+    got_kept = dict(zip(got["vec_id"], got["kept"]))
+
+    order = sorted(range(n), key=lambda i: (cos_c[i], i * 7))
+    expect = {}
+    for pos, i in enumerate(order):
+        dropped = any(
+            float(np.round(U[i] @ U[j], 6)) >= eps
+            for j in order[:pos]
+        )
+        expect[i * 7] = not dropped
+    assert got_kept == expect
+
+
+@given(
+    st_.integers(min_value=0, max_value=2**32 - 1),
+    st_.integers(min_value=2, max_value=12),
+    st_.integers(min_value=16, max_value=96),
+)
+@settings(max_examples=25, deadline=None)
+def test_lloyd_pairs_bit_identical_to_broadcast_form(seed, k, m):
+    """Property extension of the fixture Lloyd-parity pin (ADVICE r11):
+    the matmul-form `_lloyd_pairs` must reproduce the
+    broadcast-difference-form `mlops._lloyd` BIT-FOR-BIT on random
+    unit-vector samples across seeds, K values and sample sizes — not
+    just on the one fixture sample. A single near-tie argmin flip
+    between the two float orderings would change centroids."""
+    import numpy as np
+
+    from mqtt_influx_storage_service_spark.operators import mlops as M
+    from mqtt_influx_storage_service_spark.operators import similarity as S
+
+    rng = np.random.RandomState(seed % (2**31))
+    sample = rng.normal(size=(max(m, k), 16))
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    assert np.array_equal(S._lloyd_pairs(sample, k=k), M._lloyd(sample, k=k))
