@@ -116,14 +116,19 @@ def main() -> int:
     # attempt's drift; if no attempt passes, the artifact carries the
     # pinned diagnosis instead of silently publishing contended data.
     attempts: list[dict] = []
+    crash: dict | None = None
     for attempt_i in range(_MAX_ATTEMPTS):
         try:
             att = _run_suite(spark, qs, sf_dir, release_mmr, release_semantic)
         except Exception as exc:  # noqa: BLE001 - a retry crash must not
             # discard a completed earlier attempt: the gate exists to
-            # SALVAGE contended runs, so publish what we have
+            # SALVAGE contended runs, so publish what we have — but the
+            # gate dict must RECORD the crash (ADVICE r12): otherwise a
+            # "drift stayed above the gate for all N attempts" diagnosis
+            # implies retries were exhausted when they were cut short.
             print(f"bench: attempt {attempt_i + 1} crashed: {exc}",
                   file=sys.stderr)
+            crash = {"attempt": attempt_i + 1, "exc": repr(exc)[:300]}
             if attempts:
                 break
             raise
@@ -136,7 +141,7 @@ def main() -> int:
         if att["drift_pct"] <= _DRIFT_GATE_PCT:
             break
 
-    payload = _merge_attempts(attempts)
+    payload = _merge_attempts(attempts, crash=crash)
     payload["sf"] = sf
     payload.update(
         _prior_round_ratio(payload["queries"], payload["canary"]["sec"])
@@ -277,7 +282,7 @@ def _run_suite(spark, qs, sf_dir, release_mmr, release_semantic) -> dict:
     }
 
 
-def _merge_attempts(attempts: list[dict]) -> dict:
+def _merge_attempts(attempts: list[dict], crash: dict | None = None) -> dict:
     """Fold the gate's attempts into ONE publishable payload: per-query
     min across every attempt's reps (min-of-N publishes floors — the
     floor is stable ±3% across runs on this box even when spreads are
@@ -312,9 +317,19 @@ def _merge_attempts(attempts: list[dict]) -> dict:
         key=lambda k: timings[k],
         reverse=True,
     )[:10]
+    best = min(attempts, key=lambda a: a["drift_pct"])
     variance: dict[str, dict] = {}
     for name in top10:
-        reps = merged_reps[name]
+        # Spread is computed WITHIN the lowest-drift attempt's reps
+        # (ADVICE r12): when attempts straddle a contended window —
+        # the gate's whole premise — reps merged across attempts mix
+        # machine-speed regimes, so a cross-attempt spread would
+        # misattribute box drift to LRU rebuilds. Falls back to the
+        # merged reps only when the best attempt lacks 2 reps for the
+        # query (crash salvage), with the scope recorded either way.
+        best_reps = best["rep_times"].get(name, [])
+        within_best = len(best_reps) >= 2
+        reps = best_reps if within_best else merged_reps[name]
         if not reps:
             continue
         spread = round(100 * (max(reps) - min(reps)) / min(reps), 1)
@@ -323,6 +338,7 @@ def _merge_attempts(attempts: list[dict]) -> dict:
             "min": round(min(reps), 3),
             "max": round(max(reps), 3),
             "spread_pct": spread,
+            "scope": "best_attempt" if within_best else "merged_attempts",
         }
         if spread > 100:
             # known single-JVM harness artifact: after 200+ queries the
@@ -333,8 +349,12 @@ def _merge_attempts(attempts: list[dict]) -> dict:
                 "spread dominated by shared-LRU cache rebuilds across "
                 "the 225-query run, not plan variance; floor is the "
                 "published number"
+                if within_best
+                else "reps merged across attempts spanning different "
+                "machine-speed windows (best attempt has <2 reps); "
+                "spread reflects cross-attempt drift and/or shared-LRU "
+                "rebuilds; floor is the published number"
             )
-    best = min(attempts, key=lambda a: a["drift_pct"])
     drifts = [a["drift_pct"] for a in attempts]
     contended = best["drift_pct"] > _DRIFT_GATE_PCT
     gate = {
@@ -343,14 +363,27 @@ def _merge_attempts(attempts: list[dict]) -> dict:
         "drift_pct_per_attempt": drifts,
         "contended_after_retries": contended,
     }
+    if crash is not None:
+        # ADVICE r12: a retry that crashed after a failed-gate attempt
+        # cut the retry loop short — record it so a contended diagnosis
+        # can't read as "retries exhausted" when they weren't.
+        gate["crashed_attempt"] = crash["attempt"]
+        gate["crash_exc"] = crash["exc"]
     if contended:
+        cut_short = (
+            " NOTE: the retry loop was cut short by a crash on attempt "
+            f"{crash['attempt']} (crash_exc in this dict), not exhausted."
+            if crash is not None
+            else ""
+        )
         gate["diagnosis"] = (
             f"in-run canary drift stayed above {_DRIFT_GATE_PCT}% for "
-            f"all {len(attempts)} attempts — the box was contended for "
-            "the whole bench window; per-query MIN-of-all-attempts "
-            "floors are published (floors reproduce ±3% across runs, "
-            "STRESS_r10 variance_phase_diag) and round-over-round "
-            "comparison should lean on common_ratio_canary_normalized"
+            f"all {len(attempts)} completed attempts — the box was "
+            "contended for the whole bench window; per-query "
+            "MIN-of-all-attempts floors are published (floors reproduce "
+            "±3% across runs, STRESS_r10 variance_phase_diag) and "
+            "round-over-round comparison should lean on "
+            f"common_ratio_canary_normalized.{cut_short}"
         )
     # machine-speed anchor from the GATE-PASSED window only: a global
     # min over all attempts could pick a reading from a window the gate

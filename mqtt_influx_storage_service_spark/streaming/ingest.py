@@ -373,6 +373,20 @@ def wide_view(points: DataFrame, fields: list[str] | None = None) -> DataFrame:
                     "quarantine or rename one, or pass fields= "
                     "explicitly"
                 )
+            # A transducer whose folded name equals a fixed output
+            # column ('ts', 'device_id' — e.g. a 'TS' transducer from a
+            # non-conforming frame) pivots into a column that collides
+            # with the groupBy columns under case-insensitive
+            # resolution — the same AMBIGUOUS_REFERENCE class as the
+            # case-pair guard above (ADVICE r12).
+            if f.lower() in ("ts", "device_id"):
+                raise ValueError(
+                    f"wide_view found a transducer named {f!r}, which "
+                    "collides with the wide layout's fixed "
+                    f"{f.lower()!r} column under case-insensitive "
+                    "resolution — quarantine or rename it, or pass "
+                    "fields= excluding it"
+                )
         if len(fields) < len(vals):
             # A NULL transducer pivots to a column literally named
             # 'null'; if a transducer with the string name 'null' ALSO

@@ -166,3 +166,51 @@ def test_merge_attempts_annotates_pathological_spread():
     merged = bench._merge_attempts([att])
     v = merged["top_decile_variance"]["q11"]
     assert v["spread_pct"] > 100 and "LRU" in v["note"]
+
+
+def test_merge_attempts_spread_is_within_best_attempt():
+    """ADVICE r12: when attempts straddle a contended window, reps
+    merged across attempts mix machine-speed regimes — spread_pct must
+    come from the lowest-drift attempt's reps alone (scope recorded),
+    falling back to merged reps (with the softened note) only when the
+    best attempt has <2 reps for the query."""
+    # attempt 1 ran in a 2x-slower window: cross-attempt spread would
+    # be ~100% even though each attempt's own reps are tight
+    slow = {f"q{i}": [20.0 + i, 20.5 + i] for i in range(10)}
+    fast = {f"q{i}": [10.0 + i, 10.2 + i] for i in range(10)}
+    a1 = _attempt(66.4, slow)
+    a2 = _attempt(8.0, fast)
+    merged = bench._merge_attempts([a1, a2])
+    for v in merged["top_decile_variance"].values():
+        assert v["scope"] == "best_attempt"
+        assert v["spread_pct"] < 10  # within-attempt, not cross-regime
+        assert "note" not in v
+
+    # crash salvage: best attempt missing reps for the slowest query ->
+    # merged scope + the softened note when the spread is pathological
+    a3 = _attempt(66.4, {"qa": [11.0, 23.0], "qb": [0.5, 0.5]})
+    a4 = _attempt(8.0, {"qa": [], "qb": [0.4, 0.4]})
+    merged = bench._merge_attempts([a3, a4])
+    v = merged["top_decile_variance"]["qa"]
+    assert v["scope"] == "merged_attempts"
+    assert "cross-attempt" in v["note"]
+
+
+def test_merge_attempts_records_crash(monkeypatch):
+    """ADVICE r12: a retry crash after a failed-gate attempt cuts the
+    loop short — the gate dict must record it, and a contended
+    diagnosis must say the retries were cut short, not exhausted."""
+    a1 = _attempt(66.4, {"qa": [1.0, 1.1]})
+    crash = {"attempt": 2, "exc": "RuntimeError('executor lost')"}
+    merged = bench._merge_attempts([a1], crash=crash)
+    gate = merged["contention_gate"]
+    assert gate["crashed_attempt"] == 2
+    assert "executor lost" in gate["crash_exc"]
+    assert gate["contended_after_retries"] is True
+    assert "cut short by a crash on attempt 2" in gate["diagnosis"]
+
+    # crash after a gate-PASSED attempt: recorded, but no diagnosis
+    ok = bench._merge_attempts([_attempt(5.0, {"qa": [1.0, 1.1]})],
+                               crash={"attempt": 2, "exc": "X"})
+    assert ok["contention_gate"]["crashed_attempt"] == 2
+    assert "diagnosis" not in ok["contention_gate"]

@@ -1154,3 +1154,25 @@ def test_wide_view_refuses_case_pair_collision(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     with pytest.raises(ValueError, match="differing only in case"):
         st.wide_view(pts)
+
+
+def test_wide_view_refuses_fixed_column_collision(spark):
+    """ADVICE r12: a transducer whose lowercased name equals a fixed
+    output column ('ts', 'device_id' — e.g. a 'TS' transducer from a
+    non-conforming frame) pivots into a column that collides with the
+    groupBy columns under case-insensitive resolution — the same
+    AMBIGUOUS_REFERENCE class the case-pair guard closes. The probe
+    must refuse with the fields= pointer."""
+    import pytest
+
+    for bad in ("TS", "ts", "Device_Id"):
+        pts = spark.createDataFrame(
+            [
+                ("d1", "2024-01-01 00:00:00", bad, 1.0),
+                ("d2", "2024-01-01 00:00:00", "hum", 3.0),
+            ],
+            "device_id string, ts string, transducer string,"
+            " value_double double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        with pytest.raises(ValueError, match="fixed"):
+            st.wide_view(pts)
