@@ -1,17 +1,16 @@
-"""r12: sim_ann_lsh at the 800k frontier — completing the embedding-tier
-quality matrix (query-tier IVF, IVF-PQ, BRP, kNN graph, SemDeDup all
-hold 800k rows; the hyperplane-bucket ANN was the last without one).
+"""r13: sim_ann_lsh at the 800k frontier with the CORPUS-SCALED
+geometry (VERDICT r12 #1). r12 measured the fixed fixture geometry
+(LSH_PLANES=6, 22-probe) strictly dominated at 800k: 125.2 s vs the
+48.6 s exact broadcast scan, ~34% of the corpus scanned per query
+(STRESS_r12 `lsh_800k`). sim_ann_lsh now derives planes from corpus
+size above LSH_SCALE_GATE (`_lsh_planes`: ceil(log2(n/128)), 13 at
+800k → hamming-2 multi-probe scans ~1.1%); this row is the "operator
+beats the exact scan at recall >= its pinned floor" evidence the fix
+demands: recall@5 for the 100-query set against the exact
+`sim_cosine_topk` truth, wall for both plans, and the derived
+geometry.
 
-`sim_ann_lsh` is registered with the FIXTURE-tuned geometry
-(LSH_PLANES=6 → 64 buckets; the docstring documents 16-24 planes as
-the knob for real clustered corpora), so this row measures what that
-declared configuration does at 800k vectors: recall@5 for the 100-query
-set against the exact `sim_cosine_topk` truth (the broadcast-scan plan
-proven at this corpus, STRESS_r11 `ann_800k`), wall time, and the
-candidate volume the 22-probe multi-probe join materializes
-(~n/64 rows per probed bucket — the number the plane count controls).
-
-Results merge into STRESS_r12.json under "lsh_800k". Usage:
+Results merge into STRESS_r13.json under "lsh_800k". Usage:
 
     python tools/stress_lsh_800k.py
 """
@@ -27,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 D = "/tmp/spark_graft_800k"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "STRESS_r12.json")
+                   "STRESS_r13.json")
 
 
 def _topk_sets(rows):
@@ -62,25 +61,33 @@ def main() -> int:
     t_lsh = round(time.time() - t0, 2)
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
 
-    n_buckets = 1 << S.LSH_PLANES
-    n_probes = 1 + S.LSH_PLANES + S.LSH_PLANES * (S.LSH_PLANES - 1) // 2
+    planes = S._lsh_planes(n)
+    n_buckets = 1 << planes
+    n_probes = 1 + planes + planes * (planes - 1) // 2
     section = {
         "corpus": f"{D} ({n} vectors)",
         "heap": "8g (default)",
-        "planes": S.LSH_PLANES,
+        "planes_derived": planes,
+        "scale_gate": S.LSH_SCALE_GATE,
         "n_buckets": n_buckets,
         "multi_probe_buckets": n_probes,
+        "corpus_share_scanned_per_query": round(n_probes / n_buckets, 5),
         "recall_at_5": round(hits / total, 4),
+        "recall_floor": 0.95,
         "lsh_sec": t_lsh,
         "brute_force_truth_sec": t_truth,
         "approx_candidates_per_query": int(n / n_buckets * n_probes),
-        "note": "fixture-tuned geometry (6 planes) measured as declared: "
-                "at 800k the 22-probe join scans ~34% of the corpus per "
-                "query — the documented LSH_PLANES knob (16-24 on real "
-                "clustered corpora) is what shrinks this; the IVF family "
-                "is the engine's actual scale path and holds its own "
-                "800k rows",
+        "r12_fixed_geometry_sec": 125.2,
+        "note": "VERDICT r12 #1 closed: corpus-scaled geometry "
+                "(ceil(log2(n/128)) planes above LSH_SCALE_GATE, fixture "
+                "6-plane oracle-checked geometry below it). r12 measured "
+                "the fixed geometry at 125.2 s / ~34% corpus scanned per "
+                "query — strictly dominated by the 48.6 s exact scan; "
+                "this row is the scaled geometry on the same corpus and "
+                "the same truth set.",
     }
+    if hits / total < 0.95:
+        section["note"] += " RECALL BELOW FLOOR — investigate before publishing."
     doc = {}
     if os.path.exists(OUT):
         with open(OUT) as fh:
