@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..sources import load_table
+from ..sources.tables import table_row_count
 
 JACCARD_THRESHOLD = 0.5
 MINHASH_K = 64          # signature length
@@ -176,11 +177,13 @@ def release_shingles(spark: SparkSession | None = None) -> int:
         _LABEL_CACHE,
         _SEM_CACHE,
         _WINDOW_INDEX_CACHE,
+        _CAND_CACHE,
     ):
         for key in list(cache):
             if spark is not None and key[0] != spark.sparkContext.applicationId:
                 continue
             cache.pop(key).unpersist()
+            _CAND_COUNT.pop(key, None)
             released += 1
     return released
 
@@ -352,7 +355,71 @@ def jaccard_hot_shingles(
     )
 
 
-def _verify_joined(cand: DataFrame, sa: DataFrame, sb: DataFrame) -> DataFrame:
+# Grid-verify gates (VERDICT r12 #4). The per-pair verify ships BOTH
+# docs' shingle arrays once per candidate pair: at the 100x stress
+# corpus (500k docs, 55.8M candidates = 112 pairs/doc) that was a
+# measured 6.2 GB exchange — 69% of dedup_ngram_jaccard's 9.0 GB
+# shuffle — because the pairs+sh_a intermediate re-shuffles fat by
+# doc_b. The grid plan partitions pairs ONCE by (cell_a, cell_b) =
+# (hash(doc_a) % B, hash(doc_b) % B) and replicates each doc's array
+# to B cells per side, so arrays ship B times per DOC instead of once
+# per PAIR and the fat intermediate never crosses an exchange (the
+# subset-co-partitioning conf in session.tune() is what lets Spark
+# elide it). Grid bytes ~ 2·B·docs·array + pairs·slim vs per-pair
+# bytes ~ pairs·array: the grid only wins when candidate multiplicity
+# exceeds ~2B, and a low-dup-rate corpus (multiplicity ~1-2, the
+# realistic 100 TB case) would pay B× MORE — so the plan is chosen
+# from the MEASURED multiplicity, not corpus size alone: above the
+# doc-count gate the candidate set is persisted (campaign idiom, same
+# keyed-cache discipline as _doc_shingles; at 100 TB this is the
+# checkpoint-the-candidates step every dedup campaign already has)
+# and counted, and the grid engages only at multiplicity >=
+# VERIFY_GRID_MIN_MULT. Below the gate nothing changes: no persist,
+# no count job, byte-identical fixture plans.
+VERIFY_GRID_GATE = 100_000   # docs; sf0.01/sf0.1 stay on the plain path
+VERIFY_GRID_B = 8            # replication per side; byte win needs mult > 2B
+# The BYTE break-even is 2B, but the measured WALL break-even sits far
+# higher: the persist+count barrier serializes the candidate and
+# verify stages the plain pipeline overlaps, so near the byte
+# break-even the grid trades real wall for a marginal shuffle cut
+# (measured at the 100x corpus: dedup_minhash_lsh, multiplicity 25.1 —
+# grid 53.9 s / -6% bytes vs plain 32.5 s). 8B keeps the grid for the
+# regime it measurably wins: >= 4x byte cut on the verify legs
+# (dedup_ngram_jaccard at multiplicity 112: -36% total bytes, -27%
+# wall).
+VERIFY_GRID_MIN_MULT = 64
+
+_CAND_CACHE: dict[tuple, DataFrame] = {}   # (appId, sf_dir, tag) -> persisted
+_CAND_COUNT: dict[tuple, int] = {}
+
+
+def _persisted_candidates(
+    spark: SparkSession, sf_dir: str, tag: str, cand: DataFrame
+) -> tuple[DataFrame, int]:
+    """Persist + count a candidate pair set once per (app, sf_dir, tag)
+    campaign — the runtime statistic the verify-plan choice needs.
+    Released by :func:`release_shingles`."""
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    if key not in _CAND_CACHE:
+        df = cand.persist()
+        _CAND_COUNT[key] = df.count()
+        _CAND_CACHE[key] = df
+    return _CAND_CACHE[key], _CAND_COUNT[key]
+
+
+def _grid_cells(col: str, b: int):
+    return F.pmod(F.xxhash64(col), F.lit(b)).cast("long")
+
+
+def _verify_joined(
+    cand: DataFrame,
+    sa: DataFrame,
+    sb: DataFrame,
+    *,
+    spark: SparkSession | None = None,
+    sf_dir: str | None = None,
+    tag: str | None = None,
+) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs joined to both docs' shingle
     arrays, join strategies PINNED — the scale contract of every
     candidates→verify pipeline in this module:
@@ -371,11 +438,76 @@ def _verify_joined(cand: DataFrame, sa: DataFrame, sb: DataFrame) -> DataFrame:
     broadcast side (measured: 8 GiB driver OOM at the 500k-doc stress
     corpus; AQE cannot demote a static broadcast whose input has no
     shuffle stage to measure, so the only honest fix is the pin).
+
+    Above ``VERIFY_GRID_GATE`` docs AND measured candidate
+    multiplicity >= ``VERIFY_GRID_MIN_MULT``, the per-pair plan is
+    swapped for the GRID verify (see the gate comment above): same
+    equi-join semantics — the cell columns are deterministic
+    functions of the join keys, so each (pair, replica) row matches
+    exactly one array row per side and the output multiset is
+    row-identical (pinned by the forced-grid equality test) — but
+    arrays shuffle B-per-doc instead of once-per-pair and the fat
+    intermediate stays put. Callers opt in by passing spark / sf_dir /
+    tag; the streaming screen (micro-batch sized) never does.
     """
+    if spark is None or sf_dir is None or tag is None:
+        return (
+            cand.hint("shuffle_hash")
+            .join(sa, "doc_a")
+            .join(sb.hint("merge"), "doc_b")
+        )
+    n_docs = table_row_count(sf_dir, "documents")
+    if n_docs <= VERIFY_GRID_GATE:
+        return (
+            cand.hint("shuffle_hash")
+            .join(sa, "doc_a")
+            .join(sb.hint("merge"), "doc_b")
+        )
+    cand_p, n_pairs = _persisted_candidates(spark, sf_dir, tag, cand)
+    if n_pairs < VERIFY_GRID_MIN_MULT * n_docs:
+        return (
+            cand_p.hint("shuffle_hash")
+            .join(sa, "doc_a")
+            .join(sb.hint("merge"), "doc_b")
+        )
+    b = VERIFY_GRID_B
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = spark.sparkContext.defaultParallelism
+    # 4 cells per partition floor: bounds the per-partition pair volume
+    # (and the per-partition sort) independent of the session's shuffle
+    # parallelism — with the persisted candidate set pinning storage
+    # memory, big in-partition joins must stay spill-friendly.
+    n_part = max(n_part, 4 * b * b)
+    replicas = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(b)])
+    )
+    pairs = cand_p.withColumn("_ca", _grid_cells("doc_a", b)).withColumn(
+        "_cb", _grid_cells("doc_b", b)
+    ).repartition(n_part, "_ca", "_cb")
+    sar = (
+        sa.withColumn("_ca", _grid_cells("doc_a", b))
+        .withColumn("_cb", replicas)
+        .repartition(n_part, "_ca", "_cb")
+    )
+    sbr = (
+        sb.withColumn("_cb", _grid_cells("doc_b", b))
+        .withColumn("_ca", replicas)
+        .repartition(n_part, "_ca", "_cb")
+    )
+    # merge, not shuffle_hash: both grid joins run with the persisted
+    # candidate set pinning storage memory, and an SHJ build per
+    # partition failed to acquire execution memory at the 100x corpus
+    # (measured: cannotAcquireMemoryToBuildUnsafeHashedRelation with
+    # 32 concurrent builds against the 8 GiB unified pool). SMJ's
+    # partition-LOCAL sorts are Tungsten-spillable and the
+    # co-partitioning still elides every fat exchange — sort is the
+    # only cost the merge adds, and it never crosses the wire.
     return (
-        cand.hint("shuffle_hash")
-        .join(sa, "doc_a")
-        .join(sb.hint("merge"), "doc_b")
+        pairs.join(sar.hint("merge"), ["_ca", "_cb", "doc_a"])
+        .join(sbr.hint("merge"), ["_ca", "_cb", "doc_b"])
+        .drop("_ca", "_cb")
     )
 
 
@@ -418,7 +550,10 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shingles").alias("n_b"),
     )
     jac = (
-        _verify_joined(_shingle_candidates(spark, sf_dir), sa, sb)
+        _verify_joined(
+            _shingle_candidates(spark, sf_dir), sa, sb,
+            spark=spark, sf_dir=sf_dir, tag="shingle",
+        )
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -1052,7 +1187,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         # strategy-pinned: see _verify_joined — the corpus shingle
         # table must never land in a static BroadcastExchange
-        _verify_joined(candidates, sa, sb)
+        _verify_joined(
+            candidates, sa, sb, spark=spark, sf_dir=sf_dir, tag="banded"
+        )
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -1919,7 +2056,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shingles").alias("nb"),
     )
     und = _verify_joined(
-        _shingle_candidates(spark, sf_dir), sa, sb
+        _shingle_candidates(spark, sf_dir), sa, sb,
+        spark=spark, sf_dir=sf_dir, tag="shingle",
     ).withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
     both = und.select(
         F.explode(

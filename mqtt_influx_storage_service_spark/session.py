@@ -46,6 +46,19 @@ def tune(spark: SparkSession) -> SparkSession:
         # events.ts is parquet TIMESTAMP(NANOS); read as long + convert
         # (see sources/tables.py).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Let a child partitioned on a SUBSET of the join keys satisfy
+        # co-partitioning (rows with equal full keys are still
+        # co-located — subset hashing is strictly coarser). The grid
+        # verify in operators/dedup.py depends on this: candidate
+        # pairs and the B-replicated shingle arrays are partitioned on
+        # (cell_a, cell_b) and joined on (cell_a, cell_b, doc) twice,
+        # and with the default 'true' EnsureRequirements re-shuffles
+        # the fat pairs+arrays intermediate on the full keys — the
+        # exact 6.2 GB exchange the grid plan exists to delete
+        # (VERDICT r12 #4). Purely a physical-planning knob; skew risk
+        # only when the subset keys are low-cardinality, and every
+        # subset partitioning this engine plans is a uniform hash cell.
+        "spark.sql.requireAllClusterKeysForCoPartition": "false",
     }
     # Keep going past read-only keys, but never silently: a conf that
     # fails to apply can change query semantics (the r2 events outage

@@ -713,3 +713,65 @@ def test_semdedup_ivf_kernel_above_gate_matches_within_cluster_rule(
     }
     assert got == expect
     assert sum(1 for _, _, kept in got.values() if not kept) > 0
+
+
+def test_grid_verify_equals_plain_verify(spark, sf_dir, monkeypatch):
+    """VERDICT r12 #4: above the gate + at high measured candidate
+    multiplicity, _verify_joined swaps the per-pair verify (arrays
+    shipped once per PAIR — a measured 6.2 GB exchange at the 100x
+    corpus) for the grid verify (arrays shipped B per DOC, fat
+    intermediate never crosses an exchange). The cell columns are
+    deterministic functions of the join keys, so the output multiset
+    must be row-identical — pinned here by forcing the gates down so
+    the fixture corpus takes the grid path, for both candidate tags
+    (shingle-blocked and minhash-banded)."""
+    from mqtt_influx_storage_service_spark.operators import dedup as DD
+
+    plain_j = sorted(map(tuple, DD.dedup_ngram_jaccard(spark, sf_dir).collect()))
+    plain_m = sorted(map(tuple, DD.dedup_minhash_lsh(spark, sf_dir).collect()))
+    monkeypatch.setattr(DD, "VERIFY_GRID_GATE", 10)
+    monkeypatch.setattr(DD, "VERIFY_GRID_MIN_MULT", 0)
+    DD.release_shingles(spark)
+    try:
+        grid_j = sorted(
+            map(tuple, DD.dedup_ngram_jaccard(spark, sf_dir).collect())
+        )
+        grid_m = sorted(
+            map(tuple, DD.dedup_minhash_lsh(spark, sf_dir).collect())
+        )
+        # the campaign cache holds one persisted candidate set per tag
+        tags = sorted(k[2] for k in DD._CAND_CACHE)
+        assert tags == ["banded", "shingle"]
+    finally:
+        DD.release_shingles(spark)
+    assert grid_j == plain_j and len(plain_j) > 0
+    assert grid_m == plain_m and len(plain_m) > 0
+
+
+def test_grid_verify_gates(spark, sf_dir, monkeypatch):
+    """Below VERIFY_GRID_GATE nothing changes: no candidate persist, no
+    count job, plain per-pair plan (the fixture/bench scales). Above
+    the gate but below VERIFY_GRID_MIN_MULT (the realistic low-dup-rate
+    100 TB corpus, where B-fold doc replication would LOSE to per-pair
+    shipping) the plan stays per-pair but reads the now-persisted
+    candidate set."""
+    from mqtt_influx_storage_service_spark.operators import dedup as DD
+
+    DD.release_shingles(spark)
+    df = DD.dedup_ngram_jaccard(spark, sf_dir)
+    assert not DD._CAND_CACHE  # below gate: construction ran no job
+    assert "pmod(xxhash64(doc_a" not in df._jdf.queryExecution().toString()
+
+    # above gate, low multiplicity: persisted + counted, still per-pair
+    monkeypatch.setattr(DD, "VERIFY_GRID_GATE", 10)
+    monkeypatch.setattr(DD, "VERIFY_GRID_MIN_MULT", 10**9)
+    DD.release_shingles(spark)
+    try:
+        df2 = DD.dedup_ngram_jaccard(spark, sf_dir)
+        key = next(iter(DD._CAND_COUNT))
+        assert DD._CAND_COUNT[key] > 0
+        plan2 = df2._jdf.queryExecution().toString()
+        assert "pmod(xxhash64(doc_a" not in plan2
+    finally:
+        DD.release_shingles(spark)
+    assert not DD._CAND_CACHE and not DD._CAND_COUNT
