@@ -23,6 +23,15 @@ def main() -> int:
     ap.add_argument("--json", metavar="OUT",
                     help="write the registry-wide census artifact "
                          "(PLAN_AUDIT_r{N}.json shape) instead of printing")
+    ap.add_argument("--executed", action="store_true",
+                    help="ALSO run every query and record its EXECUTED "
+                         "shuffle-stage count from the AQE final plan "
+                         "(VERDICT r12 #6) — distinct materialized "
+                         "stages, so reused/cached subtrees count once "
+                         "and a real exchange regression cannot hide "
+                         "behind the CC family's plan-text unrolling. "
+                         "Turns the audit from construction-only into "
+                         "a full execution sweep at --sf.")
     args = ap.parse_args()
 
     from mqtt_influx_storage_service_spark import plans
@@ -37,7 +46,11 @@ def main() -> int:
         errors: list = []
         for name in names:
             try:
-                census[name] = plans.summarize(qs[name](spark, args.sf))
+                df = qs[name](spark, args.sf)
+                census[name] = plans.summarize(df)
+                if args.executed:
+                    census[name]["executed_shuffle_stages"] = \
+                        plans.executed_shuffle_stages(df)
             except Exception as exc:  # noqa: BLE001 - census keeps going
                 errors.append({name: str(exc)[:300]})
             print(name, flush=True)
@@ -50,8 +63,15 @@ def main() -> int:
             "max_exchanges": max(
                 (s.get("exchanges", 0) for s in census.values()), default=0
             ),
+            "max_executed_shuffle_stages": max(
+                (s.get("executed_shuffle_stages") or 0
+                 for s in census.values()), default=0
+            ) if args.executed else None,
             "note": (
-                "exchanges counts Exchange NODES in the physical-plan text. "
+                "exchanges counts Exchange NODES in the physical-plan text; "
+                "executed_shuffle_stages (with --executed) counts DISTINCT "
+                "materialized ShuffleQueryStages in the AQE final plan — "
+                "the runtime truth the text count overstates. "
                 "For the dedup/pipeline family the CC_ROUNDS min-label "
                 "propagation unrolls the persisted edge/label subtrees into "
                 "the plan text once per round — those subtrees execute once "

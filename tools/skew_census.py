@@ -104,6 +104,41 @@ def _is_flagged(row: dict) -> bool:
     return _flag_reason(row) is not None
 
 
+# --isolate classifier thresholds: a straggler whose slowest task did
+# <= 2x the median task's WORK is time-skewed without being
+# work-skewed — the co-scheduling shape; >= 4x work is real data skew.
+WORK_BALANCED_MAX = 2.0
+WORK_SKEWED_MIN = 4.0
+ISOLATE_REPS = 3
+
+
+def _classify_flag(row: dict) -> str:
+    """Adjudicate a flagged stage from its own metrics (VERDICT r12
+    #3). Stage-SEQUENTIAL execution is not reachable through public
+    conf in one JVM — AQE materializes every ready exchange through an
+    unconfigurable 16-thread pool, and FIFO task scheduling only
+    orders resource offers, so independent stages always overlap at
+    their tails. The automated adjudication therefore measures the
+    signal that actually separates the hypotheses: per-task WORK
+    (records processed) vs DURATION. Data skew is deterministic in
+    work; co-scheduling contention inflates time over balanced work.
+    Collapse flags are structural (task counts can't be faked by
+    contention) and classify as themselves."""
+    reason = _flag_reason(row)
+    if reason == "parallelism-collapse":
+        return "parallelism-collapse (structural)"
+    wr = row.get("work_ratio")
+    if wr is None:
+        return "unclassified (no work metrics on this stage)"
+    if wr <= WORK_BALANCED_MAX:
+        return ("co-scheduling-artifact (duration ratio "
+                f"{row['ratio']} over work ratio {wr} — the slowest "
+                "task did median work slowly)")
+    if wr >= WORK_SKEWED_MIN:
+        return f"data-skew (work ratio {wr})"
+    return f"ambiguous (work ratio {wr})"
+
+
 def _get(base: str, path: str):
     with urllib.request.urlopen(f"{base}{path}", timeout=30) as r:
         return json.load(r)
@@ -162,12 +197,36 @@ def _audit_stage(base: str, s: dict) -> dict | None:
     swm = ts.get("shuffleWriteMetrics") or {}
     sw = swm.get("writeBytes") or [0, 0, 0]
     ratio = d_max / d_med if d_med > 0 else float("inf")
+    # Per-task WORK quantiles (records in: file scan + shuffle read) —
+    # the signal that separates the two straggler hypotheses: a
+    # DATA-skew straggler processes more records than the median task
+    # (deterministically, every run), while a co-scheduling artifact
+    # (local[32] running a scan task alongside a 32-thread heavy
+    # stage) takes longer on MEDIAN work. Quantile sums are per-metric
+    # (max of sums != sum of maxes) — fine for a ratio heuristic, and
+    # recorded so the adjudication is in the artifact, not in prose.
+    im = ts.get("inputMetrics") or {}
+    srm = ts.get("shuffleReadMetrics") or {}
+    in_rec = im.get("recordsRead") or [0, 0, 0]
+    sr_rec = srm.get("readRecords") or [0, 0, 0]
+    work_med = float(in_rec[1]) + float(sr_rec[1])
+    work_max = float(in_rec[2]) + float(sr_rec[2])
+    # med clamps to 1: a 0-record median task with a busy max task is
+    # the EXTREME of work skew (half the partitions empty, one full),
+    # not a missing signal. Only a stage that moved no records at all
+    # (pure compute) carries no work signal.
+    work_ratio = (
+        round(work_max / max(work_med, 1.0), 2) if work_max > 0 else None
+    )
     return {
         "stage": s["stageId"],
         "tasks": s["numCompleteTasks"],
         "med_ms": round(d_med),
         "max_ms": round(d_max),
         "ratio": round(ratio, 2),
+        "work_med_records": int(work_med),
+        "work_max_records": int(work_max),
+        "work_ratio": work_ratio,
         "spill_max": int(spill[2]),
         "shuffle_write_med": int(sw[1]),
         "shuffle_write_max": int(sw[2]),
@@ -225,6 +284,19 @@ def _selftest(spark, base: str) -> int:
             f = hits[0]
             print(f"SELFTEST ok [{want}]: max {f['max_ms']} ms over "
                   f"{f['tasks']} tasks (ratio {f['ratio']})")
+            if want == "straggler":
+                # the isolate-mode classifier must see the manufactured
+                # hot key as DATA skew (the straggler task really reads
+                # ~36M records vs the ~130k median) — a classifier that
+                # called this co-scheduling would adjudicate every real
+                # skew away (VERDICT r12 #3 selftest extension)
+                cls = _classify_flag(f)
+                if cls.startswith("data-skew"):
+                    print(f"SELFTEST ok [classify]: {cls}")
+                else:
+                    print(f"SELFTEST FAILED [classify]: manufactured "
+                          f"work skew classified as {cls!r} (row {f})")
+                    failures += 1
         else:
             worst = max(rows, key=lambda r: r["ratio"], default=None)
             print(f"SELFTEST FAILED [{want}]: not flagged; "
@@ -267,6 +339,12 @@ def main() -> int:
     ap.add_argument("--json", metavar="OUT")
     ap.add_argument("--port", type=int, default=4057)
     ap.add_argument("--selftest", action="store_true")
+    ap.add_argument(
+        "--isolate", action="store_true",
+        help="re-run every flagged query ISOLATE_REPS times solo and "
+             "adjudicate each flag by work-vs-duration decomposition "
+             "(data skew reproduces in WORK every rep; co-scheduling "
+             "contention is time-only and intermittent)")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_SF_DIR", args.sf)
@@ -347,6 +425,53 @@ def main() -> int:
               f"({wall:.1f}s)", flush=True)
 
     flagged_q = {k: v["flagged"] for k, v in census.items() if v["flagged"]}
+
+    isolate: dict[str, dict] = {}
+    if args.isolate:
+        # Adjudication reruns (VERDICT r12 #3): each flagged query runs
+        # ISOLATE_REPS more times SOLO — nothing else on the box, the
+        # caches in whatever steady state the sweep left them — and
+        # every audited stage is classified by _classify_flag. A flag
+        # that never reproduces as work-skew across the reps is pinned
+        # a co-scheduling artifact IN the artifact, replacing the
+        # manual per-round adjudication (STRESS_r11/r12 brp rows).
+        for name, flags in flagged_q.items():
+            reps = []
+            for _ in range(ISOLATE_REPS):
+                _stage_rows(base, seen)
+                t0 = time.monotonic()
+                try:
+                    qs[name](spark, args.sf).write.format("noop") \
+                        .mode("overwrite").save()
+                except Exception as e:  # noqa: BLE001
+                    reps.append({"error": str(e).splitlines()[0][:200]})
+                    continue
+                wall = time.monotonic() - t0
+                _settle(base)
+                rows = [r for s in _stage_rows(base, seen)
+                        if (r := _audit_stage(base, s))]
+                rep_flags = [dict(r, reason=_flag_reason(r),
+                                  classification=_classify_flag(r))
+                             for r in rows if _is_flagged(r)]
+                reps.append({"wall_sec": round(wall, 2),
+                             "flagged": rep_flags})
+            classes = [f["classification"] for rep in reps
+                       for f in rep.get("flagged", [])]
+            data_skew = [c for c in classes if c.startswith("data-skew")]
+            verdict = (
+                "clean under isolation" if not classes
+                else "data-skew (reproduced)" if data_skew
+                else "co-scheduling artifact (no work-skew in any rep)"
+                if all(c.startswith("co-scheduling") for c in classes)
+                else "mixed/ambiguous — read the rep rows"
+            )
+            isolate[name] = {
+                "sweep_flags": [dict(f, classification=_classify_flag(f))
+                                for f in flags],
+                "reps": reps,
+                "verdict": verdict,
+            }
+            print(f"ISOLATE {name}: {verdict}", flush=True)
     # top shuffle-to-input offenders (informational, min 64 MB written
     # so tiny queries' fixed-cost shuffles don't dominate the ranking)
     shuffle_top = sorted(
@@ -376,6 +501,13 @@ def main() -> int:
         "errors": errors,
         "census": census,
     }
+    if args.isolate:
+        summary["isolate"] = isolate
+        summary["isolate_thresholds"] = {
+            "work_balanced_max": WORK_BALANCED_MAX,
+            "work_skewed_min": WORK_SKEWED_MIN,
+            "reps": ISOLATE_REPS,
+        }
     if args.json:
         with open(args.json, "w") as f:
             json.dump(summary, f, indent=1, sort_keys=True)
