@@ -1397,7 +1397,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_DUP_THRESHOLD = 0.4
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, *, below_band: str = "refuse"
+) -> DataFrame:
     """Semantic near-dup: document pairs whose embeddings (vec_id ==
     doc_id, FIXTURES.md) have cosine >= 0.4; keep_doc is the lower id.
 
@@ -1423,10 +1425,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``similarity._gemm_threshold_pairs(..., below_band='exact')``
     (recall 1.0 — and measured cheaper than the IVF tier at
     noise-floor densities) or raise the threshold into the band.
+    The same escape is threaded HERE as a keyword (VERDICT r12 #7) so
+    a campaign composing this operator doesn't have to drop down a
+    layer: the REGISTERED entry keeps the refusal default.
     """
     from .similarity import _gemm_threshold_pairs
 
-    return _gemm_threshold_pairs(spark, sf_dir, EMB_DUP_THRESHOLD).select(
+    return _gemm_threshold_pairs(
+        spark, sf_dir, EMB_DUP_THRESHOLD, below_band=below_band
+    ).select(
         F.col("id_a").alias("keep_doc"),
         F.col("id_b").alias("dup_doc"),
         "cosine",
@@ -2116,7 +2123,9 @@ WHERE round(i.n_inter / CAST(c.n_shingles AS DOUBLE), 6)
 SWEEP_THRESHOLDS = [0.30, 0.35, 0.40, 0.45, 0.50, 0.60]
 
 
-def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str, *, below_band: str = "refuse"
+) -> DataFrame:
     """Campaign-planning sweep: for each candidate cosine threshold,
     how many embedding pairs qualify and how many documents the
     drop-the-higher-id rule would remove — the one-pass answer to "how
@@ -2147,14 +2156,18 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recall-curve citation (similarity.PAIR_BAND_MIN) — a planning
     sweep whose counts are the deliverable must not be built on a
     tier measured at 0.21 recall in the [0.4,0.5) band; at-scale
-    campaigns re-run it with below_band='exact' on a sampled corpus.
+    campaigns re-run it with below_band='exact' on a sampled corpus —
+    threaded here as a keyword (VERDICT r12 #7) so the composed caller
+    has the same escape hatch as the kernel; the REGISTERED entry
+    keeps the refusal default.
     """
     from ..sources.tables import table_row_count
     from .similarity import _gemm_threshold_pairs
 
     n_vecs = table_row_count(sf_dir, "embeddings")
     thr = sorted(SWEEP_THRESHOLDS)
-    pairs = _gemm_threshold_pairs(spark, sf_dir, min(thr))
+    pairs = _gemm_threshold_pairs(spark, sf_dir, min(thr),
+                                  below_band=below_band)
     m = len(thr)
     doc_rollup = pairs.groupBy("id_b").agg(
         *[

@@ -775,3 +775,43 @@ def test_grid_verify_gates(spark, sf_dir, monkeypatch):
     finally:
         DD.release_shingles(spark)
     assert not DD._CAND_CACHE and not DD._CAND_COUNT
+
+
+def test_below_band_escape_threads_through_composed_callers(
+    spark, sf_dir, monkeypatch
+):
+    """VERDICT r12 #7: the pair-tier recall contract's escape hatch
+    must be reachable from every composed caller, not just the kernel.
+    dedup_embedding_cosine (threshold 0.4) and dedup_threshold_sweep
+    (min threshold 0.30) both sit below PAIR_BAND_MIN: above
+    GEMM_EXACT_MAX their registered defaults REFUSE with the curve
+    citation (intended — census-observed at 800k), and
+    below_band='exact' routes to the recall-1.0 tile kernel, producing
+    the same rows the sub-gate fixture run produces. (The third
+    composed caller, dedup_semantic, is structurally immune: above the
+    gate it routes to the per-cluster kernel and never builds the pair
+    relation — pinned by test_semantic_gate_switches_to_ivf and the
+    forced-gate kernel test.)"""
+    import pytest
+
+    from mqtt_influx_storage_service_spark.operators import dedup as D
+    from mqtt_influx_storage_service_spark.operators import similarity as S
+
+    expected_cos = sorted(
+        map(tuple, D.dedup_embedding_cosine(spark, sf_dir).collect())
+    )
+    expected_sweep = sorted(
+        map(tuple, D.dedup_threshold_sweep(spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(S, "GEMM_EXACT_MAX", 10)
+    for fn in (D.dedup_embedding_cosine, D.dedup_threshold_sweep):
+        with pytest.raises(ValueError, match="competence band"):
+            fn(spark, sf_dir).collect()
+        with pytest.raises(ValueError, match="not one of"):
+            fn(spark, sf_dir, below_band="exactt").collect()
+    got_cos = sorted(map(tuple, D.dedup_embedding_cosine(
+        spark, sf_dir, below_band="exact").collect()))
+    got_sweep = sorted(map(tuple, D.dedup_threshold_sweep(
+        spark, sf_dir, below_band="exact").collect()))
+    assert got_cos == expected_cos and len(got_cos) > 0
+    assert got_sweep == expected_sweep and len(got_sweep) > 0
