@@ -38,84 +38,90 @@ from . import (
 # tools/check_oracles.py runs the FULL registry regardless — the
 # prefix only bounds what the driver re-certifies per round.
 _PRIORITY = [
-    # ---- r12 ROTATION (VERDICT r11 "Next round" #6). Slots 1-3: the
-    # entries whose SOURCE changed in r12 (the enforced pair-tier
-    # recall contract — above-gate refusal branch in
-    # similarity._gemm_threshold_pairs; below-gate fixture plans are
-    # byte-identical, so this is re-certification insurance, the r10/
-    # r11 precedent for touched entries).
-    "sim_threshold_pairs",
-    "dedup_embedding_cosine",
-    "dedup_threshold_sweep",
-    # Slots 4-29: the full r7-stale cohort — every entry whose NEWEST
-    # driver-green row is r7 (recomputed this round from
-    # CORRECTNESS_r01..r11; matches the queue the r11 comment
-    # recorded). After this round NO registry entry's newest driver
-    # row is older than r8.
-    "rel_promo_revenue",
-    "rel_quantiles",
-    "rel_range_join_banded",
-    "rel_scalar_funcs",
-    "rel_scalar_subquery",
-    "rel_semi_join",
-    "rel_unpivot",
-    "text_dsir_importance",
-    "text_repetition",
-    "ts_anomaly_zscore",
-    "ts_asof_join",
-    "ts_difference",
-    "ts_ewma",
-    "ts_funnel",
-    "ts_gap_fill",
-    "ts_histogram",
-    "ts_integral",
-    "ts_mad_outliers",
-    "ts_moving_avg",
-    "ts_ohlc",
-    "ts_registry_enriched",
-    "ts_retention",
-    "ts_series_catalog",
-    "ts_sessionize",
-    "ts_sliding_agg",
-    "ts_throughput",
-    # Slots 30-50: r8-cohort filler (alphabetical head of the
-    # 47-entry r8-green cohort, now the oldest rows in the registry).
-    "dedup_substring_scrub",
-    "iq_dema",
-    "iq_fill_linear",
-    "iq_series_cardinality",
-    "iq_show_measurements_where",
-    "iq_show_tag_values",
-    "iq_tag_values_cardinality",
-    "mm_token_budget",
-    "pipeline_curriculum",
-    "pipeline_dsir_resample",
-    "pipeline_funnel",
-    "pipeline_quality_gate",
-    "pipeline_quality_prune",
-    "pipeline_shuffle_order",
-    "ref_line_protocol",
-    "rel_excess_supply",
-    "rel_forecast_revenue",
-    "rel_large_orders",
-    "rel_market_share",
-    "rel_min_cost_supplier",
-    "rel_priority_late_orders",
-    # ---- slot 50 boundary. r13 ROTATION QUEUE (front-load next
-    # round): the remaining 26 r8-green rows —
-    # rel_product_profit, rel_returned_customers,
-    # rel_supplier_part_types, rel_volume_shipping, text_bigram_lm, text_bm25,
-    # text_chunking, text_gopher_rules, text_pii_scrub,
-    # ts_changepoint, ts_counter_rate, ts_cross_correlation,
-    # ts_cumulative_sum, ts_cumulative_sum_chunked, ts_downsample,
-    # ts_elapsed, ts_holt_winters, ts_interpolate, ts_mode,
-    # ts_pattern_match, ts_percentile, ts_percentile_twophase,
-    # ts_sample, ts_seasonal_profile, ts_spread, ts_top_per_bucket
-    # — then r9 rows as filler.
-    # Rows-only-by-nature entries (dedup_minhash_ml, sim_ann_brp,
-    # sim_ann_ivf, sim_ann_ivf_pq, rel_sketches, dedup_semantic_ivf,
-    # pipeline_quality_prune_approx) stay OUT of the prefix: a slot
-    # spent on them can never go hash-green.
+    # ---- r13 ROTATION (VERDICT r12 "Next round" #2). Slots 1-5: the
+    # entries whose SOURCE changed in r13 (sim_ann_lsh's corpus-scaled
+    # geometry; the dedup grid verify — below-gate fixture plans are
+    # unchanged for all five, so this is re-certification insurance,
+    # the r10-r12 precedent for touched entries).
+    "sim_ann_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "dedup_components",
+    # Slots 6-31: the full r8-stale cohort — every entry whose NEWEST
+    # driver-green row is r8 (recomputed this round from
+    # CORRECTNESS_r01..r12; matches the queue the r12 comment
+    # recorded). After this round NO oracle-backed entry's newest
+    # driver row is older than r9.
+    "rel_product_profit",
+    "rel_returned_customers",
+    "rel_supplier_part_types",
+    "rel_volume_shipping",
+    "text_bigram_lm",
+    "text_bm25",
+    "text_chunking",
+    "text_gopher_rules",
+    "text_pii_scrub",
+    "ts_changepoint",
+    "ts_counter_rate",
+    "ts_cross_correlation",
+    "ts_cumulative_sum",
+    "ts_cumulative_sum_chunked",
+    "ts_downsample",
+    "ts_elapsed",
+    "ts_holt_winters",
+    "ts_interpolate",
+    "ts_mode",
+    "ts_pattern_match",
+    "ts_percentile",
+    "ts_percentile_twophase",
+    "ts_sample",
+    "ts_seasonal_profile",
+    "ts_spread",
+    "ts_top_per_bucket",
+    # Slots 32-33: the ONLY two registry entries never in any driver
+    # prefix (VERDICT r12 "What's missing" #3). Rows-only by nature,
+    # so the driver records row counts, not hashes — one slot each,
+    # once, for driver visibility; they rotate back out next round.
+    "dedup_semantic_ivf",
+    "pipeline_quality_prune_approx",
+    # Slots 34-50: r9-cohort filler (alphabetical head of the r9-green
+    # cohort, the oldest oracle-backed rows after this rotation;
+    # dedup_minhash_lsh already holds a touched slot above).
+    "dedup_exact",
+    "dedup_passage",
+    "dedup_simhash",
+    "emb_quantize_int8",
+    "iq_elapsed",
+    "iq_fill_previous",
+    "iq_holt_winters",
+    "iq_holt_winters_seasonal",
+    "iq_lineitem_profile",
+    "iq_mean_by_day",
+    "iq_now_relative",
+    "iq_percentile_weekly",
+    "iq_raw_select",
+    "iq_regex_union",
+    "iq_sample",
+    "iq_selectors",
+    "iq_show_series",
+    # ---- slot 50 boundary. r14 ROTATION QUEUE (front-load next
+    # round): the remaining 27 r9-green rows —
+    # iq_subquery_rollup, iq_top_points, mm_contrastive_pairs,
+    # mm_extract_features, mm_frame_sample, mm_manifest,
+    # pipeline_epochs, pipeline_pack_sequences,
+    # pipeline_stratified_sample, pipeline_token_budget,
+    # pipeline_training_mix, ref_payload_coercion, ref_registry_filter,
+    # ref_topic_parse, rel_merge_join, rel_revenue_threshold,
+    # rel_sales_opportunity, rel_set_ops, rel_top_supplier,
+    # rel_waiting_supplier, sim_centroid_assign, sim_hybrid_rrf,
+    # sim_knn_exact, sim_mmr, sim_range_search, text_langid_ngram
+    # (+ dedup_minhash_lsh/dedup_passage/dedup_simhash/dedup_exact if
+    # not re-certified this round) — then r10 rows as filler.
+    # Other rows-only-by-nature entries (dedup_minhash_ml, sim_ann_brp,
+    # sim_ann_ivf, sim_ann_ivf_pq, rel_sketches) stay OUT of the
+    # prefix: a slot spent on them can never go hash-green, and all
+    # five already hold driver rows-only rows.
 ]
 
 _MODULES = [

@@ -435,7 +435,12 @@ def main() -> int:
         # that never reproduces as work-skew across the reps is pinned
         # a co-scheduling artifact IN the artifact, replacing the
         # manual per-round adjudication (STRESS_r11/r12 brp rows).
-        for name, flags in flagged_q.items():
+        # explicit names are adjudicated even when the sweep pass
+        # happened not to flag them: the co-scheduling artifact is
+        # intermittent by nature (that's the point of the reps)
+        targets = {name: flagged_q.get(name, []) for name in args.names} \
+            if args.names else flagged_q
+        for name, flags in targets.items():
             reps = []
             for _ in range(ISOLATE_REPS):
                 _stage_rows(base, seen)
