@@ -109,6 +109,16 @@ def _is_flagged(row: dict) -> bool:
 # work-skewed — the co-scheduling shape; >= 4x work is real data skew.
 WORK_BALANCED_MAX = 2.0
 WORK_SKEWED_MIN = 4.0
+# Concentrated-but-BOUNDED work is its own class: predicate-pushdown
+# row-group pruning, limits, and recursion floors put ALL of a small
+# relation in one task (work ratio reads huge because the other tasks
+# read nothing), but the absolute work does not grow with the corpus —
+# the r13 brp finding: the query side's 2 pruned row groups (32768
+# records) in one task, duration inflated 0.3 s -> 17 s by
+# co-scheduling against the corpus-side stages of the SAME query.
+# Below this record floor a work-concentrated straggler is classified
+# structural-bounded, not data skew.
+WORK_MATERIAL_MIN = 1_000_000
 ISOLATE_REPS = 3
 
 
@@ -135,6 +145,14 @@ def _classify_flag(row: dict) -> str:
                 f"{row['ratio']} over work ratio {wr} — the slowest "
                 "task did median work slowly)")
     if wr >= WORK_SKEWED_MIN:
+        if row.get("work_max_records", 0) < WORK_MATERIAL_MIN:
+            return (
+                "structural-bounded (all "
+                f"{row['work_max_records']} records in one task — "
+                "pushdown-pruned/limit/recursion-floor shape, work "
+                "does not scale with the corpus; duration beyond the "
+                "solo cost is co-scheduling)"
+            )
         return f"data-skew (work ratio {wr})"
     return f"ambiguous (work ratio {wr})"
 
@@ -463,11 +481,16 @@ def main() -> int:
             classes = [f["classification"] for rep in reps
                        for f in rep.get("flagged", [])]
             data_skew = [c for c in classes if c.startswith("data-skew")]
+            benign = ("co-scheduling", "structural-bounded")
             verdict = (
                 "clean under isolation" if not classes
                 else "data-skew (reproduced)" if data_skew
                 else "co-scheduling artifact (no work-skew in any rep)"
                 if all(c.startswith("co-scheduling") for c in classes)
+                else "structural-bounded concentration (bounded work, "
+                     "not corpus-scaling; residual duration is "
+                     "co-scheduling)"
+                if all(c.startswith(benign) for c in classes)
                 else "mixed/ambiguous — read the rep rows"
             )
             isolate[name] = {
