@@ -388,6 +388,7 @@ VERIFY_GRID_B = 8            # replication per side; byte win needs mult > 2B
 # (dedup_ngram_jaccard at multiplicity 112: -36% total bytes, -27%
 # wall).
 VERIFY_GRID_MIN_MULT = 64
+VERIFY_GRID_B_MAX = 64   # replication cap: 4096 cells, the √P bound
 
 _CAND_CACHE: dict[tuple, DataFrame] = {}   # (appId, sf_dir, tag) -> persisted
 _CAND_COUNT: dict[tuple, int] = {}
@@ -464,22 +465,40 @@ def _verify_joined(
             .join(sb.hint("merge"), "doc_b")
         )
     cand_p, n_pairs = _persisted_candidates(spark, sf_dir, tag, cand)
-    if n_pairs < VERIFY_GRID_MIN_MULT * n_docs:
+    try:
+        conf_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_part = spark.sparkContext.defaultParallelism
+    # b grows with the session's shuffle parallelism (r13 census
+    # finding, adjudicated by the isolate mode's own work quantiles):
+    # the grid has exactly b² distinct cell keys, so a static b caps
+    # the verify at b² tasks on ANY cluster — and partitioning the b²
+    # keys into MORE partitions than cells just mints empty tasks
+    # (the first cut used 4b² partitions: 75% of the stage's tasks
+    # did nothing and the empty median read every occupied task as a
+    # 600x straggler). The geometry here: b² >= 2× the configured
+    # shuffle parallelism, so occupied partitions cover the cluster's
+    # cores with a couple of task waves. Replication is the
+    # classic all-pairs √P bound — b doubles with cluster size up to
+    # the cap, so the multiplicity break-even (8b) rises with it and
+    # the gate check uses the derived b.
+    b = VERIFY_GRID_B
+    while b < VERIFY_GRID_B_MAX and b * b < 2 * conf_part:
+        b *= 2
+    if n_pairs < (VERIFY_GRID_MIN_MULT * b // VERIFY_GRID_B) * n_docs:
         return (
             cand_p.hint("shuffle_hash")
             .join(sa, "doc_a")
             .join(sb.hint("merge"), "doc_b")
         )
-    b = VERIFY_GRID_B
-    try:
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        n_part = spark.sparkContext.defaultParallelism
-    # 4 cells per partition floor: bounds the per-partition pair volume
-    # (and the per-partition sort) independent of the session's shuffle
-    # parallelism — with the persisted candidate set pinning storage
-    # memory, big in-partition joins must stay spill-friendly.
-    n_part = max(n_part, 4 * b * b)
+    # n_part = b² (one cell per partition): partitions beyond b² can
+    # only be empty, and merging cells into fewer partitions doubles
+    # the per-partition SMJ sort volume — spill-safety margin matters
+    # more than task-count cosmetics (measured at the 100x corpus,
+    # b=8: ~96 MB/partition sorts; the 2-cells-per-partition variant
+    # sorted ~190 MB into the same memory the persisted candidates
+    # already pin).
+    n_part = b * b
     replicas = F.explode(
         F.array(*[F.lit(i).cast("long") for i in range(b)])
     )
