@@ -38,90 +38,84 @@ from . import (
 # tools/check_oracles.py runs the FULL registry regardless — the
 # prefix only bounds what the driver re-certifies per round.
 _PRIORITY = [
-    # ---- r13 ROTATION (VERDICT r12 "Next round" #2). Slots 1-5: the
-    # entries whose SOURCE changed in r13 (sim_ann_lsh's corpus-scaled
-    # geometry; the dedup grid verify — below-gate fixture plans are
-    # unchanged for all five, so this is re-certification insurance,
-    # the r10-r12 precedent for touched entries).
-    "sim_ann_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_containment",
-    "dedup_components",
-    # Slots 6-31: the full r8-stale cohort — every entry whose NEWEST
-    # driver-green row is r8 (recomputed this round from
-    # CORRECTNESS_r01..r12; matches the queue the r12 comment
-    # recorded). After this round NO oracle-backed entry's newest
-    # driver row is older than r9.
-    "rel_product_profit",
-    "rel_returned_customers",
-    "rel_supplier_part_types",
-    "rel_volume_shipping",
-    "text_bigram_lm",
-    "text_bm25",
-    "text_chunking",
-    "text_gopher_rules",
-    "text_pii_scrub",
-    "ts_changepoint",
-    "ts_counter_rate",
-    "ts_cross_correlation",
-    "ts_cumulative_sum",
-    "ts_cumulative_sum_chunked",
-    "ts_downsample",
-    "ts_elapsed",
-    "ts_holt_winters",
-    "ts_interpolate",
-    "ts_mode",
-    "ts_pattern_match",
-    "ts_percentile",
-    "ts_percentile_twophase",
-    "ts_sample",
-    "ts_seasonal_profile",
-    "ts_spread",
-    "ts_top_per_bucket",
-    # Slots 32-33: the ONLY two registry entries never in any driver
-    # prefix (VERDICT r12 "What's missing" #3). Rows-only by nature,
-    # so the driver records row counts, not hashes — one slot each,
-    # once, for driver visibility; they rotate back out next round.
-    "dedup_semantic_ivf",
-    "pipeline_quality_prune_approx",
-    # Slots 34-50: r9-cohort filler (alphabetical head of the r9-green
-    # cohort, the oldest oracle-backed rows after this rotation;
-    # dedup_minhash_lsh already holds a touched slot above).
-    "dedup_exact",
-    "dedup_passage",
-    "dedup_simhash",
-    "emb_quantize_int8",
-    "iq_elapsed",
-    "iq_fill_previous",
-    "iq_holt_winters",
-    "iq_holt_winters_seasonal",
-    "iq_lineitem_profile",
-    "iq_mean_by_day",
-    "iq_now_relative",
-    "iq_percentile_weekly",
-    "iq_raw_select",
-    "iq_regex_union",
-    "iq_sample",
-    "iq_selectors",
-    "iq_show_series",
-    # ---- slot 50 boundary. r14 ROTATION QUEUE (front-load next
-    # round): the remaining 27 r9-green rows —
-    # iq_subquery_rollup, iq_top_points, mm_contrastive_pairs,
-    # mm_extract_features, mm_frame_sample, mm_manifest,
-    # pipeline_epochs, pipeline_pack_sequences,
-    # pipeline_stratified_sample, pipeline_token_budget,
-    # pipeline_training_mix, ref_payload_coercion, ref_registry_filter,
-    # ref_topic_parse, rel_merge_join, rel_revenue_threshold,
-    # rel_sales_opportunity, rel_set_ops, rel_top_supplier,
-    # rel_waiting_supplier, sim_centroid_assign, sim_hybrid_rrf,
-    # sim_knn_exact, sim_mmr, sim_range_search, text_langid_ngram
-    # (+ dedup_minhash_lsh/dedup_passage/dedup_simhash/dedup_exact if
-    # not re-certified this round) — then r10 rows as filler.
-    # Other rows-only-by-nature entries (dedup_minhash_ml, sim_ann_brp,
-    # sim_ann_ivf, sim_ann_ivf_pq, rel_sketches) stay OUT of the
-    # prefix: a slot spent on them can never go hash-green, and all
-    # five already hold driver rows-only rows.
+    # ---- r14 ROTATION (VERDICT r13 "Next round" #2). Slots 1-5: the
+    # five rows-only entries whose NEWEST driver row was r1-r3
+    # (recomputed from CORRECTNESS_r01..r13 this round — the only
+    # registry entries older than r9; rel_range_join's r1 row is the
+    # unregistered theta form, superseded by rel_range_join_banded).
+    # They can never hash-green (rows-only by structural nature), but
+    # ten rounds without driver visibility is the same gap r12 flagged
+    # for the never-checked pair, and the judge demanded the slots.
+    "dedup_minhash_ml",
+    "sim_ann_brp",
+    "sim_ann_ivf",
+    "sim_ann_ivf_pq",
+    "rel_sketches",
+    # Slots 6-31: the full r9-stale cohort — every oracle-backed entry
+    # whose newest driver-green row is r9 (26 entries, recomputed this
+    # round; matches the queue the r13 comment recorded plus
+    # rel_set_ops, minus the four dedup entries re-certified in r13).
+    "iq_subquery_rollup",
+    "iq_top_points",
+    "mm_contrastive_pairs",
+    "mm_extract_features",
+    "mm_frame_sample",
+    "mm_manifest",
+    "pipeline_epochs",
+    "pipeline_pack_sequences",
+    "pipeline_stratified_sample",
+    "pipeline_token_budget",
+    "pipeline_training_mix",
+    "ref_payload_coercion",
+    "ref_registry_filter",
+    "ref_topic_parse",
+    "rel_merge_join",
+    "rel_revenue_threshold",
+    "rel_sales_opportunity",
+    "rel_set_ops",
+    "rel_top_supplier",
+    "rel_waiting_supplier",
+    "sim_centroid_assign",
+    "sim_hybrid_rrf",
+    "sim_knn_exact",
+    "sim_mmr",
+    "sim_range_search",
+    "text_langid_ngram",
+    # Slots 32-50: r10-cohort filler (alphabetical head of the 44
+    # r10-green rows — the oldest oracle-backed cohort after this
+    # rotation).
+    "dedup_semantic",
+    "dedup_substring",
+    "dedup_substring_spans",
+    "iq_agg_arithmetic",
+    "iq_bucket_offset",
+    "iq_derivative_daily",
+    "iq_distinct",
+    "iq_fill_slimit",
+    "iq_integral",
+    "iq_limit_offset",
+    "iq_limit_per_series",
+    "iq_nonneg_derivative",
+    "iq_raw_derivative",
+    "iq_raw_grouped",
+    "iq_raw_nonneg",
+    "iq_raw_running",
+    "iq_raw_series",
+    "iq_scalar_math",
+    "iq_selector_bare",
+    # ---- slot 50 boundary. r15 ROTATION QUEUE (front-load next
+    # round): the remaining 25 r10-green rows —
+    # iq_selector_mixed, iq_slimit, mm_dedup_payload,
+    # mm_dedup_perceptual, sim_cosine_topk, sim_knn_graph,
+    # sim_label_centroid, sim_label_trimmed_norm, text_boilerplate,
+    # text_contamination, text_fingerprint, text_langid, text_quality,
+    # text_regex_tokens, text_tfidf_top, text_token_stats,
+    # text_word_freq, ts_holt_winters_seasonal, win_cube,
+    # win_monthly_revenue, win_ntile_customers, win_percentiles,
+    # win_rollup, win_topk_per_group, win_value_frames — then the
+    # r11 cohort as filler. After THIS round no registry entry's
+    # newest driver row is older than r9 (the five rows-only entries
+    # get r14 rows; the r9 cohort moves to r14).
 ]
 
 _MODULES = [
