@@ -50,28 +50,12 @@ def headline_names(qs: dict) -> list[str]:
 # ratios can be normalized mechanically (r7 committed a contended
 # 1.685x ratio that an idle re-run measured at 1.25x — the canary makes
 # that drift visible inside the artifact instead of argued in prose).
-_CANARY_ROWS = 50_000_000
-
-
-def _canary(spark) -> float:
-    # one DISCARDED warm rep: the start-of-artifact canary otherwise
-    # runs on a colder JVM than the end one (first r8 run measured a
-    # spurious 64% "drift" that was JIT/GC warm-up, not contention)
-    reps = []
-    for i in range(4):
-        t0 = time.time()
-        (
-            spark.range(0, _CANARY_ROWS, 1, 32)
-            .selectExpr("pmod(xxhash64(id), 1024) AS b")
-            .groupBy("b")
-            .count()
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        if i > 0:
-            reps.append(time.time() - t0)
-    return round(min(reps), 3)
+# Since r14 the canary job and the box's calibrated band history live
+# in tools/regimestamp.py, SHARED with the stress tools and the skew
+# census (VERDICT r13 #4) — one definition, cross-comparable stamps.
+from tools.regimestamp import CANARY_ROWS as _CANARY_ROWS
+from tools.regimestamp import band as _canary_band
+from tools.regimestamp import canary as _canary
 
 
 def main() -> int:
@@ -406,6 +390,10 @@ def _merge_attempts(attempts: list[dict], crash: dict | None = None) -> dict:
             "end_sec": best["canary_end"],
             "sec": canary_sec,
             "drift_pct": best["drift_pct"],
+            # calibrated regime band (tools/regimestamp.py): walls
+            # from a 'degraded' window are unusable no matter what
+            # the within-run drift says (the r13 third-regime lesson)
+            "band": _canary_band(canary_sec),
         },
     }
 

@@ -399,7 +399,18 @@ def _persisted_candidates(
 ) -> tuple[DataFrame, int]:
     """Persist + count a candidate pair set once per (app, sf_dir, tag)
     campaign — the runtime statistic the verify-plan choice needs.
-    Released by :func:`release_shingles`."""
+    Released by :func:`release_shingles`.
+
+    TAG CONTRACT (ADVICE r13): one tag == one candidate BUILDER. The
+    cache key ignores the passed ``cand`` plan on a hit, so every
+    caller reusing a tag must construct the same candidate DataFrame
+    for the same (app, sf_dir) — today 'shingle' is built only by
+    :func:`_shingle_candidates` (shared by design between the jaccard
+    and containment pipelines: campaign reuse IS the point) and
+    'banded' only by the minhash band join. A new verify caller must
+    mint a NEW tag, not reuse one with a different construction —
+    silently verifying against another builder's persisted candidates
+    is the failure mode this line exists to prevent."""
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key not in _CAND_CACHE:
         df = cand.persist()

@@ -130,8 +130,22 @@ def executed_shuffle_stages(df: DataFrame) -> int | None:
     :func:`exchange_count` (plan-TEXT nodes) the CC family's unrolled
     persisted subtrees cannot overstate it — measured at sf0.01:
     dedup_components 2638 text nodes vs 16 executed stages. Returns
-    None for a non-adaptive plan (nothing in this engine plans one —
-    session.tune() pins AQE on)."""
+    None for a non-adaptive plan — which in this engine means an
+    EXCHANGE-FREE plan (AQE never wraps a plan with no exchange and
+    no subquery even with tune()'s adaptive.enabled on), so None
+    reads as "trivially 0 executed shuffles"; tools/plan_audit.py
+    records the reason explicitly (VERDICT r13 #6).
+
+    Scope caveats (ADVICE r13, diagnostic intent only — NOT a gate):
+    the count parses ``ShuffleQueryStage (\\d+)`` out of the AQE
+    final-plan STRING, which (a) ties it to Spark's AQE toString
+    format, and (b) misses shuffle stages materialized by EARLIER
+    jobs of cached subtrees — e.g. the grid verify's persisted
+    candidate set runs its exchange under the prior count() job, so
+    this plan's text shows the InMemoryTableScan, not that shuffle.
+    It therefore measures "exchanges THIS plan executed", not the
+    total exchange work of the campaign; if it ever becomes a gate,
+    reimplement on the SQLMetrics / stage-listener API instead."""
     qe = df._jdf.queryExecution()
     qe.executedPlan().execute().count()
     s = qe.executedPlan().toString()

@@ -317,6 +317,51 @@ def compact(spark: SparkSession, points_dir: str, ingest_date: str,
 WIDE_VIEW_MAX_FIELDS = 10_000
 
 
+def _validate_wide_fields(fields: list[str | None]) -> None:
+    """Refuse a pivot field list that mints colliding columns — runs on
+    BOTH the auto-discovered list and an explicitly passed ``fields=``
+    (ADVICE r13: the explicit path used to skip these and fail later
+    with Spark's raw AMBIGUOUS_REFERENCE instead of the friendly
+    refusal). Three collision classes, all rooted in Spark's default
+    case-insensitive column resolution (spark.sql.caseSensitive=false):
+
+    - two transducers differing only in case ('Temp'/'temp');
+    - a transducer folding onto a fixed output column ('ts',
+      'device_id' — the groupBy keys of the wide layout);
+    - a NULL transducer (pivots to a column literally named 'null')
+      alongside a transducer string-named 'null'.
+    """
+    named = [f for f in fields if f is not None]
+    folded: dict[str, str] = {}
+    for f in named:
+        first = folded.setdefault(f.lower(), f)
+        if first != f:
+            raise ValueError(
+                f"wide_view fields contain transducers {first!r} and "
+                f"{f!r} differing only in case; column resolution is "
+                "case-insensitive (spark.sql.caseSensitive=false), "
+                "so pivoting both mints ambiguous columns — "
+                "quarantine or rename one, or pass fields= "
+                "excluding one"
+            )
+        if f.lower() in ("ts", "device_id"):
+            raise ValueError(
+                f"wide_view fields contain a transducer named {f!r}, "
+                "which collides with the wide layout's fixed "
+                f"{f.lower()!r} column under case-insensitive "
+                "resolution — quarantine or rename it, or pass "
+                "fields= excluding it"
+            )
+    if None in fields and any(f.lower() == "null" for f in named):
+        raise ValueError(
+            "wide_view fields contain both a NULL transducer (short "
+            "topic) and a transducer literally named 'null'; "
+            "pivoting both would mint duplicate 'null' columns — "
+            "quarantine the NULL rows (streaming.ingest."
+            "split_malformed) or pass fields= excluding one of them"
+        )
+
+
 def wide_view(points: DataFrame, fields: list[str] | None = None) -> DataFrame:
     """A7 (influx_service.py:191-197): the 'organized' layout — one row
     per (device_id, ts), one column per transducer — as a DERIVED pivot
@@ -354,60 +399,18 @@ def wide_view(points: DataFrame, fields: list[str] | None = None) -> DataFrame:
         # sorted() throw on a None/str comparison.
         vals = [r[0] for r in rows]
         fields = sorted(v for v in vals if v is not None)
-        # Any two transducers differing only in case collide the same
-        # way the NULL/'null' pair does (r12 review): Spark resolves
-        # columns case-insensitively by default, so a pivot minting
-        # both 'Temp' and 'temp' makes every downstream select
-        # AMBIGUOUS_REFERENCE. Conforming ingest never produces these
-        # (the topic parser lowercases, reference influx_service.py:139)
-        # — this guards un-quarantined external frames.
-        folded: dict[str, str] = {}
-        for f in fields:
-            first = folded.setdefault(f.lower(), f)
-            if first != f:
-                raise ValueError(
-                    f"wide_view found transducers {first!r} and {f!r} "
-                    "differing only in case; column resolution is "
-                    "case-insensitive (spark.sql.caseSensitive=false), "
-                    "so pivoting both mints ambiguous columns — "
-                    "quarantine or rename one, or pass fields= "
-                    "explicitly"
-                )
-            # A transducer whose folded name equals a fixed output
-            # column ('ts', 'device_id' — e.g. a 'TS' transducer from a
-            # non-conforming frame) pivots into a column that collides
-            # with the groupBy columns under case-insensitive
-            # resolution — the same AMBIGUOUS_REFERENCE class as the
-            # case-pair guard above (ADVICE r12).
-            if f.lower() in ("ts", "device_id"):
-                raise ValueError(
-                    f"wide_view found a transducer named {f!r}, which "
-                    "collides with the wide layout's fixed "
-                    f"{f.lower()!r} column under case-insensitive "
-                    "resolution — quarantine or rename it, or pass "
-                    "fields= excluding it"
-                )
         if len(fields) < len(vals):
             # A NULL transducer pivots to a column literally named
-            # 'null'; if a transducer with the string name 'null' ALSO
-            # exists, the pivot would mint two identically-named
-            # columns — ambiguous for every downstream select. Refuse
-            # with a pointer (the same idiom as the width cap) rather
-            # than silently renaming either. Case-FOLDED comparison
-            # (ADVICE r11): Spark column resolution is case-insensitive
-            # by default (spark.sql.caseSensitive=false), so a
-            # transducer named 'NULL' or 'Null' collides with the
-            # NULL-transducer's 'null' column just the same.
-            if any(f.lower() == "null" for f in fields):
-                raise ValueError(
-                    "wide_view found both a NULL transducer (short "
-                    "topic) and a transducer literally named 'null'; "
-                    "pivoting both would mint duplicate 'null' "
-                    "columns — quarantine the NULL rows (streaming."
-                    "ingest.split_malformed) or pass fields= "
-                    "excluding one of them"
-                )
+            # 'null' — keep the dynamic pivot's contract (nulls sorted
+            # first) by prepending the None slot before validation.
             fields = [None, *fields]
+    # Collision guards (case pairs, fixed 'ts'/'device_id' columns,
+    # NULL vs literal-'null') run on the auto-discovered AND the
+    # explicitly passed list alike — an explicit list from an external
+    # catalog can carry the same hazards (ADVICE r13); conforming
+    # ingest never produces them (the topic parser lowercases,
+    # reference influx_service.py:139).
+    _validate_wide_fields(fields)
     return (
         points.groupBy("device_id", "ts")
         .pivot("transducer", fields)

@@ -23,6 +23,13 @@ def main() -> int:
     ap.add_argument("--json", metavar="OUT",
                     help="write the registry-wide census artifact "
                          "(PLAN_AUDIT_r{N}.json shape) instead of printing")
+    ap.add_argument("--conf", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="override a session conf before the audit "
+                         "(repeatable) — e.g. flip spark.sql."
+                         "requireAllClusterKeysForCoPartition to "
+                         "measure whether a tune() default changed "
+                         "any registered query's plan (ADVICE r13)")
     ap.add_argument("--executed", action="store_true",
                     help="ALSO run every query and record its EXECUTED "
                          "shuffle-stage count from the AQE final plan "
@@ -39,6 +46,9 @@ def main() -> int:
     from mqtt_influx_storage_service_spark.session import get_spark
 
     spark = get_spark("plan-audit")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     qs = all_queries()
     names = args.names or sorted(qs)
     if args.json:
@@ -49,8 +59,29 @@ def main() -> int:
                 df = qs[name](spark, args.sf)
                 census[name] = plans.summarize(df)
                 if args.executed:
-                    census[name]["executed_shuffle_stages"] = \
-                        plans.executed_shuffle_stages(df)
+                    n_exec = plans.executed_shuffle_stages(df)
+                    census[name]["executed_shuffle_stages"] = n_exec
+                    if n_exec is None:
+                        # VERDICT r13 #6: a null executed count must be
+                        # self-documenting. The expected cause is an
+                        # exchange-free plan — AQE does not wrap a plan
+                        # with no exchange and no subquery
+                        # (adaptive.forceApply stays default), so there
+                        # is no final adaptive plan to read and the
+                        # executed shuffle count is trivially 0. A
+                        # non-adaptive plan WITH exchanges would be a
+                        # regression worth eyes, so it gets a
+                        # distinguishable reason string.
+                        n_ex = census[name].get("exchanges", 0)
+                        census[name]["executed_skipped_reason"] = (
+                            "final plan non-adaptive: 0 exchanges — "
+                            "AQE never wraps an exchange-free plan; "
+                            "executed shuffle stages trivially 0"
+                            if n_ex == 0
+                            else "final plan non-adaptive despite "
+                            f"{n_ex} planned exchange(s) — "
+                            "UNEXPECTED, inspect this plan"
+                        )
             except Exception as exc:  # noqa: BLE001 - census keeps going
                 errors.append({name: str(exc)[:300]})
             print(name, flush=True)

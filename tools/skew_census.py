@@ -393,11 +393,18 @@ def main() -> int:
         spark.stop()
         return rc
 
+    from tools import regimestamp
+
     qs = all_queries()
     names = args.names or list(qs)
     seen: set[tuple[int, int]] = set()
     census: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    # Machine-regime stamps (VERDICT r13 #4, shared module): the
+    # census publishes walls, and r13 showed this box has a degraded
+    # third regime where walls are unusable — stamp the window so the
+    # artifact adjudicates itself.
+    regime_start = regimestamp.stamp(spark)
     for i, name in enumerate(names):
         _stage_rows(base, seen)  # absorb stages from prior query's tail
         t0 = time.monotonic()
@@ -436,6 +443,19 @@ def main() -> int:
             "worst": worst,
             "flagged": flagged,
             "io": io,
+            # EXECUTED partition counts for EVERY completed stage of
+            # the query (VERDICT r13 #3): AQE re-plans partition
+            # counts at runtime, and under co-scheduling memory
+            # pressure it can coalesce differently than solo — the
+            # r13 sweep saw a work-ratio-252 dedup_components task
+            # that no solo rep reproduced, and without the per-stage
+            # task counts the vanishing was unattributable. Stages
+            # match across runs by NAME (ids are run-local).
+            "stage_tasks": [
+                {"stage": s["stageId"], "tasks": s["numCompleteTasks"],
+                 "name": (s.get("name") or "")[:60]}
+                for s in raw
+            ],
         }
         tag = "FLAG" if flagged else "ok"
         wr = worst["ratio"] if worst else "-"
@@ -471,13 +491,24 @@ def main() -> int:
                     continue
                 wall = time.monotonic() - t0
                 _settle(base)
-                rows = [r for s in _stage_rows(base, seen)
+                raw_rep = _stage_rows(base, seen)
+                rows = [r for s in raw_rep
                         if (r := _audit_stage(base, s))]
                 rep_flags = [dict(r, reason=_flag_reason(r),
                                   classification=_classify_flag(r))
                              for r in rows if _is_flagged(r)]
                 reps.append({"wall_sec": round(wall, 2),
-                             "flagged": rep_flags})
+                             "flagged": rep_flags,
+                             # same per-stage executed partition counts
+                             # as the sweep rows, so sweep-vs-solo AQE
+                             # coalescing differences are in the
+                             # artifact (VERDICT r13 #3)
+                             "stage_tasks": [
+                                 {"stage": s["stageId"],
+                                  "tasks": s["numCompleteTasks"],
+                                  "name": (s.get("name") or "")[:60]}
+                                 for s in raw_rep
+                             ]})
             classes = [f["classification"] for rep in reps
                        for f in rep.get("flagged", [])]
             data_skew = [c for c in classes if c.startswith("data-skew")]
@@ -536,6 +567,13 @@ def main() -> int:
             "work_skewed_min": WORK_SKEWED_MIN,
             "reps": ISOLATE_REPS,
         }
+    regime_end = regimestamp.stamp(spark)
+    summary["regime"] = {
+        "start": regime_start,
+        "end": regime_end,
+        "drift_pct": regimestamp.drift_pct(
+            regime_start["canary_sec"], regime_end["canary_sec"]),
+    }
     if args.json:
         with open(args.json, "w") as f:
             json.dump(summary, f, indent=1, sort_keys=True)
