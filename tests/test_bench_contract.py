@@ -106,8 +106,15 @@ def test_canary_is_fixed_work_and_sf_independent():
     the benched scale factor."""
     import inspect
 
+    # since r14 the canary lives in tools/regimestamp.py, SHARED with
+    # the stress tools and the skew census (VERDICT r13 #4) — bench
+    # must alias that one job, not fork its own
+    from tools import regimestamp
+
+    assert bench._canary is regimestamp.canary
+    assert bench._CANARY_ROWS == regimestamp.CANARY_ROWS
     src = inspect.getsource(bench._canary)
-    assert "_CANARY_ROWS" in src
+    assert "CANARY_ROWS" in src
     assert "sf_dir" not in src and "SPARK_GRAFT" not in src
 
 
