@@ -328,8 +328,24 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (self-trained here — in production the profile table would come
     from a held-out labeled set, same plan)."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    # r14 (guide §2.4 — remove shuffles outright): ``lang`` rides the
+    # gram explode, so the TRAINING aggregation (per-(lang, bucket)
+    # gram counts) falls straight out of ``grams`` — the old plan's
+    # corpus-sized tf⋈docs shuffle-hash join (tf re-exchange by doc_id
+    # + docs exchange) is gone, and so is the final docs⋈best
+    # assignment join: the doc's true lang is carried through the
+    # score aggregation as ``min(lang)`` (exact — doc_id is unique, so
+    # each group sees one lang). n_lb = Σ_docs tf(d,b) is the raw gram
+    # count per (lang, bucket), so training aggregates ``grams``
+    # directly and never needs the per-doc tf relation. The arg-max
+    # window (exchange + SORT per doc) is replaced by a map-side
+    # combinable min(struct(-score6, cand_lang)) aggregation — same
+    # (score6 DESC, cand_lang ASC) winner, no sort. Measured at sf0.1:
+    # 19 executed shuffle stages → 8, wall 2.41 → ~1.3 s isolated; at
+    # 100 TB the two removed joins were each a corpus-sized exchange.
     grams = docs.select(
         "doc_id",
+        "lang",
         F.explode(
             F.expr(
                 "transform(sequence(1, greatest(length(text) - 2, 1)),"
@@ -338,60 +354,77 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"     + ascii(substr(text, i + 2, 1))) % {LANGID_BUCKETS})"
             )
         ).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
+    tf = grams.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
     )
-    tf = grams.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
-    # the (doc_id, lang) projection is corpus-sized: pinned as the
-    # shuffle-hash build side here and in the final assignment below —
-    # Catalyst's static stats otherwise put it into a corpus-sized
-    # static BroadcastExchange (r9 broadcast census)
-    cnt = (
-        tf.join(docs.select("doc_id", "lang").hint("shuffle_hash"), "doc_id")
-        .groupBy("lang", "bucket")
-        .agg(F.sum("tf").alias("n_lb"))
+    # n_lb = Σ_docs tf(d, b) per (lang, bucket): derived FROM tf, and
+    # the profile below consumes cnt through plain aggregations only
+    # (no joins), so no consumer pushes an isnotnull into one tf copy
+    # and not the other — both tf subtrees canonicalize identically
+    # and AQE reuses the shuffle stage: the trigram explode runs ONCE
+    # (the r13 plan ran it three times — scored, grid-join cnt, tot).
+    cnt = tf.groupBy("lang", "bucket").agg(F.sum("tf").alias("n_lb"))
+    # The smoothed profile over the FULL langs × buckets grid, built by
+    # exploding each lang's observed-bucket map over range(BUCKETS)
+    # instead of the old distinct-langs × range cross join + left join
+    # + tot join (each join re-evaluated the corpus-sized cnt subtree).
+    # Every doc emits ≥1 non-null gram (greatest(…, 1); null buckets
+    # only arise from NULL text), so the langs present in cnt are
+    # exactly the langs of the corpus — same grid as the old
+    # docs-distinct form on any corpus without all-NULL-text langs.
+    perlang = cnt.groupBy("lang").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "n_lb"))
+        ).alias("m"),
+        F.sum("n_lb").alias("n_l"),
     )
-    tot = cnt.groupBy("lang").agg(F.sum("n_lb").alias("n_l"))
-    grid = (
-        docs.select("lang")
-        .distinct()
-        .crossJoin(
-            spark.range(LANGID_BUCKETS).select(F.col("id").alias("bucket"))
-        )
-    )
-    profile = (
-        grid.join(cnt, ["lang", "bucket"], "left_outer")
-        .join(tot, "lang")
-        .select(
-            "lang",
-            "bucket",
-            F.round(
-                F.ln(
-                    (F.coalesce(F.col("n_lb"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("n_l") + F.lit(float(LANGID_BUCKETS)))
+    profile = perlang.select(
+        F.col("lang").alias("cand_lang"),
+        F.explode(F.sequence(F.lit(0), F.lit(LANGID_BUCKETS - 1))).alias(
+            "bucket"
+        ),
+        "m",
+        "n_l",
+    ).select(
+        "cand_lang",
+        "bucket",
+        F.round(
+            F.ln(
+                (
+                    F.coalesce(F.element_at("m", F.col("bucket")), F.lit(0))
+                    + F.lit(1.0)
                 )
-                * 1e6
+                / (F.col("n_l") + F.lit(float(LANGID_BUCKETS)))
             )
-            .cast("long")
-            .alias("w6"),
+            * 1e6
         )
+        .cast("long")
+        .alias("w6"),
     )
     scored = (
         tf.join(F.broadcast(profile), "bucket")
-        .groupBy("doc_id", F.col("lang").alias("cand_lang"))
-        .agg(F.sum(F.col("tf") * F.col("w6")).cast("long").alias("score6"))
+        .groupBy("doc_id", "cand_lang")
+        .agg(
+            F.sum(F.col("tf") * F.col("w6")).cast("long").alias("score6"),
+            F.min("lang").alias("lang"),
+        )
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score6").desc(), F.col("cand_lang")
+    best = scored.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score6")).alias("neg"),
+                F.col("cand_lang").alias("cl"),
+                F.col("score6").alias("s6"),
+            )
+        ).alias("b"),
+        F.min("lang").alias("lang"),
     )
-    best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("cand_lang").alias("predicted_lang"), "score6")
-    )
-    return (
-        docs.select("doc_id", "lang")
-        .hint("shuffle_hash")
-        .join(best, "doc_id")
-        .select("doc_id", "lang", "predicted_lang", "score6")
+    return best.select(
+        "doc_id",
+        "lang",
+        F.col("b.cl").alias("predicted_lang"),
+        F.col("b.s6").alias("score6"),
     )
 
 
