@@ -1815,11 +1815,18 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: MMR is quadratic in its POOL, so the pool is the
     top-MMR_POOL by relevance (one WindowGroupLimit-style pass over
-    the corpus — the ANN/rerank regime at 10^9 vectors), persisted so
-    the K unrolled selection stages reuse one materialization. Each
-    greedy step is a lazily-unrolled argmax (orderBy + limit 1) with
-    the ≤K selected rows broadcast into the penalty join — no driver
-    loop, no action: the whole K-step greedy is ONE plan.
+    the corpus — the ANN/rerank regime at 10^9 vectors), persisted
+    once. The K-step greedy itself runs as ONE single-task Arrow
+    kernel over the ≤MMR_POOL-row pool (r14, guide §2.6/§4.2: the old
+    K lazily-unrolled argmax stages cost 2 broadcasts + a persist +
+    a stage barrier PER PICK — 1.45 s of plan construction and ~16
+    sequential jobs at sf0.1 — for ≤200 rows of data). The kernel
+    emits only the picked ids (integers); ``rel`` and ``score`` are
+    re-derived declaratively over the K picked rows, so every
+    PUBLISHED float is still computed by the exact Spark expressions
+    the oracle mirrors (same discipline as the candidate-only GEMM
+    kernels above). Bit-parity of the kernel's internal argmax with
+    the old plan is pinned by tests/test_similarity.py.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _MMR_CACHE.get(key)
@@ -1842,66 +1849,125 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "rel", "cv", F.col("vec_id_norm").alias("n"))
     )
     pool = rel.orderBy(F.col("rel").desc(), "vec_id").limit(MMR_POOL).persist()
-    persisted = [pool]
 
-    lam = MMR_LAMBDA
-    picks: list[DataFrame] = []
-    carry = ["vec_id", "rel", "cv", "n"]
-    for rank in range(1, MMR_K + 1):
-        if not picks:
-            pick = pool.withColumn("score", F.col("rel"))
-        else:
-            selected = picks[0]
-            for p in picks[1:]:
-                selected = selected.unionByName(p)
-            sel = selected.select(
-                F.col("vec_id").alias("s_id"),
-                F.col("cv").alias("sv"),
-                F.col("n").alias("sn"),
-            )
-            pen = (
-                pool.join(
-                    F.broadcast(selected.select("vec_id")), "vec_id", "left_anti"
-                )
-                .crossJoin(F.broadcast(sel))
-                .withColumn(
-                    "pair_sim",
-                    F.round(
-                        _dot(F.col("cv"), F.col("sv"))
-                        / (F.col("n") * F.col("sn")),
-                        6,
-                    ),
-                )
-                .groupBy(*carry)
-                .agg(F.max("pair_sim").alias("pen"))
-            )
-            pick = pen.withColumn(
-                "score",
+    # TakeOrderedAndProject already yields one partition; coalesce(1)
+    # pins the whole-pool-in-one-task contract the kernel requires.
+    picks = pool.coalesce(1).mapInPandas(
+        _mmr_greedy_kernel, schema="rank bigint, vec_id bigint"
+    )
+    sel = picks.join(F.broadcast(pool), "vec_id")
+    prev = sel.select(
+        F.col("rank").alias("prev_rank"),
+        F.col("cv").alias("sv"),
+        F.col("n").alias("sn"),
+    )
+    pens = (
+        sel.join(F.broadcast(prev), F.col("prev_rank") < F.col("rank"), "left")
+        .groupBy("rank", "vec_id", "rel")
+        .agg(
+            F.max(
                 F.round(
-                    F.lit(lam) * F.col("rel")
-                    - F.lit(1 - lam) * F.col("pen"),
+                    _dot(F.col("cv"), F.col("sv"))
+                    / (F.col("n") * F.col("sn")),
                     6,
-                ),
-            )
-        picks.append(
-            pick.orderBy(F.col("score").desc(), "vec_id")
-            .limit(1)
-            .select(*carry, "score")
-            .withColumn("rank", F.lit(rank).cast("long"))
-            # persist each 1-row pick: pick_i is referenced by every
-            # later stage's selected-set union, so an unpersisted tree
-            # re-evaluates pick subtrees ~2^K times (measured 3.7 s ->
-            # sub-second at sf0.1 with the caches)
-            .persist()
+                )
+            ).alias("pen")
         )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    out = out.select("rank", "vec_id", "rel", "score")
-    persisted.extend(picks)
-    _MMR_PERSISTED[key] = persisted
+    )
+    lam = MMR_LAMBDA
+    out = pens.select(
+        "rank",
+        "vec_id",
+        "rel",
+        F.when(F.col("pen").isNull(), F.col("rel"))
+        .otherwise(
+            F.round(
+                F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("pen"), 6
+            )
+        )
+        .alias("score"),
+    )
+    _MMR_PERSISTED[key] = [pool]
     _MMR_CACHE[key] = out
     return out
+
+
+def _round6_like_spark(x: float) -> float:
+    """Replicate Spark's Round(double, 6): HALF_UP over the SHORTEST
+    decimal representation of the double (Spark rounds
+    BigDecimal.valueOf(x) == Double.toString(x), which is the shortest
+    round-trip string — exactly what Python's repr() produces), then
+    back to double. Used only inside the MMR argmax kernel; published
+    values are recomputed by Spark's own Round."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not math.isfinite(x):
+        return x
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _mmr_greedy_kernel(batches):
+    """Single-task greedy MMR over the (already bounded) pool: yields
+    (rank, vec_id) for the MMR_K picks. Float discipline mirrors the
+    Spark expressions bit-for-bit: dot products accumulate as the same
+    strictly-sequential left fold (one fused multiply-add per dimension
+    IN ORDER — numpy elementwise ops over a column at a time), cosine =
+    dot / (n * sn) with the denominator multiplied first, round-6 via
+    :func:`_round6_like_spark`, score = lam*rel - (1-lam)*pen with
+    (1-lam) evaluated in Python exactly as the old plan's F.lit(1-lam),
+    argmax ordered by (score DESC, vec_id ASC) with exact float ties."""
+    parts = list(batches)
+    rows = pd.concat(parts, ignore_index=True) if parts else None
+    if rows is None or len(rows) == 0:
+        yield pd.DataFrame({"rank": [], "vec_id": []}).astype("int64")
+        return
+    ids = rows["vec_id"].to_numpy()
+    rel = rows["rel"].to_numpy(dtype=np.float64)
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in rows["cv"]])
+    nrm = rows["n"].to_numpy(dtype=np.float64)
+    n_rows = len(ids)
+    lam = MMR_LAMBDA
+    oneml = 1 - MMR_LAMBDA
+    r6 = np.vectorize(_round6_like_spark, otypes=[np.float64])
+
+    def argbest(score: np.ndarray, mask: np.ndarray) -> int:
+        best = -1
+        for i in range(n_rows):
+            if not mask[i]:
+                continue
+            if best < 0 or score[i] > score[best] or (
+                score[i] == score[best] and ids[i] < ids[best]
+            ):
+                best = i
+        return best
+
+    avail = np.ones(n_rows, dtype=bool)
+    pen = np.full(n_rows, -np.inf)
+    picked: list[int] = []
+    for _ in range(min(MMR_K, n_rows)):
+        if not picked:
+            score = rel
+        else:
+            s = picked[-1]
+            acc = np.zeros(n_rows)
+            for d in range(V.shape[1]):
+                acc = acc + V[:, d] * V[s, d]
+            pen = np.maximum(pen, r6(acc / (nrm * nrm[s])))
+            score = r6(lam * rel - oneml * pen)
+        i = argbest(score, avail)
+        picked.append(i)
+        avail[i] = False
+    yield pd.DataFrame(
+        {
+            "rank": np.arange(1, len(picked) + 1, dtype=np.int64),
+            "vec_id": ids[picked].astype(np.int64),
+        }
+    )
 
 
 def _mmr_sql() -> str:

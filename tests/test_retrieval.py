@@ -123,3 +123,138 @@ def test_rrf_both_lists_beat_single_list_at_same_depth(spark, sf_dir):
                 compared += 1
     assert compared > 0, "no comparable (both, single) pair at this scale"
     assert len(text) > 0
+
+
+# ---------------------------------------------------------------------------
+# sim_mmr — the r14 single-task greedy kernel must be bit-equal to the
+# r13 unrolled-plan formulation it replaced (guide §2.6: the unrolled
+# plan paid 2 broadcasts + a persist + a stage barrier per pick).
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_round6_matches_spark_round(spark):
+    """_round6_like_spark (the kernel's argmax rounding) must agree
+    with Spark's Round(double, 6) on adversarial values: exact .5
+    boundaries at 6 dp whose BINARY value sits below the decimal
+    boundary (shortest-repr rounding differs from exact-binary
+    rounding here), negatives, exponents, and fixture-scale cosines."""
+    from pyspark.sql import functions as F
+
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        _round6_like_spark,
+    )
+
+    vals = [
+        0.1234565, 0.1234575, -0.1234565, -0.1234575,  # .5 boundaries
+        0.9999995, -0.9999995, 1.0000005,
+        1e-7, -1e-7, 4.9999999999e-7, 5.0000000001e-7,
+        0.3333333333333333, -0.6666666666666666,
+        0.1 + 0.2, 0.7 * 0.515151 - 0.30000000000000004 * 0.424242,
+        0.0, -0.0, 1.0, -1.0, 123456.789012345,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["r"] for r in df.select(F.round("x", 6).alias("r")).collect()]
+    for v, g in zip(vals, got):
+        assert _round6_like_spark(v) == g, (v, _round6_like_spark(v), g)
+
+
+def test_mmr_kernel_matches_unrolled_reference(spark, sf_dir):
+    """End-to-end pin: sim_mmr (kernel argmax + declarative re-score)
+    must produce EXACTLY the rows of the r13 unrolled lazy-argmax plan,
+    reconstructed here verbatim as the reference."""
+    from pyspark.sql import functions as F
+
+    from mqtt_influx_storage_service_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        _dot,
+        _with_norm,
+        release_mmr,
+        sim_mmr,
+    )
+
+    release_mmr(spark)
+    got = sim_mmr(spark, sf_dir).toPandas()
+    release_mmr(spark)
+
+    # --- r13 reference formulation (unrolled lazy argmax) ---
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    q = _with_norm(emb.filter(F.col("vec_id") == 0), "q_id", "qv")
+    c = _with_norm(emb.filter(F.col("vec_id") != 0), "vec_id", "cv")
+    rel = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn(
+            "rel",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("q_id_norm") * F.col("vec_id_norm")),
+                6,
+            ),
+        )
+        .select("vec_id", "rel", "cv", F.col("vec_id_norm").alias("n"))
+    )
+    pool = (
+        rel.orderBy(F.col("rel").desc(), "vec_id").limit(MMR_POOL).persist()
+    )
+    lam = MMR_LAMBDA
+    picks = []
+    carry = ["vec_id", "rel", "cv", "n"]
+    for rank in range(1, MMR_K + 1):
+        if not picks:
+            pick = pool.withColumn("score", F.col("rel"))
+        else:
+            selected = picks[0]
+            for p in picks[1:]:
+                selected = selected.unionByName(p)
+            sel = selected.select(
+                F.col("vec_id").alias("s_id"),
+                F.col("cv").alias("sv"),
+                F.col("n").alias("sn"),
+            )
+            pen = (
+                pool.join(
+                    F.broadcast(selected.select("vec_id")),
+                    "vec_id",
+                    "left_anti",
+                )
+                .crossJoin(F.broadcast(sel))
+                .withColumn(
+                    "pair_sim",
+                    F.round(
+                        _dot(F.col("cv"), F.col("sv"))
+                        / (F.col("n") * F.col("sn")),
+                        6,
+                    ),
+                )
+                .groupBy(*carry)
+                .agg(F.max("pair_sim").alias("pen"))
+            )
+            pick = pen.withColumn(
+                "score",
+                F.round(
+                    F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("pen"),
+                    6,
+                ),
+            )
+        picks.append(
+            pick.orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+            .select(*carry, "score")
+            .withColumn("rank", F.lit(rank).cast("long"))
+            .persist()
+        )
+    ref_df = picks[0]
+    for p in picks[1:]:
+        ref_df = ref_df.unionByName(p)
+    ref = ref_df.select("rank", "vec_id", "rel", "score").toPandas()
+    for df in [pool, *picks]:
+        df.unpersist()
+
+    got = got.sort_values("rank").reset_index(drop=True)
+    ref = ref.sort_values("rank").reset_index(drop=True)
+    assert list(got.columns) == list(ref.columns)
+    assert len(got) == len(ref) == MMR_K
+    for col in got.columns:
+        assert list(got[col]) == list(ref[col]), col
