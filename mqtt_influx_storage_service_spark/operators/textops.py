@@ -1346,6 +1346,32 @@ BM25_QUERY_TERMS = 8     # query = first N distinct words of that doc
 BM25_TOPK = 5
 
 
+# Keyed persisted tf cache (r14, guide §5 caching + §2.4): the
+# vocabulary-pruned tf relation is consumed by BOTH the df aggregation
+# (broadcast build) and the scored chain; left unshared, each consumer
+# re-tokenized the corpus (stage-profiled at sf0.1: two 32-task
+# explode stages, 18.4 s of executor CPU for one query). Same keyed
+# cache + release discipline as dedup._doc_shingles; text_bm25 and
+# sim_hybrid_rrf share one materialization per campaign. The relation
+# is query-vocabulary-pruned (tokens matching the bounded query set's
+# words), so at 100 TB it persists MEMORY_AND_DISK at a fraction of
+# corpus token volume; the alternative is a second full corpus
+# tokenize per consumer.
+_BM25_TF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def release_bm25(spark: SparkSession | None = None) -> int:
+    """Unpersist the cached BM25 tf relation(s); returns count released.
+    Twin of ``dedup.release_shingles``."""
+    released = 0
+    for key in list(_BM25_TF_CACHE):
+        if spark is not None and key[0] != spark.sparkContext.applicationId:
+            continue
+        _BM25_TF_CACHE.pop(key).unpersist()
+        released += 1
+    return released
+
+
 def _bm25_query_filter(id_col: str = "doc_id") -> F.Column:
     """Query-set membership predicate, shared by the lexical retriever
     (over doc_id) and the hybrid fusion's vector side (over vec_id) so
@@ -1370,11 +1396,6 @@ def _bm25_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast aggregate, never an eager count.
     """
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    tok = docs.select(
-        "doc_id",
-        F.size(_tokens()).alias("dl"),
-        F.explode(_tokens()).alias("word"),
-    )
     qterms = (
         load_table(spark, sf_dir, "documents")
         .filter(_bm25_query_filter())
@@ -1385,10 +1406,23 @@ def _bm25_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("word"),
         )
     )
-    tok_q = tok.join(F.broadcast(qterms.select("word").distinct()), "word")
-    tf = tok_q.groupBy("doc_id", "dl", "word").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tf = _BM25_TF_CACHE.get(key)
+    if tf is None:
+        tok = docs.select(
+            "doc_id",
+            F.size(_tokens()).alias("dl"),
+            F.explode(_tokens()).alias("word"),
+        )
+        tok_q = tok.join(
+            F.broadcast(qterms.select("word").distinct()), "word"
+        )
+        tf = (
+            tok_q.groupBy("doc_id", "dl", "word")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist()
+        )
+        _BM25_TF_CACHE[key] = tf
     # df falls out of tf for free: each (doc, word) is one tf row, so
     # df(word) = count(*) — aggregated to a vocabulary-bounded table
     # and broadcast back. Measured A/B at sf0.1: this groupBy+broadcast
@@ -1402,7 +1436,13 @@ def _bm25_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each is the standard TF-IDF shape (text_tfidf_top ships the
     # same plan).
     df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    stats = load_table(spark, sf_dir, "documents").agg(
+    # r14: stats tokenizes the WHOLE corpus for avgdl — off the
+    # rebalanced scan it runs 32-way parallel (and canonically matches
+    # tok's scan+rebalance subtree, so AQE can reuse the exchange);
+    # the old un-rebalanced load ran the full split() serially in the
+    # scan's single input partition (~1 s of the query's wall at sf0.1,
+    # stage-profiled via the UI REST API).
+    stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.size(_tokens())).alias("avgdl"),
     )

@@ -258,3 +258,33 @@ def test_mmr_kernel_matches_unrolled_reference(spark, sf_dir):
     assert len(got) == len(ref) == MMR_K
     for col in got.columns:
         assert list(got[col]) == list(ref[col]), col
+
+
+def test_bm25_tf_cache_shared_and_released(spark, sf_dir):
+    """r14: the vocabulary-pruned tf relation persists ONCE per
+    campaign and is shared by text_bm25 and sim_hybrid_rrf (each
+    consumer re-tokenized the corpus before); the release seam must
+    drop it so re-runs time the plan, and cached vs fresh results must
+    be identical."""
+    from mqtt_influx_storage_service_spark.operators import textops
+
+    textops.release_bm25(spark)
+    first = text_bm25(spark, sf_dir).toPandas()
+    n_keys = len(textops._BM25_TF_CACHE)
+    assert n_keys >= 1
+    sim_hybrid_rrf(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # the hybrid retriever reuses the SAME cached tf — no new key
+    assert len(textops._BM25_TF_CACHE) == n_keys
+    again = text_bm25(spark, sf_dir).toPandas()
+    key_cols = ["query_id", "doc_id"]
+    assert first.sort_values(key_cols).reset_index(drop=True).equals(
+        again.sort_values(key_cols).reset_index(drop=True)
+    )
+    assert textops.release_bm25(spark) >= 1
+    assert not [
+        k
+        for k in textops._BM25_TF_CACHE
+        if k[0] == spark.sparkContext.applicationId
+    ]
