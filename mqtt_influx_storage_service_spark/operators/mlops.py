@@ -297,48 +297,127 @@ def _ivf_train(
     return out
 
 
-def _assign_udf(centers: "np.ndarray"):
-    """Arrow-vectorized nearest-centroid assignment: the (k x 64)
-    centroid matrix rides the UDF closure (broadcast with the task),
-    one matmul + argmin per batch — the bulk-assignment pass stays
-    fully distributed and one-pass at any corpus size."""
-    C = centers
-    c2 = (C ** 2).sum(axis=1)
-
-    @pandas_udf("long")
-    def _assign(units: pd.Series) -> pd.Series:
-        X = np.stack([np.asarray(v) for v in units.to_numpy()])
-        d2 = (X ** 2).sum(axis=1, keepdims=True) - 2 * (X @ C.T) + c2[None, :]
-        return pd.Series(d2.argmin(axis=1).astype(np.int64))
-
-    return _assign
+def _unitize_np(embs: pd.Series) -> "np.ndarray":
+    """The one L2-normalization kernel body every ANN path shares:
+    accumulates the norm's squares in the SAME left-fold order as the
+    Spark ``aggregate(zip_with(...))`` fold (vectorized across rows,
+    sequential across dimensions), then the identical IEEE sqrt and
+    per-element divide — unit values are bit-identical to the fold
+    form's, so every downstream rounded cosine is unchanged. No zero
+    guard, exactly like the fold form: x / 0.0 follows IEEE."""
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in embs.to_numpy()])
+    acc = np.zeros(len(X))
+    for j in range(X.shape[1]):
+        acc = acc + X[:, j] * X[:, j]
+    return X / np.sqrt(acc)[:, None]
 
 
 def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2-normalized embeddings via ONE Arrow kernel. This was
-    previously the Spark-side ``transform(arr, x / sqrt(aggregate(...)))``
-    — higher-order expressions never enter codegen, and the interpreted
-    per-element eval cost ~400µs/row: at the 100x stress corpus (200k
-    vectors) just MATERIALIZING the unit column inside the probe join
-    took 80 of sim_ann_ivf's 162 s. The kernel accumulates the
-    norm's squares in the SAME left-fold order (vectorized across rows,
-    sequential across dimensions), then performs the identical IEEE
-    sqrt and per-element divide — unit values are bit-identical to the
-    fold form's, so every downstream rounded cosine is unchanged."""
+    """L2-normalized embeddings via ONE Arrow kernel (see
+    :func:`_unitize_np` for the bit-parity contract vs the interpreted
+    higher-order fold this replaced — that fold cost 80 of
+    sim_ann_ivf's 162 s at the 100x corpus just materializing the unit
+    column). Since r14 the bulk paths use kernels MERGED with their
+    consumers (:func:`_unit_assign_udf`); this standalone form remains
+    the training-sample source (collected once per campaign) and the
+    recall-test surface."""
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
 
     @pandas_udf("array<double>")
     def _unitize(embs: pd.Series) -> pd.Series:
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in embs.to_numpy()])
-        acc = np.zeros(len(X))
-        for j in range(X.shape[1]):
-            acc = acc + X[:, j] * X[:, j]
-        # no zero guard, exactly like the fold form: x / 0.0 follows
-        # IEEE (inf/nan) in both engines
-        U = X / np.sqrt(acc)[:, None]
-        return pd.Series(list(U))
+        return pd.Series(list(_unitize_np(embs)))
 
     return emb.select("vec_id", _unitize(F.col("embedding")).alias("unit"))
+
+
+def _unit_assign_udf(centers: "np.ndarray", books: "np.ndarray | None" = None):
+    """Merged unitize+assign(+PQ-encode) kernel (r14, guide §4): the
+    r13 plan chained separate ArrowEvalPython nodes for normalization,
+    assignment and encoding — every node is its own Python-worker
+    round-trip per task, and the worker handshake dominated the stage
+    (SQL-tab metrics at sf0.1: 'time to initialize Python workers'
+    2.1-2.7 s/task on the first wave vs ~0.5 s of actual kernel run
+    time for the whole query). One kernel now emits
+    struct<unit, cluster[, codes]> in a single pass; every numpy step
+    is the exact body the separate kernels ran, so assignments, codes
+    and downstream cosines are bit-identical."""
+    C = centers
+    c2 = (C ** 2).sum(axis=1)
+    if books is None:
+        @pandas_udf("struct<unit:array<double>, cluster:bigint>")
+        def _ua(embs: pd.Series) -> pd.DataFrame:
+            U = _unitize_np(embs)
+            d2 = (U ** 2).sum(axis=1, keepdims=True) - 2 * (U @ C.T) + c2[None, :]
+            return pd.DataFrame(
+                {"unit": list(U), "cluster": d2.argmin(axis=1).astype(np.int64)}
+            )
+
+        # The kernel IS deterministic; the marking is an optimizer
+        # fence. The inner join on the kernel-produced cluster key
+        # infers isnotnull(cluster), and predicate pushdown drags that
+        # filter (plus a full second ArrowEvalPython to evaluate it)
+        # BELOW the rebalance exchange — the corpus kernel ran 2x
+        # (measured: +0.4 s at sf0.1, 2x the corpus pass at scale).
+        # Nondeterministic expressions are never pushed past or
+        # duplicated, so the kernel runs exactly once.
+        return _ua.asNondeterministic()
+
+    sub = books.shape[2]
+    pq_m = books.shape[0]
+
+    @pandas_udf("struct<cluster:bigint, codes:array<int>>")
+    def _uac(embs: pd.Series) -> pd.DataFrame:
+        U = _unitize_np(embs)
+        d2 = (U ** 2).sum(axis=1, keepdims=True) - 2 * (U @ C.T) + c2[None, :]
+        cluster = d2.argmin(axis=1).astype(np.int64)
+        Xs = U.reshape(len(U), pq_m, sub)
+        e2 = (
+            (Xs ** 2).sum(axis=2, keepdims=True)
+            - 2 * np.einsum("nms,mks->nmk", Xs, books)
+            + (books ** 2).sum(axis=2)[None, :, :]
+        )
+        codes = e2.argmin(axis=2).astype(np.int32)
+        return pd.DataFrame({"cluster": cluster, "codes": list(codes)})
+
+    # Same single-evaluation fence as the no-books branch above.
+    return _uac.asNondeterministic()
+
+
+def _probe_side(
+    spark: SparkSession, sf_dir: str, centers: "np.ndarray", nprobe: int
+) -> DataFrame:
+    """(query_id, q_unit, cluster) probe rows from the NON-rebalanced
+    scan (the r13 _brp_query_side move: vec_id < N_QUERIES pushes into
+    the parquet reader, no repartition exchange) with unitize+probe
+    merged into ONE kernel call over the bounded query set — the r13
+    plan ran two chained Python nodes here. Ranking math is verbatim
+    :func:`_probe_clusters`'s (stable argsort, same tie-break)."""
+    C = centers
+    half = 0.5 * (C ** 2).sum(axis=1)
+    p = min(nprobe, len(C))
+
+    @pandas_udf("struct<q_unit:array<double>, clusters:array<bigint>>")
+    def _qp(embs: pd.Series) -> pd.DataFrame:
+        U = _unitize_np(embs)
+        S = U @ C.T - half[None, :]
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :p]
+        return pd.DataFrame(
+            {"q_unit": list(U), "clusters": list(idx.astype(np.int64))}
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _qp(F.col("embedding")).alias("s"),
+        )
+        .select(
+            "query_id",
+            F.col("s.q_unit").alias("q_unit"),
+            F.explode(F.col("s.clusters")).alias("cluster"),
+        )
+    )
 
 
 def _fold_dot_udf():
@@ -374,40 +453,6 @@ def _fold_dot_udf():
     return _dot
 
 
-def _probe_clusters(
-    unit: DataFrame, centers: "np.ndarray", nprobe: int
-) -> DataFrame:
-    """(query_id, q_unit, cluster) probe rows: the (k x 64) centroid
-    matrix rides the UDF closure only for the QUERY rows, whose nprobe
-    nearest lists are ranked by ``dot(unit, c_i) − ‖c_i‖²/2``
-    (equivalent to nearest-euclidean on unit vectors, so probe order is
-    consistent with the assignment; stable argsort breaks score ties on
-    centroid index, like ``_assign_udf``). Formerly k centroid-array
-    LITERALS scored per query row with interpreted transform/aggregate
-    folds — a flat-but-real cost (k x 64 interpreted ops per query,
-    seconds once K grows past the fixture floor) with no parity value:
-    these scores only SELECT lists, they are never emitted."""
-    C = centers
-    half = 0.5 * (C ** 2).sum(axis=1)
-    p = min(nprobe, len(C))
-
-    @pandas_udf("array<long>")
-    def _probe(units: pd.Series) -> pd.Series:
-        U = np.stack([np.asarray(v, dtype=np.float64) for v in units.to_numpy()])
-        S = U @ C.T - half[None, :]
-        idx = np.argsort(-S, axis=1, kind="stable")[:, :p]
-        return pd.Series(list(idx.astype(np.int64)))
-
-    return (
-        unit.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("unit").alias("q_unit"),
-            F.explode(_probe(F.col("unit"))).alias("cluster"),
-        )
-    )
-
-
 def sim_ann_ivf(
     spark: SparkSession, sf_dir: str, nprobe: int | None = None
 ) -> DataFrame:
@@ -439,10 +484,17 @@ def sim_ann_ivf(
     if nprobe is None:
         nprobe = _ivf_nprobe(n_vecs)  # scales with the list count
     centers_np, _ = _ivf_train(unit, n_vecs, cache_key=sf_dir)
-    assigned = unit.select(
-        "vec_id", "unit", _assign_udf(centers_np)(F.col("unit")).alias("cluster")
+    # r14: unitize+assign merged into one kernel over the raw scan
+    # (was two chained Python nodes — see _unit_assign_udf), and the
+    # probe side built from the pushdown-pruned scan with its own
+    # merged kernel (see _probe_side). Values bit-identical.
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    assigned = emb.select(
+        "vec_id", _unit_assign_udf(centers_np)(F.col("embedding")).alias("s")
+    ).select(
+        "vec_id", F.col("s.unit").alias("unit"), F.col("s.cluster").alias("cluster")
     )
-    probes = _probe_clusters(unit, centers_np, nprobe)
+    probes = _probe_side(spark, sf_dir, centers_np, nprobe)
     cand = F.broadcast(probes).join(assigned, "cluster").filter(
         F.col("query_id") != F.col("vec_id")
     )
@@ -524,19 +576,6 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _pq_train(sample[:PQ_SAMPLE])
     sub = books.shape[2]
 
-    @pandas_udf("array<int>")
-    def _encode(units: pd.Series) -> pd.Series:
-        X = np.stack([np.asarray(v) for v in units.to_numpy()])
-        X = X.reshape(len(X), PQ_M, sub)
-        # (n, M, KS) distances via ||x||^2 - 2 x.c + ||c||^2 ; argmin
-        d2 = (
-            (X ** 2).sum(axis=2, keepdims=True)
-            - 2 * np.einsum("nms,mks->nmk", X, books)
-            + (books ** 2).sum(axis=2)[None, :, :]
-        )
-        codes = d2.argmin(axis=2).astype(np.int32)
-        return pd.Series(list(codes))
-
     @pandas_udf("double")
     def _adc(q_ids: pd.Series, q_units: pd.Series, codes: pd.Series) -> pd.Series:
         # LUT per UNIQUE query in the batch, not per row: a batch holds
@@ -556,13 +595,22 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ].sum(axis=1)
         return pd.Series(score)
 
-    assigned = unit.select(
+    # r14: unitize+assign+encode merged into ONE kernel over the raw
+    # scan — the corpus never carries the unit column at all in this
+    # plan (PQ's whole point: 4-byte codes, not 256-byte vectors); the
+    # shortlist re-rank below re-derives unit vectors for only the
+    # PQ_RERANK×|queries| matched rows.
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    assigned = emb.select(
         "vec_id",
-        _assign_udf(centers_np)(F.col("unit")).alias("cluster"),
-        _encode(F.col("unit")).alias("codes"),
+        _unit_assign_udf(centers_np, books)(F.col("embedding")).alias("s"),
+    ).select(
+        "vec_id",
+        F.col("s.cluster").alias("cluster"),
+        F.col("s.codes").alias("codes"),
     )
 
-    probes = _probe_clusters(unit, centers_np, _ivf_nprobe(n_vecs))
+    probes = _probe_side(spark, sf_dir, centers_np, _ivf_nprobe(n_vecs))
     cand = (
         F.broadcast(probes)
         .join(assigned, "cluster")
@@ -584,15 +632,33 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adc_rank") <= PQ_RERANK)
         .select("query_id", "q_unit", "vec_id")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("q_unit"), F.col("unit"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
+
+    # Exact re-rank: unitize+fold-dot over ONLY the shortlist rows, as
+    # one kernel (bit-identical to the old plan's unit-column join +
+    # zip_with fold — same numpy body as _unitize_np + _fold_dot_udf).
+    # The old plan re-evaluated the corpus-wide unitize kernel a third
+    # time just to join
+    # PQ_RERANK×|queries| unit vectors back in.
+    @pandas_udf("double")
+    def _unit_dot(q_units: pd.Series, embs: pd.Series) -> pd.Series:
+        U = _unitize_np(embs)
+        Q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in q_units.to_numpy()]
+        )
+        acc = np.zeros(len(Q))
+        for j in range(Q.shape[1]):
+            acc = acc + Q[:, j] * U[:, j]
+        return pd.Series(acc)
+
+    emb_plain = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
     )
-    rescored = shortlist.join(unit, "vec_id").select(
+    rescored = emb_plain.join(F.broadcast(shortlist), "vec_id").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(dot, 6).alias("cosine"),
+        F.round(_unit_dot(F.col("q_unit"), F.col("embedding")), 6).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
