@@ -2292,7 +2292,7 @@ LEFT JOIN counts c ON s.threshold = c.threshold
 SEMDEDUP_EPS = 0.35
 
 
-_SEM_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SEM_CACHE: dict[tuple, DataFrame] = {}  # (appId, sf_dir[, variant])
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2545,20 +2545,18 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     n = table_row_count(sf_dir, "embeddings")
     centers = _pair_centroids(emb, n)
-    assigned = emb.select(
-        "vec_id",
-        "embedding",
-        _ivf_priority_udf(centers)(F.col("embedding")).alias("a"),
-    ).select(
-        "vec_id",
-        "embedding",
-        F.col("a.cl").alias("cl"),
-        F.col("a.cos_c").alias("cos_c"),
-    )
     if n > GEMM_EXACT_MAX:
         return (
-            assigned.select(
-                "vec_id", "cl", "cos_c", F.col("embedding").alias("emb")
+            emb.select(
+                "vec_id",
+                "embedding",
+                _ivf_priority_udf(centers)(F.col("embedding")).alias("a"),
+            )
+            .select(
+                "vec_id",
+                F.col("a.cl").alias("cl"),
+                F.col("a.cos_c").alias("cos_c"),
+                F.col("embedding").alias("emb"),
             )
             .groupBy("cl")
             .applyInPandas(
@@ -2566,6 +2564,29 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id long, cluster long, cos_c double, kept boolean",
             )
         )
+    # Fixture path: the (vec_id, cl, cos_c) priority relation is
+    # consumed THREE times (prune-join a-side, b-side, and the output
+    # spine), and each consumer re-ran the corpus priority kernel —
+    # three ArrowEvalPython evals of the same pass in the r13 plan.
+    # Persist it once behind the semantic cache seam (released by
+    # release_semantic, the _semantic_assigned discipline); the frame
+    # is gate-bounded (<= GEMM_EXACT_MAX rows x 24 B).
+    key = (spark.sparkContext.applicationId, sf_dir, "ivf_priority")
+    assigned = _SEM_CACHE.get(key)
+    if assigned is None:
+        assigned = (
+            emb.select(
+                "vec_id",
+                _ivf_priority_udf(centers)(F.col("embedding")).alias("a"),
+            )
+            .select(
+                "vec_id",
+                F.col("a.cl").alias("cl"),
+                F.col("a.cos_c").alias("cos_c"),
+            )
+            .persist()
+        )
+        _SEM_CACHE[key] = assigned
     pairs = _gemm_threshold_pairs(spark, sf_dir, SEMDEDUP_EPS).select(
         "id_a", "id_b"
     )
