@@ -76,6 +76,27 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", "jaccard")
 
 
+def _unit_features(df: DataFrame) -> DataFrame:
+    """(vec_id, features): L2-normalize via the shared Arrow kernel
+    (:func:`_unitize_np` — bit-identical to the interpreted
+    ``aggregate(transform(...))`` left fold this replaced; that fold
+    never enters codegen and cost ~3 ms/row interpreted, 6.3 s of the
+    corpus stage's executor CPU at sf0.1) then pack to the MLlib
+    VectorUDT. Marked nondeterministic for the same single-evaluation
+    fence as :func:`_unit_assign_udf`."""
+
+    @pandas_udf("array<double>")
+    def _unit(embs: pd.Series) -> pd.Series:
+        return pd.Series(list(_unitize_np(embs)))
+
+    return df.select(
+        "vec_id",
+        array_to_vector(_unit.asNondeterministic()(F.col("embedding"))).alias(
+            "features"
+        ),
+    )
+
+
 def _brp_query_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The N_QUERIES unit-normalized query vectors from a
     NON-rebalanced scan: the vec_id predicate pushes into the parquet
@@ -84,23 +105,7 @@ def _brp_query_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is one short narrow job feeding the broadcast (see the call
     site note in :func:`sim_ann_brp`)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    vecd = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("arr"),
-    )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("arr"), lambda x: x * x),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    return vecd.select(
-        "vec_id",
-        array_to_vector(
-            F.transform(F.col("arr"), lambda x: x / norm)
-        ).alias("features"),
-    )
+    return _unit_features(emb.filter(F.col("vec_id") < N_QUERIES))
 
 
 def sim_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,28 +136,20 @@ def sim_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical rows.
     """
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    vecd = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("arr"),
-    )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("arr"), lambda x: x * x),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    unit = vecd.select(
-        "vec_id",
-        array_to_vector(
-            F.transform(F.col("arr"), lambda x: x / norm)
-        ).alias("features"),
-    )
+    unit = _unit_features(emb)
     brp = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", numHashTables=6,
         bucketLength=0.5, seed=42,
     )
-    model = brp.fit(unit)
+    # Fit on the BOUNDED query side: BRP's fit is data-independent —
+    # the model is (seed, inputDim) -> random unit planes, and fit()
+    # touches the data only to read the input dimension from one row.
+    # Fitting on the corpus frame ran a full SERIAL corpus
+    # normalization job just for that head() (0.85 s single-task stage
+    # at sf0.1, corpus-proportional at scale); the query side answers
+    # the same question from the pushdown-pruned bounded scan.
+    q = _brp_query_side(spark, sf_dir)
+    model = brp.fit(q)
     # The query side is rebuilt from a NON-rebalanced scan (r13): under
     # the rebalanced corpus frame, vec_id < N_QUERIES pushes into the
     # scan and row-group pruning leaves ONE task holding the query
@@ -164,7 +161,6 @@ def sim_ann_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same query; skipping the rebalance drops the exchange and
     # runs the pruned scan→filter→transform straight into the
     # broadcast (measured 0.3 s solo). Same 100 rows either way.
-    q = _brp_query_side(spark, sf_dir)
     joined = model.approxSimilarityJoin(
         F.broadcast(q), unit, 1.2, distCol="dist"
     )
