@@ -495,8 +495,11 @@ def test_shuffle_order_is_sharded_and_deterministic(spark):
 
 def test_dsir_counts_materialize_once(spark):
     """The DSIR corpus explode lands in ONE persisted count table:
-    every consumer (bucket stats, totals, scoring join) reads the
-    cache (InMemoryTableScan), never a fresh explode of the corpus."""
+    every consumer reads the cache (InMemoryTableScan), never a fresh
+    explode of the corpus. Since r14 there are exactly TWO consumers —
+    bucket stats and the scoring join; corpus totals ride a global
+    window over the bounded bstats relation instead of re-aggregating
+    the cache a third time."""
     from mqtt_influx_storage_service_spark.operators.textops import (
         release_dsir,
     )
@@ -505,7 +508,11 @@ def test_dsir_counts_materialize_once(spark):
     try:
         df = all_queries()["text_dsir_importance"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("InMemoryTableScan") >= 3
+        assert plan.count("InMemoryTableScan") == 2
+        # no corpus explode outside the cached subtree: every Generate
+        # in the executed plan sits under an InMemoryRelation
+        outside = plan.split("InMemoryRelation")[0]
+        assert "Generate" not in outside
     finally:
         assert release_dsir(spark) == 1
 
