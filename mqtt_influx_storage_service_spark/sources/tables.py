@@ -27,6 +27,18 @@ TABLES = [
     "embeddings",
 ]
 
+# Analyzed-base-frame cache (r14, guide §5 driver overhead): every
+# `spark.read.parquet` call re-lists the path and re-reads the footer
+# schema through ~80 ms of py4j/JVM round-trips, and the suite resolves
+# the same ten static tables thousands of times (225 queries x reps x
+# 1-4 tables ≈ tens of seconds of pure plan-construction wall). The
+# RETURNED DataFrame is an immutable lazy plan — no data, no results —
+# so constructing it once per (app, dir, table, rebalance, parallelism)
+# is exactly the relation-resolution caching a production catalog does.
+# Every execution still scans parquet; fixtures are static per driver
+# contract (a regenerated sf_dir arrives under a new path or process).
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
@@ -47,6 +59,16 @@ def load_table(
     tune(spark)
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        name,
+        rebalance,
+        spark.sparkContext.defaultParallelism if rebalance else 0,
+    )
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = df.schema["ts"].dataType.typeName()
@@ -71,6 +93,7 @@ def load_table(
         # move a 1000-executor job makes; cheap queries skip it so their
         # scans stay shuffle-free.
         df = df.repartition(spark.sparkContext.defaultParallelism)
+    _TABLE_CACHE[key] = df
     return df
 
 
