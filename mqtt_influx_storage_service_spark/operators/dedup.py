@@ -893,7 +893,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale and costs one corpus shuffle on doc_id, which is the honest
     price of attaching a per-doc label.
     """
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    # No rebalance: the only consumer of the corpus side is a doc_id
+    # projection feeding the hash exchange of the SHJ below — the
+    # round-robin repartition stacked a second full-corpus Exchange
+    # directly under it (plan nodes 2+3 of the r14 before-plan) for
+    # zero distribution benefit at any scale.
+    docs = load_table(spark, sf_dir, "documents")
     labels = _component_labels(spark, sf_dir)
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("_sz")
