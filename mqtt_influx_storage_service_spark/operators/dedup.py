@@ -165,6 +165,17 @@ def _shingles_df(docs: DataFrame) -> DataFrame:
     )
 
 
+# Campaign caches owned by OTHER modules (e.g. the pipeline tier's
+# curated-survivors relation) that must be released with the same
+# lifecycle as the shingle/edge/label caches. Registered at import
+# time; a plain list avoids a dedup->pipeline import cycle.
+_EXTRA_CAMPAIGN_CACHES: list[dict] = []
+
+
+def _register_campaign_cache(cache: dict) -> None:
+    _EXTRA_CAMPAIGN_CACHES.append(cache)
+
+
 def release_shingles(spark: SparkSession | None = None) -> int:
     """Unpersist every cached shingle table (optionally only those of
     one session) and return how many were released. Call when a dedup
@@ -178,6 +189,7 @@ def release_shingles(spark: SparkSession | None = None) -> int:
         _SEM_CACHE,
         _WINDOW_INDEX_CACHE,
         _CAND_CACHE,
+        *_EXTRA_CAMPAIGN_CACHES,
     ):
         for key in list(cache):
             if spark is not None and key[0] != spark.sparkContext.applicationId:

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .dedup import _component_labels, _edges_cte
+from .dedup import _component_labels, _edges_cte, _register_campaign_cache
 from .textops import (
     TEXT_DSIR_IMPORTANCE_SQL,
     text_dsir_importance,
@@ -44,11 +44,29 @@ from .textops import (
 )
 
 
+# Curated-survivors campaign cache: the three selection queries
+# (training_mix / token_budget / epochs) all start from the identical
+# survivor relation, and each uncached consumer re-ran the quality +
+# langid feature scan and the label assignment join. Persisted once
+# per (app, sf_dir) under the SAME release seam as the shingle/edge/
+# label caches (r14, guide §2.4: two operations keyed the same way
+# share one evaluation) — at 100 TB this is the campaign idiom of
+# materializing the curated survivor set once before the selection
+# passes. Registered with dedup.release_shingles for lifecycle.
+_CURATED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_register_campaign_cache(_CURATED_CACHE)
+
+
 def _curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curated survivor set shared by the pipeline queries:
     (doc_id, n_tokens, quality_score, predicted_lang) for docs that are
     their dup group's representative AND pass the quality gate. One
-    corpus scan + one broadcast label join."""
+    corpus scan + one broadcast label join. Persisted per campaign
+    (see ``_CURATED_CACHE`` above)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CURATED_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     feats = docs.select(
         "doc_id",
@@ -65,12 +83,15 @@ def _curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is dup-subgraph-node-sized — corpus-scale on dup-heavy corpora —
     # so a forced broadcast is the shingle-verify driver-kill class;
     # see dedup_components' assignment join for the full argument
-    return (
+    out = (
         feats.join(labels.hint("shuffle_hash"), "doc_id", "left_outer")
         .filter(F.coalesce("label", "doc_id") == F.col("doc_id"))
         .filter(F.col("quality_score") >= QUALITY_KEEP_THRESHOLD)
         .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
+        .persist()
     )
+    _CURATED_CACHE[key] = out
+    return out
 
 
 def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

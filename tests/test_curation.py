@@ -541,3 +541,39 @@ def test_funnel_chains_and_matches_gate_view(spark, sf_dir):
     assert rows[0].docs_in == len(gate)
     assert rows[-1].docs_out == len(kept)
     assert rows[-1].tokens_out == sum(g.n_tokens for g in kept)
+
+
+def test_curated_docs_materialize_once_and_release(spark):
+    """The three selection queries (training_mix / token_budget /
+    epochs) share ONE persisted curated-survivors relation per
+    campaign: the second consumer's plan reads the cache
+    (InMemoryTableScan of the survivors), results are identical to a
+    fresh recompute, and release_shingles frees the entry (r14)."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        release_shingles,
+    )
+    from mqtt_influx_storage_service_spark.operators.pipeline import (
+        _CURATED_CACHE,
+        _curated_docs,
+    )
+
+    release_shingles(spark)
+    try:
+        fresh = all_queries()["pipeline_training_mix"](spark, SF)
+        fresh_rows = sorted(map(tuple, fresh.collect()))
+        key = (spark.sparkContext.applicationId, SF)
+        assert key in _CURATED_CACHE
+        # same handle on the second call — no rebuilt subtree
+        assert _curated_docs(spark, SF) is _CURATED_CACHE[key]
+        # a second consumer's plan rides the persisted relation
+        again = all_queries()["pipeline_token_budget"](spark, SF)
+        plan = again._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        # warm results bit-identical to the fresh-campaign rows
+        warm_rows = sorted(
+            map(tuple, all_queries()["pipeline_training_mix"](spark, SF).collect())
+        )
+        assert warm_rows == fresh_rows
+    finally:
+        release_shingles(spark)
+        assert key not in _CURATED_CACHE
