@@ -496,7 +496,9 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row — fully lazy, no driver-side count. Integer ceil-division for
     the quota: no float thresholds anywhere.
     """
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    # No rebalance (r14): constant-time LCG arithmetic straight into
+    # the hash(lang) window exchange — see pipeline_domain_quota.
+    docs = load_table(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id",
         "lang",
@@ -565,7 +567,11 @@ def pipeline_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit a curation report needs to show WHICH domains were
     clipped.
     """
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    # No rebalance (r14): the window side projects raw columns into the
+    # hash(source) exchange and the total side is a count aggregate —
+    # the round-robin repartition stacked a second full-corpus shuffle
+    # under them for zero distribution benefit at any scale.
+    docs = load_table(spark, sf_dir, "documents")
     total = docs.select(F.count(F.lit(1)).alias("n_total"))  # 1 row
     w = Window.partitionBy("source").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
@@ -758,7 +764,9 @@ def pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     LCG hash of doc_id (reproducible shuffle, same trick as
     pipeline_stratified_sample).
     """
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    # No rebalance (r14): constant-time LCG arithmetic straight into
+    # the hash(source) window exchange — see pipeline_domain_quota.
+    docs = load_table(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id",
         "source",
@@ -1387,7 +1395,9 @@ def pipeline_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     locally (row_number per shard, never a global window). At 100 TB,
     S is sized so a shard fits an output file target, and the
     within-shard sort is the parquet writer's existing sort buffer."""
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    # No rebalance (r14): one md5 per row straight into the
+    # hash(k % shards) window exchange — see pipeline_domain_quota.
+    docs = load_table(spark, sf_dir, "documents")
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.lit(SHUFFLE_EPOCH), F.col("doc_id"))),
