@@ -413,7 +413,7 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     except (ValueError, KeyError):
         n_buckets = table_row_count(sf_dir, "documents")
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
@@ -1116,7 +1116,7 @@ def pipeline_dedup_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import dedup_components
 
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    docs = load_table(spark, sf_dir, "documents")
     comp = dedup_components(spark, sf_dir).select(
         "doc_id", "is_representative"
     )
