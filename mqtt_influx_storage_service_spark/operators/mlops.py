@@ -24,7 +24,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..sources import load_table
 from ..sources.tables import table_row_count
-from .dedup import JACCARD_THRESHOLD, _doc_shingles
+from .dedup import JACCARD_THRESHOLD, _doc_shingles, _verify_joined
 from .similarity import IVF_TARGET_LIST, N_QUERIES, TOPK
 
 SEED_TF = 1 << 18      # hashing-TF feature space for shingle sets
@@ -44,7 +44,15 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=SEED_TF, binary=True
     )
-    feats = tf.transform(ds)
+    # SLIM the self-join inputs to (doc_id, features) — guide §2.3
+    # "project before the exchange": approxSimilarityJoin carries every
+    # input column through its 8-way hash-entry explode + join, and the
+    # shingle string/hash arrays tripled the exploded row (measured
+    # 2x54.8 MB shuffled per run at sf0.1 for 5 000 docs; corpus-
+    # proportional at scale). features must stay (keyDistance computes
+    # distCol from it); shingles re-attach below for CANDIDATE pairs
+    # only, through the family's strategy-pinned verify join.
+    feats = tf.transform(ds).select("doc_id", "features")
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=ML_HASH_TABLES,
         seed=42,
@@ -53,16 +61,27 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = model.approxSimilarityJoin(
         feats, feats, 1.0 - JACCARD_THRESHOLD, distCol="est_dist"
     )
-    pairs = (
+    candidates = (
         joined.select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
-            F.col("datasetA.shingles").alias("sh_a"),
-            F.col("datasetB.shingles").alias("sh_b"),
-            F.col("datasetA.n_shingles").alias("n_a"),
-            F.col("datasetB.n_shingles").alias("n_b"),
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    # exact verification of candidates only — identical expressions to
+    # the un-slimmed form, now over per-pair re-attached arrays (the
+    # dedup_minhash_lsh idiom; "ml" is this builder's own tag per the
+    # _persisted_candidates tag contract). Verify intersects the
+    # precomputed 60-bit shingle hashes: output verified bit-identical
+    # to the string-array intersect at sf0.01/sf0.1 (md5-of-rows).
+    sa = ds.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles_h").alias("sh_a"),
+                   F.col("n_shingles").alias("n_a"))
+    sb = ds.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles_h").alias("sh_b"),
+                   F.col("n_shingles").alias("n_b"))
+    pairs = (
+        _verify_joined(candidates, sa, sb, spark=spark, sf_dir=sf_dir, tag="ml")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

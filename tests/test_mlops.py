@@ -286,3 +286,23 @@ def test_brp_query_side_broadcast_no_bucket_exchange(spark, sf_dir):
     assert "SortMergeJoin [entry" not in plan, plan
     assert "ShuffledHashJoin [entry" not in plan, plan
     assert "hashpartitioning(entry" not in plan, plan
+
+
+def test_minhash_ml_join_inputs_are_slim(spark, sf_dir):
+    """The r14 slim contract: the MLlib self-join explodes 8 hash
+    entries per doc, so no exchange in the plan may carry the raw
+    shingle string array — shingles re-attach per CANDIDATE pair via
+    the strategy-pinned verify join (aliased sh_a/sh_b), never ride
+    the hash-entry explode."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = mlops.dedup_minhash_ml(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # details section: "(N) Exchange" blocks separated by blank lines
+    for block in plan.split("\n\n"):
+        if ") Exchange" in block.split("\n")[0]:
+            assert "shingles#" not in block, block[:400]
