@@ -30,11 +30,21 @@ from ..sources import load_table
 MODALITIES = ["image", "audio", "video"]
 
 
-def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_media_table(
+    spark: SparkSession, sf_dir: str, rebalance: bool = False
+) -> DataFrame:
     """documents -> multimodal table: payload bytes (utf-8 of text —
     stand-in for media bytes) + modality + typed metadata derived
-    deterministically from doc stats."""
-    docs = load_table(spark, sf_dir, "documents")
+    deterministically from doc stats.
+
+    ``rebalance=True`` is for the mapInPandas kernel consumers (decode /
+    blockhash / frame sampling): a 1-split fixture scan otherwise runs
+    the whole per-payload kernel in ONE task (measured: the 0.6 s
+    serial stage under mm_dedup_perceptual, guide §2.4 straggler).
+    load_table's rebalance is scale-adaptive, so at 100 TB — where the
+    scan fans out natively — no payload shuffle happens. Metadata-only
+    consumers (manifest, token budget) keep the shuffle-free scan."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=rebalance)
     modality = F.element_at(
         F.array(*[F.lit(m) for m in MODALITIES]),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -122,7 +132,7 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over the media table — Arrow
     batches in, feature frame out; the per-batch loop is where a
     vectorized decoder would run."""
-    media = build_media_table(spark, sf_dir)
+    media = build_media_table(spark, sf_dir, rebalance=True)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -205,7 +215,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampler itself runs in Python over Arrow batches — the real
     decoder's seat — not as an exploded JVM expression.
     """
-    media = build_media_table(spark, sf_dir).filter(
+    media = build_media_table(spark, sf_dir, rebalance=True).filter(
         F.col("modality") == "video"
     ).select("doc_id", "width", "height", "duration_s")
 
@@ -424,7 +434,7 @@ def _phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm), pack bits into 16-bit band values."""
     import numpy as np
 
-    media = build_media_table(spark, sf_dir).select("doc_id", "payload")
+    media = build_media_table(spark, sf_dir, rebalance=True).select("doc_id", "payload")
     pow2 = 1 << np.arange(PHASH_BAND_BITS, dtype=np.int64)
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -92,7 +92,19 @@ def load_table(
         # scan across cluster parallelism before that work is the same
         # move a 1000-executor job makes; cheap queries skip it so their
         # scans stay shuffle-free.
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        #
+        # SCALE-ADAPTIVE (r14, guide §2 "make partitioning scale-
+        # adaptive"): the repartition only engages when the scan has
+        # FEWER splits than the cluster's parallelism. At fixture scale
+        # (one 9 MB file → 1 split) it spreads the expensive map; at
+        # 100 TB the scan already fans out over thousands of
+        # row-group splits and the round-robin would be a pure
+        # whole-corpus shuffle — the §8 anti-pattern of moving payload
+        # bytes to decide nothing. getNumPartitions is metadata-only
+        # (file listing, no job), computed once per cached key.
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     _TABLE_CACHE[key] = df
     return df
 
