@@ -178,7 +178,15 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = docs.select("doc_id", F.explode(_tokens()).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf, not from a second tok aggregation (r14, the
+    # langid trick): tf has exactly one row per (doc_id, word), so
+    # counting tf rows per word IS countDistinct(doc_id) over tok —
+    # and because both consumers now share the canonically identical
+    # tf subtree, AQE reuses its exchange and the corpus explode runs
+    # ONCE (two ~5 s tokenize map stages → one). The word-keyed
+    # shuffle also moves post-aggregation rows instead of raw tokens
+    # (guide §2.3 "aggregate before you shuffle").
+    df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_tbl), "word")
         .join(F.broadcast(n_docs), F.lit(True))
