@@ -824,8 +824,14 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-band sweep at 10⁹ vectors call :func:`_gemm_threshold_pairs`
     directly with below_band='exact' (recall 1.0) or 'approx'
     (measured sub-band recall, probes as the knob)."""
-    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    labels = emb.select("vec_id", "label")
+    # label legs carry only (vec_id, label) straight into the attach
+    # join's hash exchange — loading them REBALANCED stacked a full
+    # round-robin Exchange directly under that hash Exchange (plan
+    # nodes 28/36 of plans/r14/sim_threshold_pairs_before.txt): one
+    # wasted corpus-wide shuffle per leg at any scale (guide §2.4).
+    # The verify path keeps its rebalanced scan inside
+    # _gemm_threshold_pairs (its fold-dot is real per-row CPU).
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     pairs = _gemm_threshold_pairs(spark, sf_dir, SIM_THRESHOLD)
     la = labels.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"))
     lb = labels.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"))
