@@ -877,33 +877,43 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     tok = docs.select("doc_id", _tokens().alias("t"))
-    words = tok.select("doc_id", F.explode("t").alias("g"))
-    # bigrams: transform over the first n-1 tokens; element_at is
-    # 1-based while transform's index is 0-based, hence i+2.
-    bigrams = tok.filter(F.size("t") >= 2).select(
+    # ONE corpus pass (r14, guide §2.3/§2.4): the r13 form built words
+    # and bigrams as two consumers of `tok`, so the tokenize ran twice
+    # and each gram family paid its own (doc,gram)+(doc) exchange pair
+    # plus a doc-level join (6 executed shuffle stages). Both families
+    # now ride a single tagged explode — k=1 words, k=2 bigrams (the
+    # same grams byte-for-byte; slice length clamped to 0 so <2-token
+    # docs contribute no bigrams, exactly the old filter) — aggregated
+    # once per (doc_id, k, g) and rolled up per doc with conditional
+    # aggregates, replacing the join outright. element_at is 1-based
+    # while transform's index is 0-based, hence i+2.
+    tagged = tok.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(slice(t, 1, size(t) - 1),"
-                " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+                "concat("
+                "transform(t, x -> struct(1 AS k, x AS g)), "
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> struct(2 AS k, concat(x, ' ', element_at(t, i + 2)) AS g)))"
             )
-        ).alias("g"),
+        ).alias("s"),
+    ).select("doc_id", F.col("s.k").alias("k"), F.col("s.g").alias("g"))
+    per_gram = tagged.groupBy("doc_id", "k", "g").agg(
+        F.count(F.lit(1)).alias("c")
     )
-
-    def _top(grams: DataFrame, cnt: str, top: str, uniq: str) -> DataFrame:
-        per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-        return per_gram.groupBy("doc_id").agg(
-            F.sum("c").alias(cnt),
-            F.max("c").alias(top),
-            F.count(F.lit(1)).alias(uniq),
-        )
-
-    w = _top(words, "n_words", "top_word_cnt", "n_unique_words")
-    b = _top(bigrams, "n_bigrams", "top_bigram_cnt", "n_unique_bigrams")
+    is_w = F.col("k") == 1
+    is_b = F.col("k") == 2
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum(F.when(is_w, F.col("c"))).alias("n_words"),
+        F.max(F.when(is_w, F.col("c"))).alias("top_word_cnt"),
+        F.sum(is_w.cast("long")).alias("n_unique_words"),
+        F.sum(F.when(is_b, F.col("c"))).alias("n_bigrams"),
+        F.max(F.when(is_b, F.col("c"))).alias("top_bigram_cnt"),
+    )
     top_word_frac = F.round(F.col("top_word_cnt") / F.col("n_words"), 6)
     top_bigram_frac = F.round(F.col("top_bigram_cnt") / F.col("n_bigrams"), 6)
     return (
-        w.join(b, "doc_id", "left_outer")
+        per_doc
         .select(
             "doc_id",
             "n_words",
