@@ -1858,9 +1858,15 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # TakeOrderedAndProject already yields one partition; coalesce(1)
     # pins the whole-pool-in-one-task contract the kernel requires.
+    # The picks relation (K integer rows) is PERSISTED because two
+    # consumers reference it — the sel spine and, through `prev`, the
+    # penalty join's broadcast side — and an unpersisted MapInPandas
+    # subtree would run the greedy kernel once per consumer (two
+    # Python-worker round-trips for one answer; the r14 kernel-dup
+    # sweep flagged exactly this).
     picks = pool.coalesce(1).mapInPandas(
         _mmr_greedy_kernel, schema="rank bigint, vec_id bigint"
-    )
+    ).persist()
     sel = picks.join(F.broadcast(pool), "vec_id")
     prev = sel.select(
         F.col("rank").alias("prev_rank"),
@@ -1893,7 +1899,7 @@ def sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("score"),
     )
-    _MMR_PERSISTED[key] = [pool]
+    _MMR_PERSISTED[key] = [pool, picks]
     _MMR_CACHE[key] = out
     return out
 
