@@ -1020,14 +1020,19 @@ def rel_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The spec formulation is EXISTS (another supplier in the order) AND
     NOT EXISTS (another LATE supplier) — two lineitem self-joins. The
-    Spark plan uses the scale rewrite: ONE aggregation per order
-    computing (distinct suppliers, distinct late suppliers), then a
-    filter ``n_supp >= 2 AND n_late_supp = 1``; late rows of such
-    orders belong to the unique late supplier by construction. That
-    turns two corpus-vs-corpus self-joins into one combinable groupBy
-    plus an equi-join on the order key. The oracle below keeps the
-    spec's EXISTS/NOT EXISTS form, so the two INDEPENDENT derivations
-    must agree row-for-row.
+    Spark plan uses the scale rewrite: per-order (distinct suppliers,
+    distinct late suppliers) as WINDOW aggregates over the order key,
+    then a filter ``n_supp >= 2 AND n_late_supp = 1``; late rows of
+    such orders belong to the unique late supplier by construction.
+    The r13 form derived the same counts via a groupBy + join-back,
+    which scanned lineitem twice, paid an Expand (2 distinct aggs) and
+    shuffled the fact table twice (4 Exchanges, plan nodes 9/21/24/38
+    of plans/r14/rel_waiting_supplier_before.txt); the window form is
+    ONE fact scan and ONE fact shuffle (guide §2.4 — a window keyed
+    like the aggregation shares its exchange). collect_set drops
+    nulls, so its size equals countDistinct exactly. The oracle below
+    keeps the spec's EXISTS/NOT EXISTS form, so the two INDEPENDENT
+    derivations must agree row-for-row.
     """
     lateness = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {LATE_DAYS} DAYS"
@@ -1043,16 +1048,24 @@ def rel_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = li.join(
         orders, li.l_orderkey == orders.o_orderkey
     ).withColumn("late", lateness)
-    per_order = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
+    wo = Window.partitionBy("l_orderkey")
     waiting = (
-        l.filter(F.col("late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        l.withColumn(
+            "n_supp", F.size(F.collect_set("l_suppkey").over(wo))
+        )
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(wo)
+            ),
+        )
+        .filter(
+            F.col("late")
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     supp = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey") % 5 == 2
@@ -1105,25 +1118,25 @@ def rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     many-row result to hash).
 
     The spec's correlated scalar subquery (``0.2 * avg(l_quantity)``
-    per part) de-correlates into ONE map-side-combinable per-part
-    aggregate over lineitem, re-joined on ``l_partkey`` — the two
-    lineitem passes shuffle on the same key, so AQE reuses the
-    partitioning. The 20%-of-avg comparison is exact integer
-    arithmetic (``5 · cnt · qty < sum_qty`` with BIGINT quantities —
-    fixture quantities are integral), never a double divide at the
-    boundary. Brand comes from the dimension-sized part table,
-    broadcast."""
+    per part) de-correlates into per-part WINDOW aggregates over
+    lineitem — the r13 groupBy + join-back form scanned and shuffled
+    the fact table twice (plan: 2 scans, agg Exchange + probe Exchange
+    + SortMergeJoin); the window form keyed on the same ``l_partkey``
+    is one scan and one fact shuffle (guide §2.4). The 20%-of-avg
+    comparison is exact integer arithmetic (``5 · cnt · qty <
+    sum_qty`` with BIGINT quantities — fixture quantities are
+    integral), never a double divide at the boundary. Brand comes
+    from the dimension-sized part table, broadcast."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.col("l_quantity").cast("bigint").alias("qty"),
         "l_extendedprice",
     )
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum("qty").alias("sum_qty"), F.count("qty").alias("cnt")
-    )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    wp = Window.partitionBy("l_partkey")
     small = (
-        li.join(per_part, "l_partkey")
+        li.withColumn("sum_qty", F.sum("qty").over(wp))
+        .withColumn("cnt", F.count("qty").over(wp))
         .filter(F.lit(5) * F.col("cnt") * F.col("qty") < F.col("sum_qty"))
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
     )
@@ -1791,15 +1804,26 @@ def rel_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region collapse into one broadcast side; part is broadcast after
     its selective filter. At 100 TB the only shuffle is the supply
     groupBy (partkey, suppkey) feeding the window repartition by
-    partkey."""
+    partkey — and that shuffle is PRE-FILTERED by a broadcast semi
+    join on the selective part keys (guide §3.2: reduce the big side
+    before shuffling it): the r13 form aggregated ALL of lineitem and
+    only then inner-joined the SMALL-part set, shuffling every
+    (partkey, suppkey) group the join was about to drop. Dropping
+    whole groups before the aggregation cannot change any surviving
+    group's min."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    )
     li = load_table(spark, sf_dir, "lineitem")
-    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+    li_small = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    supply = li_small.groupBy("l_partkey", "l_suppkey").agg(
         F.min(
             F.expr(f"({_UNIT_MICRO}) DIV CAST(l_quantity AS BIGINT)")
         ).alias("cost_micro")
-    )
-    part = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
     )
     euro = (
         load_table(spark, sf_dir, "supplier")
@@ -2000,24 +2024,29 @@ def rel_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by the supplier dimension, never the fact table.
 
     Plan: one groupBy (partkey, suppkey) over lineitem with
-    conditional sums (both BIGINT-exact), a broadcast semi join
-    against the name-filtered part set, the integer qualification
+    conditional sums (both BIGINT-exact), the integer qualification
     filter, then a reaggregation keyed by supplier — no window, no
-    second fact scan."""
+    second fact scan. The broadcast semi join against the
+    name-filtered part set sits BELOW the aggregation (guide §3.2;
+    r14 — it previously filtered the aggregate's output, so every
+    non-'small%' (partkey, suppkey) group rode the shuffle just to be
+    dropped): semi-joining the fact rows first drops whole groups and
+    cannot change any surviving group's sums."""
     li = load_table(spark, sf_dir, "lineitem")
+    small = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li_small = li.join(
+        F.broadcast(small), li.l_partkey == small.p_partkey, "left_semi"
+    )
     qty = F.col("l_quantity").cast("bigint")
-    sq = li.groupBy("l_partkey", "l_suppkey").agg(
+    sq = li_small.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(
             F.when(F.year("l_shipdate") == 1996, qty).otherwise(F.lit(0))
         ).alias("qty_1996"),
         F.sum(qty).alias("qty_total"),
     )
-    small = load_table(spark, sf_dir, "part").filter(
-        F.col("p_name").like("small%")
-    ).select("p_partkey")
-    qual = sq.join(
-        F.broadcast(small), sq.l_partkey == small.p_partkey, "left_semi"
-    ).filter(F.lit(2) * F.col("qty_1996") > F.col("qty_total"))
+    qual = sq.filter(F.lit(2) * F.col("qty_1996") > F.col("qty_total"))
     asia = (
         load_table(spark, sf_dir, "supplier")
         .join(
