@@ -1974,12 +1974,16 @@ def rel_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny, broadcast) complained-supplier set, broadcast part join,
     then count(DISTINCT suppkey) per group — the distinct agg rides
     Catalyst's two-phase expand. The spec's size list is 8 literal
-    sizes from the fixture's 2..37 domain."""
-    pairs = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    sizes from the fixture's 2..37 domain.
+
+    r14 (guide §3.2 "reduce the big side before shuffling it"): both
+    broadcast filters now apply to the RAW lineitem rows, BELOW the
+    pair distinct — they are row-level predicates on the distinct's own
+    key columns, so they commute with it exactly — and the qualifying
+    part keys additionally pre-filter as a broadcast semi join. The
+    distinct exchange (the query's only fact shuffle) then carries only
+    rows whose partkey survives the ~22% size/brand/type filter and
+    whose suppkey is not disqualified, instead of every pair."""
     complained = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select(F.col("s_suppkey").alias("l_suppkey"))
@@ -1988,9 +1992,20 @@ def rel_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(2, 5, 11, 17, 23, 28, 31, 37)
     )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    pairs = (
+        li.join(F.broadcast(complained), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .distinct()
+    )
     return (
-        pairs.join(F.broadcast(complained), "l_suppkey", "left_anti")
-        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")

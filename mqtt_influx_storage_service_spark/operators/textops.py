@@ -979,11 +979,18 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines run, with the probability model kept integer-exact
     (mean of bigint counts) so the oracle hash is order-insensitive.
 
-    Plan: one explode feeds BOTH the corpus bigram counts (map-side
-    combinable groupBy — word-count shaped) and the per-doc bigram
-    stream; they meet in an equi-join on the bigram key. At 100 TB
-    both sides shuffle once on the bigram; no driver-side vocabulary,
-    no broadcast of an unbounded model.
+    Plan (r14, guide §2.3 "aggregate before you shuffle" + §2.4): ONE
+    explode feeds one per-(doc, bigram) count aggregate ``tf`` (map-side
+    combinable, so the only instance-level rows never leave their scan
+    partition); the corpus count per bigram is then a window sum over
+    ``tf`` keyed by the bigram — the same relation the r13 plan
+    re-derived by exploding the corpus a SECOND time and broadcasting
+    the counts back (2 Scan + 2 Generate in the before plan; the
+    broadcast also capped the model at driver memory, which at 100 TB
+    it cannot hold). Per-doc typicality is recomputed exactly:
+    Σ_g cnt·corpus_cnt / Σ_g cnt over BIGINTs equals the instance-level
+    mean term for term. One scan, one explode, every exchange carries
+    aggregated rows; no broadcast of an unbounded model at any scale.
     """
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     tok = docs.select("doc_id", "lang", _tokens().alias("t"))
@@ -997,15 +1004,18 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    lm = bigrams.groupBy("g").agg(F.count(F.lit(1)).alias("corpus_cnt"))
+    tf = bigrams.groupBy("doc_id", "lang", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wg = Window.partitionBy("g")
     return (
-        bigrams.join(lm, "g")
+        tf.withColumn("corpus_cnt", F.sum("cnt").over(wg))
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.sum("corpus_cnt") / F.count(F.lit(1)), 6).alias(
-                "typicality"
-            ),
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("corpus_cnt")) / F.sum("cnt"), 6
+            ).alias("typicality"),
         )
     )
 
