@@ -453,3 +453,34 @@ def test_cardinality_estimate_skips_the_distinct_shuffle(spark):
     assert plans.single_partition_exchanges(est) == 1
     assert "approx_count_distinct" in plans.plan_str(est, "simple")
     assert plans.exchange_count(exact) == 2  # distinct shuffle + merge
+
+
+def test_r14_single_pass_window_rewrites_plan_shape(spark):
+    """r14 optimization pins: the subquery decorrelations that used a
+    groupBy + join-back (two fact scans, two fact shuffles) now ride a
+    window over the key the plan already exchanges, and the bigram LM
+    explodes the corpus exactly once. A second Scan/Generate sneaking
+    back in is the 100-TB regression these guard."""
+    qs = all_queries()
+
+    # Q21/Q17 shapes: ONE lineitem scan, counts via Window, no Expand
+    for name in ("rel_waiting_supplier", "rel_small_qty_revenue"):
+        p = plans.plan_str(qs[name](spark, SF))
+        assert p.count("lineitem.parquet") == 1, name
+        assert "Window" in p, name
+        assert "Expand" not in p, name
+
+    # Q16: both disqualification filters sit BELOW the pair distinct
+    # (anti on suppliers + semi on qualifying part keys), so the only
+    # fact exchange carries pre-filtered rows.
+    p16 = plans.plan_str(qs["rel_supplier_part_types"](spark, SF))
+    assert "LeftAnti" in p16 and "LeftSemi" in p16
+
+    # bigram LM: one corpus explode; corpus counts attach via a window
+    # over tf, never a second Generate or a model broadcast join.
+    lm = qs["text_bigram_lm"](spark, SF)
+    p = plans.plan_str(lm)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Generate", p, re.M)) == 1
+    assert "Window" in p
