@@ -358,6 +358,18 @@ def main() -> int:
     ap.add_argument("--port", type=int, default=4057)
     ap.add_argument("--selftest", action="store_true")
     ap.add_argument(
+        "--mem", default="8g",
+        help="driver/executor heap for the census session (local mode: "
+             "one JVM). The default matches the r12/r13 runs; the r14 "
+             "100x isolate run needed 12g — the census's "
+             "cumulative-cache protocol holds EVERY audited query's "
+             "shared caches at once (a deliberately adversarial "
+             "steady state no engine caller creates: bench and the "
+             "driver release between queries), and the r14 persists "
+             "(bm25 tf, MMR pool+picks, SemDeDup priority) raised "
+             "that resident set past what an 8g heap leaves the "
+             "jaccard grid verify's SMJ sorts")
+    ap.add_argument(
         "--isolate", action="store_true",
         help="re-run every flagged query ISOLATE_REPS times solo and "
              "adjudicate each flag by work-vs-duration decomposition "
@@ -377,7 +389,7 @@ def main() -> int:
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(args.port))
         .config("spark.ui.retainedStages", "20000")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", args.mem)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
