@@ -435,6 +435,56 @@ def _grid_cells(col: str, b: int):
     return F.pmod(F.xxhash64(col), F.lit(b)).cast("long")
 
 
+# Exact cell->partition placement for the grid verify (r14). The grid
+# has exactly b² distinct cell keys and b² partitions, and Spark's
+# HashPartitioning maps key -> pmod(murmur3(key), n): 64 keys hashed
+# into 64 bins is the guide's "synthetic partitioning key with too few
+# distinct values" anti-pattern — balls-in-bins puts 0..4 WHOLE cells
+# per partition (measured at the 100x corpus: max task = 4 cells =
+# 3,987,337 records vs 15,771 median, ~23 empty tasks, and AQE cannot
+# rebalance a REPARTITION_BY_NUM exchange). Fix: shuffle on ONE
+# synthetic `_cell` column whose VALUES are chosen so that
+# pmod(hash(value), b²) is a bijection onto partitions — every
+# partition holds exactly one cell. The table is a pure function of
+# b² (murmur3 is fixed), found once per process with one bounded
+# aggregation over a counting range; memoizing it is hash-search
+# reuse, not data/result caching.
+_GRID_CELL_MAP: dict[int, list[int]] = {}
+
+
+def _grid_cell_map(spark: SparkSession, n_cells: int) -> list[int]:
+    """n_cells distinct longs m[0..n_cells) with
+    pmod(murmur3_hash(m[c]), n_cells) == c — murmur3_hash evaluated by
+    Spark itself (F.hash is the same function HashPartitioning uses),
+    so the placement can never drift from the engine's."""
+    cached = _GRID_CELL_MAP.get(n_cells)
+    if cached is not None:
+        return cached
+    found: dict[int, int] = {}
+    start = 0
+    while len(found) < n_cells:
+        # bounded driver fetch: groupBy caps the result at n_cells
+        # rows (<= 4096 by VERIFY_GRID_B_MAX); 64 candidates per bin
+        # makes a missing bin ~e^-64 per wave, the loop guards anyway
+        rows = (
+            spark.range(start, start + 64 * n_cells)
+            .select(
+                F.col("id"),
+                F.pmod(F.hash(F.col("id")), F.lit(n_cells)).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.min("id").alias("id"))
+            .limit(n_cells)
+            .collect()
+        )
+        for r in rows:
+            found.setdefault(int(r["p"]), int(r["id"]))
+        start += 64 * n_cells
+    out = [found[c] for c in range(n_cells)]
+    _GRID_CELL_MAP[n_cells] = out
+    return out
+
+
 def _verify_joined(
     cand: DataFrame,
     sa: DataFrame,
@@ -521,22 +571,42 @@ def _verify_joined(
     # b=8: ~96 MB/partition sorts; the 2-cells-per-partition variant
     # sorted ~190 MB into the same memory the persisted candidates
     # already pin).
+    #
+    # Cell PLACEMENT (r14): the grid shuffles on ONE synthetic `_cell`
+    # column — an injective remap of (_ca, _cb) through the
+    # _grid_cell_map table — so HashPartitioning lands exactly one
+    # cell per partition. Hashing the raw (_ca, _cb) pair (b² distinct
+    # keys into b² partitions) was balls-in-bins: the 100x census
+    # flagged the verify stage at work ratio 252 (4 whole cells in the
+    # max task, ~23 empty tasks) every round since r12, and AQE cannot
+    # rebalance a REPARTITION_BY_NUM exchange. _cell is a
+    # deterministic injective function of the join keys (_ca, _cb), so
+    # the equi-join semantics are byte-identical (the forced-grid
+    # equality test pins it).
     n_part = b * b
+    cmap = _grid_cell_map(spark, n_part)
+    cmap_arr = F.array(*[F.lit(v).cast("long") for v in cmap])
+
+    def _cell(ca, cb):
+        return F.get(cmap_arr, (ca * F.lit(b) + cb).cast("int"))
+
     replicas = F.explode(
         F.array(*[F.lit(i).cast("long") for i in range(b)])
     )
-    pairs = cand_p.withColumn("_ca", _grid_cells("doc_a", b)).withColumn(
-        "_cb", _grid_cells("doc_b", b)
-    ).repartition(n_part, "_ca", "_cb")
+    pairs = cand_p.withColumn(
+        "_cell", _cell(_grid_cells("doc_a", b), _grid_cells("doc_b", b))
+    ).repartition(n_part, "_cell")
     sar = (
-        sa.withColumn("_ca", _grid_cells("doc_a", b))
-        .withColumn("_cb", replicas)
-        .repartition(n_part, "_ca", "_cb")
+        sa.withColumn("_r", replicas)
+        .withColumn("_cell", _cell(_grid_cells("doc_a", b), F.col("_r")))
+        .drop("_r")
+        .repartition(n_part, "_cell")
     )
     sbr = (
-        sb.withColumn("_cb", _grid_cells("doc_b", b))
-        .withColumn("_ca", replicas)
-        .repartition(n_part, "_ca", "_cb")
+        sb.withColumn("_r", replicas)
+        .withColumn("_cell", _cell(F.col("_r"), _grid_cells("doc_b", b)))
+        .drop("_r")
+        .repartition(n_part, "_cell")
     )
     # merge, not shuffle_hash: both grid joins run with the persisted
     # candidate set pinning storage memory, and an SHJ build per
@@ -547,9 +617,9 @@ def _verify_joined(
     # co-partitioning still elides every fat exchange — sort is the
     # only cost the merge adds, and it never crosses the wire.
     return (
-        pairs.join(sar.hint("merge"), ["_ca", "_cb", "doc_a"])
-        .join(sbr.hint("merge"), ["_ca", "_cb", "doc_b"])
-        .drop("_ca", "_cb")
+        pairs.join(sar.hint("merge"), ["_cell", "doc_a"])
+        .join(sbr.hint("merge"), ["_cell", "doc_b"])
+        .drop("_cell")
     )
 
 

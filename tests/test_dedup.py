@@ -748,6 +748,33 @@ def test_grid_verify_equals_plain_verify(spark, sf_dir, monkeypatch):
     assert grid_m == plain_m and len(plain_m) > 0
 
 
+def test_grid_cell_map_places_one_cell_per_partition(spark):
+    """r14: the grid shuffles on a synthetic `_cell` whose values are
+    chosen so HashPartitioning(value, b²) is a bijection onto
+    partitions — one cell per partition, no balls-in-bins (the 100x
+    census's work-ratio-252 verify straggler: 4 whole cells in one
+    task, ~23 empty tasks). Pins (a) the table is injective, (b) each
+    value lands in ITS OWN partition under the exact hash Spark's
+    HashPartitioning uses (F.hash = murmur3, pmod n), (c) the memo
+    returns the same table (pure function of b²)."""
+    from pyspark.sql import functions as F
+
+    from mqtt_influx_storage_service_spark.operators import dedup as DD
+
+    for n in (64, 256):  # b=8 (derived at 32-core local) and b=16
+        m = DD._grid_cell_map(spark, n)
+        assert len(m) == n and len(set(m)) == n
+        placed = (
+            spark.createDataFrame(
+                [(c, v) for c, v in enumerate(m)], "cell long, v long"
+            )
+            .select("cell", F.pmod(F.hash(F.col("v")), F.lit(n)).alias("p"))
+            .collect()
+        )
+        assert all(r["cell"] == r["p"] for r in placed)
+        assert DD._grid_cell_map(spark, n) is m  # memoized, no re-search
+
+
 def test_grid_verify_gates(spark, sf_dir, monkeypatch):
     """Below VERIFY_GRID_GATE nothing changes: no candidate persist, no
     count job, plain per-pair plan (the fixture/bench scales). Above

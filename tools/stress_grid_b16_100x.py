@@ -92,10 +92,11 @@ def main() -> int:
         df = getattr(DD, name)(spark, D)
         df.write.format("noop").mode("overwrite").save()
         wall = round(time.time() - t0, 2)
-        # grid cell columns are _ca/_cb; the bare-substring probe
+        # the grid's shuffle column is _cell since the r14 placement
+        # fix (_ca/_cb before it); the bare-substring probe
         # false-positives on under_cap#N, so anchor on the column ref
         grid_engaged = bool(
-            re.search(r"(?<![0-9A-Za-z_])_ca#\d", plans.plan_str(df))
+            re.search(r"(?<![0-9A-Za-z_])_c(?:ell|a)#\d", plans.plan_str(df))
         )
         spark.sparkContext.setJobDescription(None)
         time.sleep(4)
