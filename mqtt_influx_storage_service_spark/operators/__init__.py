@@ -81,41 +81,50 @@ _PRIORITY = [
     "sim_mmr",
     "sim_range_search",
     "text_langid_ngram",
-    # Slots 32-50: r10-cohort filler (alphabetical head of the 44
-    # r10-green rows — the oldest oracle-backed cohort after this
-    # rotation).
+    # Slots 32-50: the r14-optimization-touched entries NOT already
+    # covered by slots 1-31 — every query whose SOURCE (plan) changed
+    # in this round's rewrites and is not in the stale-rotation slots
+    # above. This is the r10-r13 precedent for touched entries:
+    # re-certification insurance after a plan rewrite, even though
+    # every one was oracle-checked locally at sf0.01 AND sf0.1 after
+    # its change. dedup_semantic's own plan is unchanged but its
+    # family's shared persist/release seams were reworked, so it
+    # keeps a slot.
+    "dedup_components",
     "dedup_semantic",
-    "dedup_substring",
-    "dedup_substring_spans",
-    "iq_agg_arithmetic",
-    "iq_bucket_offset",
-    "iq_derivative_daily",
-    "iq_distinct",
-    "iq_fill_slimit",
-    "iq_integral",
-    "iq_limit_offset",
-    "iq_limit_per_series",
-    "iq_nonneg_derivative",
-    "iq_raw_derivative",
-    "iq_raw_grouped",
-    "iq_raw_nonneg",
-    "iq_raw_running",
-    "iq_raw_series",
-    "iq_scalar_math",
-    "iq_selector_bare",
+    "dedup_semantic_ivf",
+    "mm_dedup_perceptual",
+    "pipeline_dedup_mix",
+    "pipeline_domain_quota",
+    "pipeline_dsir_resample",
+    "pipeline_interleave",
+    "pipeline_shuffle_order",
+    "rel_excess_supply",
+    "rel_min_cost_supplier",
+    "rel_small_qty_revenue",
+    "rel_supplier_part_types",
+    "sim_threshold_pairs",
+    "text_bigram_lm",
+    "text_bm25",
+    "text_dsir_importance",
+    "text_repetition",
+    "text_tfidf_top",
     # ---- slot 50 boundary. r15 ROTATION QUEUE (front-load next
-    # round): the remaining 25 r10-green rows —
-    # iq_selector_mixed, iq_slimit, mm_dedup_payload,
-    # mm_dedup_perceptual, sim_cosine_topk, sim_knn_graph,
+    # round): the 42 r10-green rows not re-certified here — now the
+    # oldest oracle-backed cohort (the 18 alphabetical-head entries
+    # this round's touched-set displaced: dedup_substring,
+    # dedup_substring_spans, iq_agg_arithmetic .. iq_selector_bare —
+    # plus the remaining 23: iq_selector_mixed, iq_slimit,
+    # mm_dedup_payload, sim_cosine_topk, sim_knn_graph,
     # sim_label_centroid, sim_label_trimmed_norm, text_boilerplate,
     # text_contamination, text_fingerprint, text_langid, text_quality,
-    # text_regex_tokens, text_tfidf_top, text_token_stats,
-    # text_word_freq, ts_holt_winters_seasonal, win_cube,
-    # win_monthly_revenue, win_ntile_customers, win_percentiles,
-    # win_rollup, win_topk_per_group, win_value_frames — then the
-    # r11 cohort as filler. After THIS round no registry entry's
-    # newest driver row is older than r9 (the five rows-only entries
-    # get r14 rows; the r9 cohort moves to r14).
+    # text_regex_tokens, text_token_stats, text_word_freq,
+    # ts_holt_winters_seasonal, win_cube, win_monthly_revenue,
+    # win_ntile_customers, win_percentiles, win_rollup,
+    # win_topk_per_group, win_value_frames) — then the r11 cohort as
+    # filler. After THIS round no registry entry's newest driver row
+    # is older than r9 (the five rows-only entries get r14 rows; the
+    # r9 cohort moves to r14; the r14-touched set re-certifies).
 ]
 
 _MODULES = [
