@@ -57,6 +57,21 @@ _CURATED_CACHE: dict[tuple[str, str], DataFrame] = {}
 _register_campaign_cache(_CURATED_CACHE)
 
 
+def release_curated(spark: SparkSession | None = None) -> int:
+    """Unpersist only the curated-survivors campaign cache — the bench
+    calls this between training_mix/token_budget/epochs reps so they
+    time the cold plan, not the warm persist (the release_mmr / r4
+    precedent; VERDICT r14 #2). The broader ``release_shingles`` seam
+    still covers it for campaign teardown."""
+    released = 0
+    for key in list(_CURATED_CACHE):
+        if spark is not None and key[0] != spark.sparkContext.applicationId:
+            continue
+        _CURATED_CACHE.pop(key).unpersist()
+        released += 1
+    return released
+
+
 def _curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curated survivor set shared by the pipeline queries:
     (doc_id, n_tokens, quality_score, predicted_lang) for docs that are

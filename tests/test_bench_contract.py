@@ -51,6 +51,97 @@ def test_emit_stays_inside_tail_budget_and_parses(tmp_path, monkeypatch, capsys)
             assert kept_min >= dropped_max
 
 
+def test_emit_keeps_ten_slowest_inline_over_prose(tmp_path, monkeypatch, capsys):
+    """VERDICT r14 #1: the r14 artifact's grown gate/variance prose
+    squeezed EVERY per-query entry out of the printed line, blinding
+    the driver's PERF comparison. Prose must be shed before query
+    entries, and at least the 10 slowest queries must always print
+    inline (they live on in BENCH_DETAIL.json either way)."""
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    note = (
+        "spread dominated by shared-LRU cache rebuilds across the "
+        "225-query run, not plan variance; floor is the published number"
+    )
+    queries = _fake_queries(225)
+    slowest = sorted(queries, key=lambda k: queries[k], reverse=True)
+    payload = {
+        "metric": "headline_query_suite_sec",
+        "value": 100.0,
+        "unit": "sec",
+        "queries": queries,
+        "failed": [],
+        "n_queries": 225,
+        "reps_default": 2,
+        # r14-shaped bloat: 10 variance rows with long notes + a long
+        # contended diagnosis + crash text
+        "top_decile_variance": {
+            k: {"n": 5, "min": 1.0, "max": 3.0, "spread_pct": 200.0,
+                "scope": "best_attempt", "note": note}
+            for k in slowest[:10]
+        },
+        "contention_gate": {
+            "gate_pct": 15.0,
+            "attempts": 3,
+            "drift_pct_per_attempt": [34.8, 22.0, 19.0],
+            "contended_after_retries": True,
+            "diagnosis": "d" * 500,
+            "crash_exc": "e" * 300,
+        },
+        "canary": {"rows": 1, "start_sec": 0.3, "end_sec": 0.3,
+                   "sec": 0.3, "drift_pct": 3.0, "band": "fast"},
+        "sf": 0.1,
+    }
+    bench._emit(payload)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= bench._TAIL_BUDGET
+    parsed = json.loads(line)
+    assert len(parsed["queries"]) >= bench._MIN_INLINE_QUERIES
+    # the inline survivors are the slowest — the grading signal
+    assert set(slowest[: len(parsed["queries"])]) == set(parsed["queries"])
+    # the full prose still lives in the detail file, untouched
+    detail = json.load(open(tmp_path / "BENCH_DETAIL.json"))
+    assert detail["contention_gate"]["diagnosis"] == "d" * 500
+    assert all("note" in v for v in detail["top_decile_variance"].values())
+
+
+def test_prior_round_ratio_skips_scaling_probe_artifacts(tmp_path, monkeypatch):
+    """The r15 opening baseline silently compared against
+    BENCH_r14_c8.json — the LOW-CORE scaling probe — because r14's own
+    inline query map was empty. Suffixed artifacts are not
+    round-over-round comparables and must be skipped."""
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    (tmp_path / "BENCH_r13.json").write_text(
+        json.dumps({"parsed": {"queries": {"a": 2.0, "b": 2.0}}})
+    )
+    (tmp_path / "BENCH_r14.json").write_text(
+        json.dumps({"parsed": {"queries": {}}})
+    )
+    (tmp_path / "BENCH_r14_c8.json").write_text(
+        json.dumps({"parsed": {"queries": {"a": 8.0, "b": 8.0}}})
+    )
+    r = bench._prior_round_ratio({"a": 1.0, "b": 1.0})
+    assert r["common_vs_round"] == "r13"
+    assert r["common_ratio"] == 0.5
+
+
+def test_one_rep_release_discipline_covers_r14_persists():
+    """VERDICT r14 #2: text_bm25 / sim_hybrid_rrf memoize the pruned tf
+    relation and the pipeline campaign trio memoizes the curated
+    survivor set — min-of-2 without a per-rep release publishes
+    warm-cache floors. Pin the release list in bench's source (the
+    closure itself needs a live session to exercise)."""
+    import inspect
+
+    src = inspect.getsource(bench._run_suite)
+    assert "release_bm25" in src
+    for q in ("text_bm25", "sim_hybrid_rrf"):
+        assert q in src
+    assert "release_curated" in src
+    for q in ("pipeline_training_mix", "pipeline_token_budget",
+              "pipeline_epochs"):
+        assert q in src
+
+
 def test_prior_round_ratio_uses_newest_parsed_round(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "_REPO", str(tmp_path))
     (tmp_path / "BENCH_r02.json").write_text(

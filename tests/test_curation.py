@@ -577,3 +577,35 @@ def test_curated_docs_materialize_once_and_release(spark):
     finally:
         release_shingles(spark)
         assert key not in _CURATED_CACHE
+
+
+def test_release_curated_frees_only_the_curated_cache(spark):
+    """r15 (VERDICT r14 #2): the bench releases the curated-survivors
+    persist between training_mix/token_budget/epochs reps so the
+    published floors are cold-plan times. release_curated must free
+    exactly the curated entry — not the dedup campaign caches the
+    suite deliberately keeps warm."""
+    from mqtt_influx_storage_service_spark.operators.dedup import (
+        _LABEL_CACHE,
+        release_shingles,
+    )
+    from mqtt_influx_storage_service_spark.operators.pipeline import (
+        _CURATED_CACHE,
+        _curated_docs,
+        release_curated,
+    )
+
+    release_shingles(spark)
+    try:
+        _curated_docs(spark, SF)
+        key = (spark.sparkContext.applicationId, SF)
+        assert key in _CURATED_CACHE
+        labels_before = dict(_LABEL_CACHE)
+        assert release_curated(spark) == 1
+        assert key not in _CURATED_CACHE
+        # the component-label campaign cache is untouched
+        assert dict(_LABEL_CACHE) == labels_before
+        # idempotent: nothing left to release
+        assert release_curated(spark) == 0
+    finally:
+        release_shingles(spark)
