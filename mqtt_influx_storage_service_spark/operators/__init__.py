@@ -38,93 +38,79 @@ from . import (
 # tools/check_oracles.py runs the FULL registry regardless — the
 # prefix only bounds what the driver re-certifies per round.
 _PRIORITY = [
-    # ---- r14 ROTATION (VERDICT r13 "Next round" #2). Slots 1-5: the
-    # five rows-only entries whose NEWEST driver row was r1-r3
-    # (recomputed from CORRECTNESS_r01..r13 this round — the only
-    # registry entries older than r9; rel_range_join's r1 row is the
-    # unregistered theta form, superseded by rel_range_join_banded).
-    # They can never hash-green (rows-only by structural nature), but
-    # ten rounds without driver visibility is the same gap r12 flagged
-    # for the never-checked pair, and the judge demanded the slots.
-    "dedup_minhash_ml",
-    "sim_ann_brp",
-    "sim_ann_ivf",
-    "sim_ann_ivf_pq",
-    "rel_sketches",
-    # Slots 6-31: the full r9-stale cohort — every oracle-backed entry
-    # whose newest driver-green row is r9 (26 entries, recomputed this
-    # round; matches the queue the r13 comment recorded plus
-    # rel_set_ops, minus the four dedup entries re-certified in r13).
-    "iq_subquery_rollup",
-    "iq_top_points",
-    "mm_contrastive_pairs",
+    # ---- r15 ROTATION (VERDICT r14 "Next round" #7 — the queue the
+    # r14 rotation comment recorded). Slots 1-41: the full r10-green
+    # cohort, now the oldest driver rows in the registry (recomputed
+    # from CORRECTNESS_r01..r14 this round: 41 entries whose newest
+    # driver row is r10 — the r14 comment said 42; the recount says
+    # 41). All oracle-backed.
+    "dedup_substring",
+    "dedup_substring_spans",
+    "iq_agg_arithmetic",
+    "iq_bucket_offset",
+    "iq_derivative_daily",
+    "iq_distinct",
+    "iq_fill_slimit",
+    "iq_integral",
+    "iq_limit_offset",
+    "iq_limit_per_series",
+    "iq_nonneg_derivative",
+    "iq_raw_derivative",
+    "iq_raw_grouped",
+    "iq_raw_nonneg",
+    "iq_raw_running",
+    "iq_raw_series",
+    "iq_scalar_math",
+    "iq_selector_bare",
+    "iq_selector_mixed",
+    "iq_slimit",
+    "mm_dedup_payload",
+    "sim_cosine_topk",
+    "sim_knn_graph",
+    "sim_label_centroid",
+    "sim_label_trimmed_norm",
+    "text_boilerplate",
+    "text_contamination",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_regex_tokens",
+    "text_token_stats",
+    "text_word_freq",
+    "ts_holt_winters_seasonal",
+    "win_cube",
+    "win_monthly_revenue",
+    "win_ntile_customers",
+    "win_percentiles",
+    "win_rollup",
+    "win_topk_per_group",
+    "win_value_frames",
+    # Slots 42-50: r15-touched entries first (re-certification
+    # insurance for every query whose plan or measurement seam changed
+    # this round — the r10-r14 precedent), then the alphabetical head
+    # of the r11 cohort as filler. The r15-touched set: the two mm
+    # kernels whose rebalance decision this round re-measures, and the
+    # five queries whose bench floors move to cold-plan timing (their
+    # PLANS are unchanged; slots are insurance that the release-seam
+    # change kept them green).
     "mm_extract_features",
     "mm_frame_sample",
-    "mm_manifest",
-    "pipeline_epochs",
-    "pipeline_pack_sequences",
-    "pipeline_stratified_sample",
-    "pipeline_token_budget",
-    "pipeline_training_mix",
-    "ref_payload_coercion",
-    "ref_registry_filter",
-    "ref_topic_parse",
-    "rel_merge_join",
-    "rel_revenue_threshold",
-    "rel_sales_opportunity",
-    "rel_set_ops",
-    "rel_top_supplier",
-    "rel_waiting_supplier",
-    "sim_centroid_assign",
-    "sim_hybrid_rrf",
-    "sim_knn_exact",
-    "sim_mmr",
-    "sim_range_search",
-    "text_langid_ngram",
-    # Slots 32-50: the r14-optimization-touched entries NOT already
-    # covered by slots 1-31 — every query whose SOURCE (plan) changed
-    # in this round's rewrites and is not in the stale-rotation slots
-    # above. This is the r10-r13 precedent for touched entries:
-    # re-certification insurance after a plan rewrite, even though
-    # every one was oracle-checked locally at sf0.01 AND sf0.1 after
-    # its change. dedup_semantic's own plan is unchanged but its
-    # family's shared persist/release seams were reworked, so it
-    # keeps a slot.
-    "dedup_components",
-    "dedup_semantic",
-    "dedup_semantic_ivf",
-    "mm_dedup_perceptual",
-    "pipeline_dedup_mix",
-    "pipeline_domain_quota",
-    "pipeline_dsir_resample",
-    "pipeline_interleave",
-    "pipeline_shuffle_order",
-    "rel_excess_supply",
-    "rel_min_cost_supplier",
-    "rel_small_qty_revenue",
-    "rel_supplier_part_types",
-    "sim_threshold_pairs",
-    "text_bigram_lm",
     "text_bm25",
-    "text_dsir_importance",
-    "text_repetition",
-    "text_tfidf_top",
-    # ---- slot 50 boundary. r15 ROTATION QUEUE (front-load next
-    # round): the 42 r10-green rows not re-certified here — now the
-    # oldest oracle-backed cohort (the 18 alphabetical-head entries
-    # this round's touched-set displaced: dedup_substring,
-    # dedup_substring_spans, iq_agg_arithmetic .. iq_selector_bare —
-    # plus the remaining 23: iq_selector_mixed, iq_slimit,
-    # mm_dedup_payload, sim_cosine_topk, sim_knn_graph,
-    # sim_label_centroid, sim_label_trimmed_norm, text_boilerplate,
-    # text_contamination, text_fingerprint, text_langid, text_quality,
-    # text_regex_tokens, text_token_stats, text_word_freq,
-    # ts_holt_winters_seasonal, win_cube, win_monthly_revenue,
-    # win_ntile_customers, win_percentiles, win_rollup,
-    # win_topk_per_group, win_value_frames) — then the r11 cohort as
-    # filler. After THIS round no registry entry's newest driver row
-    # is older than r9 (the five rows-only entries get r14 rows; the
-    # r9 cohort moves to r14; the r14-touched set re-certifies).
+    "sim_hybrid_rrf",
+    "pipeline_training_mix",
+    "pipeline_token_budget",
+    "pipeline_epochs",
+    # r11-cohort filler to slot 50
+    "iq_cmo",
+    "iq_drop_series",
+    # ---- slot 50 boundary. r16 ROTATION QUEUE (if a next round
+    # exists): the remaining r11 cohort (iq_ema, iq_ker, iq_math,
+    # iq_retention_filter, iq_retention_policies, iq_rsi,
+    # iq_show_tag_values_regex, iq_show_tag_values_where, iq_soffset,
+    # iq_tag_regex, iq_top_tags, iq_transform_nested, iq_trix, iq_tz,
+    # pipeline_shard_plan, pipeline_temperature_mix,
+    # ref_narrow_points, ...), then the r12 cohort. After THIS round
+    # no registry entry's newest driver row is older than r11.
 ]
 
 _MODULES = [
