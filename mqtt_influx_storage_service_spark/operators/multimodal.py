@@ -131,8 +131,20 @@ def _decode_stub(payload: bytes, modality: str) -> dict:
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over the media table — Arrow
     batches in, feature frame out; the per-batch loop is where a
-    vectorized decoder would run."""
-    media = build_media_table(spark, sf_dir, rebalance=True)
+    vectorized decoder would run.
+
+    No rebalance (r15, VERDICT r14 #3): the stub decode kernel is
+    light enough that the fixture-scale round-robin costs more than
+    the parallelism buys — A/B'd both ways at sf0.1 (isolated exec min
+    0.81 s with the r14 rebalance vs 0.59 s without, −27%; bench walls
+    in BENCH_r15). At 100 TB the scan fans out
+    natively and load_table's adaptive gate made the rebalance a no-op
+    anyway, so this is purely the fixture-wall decision the r14
+    verdict asked to settle by measurement. A deployment that mounts a
+    REAL codec here (PIL/ffmpeg — orders of magnitude more per-row CPU
+    than the stub) should flip rebalance back on; the blockhash kernel
+    below keeps it for exactly that reason."""
+    media = build_media_table(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -215,9 +227,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampler itself runs in Python over Arrow batches — the real
     decoder's seat — not as an exploded JVM expression.
     """
-    media = build_media_table(spark, sf_dir, rebalance=True).filter(
+    media = build_media_table(spark, sf_dir).filter(
         F.col("modality") == "video"
     ).select("doc_id", "width", "height", "duration_s")
+    # no rebalance (r15): the sampler is pure pandas index math over 4
+    # narrow columns on 1/3 of the rows — the round-robin cost the r14
+    # bench +29% at fixture scale (see mm_extract_features above for
+    # the full A/B argument; measured 0.72 → 0.42 s isolated exec)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -455,6 +455,22 @@ def test_cardinality_estimate_skips_the_distinct_shuffle(spark):
     assert plans.exchange_count(exact) == 2  # distinct shuffle + merge
 
 
+def test_r15_light_mm_kernels_stay_shuffle_free(spark):
+    """r15 (VERDICT r14 #3): the two LIGHT media kernels regressed ~30%
+    at fixture scale under the r14 blanket rebalance — the round-robin
+    shuffle cost more than the stub kernels' parallelism bought
+    (measured A/B, OPTIMIZATION_r15.md). Their fixture plans must stay
+    shuffle-free; the heavy blockhash kernel keeps its rebalance."""
+    qs = all_queries()
+    for name in ("mm_extract_features", "mm_frame_sample"):
+        df = qs[name](spark, SF)
+        n = plans.exchange_count(df)
+        assert n == 0, f"{name}: {n} exchanges (expected shuffle-free)"
+    # the heavy kernel keeps the round-robin at fixture scale
+    p = plans.plan_str(all_queries()["mm_dedup_perceptual"](spark, SF))
+    assert "RoundRobinPartitioning" in p
+
+
 def test_r14_single_pass_window_rewrites_plan_shape(spark):
     """r14 optimization pins: the subquery decorrelations that used a
     groupBy + join-back (two fact scans, two fact shuffles) now ride a
