@@ -197,6 +197,13 @@ def release_shingles(spark: SparkSession | None = None) -> int:
             cache.pop(key).unpersist()
             _CAND_COUNT.pop(key, None)
             released += 1
+    # the over-cap statistic rides the same campaign lifecycle (it is
+    # a plain bool, not a persisted frame — popped, nothing to
+    # unpersist)
+    for key in list(_OVERCAP_CACHE):
+        if spark is not None and key[0] != spark.sparkContext.applicationId:
+            continue
+        _OVERCAP_CACHE.pop(key)
     return released
 
 
@@ -404,6 +411,36 @@ VERIFY_GRID_B_MAX = 64   # replication cap: 4096 cells, the √P bound
 
 _CAND_CACHE: dict[tuple, DataFrame] = {}   # (appId, sf_dir, tag) -> persisted
 _CAND_COUNT: dict[tuple, int] = {}
+
+# (appId, sf_dir) -> bool: does the corpus contain ANY shingle with
+# df > SHINGLE_DF_CAP? The runtime statistic behind the r15 exact-count
+# verify fork (see _scored_shingle_pairs). Measured once per campaign
+# (one map-combinable aggregation over the exploded shingle index,
+# the same one-count-job-per-campaign budget as _persisted_candidates)
+# and released with the campaign caches.
+_OVERCAP_CACHE: dict[tuple[str, str], bool] = {}
+
+
+def _corpus_has_overcap(spark: SparkSession, sf_dir: str) -> bool:
+    """True iff any blocking shingle's document frequency exceeds
+    SHINGLE_DF_CAP — i.e. the df cap's sampled rescue tier is LIVE for
+    this corpus and candidate co-occurrence counts can undercount true
+    intersections. Exactness matters (a false 'clean' would publish
+    wrong n_inter values), so this is a full count over the campaign's
+    persisted shingle relation, not a sample; memoized per campaign."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _OVERCAP_CACHE.get(key)
+    if cached is None:
+        ds = _doc_shingles(spark, sf_dir)
+        cached = not (
+            ds.select(F.explode("shingles_h").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > SHINGLE_DF_CAP)
+            .isEmpty()
+        )
+        _OVERCAP_CACHE[key] = cached
+    return cached
 
 
 def _persisted_candidates(
@@ -623,6 +660,76 @@ def _verify_joined(
     )
 
 
+def _scored_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, cooc, n_a, n_b) for every pair sharing >= 1
+    shingle, where ``cooc`` is the number of SHARED shingles — the r15
+    exact-count verify fork (guide §2.3 "shuffle keys and metadata
+    instead of payloads", §8's lightweight-proxy rule).
+
+    VALID ONLY when :func:`_corpus_has_overcap` is False: with every
+    shingle's df <= SHINGLE_DF_CAP, every bucket is complete, so the
+    per-pair bucket co-occurrence count IS |A ∩ B| exactly — the
+    number the per-pair verify re-derives by shipping both docs' full
+    hash arrays through the join and running array_intersect. The r14
+    stage census measured that verify at sf0.1 as an 86.8 MB shuffle
+    of pair×array rows plus ~14-20 s of executor CPU, to re-compute a
+    count the candidate aggregation had already produced for the
+    rescue gate and thrown away. Callers gate on the memoized
+    statistic and fall back to the candidates→array-verify plan (and
+    the grid above VERIFY_GRID_GATE) whenever the rescue tier is live,
+    where sampled buckets make cooc an undercount.
+
+    Plan: one explode (carrying n_shingles — +4 B on the exploded
+    exchange buys both Jaccard denominators with no join back), one
+    shingle-keyed bucket collect (bounded at SHINGLE_DF_CAP members by
+    the gate's premise, so the ADVICE-r9 unbounded-collect hazard is
+    void and no rank window / sort is needed), in-bucket sorted pair
+    expansion, one map-side-combinable pair aggregation. TWO exchanges
+    end-to-end and no array ever crosses the wire — on clean corpora
+    this beats even the grid verify, which still replicates arrays
+    B-per-doc. Collision exposure: a 60-bit hash collision WITHIN one
+    doc would double-count one pair co-occurrence (P ~ n_shingles²/2⁶¹
+    per doc) — the same accepted exposure as array_intersect over the
+    same hash arrays and the keyed-count DuckDB twins.
+    """
+    ds = _doc_shingles(spark, sf_dir)
+    exploded = ds.select(
+        "doc_id",
+        F.col("n_shingles").alias("n_sh"),
+        F.explode("shingles_h").alias("shingle"),
+    )
+    buckets = (
+        exploded.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("members"))
+        .filter(F.size("members") >= 2)
+        .select(F.array_sort("members").alias("members"))
+    )
+    pair_col = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_col).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n_sh").alias("n_a"),
+            F.col("p.b.n_sh").alias("n_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("cooc"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with Jaccard >= threshold among docs sharing at least
     one under-cap blocking shingle: capped candidate generation
@@ -649,7 +756,31 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AQE cannot demote a statically planned broadcast whose input has
     no shuffle stage to measure — the r8 minhash run survived only
     because the persisted shingle cache happened to materialize first).
+
+    r15 exact-count fork: when the campaign's measured df histogram has
+    NO over-cap shingle (:func:`_corpus_has_overcap` — true at every
+    fixture SF, max df 25), the candidate stage's co-occurrence count
+    already equals n_inter for every pair, so the whole verify join is
+    a re-derivation and is skipped (see :func:`_scored_shingle_pairs`
+    for the proof obligations). Boilerplate corpora — where the rescue
+    tier samples buckets and cooc undercounts — keep this full
+    candidates→array-verify plan, including the grid above the gate.
     """
+    if not _corpus_has_overcap(spark, sf_dir):
+        p = _scored_shingle_pairs(spark, sf_dir)
+        return (
+            p.withColumn("n_inter", F.col("cooc").cast("int"))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+        )
     ds = _doc_shingles(spark, sf_dir)
     sa = ds.select(
         F.col("doc_id").alias("doc_a"),
@@ -2167,7 +2298,39 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator. The pair stage is bounded by SHINGLE_DF_CAP²/2 per
     shingle key (never Σ c(s)², never corpus²) and the shingle table is
     the same persisted campaign artifact.
+
+    r15 exact-count fork (same gate + proof as :func:`_jaccard_pairs`):
+    on corpora with no over-cap shingle the candidate co-occurrence
+    count IS n_inter, so the array-verify join is skipped and both
+    directions explode straight off the scored pair relation.
     """
+    if not _corpus_has_overcap(spark, sf_dir):
+        p = _scored_shingle_pairs(spark, sf_dir)
+        both = p.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("doc_a"),
+                        F.col("doc_b").alias("doc_b"),
+                        F.col("cooc").cast("int").alias("n_inter"),
+                        F.col("n_a").alias("n_a"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b"),
+                        F.col("cooc").cast("int").alias("n_inter"),
+                        F.col("n_b").alias("n_a"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.*")
+        return (
+            both.withColumn(
+                "containment", F.round(F.col("n_inter") / F.col("n_a"), 6)
+            )
+            .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+            .select("doc_a", "doc_b", "n_inter", "n_a", "containment")
+        )
     ds = _doc_shingles(spark, sf_dir)
     sa = ds.select(
         F.col("doc_id").alias("doc_a"),

@@ -731,6 +731,11 @@ def test_grid_verify_equals_plain_verify(spark, sf_dir, monkeypatch):
     plain_m = sorted(map(tuple, DD.dedup_minhash_lsh(spark, sf_dir).collect()))
     monkeypatch.setattr(DD, "VERIFY_GRID_GATE", 10)
     monkeypatch.setattr(DD, "VERIFY_GRID_MIN_MULT", 0)
+    # r15: force the over-cap regime so jaccard keeps the full
+    # candidates→verify plan (the fixture corpus is clean and would
+    # otherwise take the exact-count fork, bypassing the grid — which
+    # is correct behavior, but not what this test pins)
+    monkeypatch.setattr(DD, "_corpus_has_overcap", lambda *_: True)
     DD.release_shingles(spark)
     try:
         grid_j = sorted(
@@ -746,6 +751,73 @@ def test_grid_verify_equals_plain_verify(spark, sf_dir, monkeypatch):
         DD.release_shingles(spark)
     assert grid_j == plain_j and len(plain_j) > 0
     assert grid_m == plain_m and len(plain_m) > 0
+
+
+def test_exact_count_fork_matches_array_verify(spark, sf_dir, monkeypatch):
+    """r15: on corpora with no over-cap shingle the candidate stage's
+    co-occurrence count IS |A ∩ B| (every bucket complete), so jaccard
+    and containment skip the array-verify join entirely. Pins (a) the
+    fork engages on the clean fixture, with NO array column in any
+    exchange and no join, (b) rows identical to the legacy
+    candidates→array-verify plan, (c) the over-cap statistic itself:
+    False on the fixture, True on a synthetic boilerplate corpus, and
+    released with the campaign caches."""
+    from mqtt_influx_storage_service_spark.operators import dedup as DD
+
+    DD.release_shingles(spark)
+    try:
+        # (c) statistic: clean fixture -> False, memoized
+        key = (spark.sparkContext.applicationId, sf_dir)
+        assert DD._corpus_has_overcap(spark, sf_dir) is False
+        assert DD._OVERCAP_CACHE[key] is False
+        # (a) fork plan: no SortMergeJoin / array_intersect / grid
+        fast_j = DD.dedup_ngram_jaccard(spark, sf_dir)
+        plan = fast_j._jdf.queryExecution().executedPlan().toString()
+        assert "array_intersect" not in plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") == 2
+        fast_rows = sorted(map(tuple, fast_j.collect()))
+        fast_cont = sorted(
+            map(tuple, DD.dedup_containment(spark, sf_dir).collect())
+        )
+        # (b) row parity vs the legacy verify plan
+        monkeypatch.setattr(DD, "_corpus_has_overcap", lambda *_: True)
+        slow_rows = sorted(
+            map(tuple, DD.dedup_ngram_jaccard(spark, sf_dir).collect())
+        )
+        slow_cont = sorted(
+            map(tuple, DD.dedup_containment(spark, sf_dir).collect())
+        )
+        assert fast_rows == slow_rows and len(fast_rows) > 0
+        assert fast_cont == slow_cont and len(fast_cont) > 0
+    finally:
+        monkeypatch.undo()
+        DD.release_shingles(spark)
+        assert key not in DD._OVERCAP_CACHE  # released with the campaign
+
+
+def test_corpus_has_overcap_true_on_boilerplate(spark, tmp_path):
+    """The over-cap statistic must flip TRUE the moment one shingle's
+    df exceeds SHINGLE_DF_CAP — the regime where sampled buckets make
+    cooc an undercount and the exact-count fork would be WRONG."""
+    from mqtt_influx_storage_service_spark.operators import dedup as DD
+
+    n = DD.SHINGLE_DF_CAP + 1
+    rows = [(i, f"b1 b2 b3 f{i}a f{i}b f{i}c") for i in range(n)]
+    sf = str(tmp_path / "overcap")
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).coalesce(4).write.parquet(f"{sf}/documents.parquet")
+    try:
+        assert DD._corpus_has_overcap(spark, sf) is True
+        # and the queries route through the verify plan (array verify)
+        plan = (
+            DD.dedup_ngram_jaccard(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "array_intersect" in plan
+    finally:
+        DD.release_shingles(spark)
 
 
 def test_grid_cell_map_places_one_cell_per_partition(spark):
@@ -785,6 +857,9 @@ def test_grid_verify_gates(spark, sf_dir, monkeypatch):
     from mqtt_influx_storage_service_spark.operators import dedup as DD
 
     DD.release_shingles(spark)
+    # r15: pin the legacy path (the clean fixture would otherwise take
+    # the exact-count fork, which has no grid machinery to gate)
+    monkeypatch.setattr(DD, "_corpus_has_overcap", lambda *_: True)
     df = DD.dedup_ngram_jaccard(spark, sf_dir)
     assert not DD._CAND_CACHE  # below gate: construction ran no job
     assert "pmod(xxhash64(doc_a" not in df._jdf.queryExecution().toString()
